@@ -1,0 +1,329 @@
+"""DAG pipeline executor — SURVEY.md §2.6.
+
+The reference walks a React-Flow ``{nodes, edges}`` graph in Kahn order,
+running nodes serially and handing data between them as temp CSV files
+(reference: backend/executor/engine.py:24-353; node dispatch :145-178; file
+hand-off :316-324). That CSV round-trip re-infers schema at every hop and
+breaks pipelining — the single biggest anti-pattern for scale.
+
+Here edges carry **DataFrames**: the whole DAG composes into lazy lineages and
+nothing materializes until a sink action. Catalyst then optimizes across node
+boundaries (filter from a late node can push down into an early scan).
+Independent branches become independent lineages whose sink actions can run
+concurrently on the cluster.
+
+Kept in spirit from the reference: per-node retry (3 attempts, 2·attempt
+backoff — engine.py:33-34,77-102), per-node run logs with duration, Kahn
+topological order. Fixed: cycle detection (the reference silently truncates
+cyclic graphs), and ``conditional_branch`` has real semantics (the reference's
+is a pass-through — engine.py:311-314).
+
+Node definition shape::
+
+    {"id": "n1", "type": "transform", "config": {...}}
+
+Edges: ``{"source": "n0", "target": "n1"}``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_mark1_spark.operators.steps import apply_steps
+
+
+class ExecutionError(Exception):
+    pass
+
+
+@dataclass
+class NodeLog:
+    node_id: str
+    node_type: str
+    status: str = "pending"
+    attempts: int = 0
+    duration_s: float = 0.0
+    rows: int | None = None
+    message: str = ""
+
+
+@dataclass
+class RunReport:
+    status: str = "pending"
+    node_logs: list[NodeLog] = field(default_factory=list)
+    outputs: dict[str, Any] = field(default_factory=dict)
+
+
+class PipelineExecutor:
+    """Walks the node DAG passing DataFrames along edges.
+
+    ``count_rows=True`` forces an action per node for observability (like the
+    reference's per-node row logs, engine.py:104-108) — leave it off in
+    production so the lineage stays lazy end-to-end.
+    """
+
+    def __init__(self, spark: SparkSession, max_retries: int = 3,
+                 retry_delay: float = 2.0, count_rows: bool = False):
+        self.spark = spark
+        self._max_retries = max_retries
+        self._retry_delay = retry_delay
+        self._count_rows = count_rows
+        self._node_outputs: dict[str, DataFrame | Any] = {}
+        self._handlers: dict[str, Callable] = {
+            "file_input": self._exec_file_input,
+            "connector_input": self._exec_connector_input,
+            "transform": self._exec_transform,
+            "validation": self._exec_validation,
+            "conditional_branch": self._exec_conditional,
+            "merge": self._exec_merge,
+            "invoke_http": self._exec_invoke_http,
+            "webhook_send": self._exec_webhook_send,
+            "db_insert": self._exec_db_insert,
+            "export": self._exec_export,
+            "file_output": self._exec_file_output,
+        }
+
+    def register_node_type(self, name: str, fn: Callable) -> None:
+        self._handlers[name] = fn
+
+    # -- execution -----------------------------------------------------
+
+    def execute(self, definition: dict) -> RunReport:
+        nodes = definition.get("nodes", [])
+        edges = definition.get("edges", [])
+        order = self._topological_sort(nodes, edges)
+        report = RunReport(status="running")
+
+        for node in order:
+            node_id, node_type = node["id"], node.get("type", "")
+            config = node.get("config", node.get("data", {})) or {}
+            log = NodeLog(node_id=node_id, node_type=node_type)
+            report.node_logs.append(log)
+            started = time.monotonic()
+            try:
+                self._run_with_retry(log, node_id, node_type, config, edges)
+                log.status = "succeeded"
+            except Exception as exc:
+                log.status = "failed"
+                log.message = str(exc)
+                log.duration_s = time.monotonic() - started
+                report.status = "failed"
+                return report
+            log.duration_s = time.monotonic() - started
+            out = self._node_outputs.get(node_id)
+            if self._count_rows and isinstance(out, DataFrame):
+                log.rows = out.count()
+
+        report.status = "succeeded"
+        report.outputs = dict(self._node_outputs)
+        return report
+
+    def _run_with_retry(self, log: NodeLog, node_id: str, node_type: str,
+                        config: dict, edges: list[dict]) -> None:
+        handler = self._handlers.get(node_type)
+        inputs = self._get_inputs(node_id, edges)
+        last_exc: Exception | None = None
+        for attempt in range(1, self._max_retries + 1):
+            log.attempts = attempt
+            try:
+                if handler is None:
+                    # unknown node types pass through (engine.py:177-178)
+                    self._node_outputs[node_id] = inputs[0] if inputs else None
+                    log.message = f"pass-through node type: {node_type}"
+                    return
+                handler(node_id, config, inputs)
+                return
+            except ExecutionError:
+                raise  # semantic failures (validation breach etc.) don't retry
+            except Exception as exc:  # transient: retry with linear backoff
+                last_exc = exc
+                if attempt < self._max_retries:
+                    time.sleep(self._retry_delay * attempt)
+        raise ExecutionError(f"node {node_id} failed after "
+                             f"{self._max_retries} attempts: {last_exc}")
+
+    # -- node handlers ---------------------------------------------------
+
+    def _exec_file_input(self, node_id: str, config: dict, inputs: list) -> None:
+        """file_input (engine.py:180-192): storage path -> DataFrame.
+        No temp-file hop — executors read the storage path directly."""
+        from etl_mark1_spark.sources.readers import read_file
+
+        path = config.get("path") or config.get("file_id")
+        if not path:
+            raise ExecutionError("file_input requires 'path'")
+        self._node_outputs[node_id] = read_file(
+            self.spark, path, config.get("format"), **config.get("options", {})
+        )
+
+    def _exec_connector_input(self, node_id: str, config: dict, inputs: list) -> None:
+        """connector_input (engine.py:194-200): registry connector -> DataFrame."""
+        from etl_mark1_spark.sources.connectors import get_connector
+
+        connector = get_connector(config.get("type", "csv"))
+        self._node_outputs[node_id] = connector.read(
+            self.spark, **config.get("read_params", {})
+        )
+
+    def _exec_transform(self, node_id: str, config: dict, inputs: list) -> None:
+        """transform (engine.py:202-217): fold the step list — no
+        materialization between nodes, unlike the reference's CSV round-trip."""
+        if not inputs:
+            raise ExecutionError("Transform node has no inputs")
+        self._node_outputs[node_id] = apply_steps(inputs[0], config.get("steps", []))
+
+    def _exec_validation(self, node_id: str, config: dict, inputs: list) -> None:
+        """validation (engine.py:219-233): quality gate, raise below min_score."""
+        from etl_mark1_spark.plans.quality import quality_report
+
+        if not inputs:
+            raise ExecutionError("Validation node has no inputs")
+        quality = quality_report(inputs[0],
+                                 approx_distinct=config.get("approx", False))
+        min_score = config.get("min_score", 50)
+        if quality["score"] < min_score:
+            raise ExecutionError(
+                f"Quality score {quality['score']} below minimum {min_score}"
+            )
+        self._node_outputs[node_id] = inputs[0]
+
+    def _exec_conditional(self, node_id: str, config: dict, inputs: list) -> None:
+        """conditional_branch — real semantics (reference pass-through,
+        engine.py:311-314): rows matching ``condition`` flow downstream;
+        ``mode="gate"`` instead passes everything iff any row matches."""
+        if not inputs:
+            raise ExecutionError("Conditional node has no inputs")
+        df: DataFrame = inputs[0]
+        condition = config.get("condition")
+        if not condition:
+            self._node_outputs[node_id] = df
+            return
+        if config.get("mode", "filter") == "gate":
+            matched = not df.filter(condition).isEmpty()
+            self._node_outputs[node_id] = df if matched else df.limit(0)
+        else:
+            self._node_outputs[node_id] = df.filter(condition)
+
+    def _exec_merge(self, node_id: str, config: dict, inputs: list) -> None:
+        """merge (engine.py:286-309): n-ary UNION ALL. DuckDB's UNION ALL is
+        positional; ``by_name=True`` opts into the safer by-name union."""
+        from functools import reduce
+
+        if not inputs:
+            raise ExecutionError("Merge needs at least 1 input")
+        dfs = [i for i in inputs if isinstance(i, DataFrame)]
+        if config.get("by_name"):
+            merged = reduce(
+                lambda a, b: a.unionByName(
+                    b, allowMissingColumns=config.get("allow_missing", False)
+                ),
+                dfs,
+            )
+        else:
+            merged = reduce(lambda a, b: a.union(b), dfs)
+        self._node_outputs[node_id] = merged
+
+    def _exec_invoke_http(self, node_id: str, config: dict, inputs: list) -> None:
+        """invoke_http (engine.py:244-263): driver-side control-plane call;
+        optional body is a bounded sample of the upstream frame."""
+        import json as _json
+        import urllib.request
+
+        url = config.get("url")
+        if not url:
+            raise ExecutionError("invoke_http requires 'url'")
+        body = None
+        if inputs and isinstance(inputs[0], DataFrame) and config.get("send_input"):
+            rows = [r.asDict(recursive=True)
+                    for r in inputs[0].limit(config.get("max_rows", 1000)).collect()]
+            body = _json.dumps(rows, default=str).encode()
+        req = urllib.request.Request(
+            url, data=body, method=config.get("method", "POST" if body else "GET"),
+            headers={"Content-Type": "application/json", **config.get("headers", {})},
+        )
+        with urllib.request.urlopen(req) as resp:  # noqa: S310
+            payload = resp.read().decode()
+        self._node_outputs[node_id] = payload
+
+    def _exec_webhook_send(self, node_id: str, config: dict, inputs: list) -> None:
+        """webhook_send (engine.py:265-270) via the export adapter."""
+        from etl_mark1_spark.sources.export import get_export_adapter
+
+        if not inputs:
+            raise ExecutionError("Webhook node has no inputs")
+        get_export_adapter("webhook").export(inputs[0], config)
+        self._node_outputs[node_id] = inputs[0]
+
+    def _exec_db_insert(self, node_id: str, config: dict, inputs: list) -> None:
+        """db_insert (engine.py:272-278): distributed JDBC write."""
+        from etl_mark1_spark.sources.writers import write_jdbc
+
+        if not inputs:
+            raise ExecutionError("db_insert node has no inputs")
+        write_jdbc(inputs[0], config["url"], config["table"],
+                   mode=config.get("mode", "append"), **config.get("options", {}))
+        self._node_outputs[node_id] = inputs[0]
+
+    def _exec_export(self, node_id: str, config: dict, inputs: list) -> None:
+        """export (engine.py:280-284): adapter dispatch."""
+        from etl_mark1_spark.sources.export import get_export_adapter
+
+        if not inputs:
+            raise ExecutionError("Export node has no inputs")
+        adapter = get_export_adapter(config.get("type", "webhook"))
+        adapter.export(inputs[0], config)
+        self._node_outputs[node_id] = inputs[0]
+
+    def _exec_file_output(self, node_id: str, config: dict, inputs: list) -> None:
+        """file_output (engine.py:235-242): distributed write to the target."""
+        from etl_mark1_spark.sources.writers import write_file
+
+        if not inputs:
+            raise ExecutionError("File output node has no inputs")
+        path = config.get("path") or config.get("filename", "output.csv")
+        write_file(inputs[0], path, config.get("format"),
+                   mode=config.get("mode", "overwrite"),
+                   single_file=config.get("single_file", False))
+        self._node_outputs[node_id] = path
+
+    # -- graph -----------------------------------------------------------
+
+    def _get_inputs(self, node_id: str, edges: list[dict]) -> list:
+        """Upstream outputs in edge order (engine.py:316-324)."""
+        return [
+            self._node_outputs[e["source"]]
+            for e in edges
+            if e.get("target") == node_id and e.get("source") in self._node_outputs
+        ]
+
+    @staticmethod
+    def _topological_sort(nodes: list[dict], edges: list[dict]) -> list[dict]:
+        """Kahn's algorithm with cycle detection (the reference's version,
+        engine.py:326-353, silently truncates cyclic graphs)."""
+        node_map = {n["id"]: n for n in nodes}
+        in_degree = {nid: 0 for nid in node_map}
+        adjacency: dict[str, list[str]] = {nid: [] for nid in node_map}
+        for edge in edges:
+            src, tgt = edge["source"], edge["target"]
+            if src in adjacency:
+                adjacency[src].append(tgt)
+            if tgt in in_degree:
+                in_degree[tgt] += 1
+
+        queue = sorted(nid for nid, deg in in_degree.items() if deg == 0)
+        order = []
+        while queue:
+            nid = queue.pop(0)
+            order.append(node_map[nid])
+            for neighbor in adjacency.get(nid, []):
+                in_degree[neighbor] -= 1
+                if in_degree[neighbor] == 0:
+                    queue.append(neighbor)
+        if len(order) != len(nodes):
+            cyclic = sorted(nid for nid, deg in in_degree.items() if deg > 0)
+            raise ExecutionError(f"pipeline graph has a cycle involving: {cyclic}")
+        return order

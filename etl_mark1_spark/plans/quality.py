@@ -1,0 +1,68 @@
+"""Data profiling / quality score — A4-A7 in SURVEY.md §2.4.
+
+The reference runs 2 queries per column (null count, distinct count) plus a
+total count (reference: backend/services/duckdb_engine.py:197-244). Here the
+same numbers come from ONE aggregation pass — at 100 TB the difference is
+2·N_cols full scans vs one. Formula preserved exactly:
+``score = mean over columns of (1 - null_rate) * 100``; empty input scores 0.0
+(duckdb_engine.py:212-213).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_aggregate(df: DataFrame, columns: list[str] | None = None,
+                      approx_distinct: bool = False) -> DataFrame:
+    """Single-pass profiling aggregate: total rows + per-column null and
+    distinct counts, as one wide row.
+
+    ``approx_distinct=True`` swaps exact COUNT(DISTINCT) for HyperLogLog
+    (approx_count_distinct) — the right call at 100 TB, where N exact
+    distinct counts in one pass force a huge expand-and-shuffle. Flagged
+    divergence: approximate counts (SURVEY.md §4.2 custom-work item 3).
+    """
+    cols = columns or df.columns
+    distinct_fn = F.approx_count_distinct if approx_distinct else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("_total_rows")]
+    for c in cols:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nulls_{c}")
+        )
+        aggs.append(distinct_fn(F.col(c)).alias(f"_distinct_{c}"))
+    return df.agg(*aggs)
+
+
+def quality_report(df: DataFrame, columns: list[str] | None = None,
+                   approx_distinct: bool = False) -> dict:
+    """The reference's quality-report shape (duckdb_engine.py:197-244):
+    overall score, row/column counts, per-column null_rate / unique_ratio /
+    column score."""
+    cols = columns or df.columns
+    row = profile_aggregate(df, cols, approx_distinct=approx_distinct).collect()[0]
+    total = row["_total_rows"]
+    if total == 0:
+        return {"score": 0.0, "row_count": 0, "column_count": len(cols), "details": {}}
+
+    details = {}
+    scores = []
+    for c in cols:
+        null_rate = row[f"_nulls_{c}"] / total
+        col_score = (1.0 - null_rate) * 100.0
+        details[c] = {
+            "null_count": row[f"_nulls_{c}"],
+            "null_rate": null_rate,
+            "distinct_count": row[f"_distinct_{c}"],
+            "unique_ratio": row[f"_distinct_{c}"] / total,
+            "score": col_score,
+        }
+        scores.append(col_score)
+
+    return {
+        "score": sum(scores) / len(scores),
+        "row_count": total,
+        "column_count": len(cols),
+        "details": details,
+    }

@@ -1,0 +1,125 @@
+"""File readers — S1-S8 in SURVEY.md §2.1.
+
+The reference resolves a format by extension and dispatches to a DuckDB read
+function (reference: backend/services/duckdb_engine.py:248-269); remote paths
+work because httpfs is loaded (:25). Here the same dispatch lands on Spark
+DataFrameReader — schema inference on by default to match ``read_*_auto``
+semantics, remote storage via the s3a/abfss/gs Hadoop connectors configured on
+the session (no temp-file hop like the reference's MinIO download,
+backend/services/file_service.py:132-142).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Formats the reference accepts at upload (backend/services/file_service.py:61).
+KNOWN_FORMATS = ("csv", "json", "xlsx", "parquet", "xml", "txt")
+
+
+def detect_format(file_path: str) -> str:
+    """Extension-based autodetect, default csv (duckdb_engine.py:265-269)."""
+    ext = os.path.splitext(file_path)[1].lower().lstrip(".")
+    return ext if ext in KNOWN_FORMATS else "csv"
+
+
+def read_file(
+    spark: SparkSession,
+    path: str,
+    file_format: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Read ``path`` into a DataFrame with format autodetect.
+
+    - csv/txt  -> header + inferSchema (S1; ``read_csv_auto`` parity). At
+      scale, pass ``schema=`` to skip the inference pass — inference reads
+      the data once before the real scan.
+    - json     -> line-delimited by default; ``multiline=True`` for document
+      JSON (S2; ``read_json_auto`` handles both).
+    - parquet  -> self-describing (S3).
+    - xlsx/xls -> driver-side pandas/openpyxl then parallelize (S4) — the
+      reference shells out to a spatial extension for this; there is no
+      distributed Excel codec, and spreadsheets are small by nature.
+    - xml      -> falls back to csv parsing, matching the reference's
+      declared-but-not-implemented branch (duckdb_engine.py:260-261). A real
+      deployment would add the spark-xml package.
+    """
+    fmt = (file_format or detect_format(path)).lower()
+    if fmt in ("csv", "txt", "xml"):
+        reader = (
+            spark.read.option("header", options.pop("header", True))
+            .option("inferSchema", schema is None)
+            .options(**options)
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.csv(path)
+    if fmt == "json":
+        reader = spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(path)
+    if fmt == "parquet":
+        return spark.read.options(**options).parquet(path)
+    if fmt in ("xlsx", "xls"):
+        return _read_excel(spark, path, schema=schema, **options)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def _read_excel(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """S4 — Excel via pandas on the driver (gated: openpyxl optional)."""
+    try:
+        import pandas as pd
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pandas required for Excel reads") from exc
+    try:
+        pdf = pd.read_excel(path, **options)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "openpyxl/xlrd not installed in this environment; Excel reads are "
+            "driver-side pandas and need an Excel codec"
+        ) from exc
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def read_http(spark: SparkSession, url: str, file_format: str | None = None,
+              headers: dict | None = None, **options) -> DataFrame:
+    """S9 — HTTP API source: driver-side fetch, then a normal read.
+
+    The reference downloads to a temp file and reads it
+    (backend/connectors/builtin.py:61-121); same shape here. Control-plane
+    fetch — not for bulk data (bulk belongs on s3a:// style storage paths that
+    executors read directly).
+    """
+    import tempfile
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=headers or {})
+    fmt = file_format or detect_format(url.split("?", 1)[0])
+    with urllib.request.urlopen(req) as resp:  # noqa: S310 — explicit connector
+        data = resp.read()
+    with tempfile.NamedTemporaryFile(suffix=f".{fmt}", delete=False) as tmp:
+        tmp.write(data)
+        tmp_path = tmp.name
+    return read_file(spark, tmp_path, file_format=fmt, **options)
+
+
+def read_jdbc(spark: SparkSession, url: str, query: str | None = None,
+              table: str | None = None, **options) -> DataFrame:
+    """S10 — JDBC source (reference: MySQL connector, builtin.py:156-173).
+
+    Prefer ``query`` pushdown; for big tables pass partitionColumn/lowerBound/
+    upperBound/numPartitions so the read parallelizes instead of landing on a
+    single executor connection.
+    """
+    reader = spark.read.format("jdbc").option("url", url)
+    if query is not None:
+        reader = reader.option("query", query)
+    elif table is not None:
+        reader = reader.option("dbtable", table)
+    else:
+        raise ValueError("either query or table is required")
+    return reader.options(**options).load()
