@@ -1,0 +1,783 @@
+"""Query catalog: every implemented operator as a (spark, sf_dir) -> DataFrame
+callable plus, where SQL-expressible, a DuckDB oracle SQL string.
+
+This is the driver contract behind ``__spark_entry__.py`` (SURVEY.md §5.2) and
+doubles as the repo's example gallery. Determinism rules that make the
+order-insensitive value-hash comparison meaningful:
+
+- aggregate sums/avgs of doubles are rounded (Spark and DuckDB accumulate in
+  different orders; per-row arithmetic is left exact — IEEE ops in fixed
+  order match bitwise);
+- timestamp literals are written as plain strings so comparisons bind to the
+  parquet ``timestamp_ntz`` columns without session-timezone coercion;
+- counts/window ranks are cast to BIGINT on the Spark side to match DuckDB;
+- every computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.steps import apply_steps
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from etl_mark1_spark.sources.readers import read_parquet_compat
+
+    return read_parquet_compat(spark, f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def query(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# Flagship + step-DSL operators (SURVEY.md §2.2/§2.4)
+# ---------------------------------------------------------------------------
+
+@query("q1_pricing_summary", """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)      AS l_quantity_sum,
+           round(sum(l_extendedprice), 2) AS l_extendedprice_sum,
+           round(avg(l_discount), 6)      AS l_discount_avg,
+           count(l_orderkey)              AS l_orderkey_count
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped, built from the reference's own step
+    operators (P4 filter_rows + A1 aggregate; SURVEY.md §7.1)."""
+    df = apply_steps(t(spark, sf_dir, "lineitem"), [
+        {"operator": "filter_rows",
+         "params": {"expression": "l_shipdate <= '1998-09-02 00:00:00'"}},
+        {"operator": "aggregate", "params": {
+            "group_by": ["l_returnflag", "l_linestatus"],
+            "aggregations": {"l_quantity": "sum", "l_extendedprice": "sum",
+                             "l_discount": "avg", "l_orderkey": "count"}}},
+    ])
+    return df.select(
+        "l_returnflag", "l_linestatus",
+        F.round("l_quantity_sum", 2).alias("l_quantity_sum"),
+        F.round("l_extendedprice_sum", 2).alias("l_extendedprice_sum"),
+        F.round("l_discount_avg", 6).alias("l_discount_avg"),
+        F.col("l_orderkey_count"),
+    )
+
+
+@query("rename_cast_project", """
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS linenum,
+           l_quantity                   AS qty,
+           CAST(l_shipdate AS DATE)     AS ship_date
+    FROM lineitem
+""")
+def rename_cast_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 rename_column + P2 cast_type (DuckDB type names via alias map)."""
+    df = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    return apply_steps(df, [
+        {"operator": "cast_type",
+         "params": {"column": "l_linenumber", "target_type": "BIGINT"}},
+        {"operator": "cast_type",
+         "params": {"column": "l_shipdate", "target_type": "DATE"}},
+        {"operator": "rename_column",
+         "params": {"from_name": "l_linenumber", "to_name": "linenum"}},
+        {"operator": "rename_column",
+         "params": {"from_name": "l_quantity", "to_name": "qty"}},
+        {"operator": "rename_column",
+         "params": {"from_name": "l_shipdate", "to_name": "ship_date"}},
+    ])
+
+
+@query("filter_derive", """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def filter_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 filter_rows + P8 add_derived_column (exact per-row doubles)."""
+    df = apply_steps(t(spark, sf_dir, "lineitem"), [
+        {"operator": "filter_rows",
+         "params": {"expression":
+                    "l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"}},
+        {"operator": "add_derived_column",
+         "params": {"name": "revenue",
+                    "expression": "l_extendedprice * (1 - l_discount)"}},
+    ])
+    return df.select("l_orderkey", "l_linenumber", "revenue")
+
+
+@query("string_ops", """
+    SELECT p_partkey,
+           string_split(p_type, ' ')[1] AS type_head,
+           string_split(p_type, ' ')[2] AS type_mid,
+           coalesce(CAST(p_brand AS VARCHAR), '') || '|' ||
+           coalesce(CAST(p_type AS VARCHAR), '')  AS brand_type,
+           replace(p_brand, 'Brand#', 'B-')       AS p_brand,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS p_name
+    FROM part
+""")
+def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 split_column (literal delim, 1-based -> 0-based), P10 merge_columns
+    (separator honored), P6 replace_text (literal), P7 regex_replace."""
+    df = apply_steps(t(spark, sf_dir, "part"), [
+        {"operator": "split_column",
+         "params": {"column": "p_type", "delimiter": " ",
+                    "new_names": ["type_head", "type_mid"]}},
+        {"operator": "merge_columns",
+         "params": {"columns": ["p_brand", "p_type"], "separator": "|",
+                    "new_name": "brand_type"}},
+        {"operator": "replace_text",
+         "params": {"column": "p_brand", "find": "Brand#", "replace": "B-"}},
+        {"operator": "regex_replace",
+         "params": {"column": "p_name", "pattern": "[aeiou]",
+                    "replacement": ""}},
+    ])
+    return df.select("p_partkey", "type_head", "type_mid", "brand_type",
+                     "p_brand", "p_name")
+
+
+@query("trim_drop_dedup", """
+    SELECT DISTINCT trim(o_orderstatus)   AS o_orderstatus,
+                    trim(o_orderpriority) AS o_orderpriority
+    FROM orders
+    WHERE trim(o_orderpriority) IS NOT NULL
+""")
+def trim_drop_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 trim_whitespace (real trim — reference's is a no-op) + P5
+    drop_nulls + A2 keyed deduplicate_rows."""
+    df = t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    return apply_steps(df, [
+        {"operator": "trim_whitespace", "params": {"columns": ["*"]}},
+        {"operator": "drop_nulls", "params": {"columns": ["o_orderpriority"]}},
+        {"operator": "deduplicate_rows",
+         "params": {"columns": ["o_orderstatus", "o_orderpriority"]}},
+    ])
+
+
+@query("dedup_distinct", """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 deduplicate_rows with no keys -> SELECT DISTINCT *."""
+    df = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    return apply_steps(df, [{"operator": "deduplicate_rows", "params": {}}])
+
+
+@query("aggregate_global", """
+    SELECT count(l_orderkey)              AS l_orderkey_count,
+           round(sum(l_quantity), 2)      AS l_quantity_sum,
+           min(l_extendedprice)           AS l_extendedprice_min,
+           max(l_tax)                     AS l_tax_max
+    FROM lineitem
+""")
+def aggregate_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 aggregate with empty group_by -> global aggregation (the reference
+    emits invalid SQL for this; documented divergence)."""
+    df = apply_steps(t(spark, sf_dir, "lineitem"), [
+        {"operator": "aggregate", "params": {
+            "group_by": [],
+            "aggregations": {"l_orderkey": "count", "l_quantity": "sum",
+                             "l_extendedprice": "min", "l_tax": "max"}}},
+    ])
+    return df.select(
+        "l_orderkey_count",
+        F.round("l_quantity_sum", 2).alias("l_quantity_sum"),
+        "l_extendedprice_min", "l_tax_max",
+    )
+
+
+@query("union_all_merge", """
+    SELECT o_orderkey, o_orderstatus, 'high' AS bucket
+    FROM orders WHERE o_totalprice > 250000
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'low' AS bucket
+    FROM orders WHERE o_totalprice < 10000
+""")
+def union_all_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 merge node semantics: positional n-ary UNION ALL
+    (reference: backend/executor/engine.py:286-309)."""
+    orders = t(spark, sf_dir, "orders")
+    high = (orders.filter("o_totalprice > 250000")
+            .select("o_orderkey", "o_orderstatus", F.lit("high").alias("bucket")))
+    low = (orders.filter("o_totalprice < 10000")
+           .select("o_orderkey", "o_orderstatus", F.lit("low").alias("bucket")))
+    return high.union(low)
+
+
+# ---------------------------------------------------------------------------
+# SQL passthrough: joins / grouping sets (SURVEY.md §2.3, §2.7)
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < '1995-03-15'
+      AND l_shipdate  > '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_join_q3", _Q3_SQL)
+def sql_join_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL passthrough (§2.7) carrying a 3-way join + top-k — the same
+    statement runs in both engines. Catalyst broadcasts the filtered
+    customer side automatically (AQE)."""
+    from etl_mark1_spark.plans.sql import execute_sql
+
+    return execute_sql(spark, _Q3_SQL, sources={
+        name: t(spark, sf_dir, name) for name in ("customer", "orders", "lineitem")
+    }, limit=None)
+
+
+_Q5_SQL = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= '1996-01-01'
+      AND o_orderdate <  '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+@query("sql_q5_region_revenue", _Q5_SQL)
+def sql_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join through the SQL passthrough; dimension tables broadcast."""
+    from etl_mark1_spark.plans.sql import execute_sql
+
+    return execute_sql(spark, _Q5_SQL, sources={
+        name: t(spark, sf_dir, name)
+        for name in ("customer", "orders", "lineitem", "supplier", "nation",
+                     "region")
+    }, limit=None)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@query("grouping_sets", _GROUPING_SETS_SQL)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mark1_spark.plans.sql import execute_sql
+
+    return execute_sql(spark, _GROUPING_SETS_SQL,
+                       sources={"lineitem": t(spark, sf_dir, "lineitem")},
+                       limit=None)
+
+
+@query("semi_join_customers", """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS)."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@query("anti_join_customers", """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@query("intersect_nations", """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+""")
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query("except_nations", """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+""")
+def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Windows / rollup / cube (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+@query("window_topk_orders", """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) ranked WHERE rn <= 3
+""")
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ranking window (the reference's only window) as deterministic
+    per-group top-k."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).cast("long").alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+@query("window_running_sum", """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS running_value
+    FROM events
+""")
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame (running sum) — reachable only via raw SQL in
+    the reference; first-class here."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.round(F.sum("value").over(w), 4).alias("running_value")))
+
+
+@query("window_lag_lead", """
+    SELECT event_id, user_id,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.lag("event_type").over(w).alias("prev_type"),
+                    F.lead("event_type").over(w).alias("next_type")))
+
+
+@query("rollup_agg", """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS qty_sum, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (t(spark, sf_dir, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@query("cube_agg", """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS price_sum, count(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""")
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (t(spark, sf_dir, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Events / time handling (SURVEY.md §2.8 extension)
+# ---------------------------------------------------------------------------
+
+@query("events_hourly", """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+""")
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (t(spark, sf_dir, "events")
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum")))
+
+
+@query("events_window_tumbling", """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+""")
+def events_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling 1h — the streaming-compatible batch formulation."""
+    return (t(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum"))
+            .select(F.col("w").start.alias("window_start"), "event_type",
+                    "n_events", "value_sum"))
+
+
+@query("streaming_hourly")
+def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming (AvailableNow) over the same events parquet —
+    same results as the batch plan, through the streaming engine. Oracle
+    shared with events_window_tumbling (set after definition)."""
+    import tempfile
+
+    from etl_mark1_spark.streaming.events import (
+        hourly_event_aggregate, read_events_stream, run_available_now)
+
+    # File streams can't read TIMESTAMP(NANOS) parquet: stage a µs copy —
+    # the "rewrite at ingest" step a real deployment would do once.
+    staged = tempfile.mkdtemp(prefix="etl_mark1_events_us_")
+    (t(spark, sf_dir, "events")
+     .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs ltz
+     .write.mode("overwrite").parquet(staged))
+    stream = read_events_stream(spark, staged)
+    agg = hourly_event_aggregate(stream)
+    return run_available_now(agg, table_name="stream_hourly_out",
+                             output_mode="complete")
+
+
+ORACLE["streaming_hourly"] = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Profiling / pipeline (SURVEY.md §2.4 A4-A7, §2.6)
+# ---------------------------------------------------------------------------
+
+@query("quality_profile_customer", """
+    SELECT count(*) AS _total_rows,
+           count(CASE WHEN c_mktsegment IS NULL THEN 1 END) AS _nulls_c_mktsegment,
+           count(DISTINCT c_mktsegment) AS _distinct_c_mktsegment,
+           count(CASE WHEN c_nationkey IS NULL THEN 1 END) AS _nulls_c_nationkey,
+           count(DISTINCT c_nationkey) AS _distinct_c_nationkey,
+           count(CASE WHEN c_acctbal IS NULL THEN 1 END) AS _nulls_c_acctbal,
+           count(DISTINCT c_acctbal) AS _distinct_c_acctbal
+    FROM customer
+""")
+def quality_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A7 single-pass profiling aggregate (reference runs 2 queries per
+    column — duckdb_engine.py:215-235)."""
+    from etl_mark1_spark.plans.quality import profile_aggregate
+
+    return profile_aggregate(t(spark, sf_dir, "customer"),
+                             ["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+
+@query("pipeline_etl", """
+    SELECT o_orderkey, o_totalprice,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year
+    FROM orders WHERE o_totalprice > 100000
+""")
+def pipeline_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DAG executor run (§2.6): file_input -> transform ->
+    validation; returns the terminal node's DataFrame."""
+    from etl_mark1_spark.plans.dag import PipelineExecutor
+
+    definition = {
+        "nodes": [
+            {"id": "in", "type": "file_input",
+             "config": {"path": f"{sf_dir}/orders.parquet", "format": "parquet"}},
+            {"id": "tf", "type": "transform", "config": {"steps": [
+                {"operator": "filter_rows",
+                 "params": {"expression": "o_totalprice > 100000"}},
+                {"operator": "add_derived_column",
+                 "params": {"name": "order_year",
+                            "expression": "CAST(year(o_orderdate) AS INT)"}},
+            ]}},
+            {"id": "val", "type": "validation", "config": {"min_score": 50}},
+        ],
+        "edges": [{"source": "in", "target": "tf"},
+                  {"source": "tf", "target": "val"}],
+    }
+    report = PipelineExecutor(spark).execute(definition)
+    if report.status != "succeeded":
+        raise RuntimeError(f"pipeline failed: {report.node_logs}")
+    return report.outputs["val"].select("o_orderkey", "o_totalprice",
+                                        "order_year")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (extension; SURVEY.md §7.2 step 8)
+# ---------------------------------------------------------------------------
+
+@query("text_stats", r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT)
+               AS n_punct
+    FROM documents
+""")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mark1_spark.functions.text import punct_count, whitespace_token_count
+
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.length("text").cast("long").alias("n_chars_calc"),
+                    whitespace_token_count("text").cast("long").alias("n_tokens"),
+                    punct_count("text").cast("long").alias("n_punct")))
+
+
+@query("text_tokens_bpe", r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+""")
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mark1_spark.functions.text import bpe_ish_token_count
+
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens")))
+
+
+def _stopword_sql(lang: str) -> str:
+    from etl_mark1_spark.functions.text import STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (f"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+            f"x -> x IN ({words})))")
+
+
+@query("text_lang_id", f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_stopword_sql('en')} AS en, {_stopword_sql('de')} AS de,
+               {_stopword_sql('fr')} AS fr, {_stopword_sql('es')} AS es
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+                WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM scored
+""")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mark1_spark.functions.text import lang_id
+
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", lang_id("text").alias("lang_pred")))
+
+
+@query("text_quality", f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                    AS DOUBLE) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+                   AS n_punct,
+               CAST({_stopword_sql('en')} + {_stopword_sql('de')}
+                    + {_stopword_sql('fr')} + {_stopword_sql('es')} AS DOUBLE)
+                   AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           round(100.0 * (0.4 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (1.0 - least(5.0 * n_punct / greatest(n_chars, 1.0), 1.0))
+                 + 0.3 * least(4.0 * n_stop / greatest(n_tokens, 1.0), 1.0)), 2)
+               AS quality
+    FROM stats
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mark1_spark.functions.text import text_quality_score
+
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", text_quality_score("text").alias("quality")))
+
+
+@query("doc_fingerprint", r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+    FROM documents
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mark1_spark.functions.text import fingerprint_md5
+
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", fingerprint_md5("text").alias("fingerprint")))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (extension)
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact_documents", """
+    SELECT doc_id, text FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+""")
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup keeping the smallest doc_id (deterministic)."""
+    from etl_mark1_spark.operators.dedup import dedup_exact
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_exact(docs, "text", "doc_id", keep="min_id")
+
+
+@query("minhash_neardup")
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup clusters (doc_id -> min-id cluster label).
+    Non-SQL-expressible: rows-only check."""
+    from etl_mark1_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(t(spark, sf_dir, "documents"))
+
+
+@query("ngram_jaccard_neardup")
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup clusters. Rows-only check."""
+    from etl_mark1_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(t(spark, sf_dir, "documents"), use_word_ngrams=True,
+                         threshold=0.7)
+
+
+@query("simhash_docs")
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched Pandas UDF; md5-based so
+    values are process-stable). Rows-only check."""
+    from etl_mark1_spark.operators.dedup import with_simhash
+
+    return with_simhash(t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@query("simhash_neardup")
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters (hamming <= 3 via banded buckets)."""
+    from etl_mark1_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(t(spark, sf_dir, "documents"))
+
+
+@query("embedding_neardup")
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup clusters via random-hyperplane LSH."""
+    from etl_mark1_spark.operators.dedup import embedding_neardup
+
+    return embedding_neardup(t(spark, sf_dir, "embeddings"), threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (extension)
+# ---------------------------------------------------------------------------
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 1) -> list[float]:
+    row = (t(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") == vec_id).select("embedding").first())
+    return [float(x) for x in row[0]]
+
+
+@query("embedding_cosine_topk", """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6)
+               AS similarity
+    FROM embeddings e, q
+    WHERE e.vec_id <> 1
+    ORDER BY similarity DESC, e.vec_id
+    LIMIT 10
+""")
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 against the vec_id=1 embedding."""
+    from etl_mark1_spark.operators.similarity import cosine_topk
+
+    qv = _query_vector(spark, sf_dir, 1)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 1)
+    return cosine_topk(emb, qv, k=10)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH with multiprobe.
+    Approximate by construction: rows-only check."""
+    from etl_mark1_spark.operators.similarity import lsh_topk
+
+    qv = _query_vector(spark, sf_dir, 1)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 1)
+    return lsh_topk(emb, qv, k=10)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans inverted lists, nprobe=4) approximate top-10."""
+    from etl_mark1_spark.operators.similarity import ivf_build, ivf_topk
+
+    qv = _query_vector(spark, sf_dir, 1)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 1)
+    assigned, centroids = ivf_build(emb, num_centroids=8)
+    return ivf_topk(assigned, centroids, qv, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (extension; decode is a deterministic fake)
+# ---------------------------------------------------------------------------
+
+@query("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns end-to-end: synthesize payload+metadata, decode
+    via mapInPandas (fake codec), emit typed features. Rows-only check."""
+    from etl_mark1_spark.operators.multimodal import attach_fake_media, decode_images
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_fake_media(docs))

@@ -1,0 +1,144 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+Beyond the reference's surface (SURVEY.md §7.2 step 8): language ID, quality
+scoring, token counting, and document fingerprinting over the ``documents``
+table. Everything here is built from JVM-side ``pyspark.sql.functions`` —
+no Python UDFs in the hot path — so whole-stage codegen applies and the same
+logic scales to 100 TB of text unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Deliberately small: membership tests stay cheap, and the heuristic only
+#: needs relative scores, not coverage.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"],
+    "es": ["el", "la", "los", "que", "es", "en", "por", "una", "con", "para"],
+}
+
+#: BPE-ish tokenizer regex: letter runs, digit runs, or single non-space
+#: symbols — a cheap approximation of byte-pair pre-tokenization.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Whitespace token count: split on runs of whitespace after trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish regex (letters/digits/symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_count(col: Column | str) -> Column:
+    """ASCII punctuation character count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[\p{Punct}]"), F.lit(0)))
+
+
+def letter_tokens(col: Column | str) -> Column:
+    """Lowercased letter-run tokens (the unit for stopword scoring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), F.lit(0))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with repeats)."""
+    toks = letter_tokens(col)
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts.
+
+    Ties resolve in the fixed order en > de > fr > es; zero hits everywhere
+    yields 'und' (undetermined), matching BCP-47 practice.
+    """
+    scores = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    all_zero = None
+    for s in scores.values():
+        all_zero = s == 0 if all_zero is None else all_zero & (s == 0)
+    expr = F.when(all_zero, F.lit("und"))
+    langs = list(STOPWORDS)
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1:]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else cond & c
+        expr = expr.when(cond if cond is not None else F.lit(True), F.lit(lang))
+    return expr
+
+
+def text_quality_score(col: Column | str) -> Column:
+    """Composite 0-100 quality score from cheap surface statistics:
+
+    - length component: saturating chars/500
+    - punctuation component: 1 - min(5 * punct_ratio, 1)
+    - stopword component: min(4 * stopword_ratio, 1) — natural prose has
+      roughly >= 25% stopwords
+
+    Weights 0.4/0.3/0.3. All per-row double arithmetic in a fixed order, so
+    results are deterministic and reproducible in plain SQL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_tokens = whitespace_token_count(c).cast("double")
+    n_punct = punct_count(c).cast("double")
+    n_stop = (
+        stopword_hits(c, "en") + stopword_hits(c, "de")
+        + stopword_hits(c, "fr") + stopword_hits(c, "es")
+    ).cast("double")
+    length_part = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_part = F.lit(1.0) - F.least(
+        F.lit(5.0) * n_punct / F.greatest(n_chars, F.lit(1.0)), F.lit(1.0)
+    )
+    stop_part = F.least(
+        F.lit(4.0) * n_stop / F.greatest(n_tokens, F.lit(1.0)), F.lit(1.0)
+    )
+    return F.round(
+        F.lit(100.0) * (F.lit(0.4) * length_part + F.lit(0.3) * punct_part
+                        + F.lit(0.3) * stop_part),
+        2,
+    )
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Stable document fingerprint: md5 hex of the normalized text.
+
+    md5 (not Spark's internal ``hash``) so the same fingerprint is
+    reproducible in any other engine — the dedup key can be shared across
+    systems.
+    """
+    return F.md5(normalized_text(col))
+
+
+def rolling_hash_fingerprint(col: Column | str, window: int = 64) -> Column:
+    """Content-defined fingerprint: xxhash64 over each ``window``-char
+    sliding block of the normalized text, keeping the minimum — a winnowing-
+    style robust fingerprint that survives small edits at the ends.
+    Entirely JVM-side: sequence + transform + array_min.
+    """
+    norm = normalized_text(col)
+    n_blocks = F.greatest(F.length(norm) - F.lit(window - 1), F.lit(1))
+    blocks = F.transform(
+        F.sequence(F.lit(1), n_blocks), lambda i: norm.substr(i, F.lit(window))
+    )
+    return F.array_min(F.transform(blocks, lambda b: F.xxhash64(b)))

@@ -1,0 +1,329 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Five families (SURVEY.md §7.2 step 8; first-class components beyond the
+reference's ``deduplicate_rows``):
+
+- exact           : hash-groupBy on content or fingerprint — one shuffle
+- MinHash + LSH   : shingle -> minhash signature -> banded buckets ->
+                    bucket-join candidates -> exact-Jaccard verify ->
+                    min-label clustering
+- SimHash         : 64-bit weighted token hash, banded hamming buckets
+- n-gram Jaccard  : word-ngram variant of the MinHash pipeline
+- embedding cosine: random-hyperplane LSH buckets over a vector column
+
+Design for 100 TB:
+- Signatures/buckets computed with built-in expressions (xxhash64, transform,
+  array_min) — JVM codegen, no Python in the hot path; SimHash is the one
+  Arrow-batched Pandas UDF (bit-twiddling isn't expressible efficiently in
+  SQL expressions).
+- Candidate generation is a self-equi-join on bucket id (shuffle on bucket),
+  never an all-pairs product.
+- Clustering is iterative min-label propagation over the verified-pair edge
+  list — a few hash joins, no driver-side union-find, no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.functions.text import normalized_text
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                keep: str = "min_id") -> DataFrame:
+    """Exact dedup on content: one row per distinct ``text_col``.
+
+    ``keep="min_id"`` keeps the row whose id is smallest — deterministic,
+    unlike ``dropDuplicates`` — via a min-aggregation + semi-join (two
+    shuffles on content hash, no window sort). ``keep="any"`` is the cheaper
+    ``dropDuplicates``.
+    """
+    if keep == "any":
+        return df.dropDuplicates([text_col])
+    keeper = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keeper, [text_col, id_col], "left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct k-character shingles of the normalized text (JVM-side:
+    sequence + substr + array_distinct)."""
+    norm = normalized_text(col)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text."""
+    toks = F.split(normalized_text(col), " ")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
+
+    xxhash64 with a distinct constant second argument acts as an independent
+    hash family member; array_min over the mapped array is the permutation
+    minimum. All whole-stage-codegen'd."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def lsh_band_buckets(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Bucket ids: hash each band (slice of the signature) together with its
+    band index so buckets from different bands never collide."""
+    return F.array(*[
+        F.xxhash64(
+            F.lit(b),
+            F.concat_ws(",", F.transform(
+                F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            )),
+        )
+        for b in range(bands)
+    ])
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
+                       max_iter: int = 10) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``edges`` has columns (src, dst), undirected. Each node's label starts as
+    its own id and converges to the component minimum. Joins only — scales as
+    O(E) per round; near-dup graphs are shallow so few rounds suffice.
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"))).distinct()
+    labels = ids.select(F.col(id_col).alias("node"),
+                        F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                        ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # cut lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    use_word_ngrams: bool = False,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate clustering: returns (id_col, cluster_id); cluster_id is
+    the minimum doc id of the connected component — deterministic.
+
+    Pipeline: shingles -> 64-hash MinHash -> 16 bands x 4 rows (s-curve
+    threshold ~0.5 at defaults) -> bucket self-join for candidates -> exact
+    Jaccard >= threshold verify -> min-label clustering. The bucket join
+    shuffles on bucket id; candidate count is bounded by bucket sizes, never
+    all-pairs. ``use_word_ngrams=True`` switches the unit from char shingles
+    to word n-grams (the n-gram-Jaccard dedup variant).
+    """
+    rows_per_band = num_hashes // bands
+    shingle_expr = (
+        word_ngrams(F.col(text_col), ngram_n)
+        if use_word_ngrams else char_shingles(F.col(text_col), shingle_k)
+    )
+    base = df.select(
+        F.col(id_col),
+        shingle_expr.alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    buckets = base.select(
+        id_col, "_sh",
+        F.explode(lsh_band_buckets(F.col("_sig"), bands, rows_per_band)).alias("_bucket"),
+    )
+
+    left = buckets.select(F.col(id_col).alias("src"), F.col("_sh").alias("_sh_a"),
+                          "_bucket")
+    right = buckets.select(F.col(id_col).alias("dst"), F.col("_sh").alias("_sh_b"),
+                           "_bucket")
+    candidates = (
+        left.join(right, "_bucket")
+        .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    verified = candidates.filter(
+        jaccard(F.col("_sh_a"), F.col("_sh_b")) >= threshold
+    ).select("src", "dst")
+
+    return _cluster_min_label(df.select(id_col), verified, id_col)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def with_simhash(df: DataFrame, text_col: str = "text",
+                 out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched Pandas UDF.
+
+    Token hashes are md5-derived (stable across processes/engines, unlike
+    Python ``hash``); each token votes ±1 per bit position, sign of the vote
+    vector is the fingerprint (returned as signed int64).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in t.lower().split():
+                bits = np.unpackbits(
+                    np.frombuffer(hashlib.md5(tok.encode("utf-8")).digest()[:8],
+                                  dtype=np.uint8),
+                    bitorder="little",
+                ).astype(np.int64)
+                votes += 2 * bits - 1
+            sig = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup clusters via SimHash: band the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks (pigeonhole: any pair within ``max_hamming``
+    bits shares at least one identical chunk), bucket-join on chunks,
+    verify hamming distance, cluster by min label."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sh = with_simhash(df.select(id_col, text_col), text_col, "_sh")
+    bucketed = sh.select(
+        id_col, "_sh",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(b),
+                        F.shiftrightunsigned(F.col("_sh"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
+            for b in range(n_bands)
+        ])).alias("_bucket"),
+    )
+    left = bucketed.select(F.col(id_col).alias("src"), F.col("_sh").alias("_ha"),
+                           "_bucket")
+    right = bucketed.select(F.col(id_col).alias("dst"), F.col("_sh").alias("_hb"),
+                            "_bucket")
+    pairs = (
+        left.join(right, "_bucket")
+        .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .filter(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_hamming)
+        .select("src", "dst")
+    )
+    return _cluster_min_label(df.select(id_col), pairs, id_col)
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_neardup(df: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id", threshold: float = 0.95,
+                      num_planes: int = 16, seed: int = 42) -> DataFrame:
+    """Near-duplicate vectors by cosine >= threshold.
+
+    Random-hyperplane LSH: the sign pattern of <v, r_i> over ``num_planes``
+    seeded Gaussian planes is the bucket key; exact cosine verifies
+    candidates inside each bucket; min-label clustering as elsewhere.
+    One bucket per vector (not banded) — tune num_planes down for higher
+    recall / bigger buckets.
+    """
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    sig = F.concat_ws("", *[
+        F.when(
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(p)) for p in planes[i]]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x,
+            ) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for i in range(num_planes)
+    ])
+    base = df.select(id_col, F.col(vec_col), sig.alias("_bucket"),
+                     norm.alias("_norm"))
+
+    left = base.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"),
+                       F.col("_norm").alias("_na"), "_bucket")
+    right = base.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"),
+                        F.col("_norm").alias("_nb"), "_bucket")
+    dot = F.aggregate(
+        F.zip_with(F.transform(F.col("_va"), lambda x: x.cast("double")),
+                   F.transform(F.col("_vb"), lambda x: x.cast("double")),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    pairs = (
+        left.join(right, "_bucket")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(dot / (F.col("_na") * F.col("_nb")) >= threshold)
+        .select("src", "dst")
+    )
+    return _cluster_min_label(df.select(id_col), pairs, id_col)

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three tiers (SURVEY.md §7.2 step 8):
+
+- ``cosine_topk``      : exact brute-force top-k — the correctness baseline.
+                         One scan, no shuffle except the final top-k.
+- ``lsh_topk``         : random-hyperplane LSH with multi-probe — prunes the
+                         scan to candidate buckets; approximate.
+- ``ivf_topk``         : IVF via KMeans centroids — scan only the ``nprobe``
+                         nearest inverted lists; the scale path (at 100 TB the
+                         table is bucketed/partitioned by centroid id so a
+                         probe is partition pruning, not a filter).
+
+Dot products run JVM-side (``zip_with`` + ``aggregate`` over doubles) —
+deterministic sequential accumulation, reproducible in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two numeric arrays."""
+    return F.aggregate(F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(col: Column) -> Column:
+    return F.sqrt(F.aggregate(_as_double(col), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(col: Column, query: list[float]) -> Column:
+    """Cosine similarity of a vector column against a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    return dot(col, q) / (l2_norm(col) * F.lit(qn))
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                round_digits: int | None = 6) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity (descending, id
+    tie-break). Returns (id_col, similarity). ``orderBy().limit(k)`` compiles
+    to TakeOrderedAndProject — per-partition heaps then a k-row merge on the
+    driver, no full sort, no full shuffle."""
+    sim = cosine_similarity(F.col(vec_col), query)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("similarity"))
+        .orderBy(F.desc("similarity"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def _rhp_signature(col: Column, planes) -> Column:
+    """Sign-pattern bucket signature under random hyperplanes."""
+    v = _as_double(col)
+    return F.concat_ws("", *[
+        F.when(
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(p)) for p in plane]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x,
+            ) >= 0, F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ])
+
+
+def lsh_topk(df: DataFrame, query: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             num_planes: int = 12, probe_hamming: int = 1,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to vectors whose
+    hyperplane signature is within ``probe_hamming`` bits of the query's
+    (multi-probe LSH). At scale, write the table bucketed by signature so
+    this filter becomes partition pruning."""
+    import numpy as np
+
+    dim = len(query)
+    planes = _hyperplanes(dim, num_planes, seed)
+    qsig_bits = (planes @ np.asarray(query, dtype=float) >= 0).astype(int)
+
+    probe_sigs = {"".join(map(str, qsig_bits))}
+    if probe_hamming >= 1:
+        for i in range(num_planes):
+            flipped = qsig_bits.copy()
+            flipped[i] ^= 1
+            probe_sigs.add("".join(map(str, flipped)))
+
+    sig = _rhp_signature(F.col(vec_col), planes)
+    candidates = df.withColumn("_sig", sig).filter(
+        F.col("_sig").isin(*sorted(probe_sigs))
+    )
+    return cosine_topk(candidates.drop("_sig"), query, k, vec_col, id_col)
+
+
+def ivf_build(df: DataFrame, vec_col: str = "embedding",
+              num_centroids: int = 16, seed: int = 42,
+              sample_fraction: float | None = None):
+    """Fit IVF centroids (KMeans) and return (assigned_df, centroids).
+
+    ``assigned_df`` carries a ``_centroid`` id column — at scale, persist it
+    partitioned/bucketed by ``_centroid`` so probes prune partitions.
+    Fitting on a sample (``sample_fraction``) keeps training cost flat as the
+    table grows.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed)
+    features = train.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=num_centroids, seed=seed).fit(features)
+    assigned = model.transform(
+        df.withColumn("features", array_to_vector(_as_double(F.col(vec_col))))
+    ).withColumnRenamed("prediction", "_centroid").drop("features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(assigned_df: DataFrame, centroids: list[list[float]],
+             query: list[float], k: int = 10, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Probe the ``nprobe`` centroids nearest to the query; exact top-k within
+    the probed inverted lists."""
+    import numpy as np
+
+    q = np.asarray(query, dtype=float)
+    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centroids]
+    probe = sorted(np.argsort(dists)[:nprobe].tolist())
+    pruned = assigned_df.filter(F.col("_centroid").isin(probe))
+    return cosine_topk(pruned, query, k, vec_col, id_col)

@@ -133,7 +133,9 @@ def op_split_column(df: DataFrame, params: dict) -> DataFrame:
     parts = F.split(F.col(col), re.escape(delim), -1)
     out = df
     for i, name in enumerate(new_names):
-        out = out.withColumn(name, parts.getItem(i))
+        # F.get (not getItem): NULL on out-of-range under ANSI mode, matching
+        # DuckDB's NULL for list index past the end.
+        out = out.withColumn(name, F.get(parts, i))
     return out
 
 

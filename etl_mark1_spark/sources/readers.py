@@ -85,6 +85,50 @@ def _read_excel(spark: SparkSession, path: str, schema=None, **options) -> DataF
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def _parquet_nanos_fields(path: str) -> list[str]:
+    """Names of nanosecond-precision timestamp fields in a parquet file."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def read_parquet_compat(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark's vectorized reader rejects nanosecond timestamps
+    (PARQUET_TYPE_ILLEGAL); files carrying them are read via Arrow with a
+    lossless-enough cast to microseconds, then parallelized. The Arrow path
+    is driver-side — appropriate only for modest tables (the ns-producing
+    writers we see emit event-log-sized data); a 100 TB deployment should
+    rewrite such data to µs at ingest, which this function effectively does
+    on the fly.
+    """
+    if os.path.isfile(path) and _parquet_nanos_fields(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(path)
+        fields = [
+            pa.field(f.name, pa.timestamp("us"))
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns" else f
+            for f in table.schema
+        ]
+        # safe=False truncates sub-microsecond digits — the same thing
+        # DuckDB does when reading ns parquet into its µs TIMESTAMP.
+        table = table.cast(pa.schema(fields), safe=False)
+        try:  # explicit NTZ schema: parity with Spark's native parquet read
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            schema = from_arrow_schema(table.schema, prefer_timestamp_ntz=True)
+            return spark.createDataFrame(table.to_pandas(), schema=schema)
+        except Exception:
+            return spark.createDataFrame(table.to_pandas())
+    return spark.read.options(**options).parquet(path)
+
+
 def read_http(spark: SparkSession, url: str, file_format: str | None = None,
               headers: dict | None = None, **options) -> DataFrame:
     """S9 — HTTP API source: driver-side fetch, then a normal read.

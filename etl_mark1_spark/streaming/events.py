@@ -1,0 +1,156 @@
+"""Structured Streaming veneer over event tables.
+
+The reference has no streaming at all (Kafka is feature-flagged off —
+reference: backend/core/config.py:51), so this is extension surface
+(SURVEY.md §2.8): event-time tumbling/sliding windows with watermarked late-
+data handling, plus a custom stateful sessionizer. ``Trigger.AvailableNow``
+processes the existing files like a batch job but through the streaming
+engine — the same code then runs unchanged against a live Kafka/file source.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    # TIMESTAMP (ltz), not NTZ: event-time watermarks require it. NTZ event
+    # data is cast at ingest (wall times preserved in the session timezone).
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       schema: T.StructType = EVENTS_SCHEMA) -> DataFrame:
+    """File-source stream over an events directory/file. Streaming readers
+    need an explicit schema — no inference race at scale."""
+    return spark.readStream.schema(schema).format("parquet").load(path)
+
+
+def hourly_event_aggregate(events: DataFrame, watermark: str = "1 hour",
+                           slide: str | None = None) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) 1-hour event-time windows:
+    count + sum(value) per (window, event_type). The watermark bounds state:
+    windows older than max(event time) - watermark are finalized and evicted
+    — without it, state grows unboundedly at stream scale."""
+    window = (
+        F.window("ts", "1 hour", slide) if slide else F.window("ts", "1 hour")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(window.alias("window"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("window").start.alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("value_sum"),
+        )
+    )
+
+
+def run_available_now(result: DataFrame, table_name: str = "stream_out",
+                      output_mode: str = "append") -> DataFrame:
+    """Drain all currently-available input through the streaming plan and
+    return the materialized result as a DataFrame (memory sink — bounded
+    aggregate results only; real deployments write parquet/Delta)."""
+    checkpoint = tempfile.mkdtemp(prefix="etl_mark1_ckpt_")
+    query = (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return result.sparkSession.table(table_name)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: gap-based sessions per user via
+    ``applyInPandasWithState`` — the pattern for semantics the built-in
+    windows can't express. Emits one row per closed session (timeout) plus
+    final flush. State per user is O(1): current session bounds + running
+    aggregates."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("value_sum", T.DoubleType(), True),
+    ])
+    state_schema = "start long, end long, n long, vsum double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": pd.Timestamp(start, unit="ms"),
+                "session_end": pd.Timestamp(end, unit="ms"),
+                "n_events": n,
+                "value_sum": vsum,
+            }])
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+        vals = rows["value"].fillna(0.0).tolist()
+
+        sessions = []
+        if state.exists:
+            start, end, n, vsum = state.get
+        else:
+            start = end = None
+            n, vsum = 0, 0.0
+        for t, v in zip(ts_ms, vals):
+            if start is None:
+                start = end = t
+                n, vsum = 1, v
+            elif t - end > gap_ms:
+                sessions.append((start, end, n, vsum))
+                start = end = t
+                n, vsum = 1, v
+            else:
+                end = max(end, t)
+                n += 1
+                vsum += v
+        state.update((start, end, n, vsum))
+        state.setTimeoutDuration(gap_ms)
+        if sessions:
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": pd.Timestamp(s, unit="ms"),
+                "session_end": pd.Timestamp(e, unit="ms"),
+                "n_events": cnt,
+                "value_sum": vs,
+            } for s, e, cnt, vs in sessions])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

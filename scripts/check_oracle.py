@@ -1,0 +1,133 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()[name]`` on Spark at sf0.01 and, where an oracle
+exists, the same-named ``oracle_sql()[name]`` on DuckDB over the same parquet
+files; compares row count, column names, and order-insensitive values
+(floats rounded to 9 significant digits before hashing). Prints one line per
+query and exits non-zero on any mismatch.
+
+Usage: python scripts/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as contract
+from etl_mark1_spark import get_spark
+from etl_mark1_spark.catalog import TABLES
+
+
+def canon(v):
+    """Canonicalize a value for order-insensitive comparison."""
+    import datetime
+    from decimal import Decimal
+
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0:
+            return "f:0"
+        return f"f:{v:.9e}"
+    if isinstance(v, Decimal):
+        return canon(float(v))
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon(v[k])}" for k in sorted(v)) + "}"
+    return f"s:{v}"
+
+
+def row_set(columns: list[str], rows: list[tuple]) -> list[str]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="check_oracle")
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{name}.parquet')")
+
+    queries = contract.queries()
+    oracles = contract.oracle_sql()
+    failures = []
+
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        started = time.monotonic()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        elapsed = time.monotonic() - started
+
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(srows)} rows, "
+                  f"{elapsed:.1f}s)")
+            if len(srows) == 0 and name != "anti_join_customers":
+                print(f"      WARNING: {name} returned 0 rows")
+            continue
+
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} != {len(drows)}")
+        if not problems:
+            sset, dset = row_set(scols, srows), row_set(dcols, drows)
+            if sset != dset:
+                diff_a = [r for r in sset if r not in set(dset)][:3]
+                diff_b = [r for r in dset if r not in set(sset)][:3]
+                problems.append(f"values differ; spark-only={diff_a} "
+                                f"duckdb-only={diff_b}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"PASS  {name} ({len(srows)} rows, {elapsed:.1f}s)")
+
+    spark.stop()
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
