@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side result transfer) so the timings measure the engine, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_mark1_spark import get_spark
+from etl_mark1_spark.catalog import QUERIES
+
+#: Headline set: scan+agg, multi-join, window, events, dedup (exact + LSH),
+#: similarity, text scoring, streaming.
+HEADLINE = [
+    "q1_pricing_summary",
+    "sql_join_q3",
+    "sql_q5_region_revenue",
+    "window_topk_orders",
+    "events_hourly",
+    "dedup_exact_documents",
+    "minhash_neardup",
+    "embedding_cosine_topk",
+    "text_quality",
+    "streaming_hourly",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    started = time.monotonic()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - started
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="bench", driver_memory="24g")
+
+    # one tiny action to absorb JVM/codegen warmup outside the timings
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            timings[name] = round(run_query(spark, name, sf_dir), 3)
+        except Exception as exc:  # a broken query shows as null, not a crash
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+            timings[name] = None
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

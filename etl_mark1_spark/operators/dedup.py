@@ -54,24 +54,24 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 
 def char_shingles(col: Column | str, k: int = 5) -> Column:
-    """Distinct k-character shingles of the normalized text (JVM-side:
-    sequence + substr + array_distinct)."""
+    """k-character shingles of the normalized text (JVM-side: sequence +
+    substr). Deliberately NOT array_distinct'd: MIN-hashing ignores
+    duplicates and array_intersect/array_union are set operations, so
+    downstream MinHash and Jaccard are unaffected — skipping the dedup
+    avoids an O(n log n) pass over every document."""
     norm = normalized_text(col)
     n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
-    )
+    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text."""
+    """Word n-grams of the normalized text (multiset; see char_shingles on
+    why no distinct)."""
     toks = F.split(normalized_text(col), " ")
     cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), cnt - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    return F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
 
 
@@ -80,7 +80,9 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
 
     xxhash64 with a distinct constant second argument acts as an independent
     hash family member; array_min over the mapped array is the permutation
-    minimum. All whole-stage-codegen'd."""
+    minimum. All whole-stage-codegen'd. For best performance pass a column of
+    pre-hashed longs (see minhash_dedup) — rehashing a long per seed is much
+    cheaper than rehashing the string num_hashes times."""
     return F.array(*[
         F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
         for i in range(num_hashes)
@@ -110,17 +112,32 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
-                       max_iter: int = 10) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+                       max_iter: int = 10,
+                       driver_threshold: int = 2_000_000) -> DataFrame:
+    """Connected components: each node labeled with the minimum id of its
+    component. ``edges`` has columns (src, dst), undirected.
 
-    ``edges`` has columns (src, dst), undirected. Each node's label starts as
-    its own id and converges to the component minimum. Joins only — scales as
-    O(E) per round; near-dup graphs are shallow so few rounds suffice.
+    Near-dup edge lists are sparse relative to the corpus, so when the edge
+    list fits comfortably on the driver (< driver_threshold edges) a local
+    union-find resolves components in one collect — replacing ~10 fixed-cost
+    Spark jobs with one. Above the threshold, iterative min-label
+    propagation runs distributed: O(E) hash joins per round, no driver
+    state, which is the 100 TB path.
     """
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"))).distinct()
-    labels = ids.select(F.col(id_col).alias("node"),
-                        F.col(id_col).alias("label"))
+    sym = sym.localCheckpoint()  # candidates/verify lineage ends here
+
+    n_edges = sym.count()
+    if n_edges == 0:
+        return ids.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    if n_edges <= driver_threshold:
+        return _cluster_driver_union_find(ids, sym, id_col)
+
+    # Iterate only over nodes that have edges — isolated nodes get their own
+    # id at the end without ever entering the loop.
+    touched = sym.select(F.col("src").alias("node")).distinct()
+    labels = touched.select("node", F.col("node").alias("label"))
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -144,7 +161,47 @@ def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
         labels = new_labels
         if changed:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    return (
+        ids.join(labels, ids[id_col] == labels.node, "left")
+        .select(ids[id_col],
+                F.coalesce(labels.label, ids[id_col]).alias("cluster_id"))
+    )
+
+
+def _cluster_driver_union_find(ids: DataFrame, sym_edges: DataFrame,
+                               id_col: str) -> DataFrame:
+    """Small-graph fast path: collect the edge list, union-find locally,
+    broadcast-join the (node, cluster) mapping back. Only nodes whose label
+    differs from their own id appear in the mapping, so the broadcast stays
+    tiny."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym_edges.collect():
+        a, b = find(row.src), find(row.dst)
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+
+    mapping = [(node, find(node)) for node in list(parent)]
+    mapping = [(n, c) for n, c in mapping if n != c]
+    if not mapping:
+        return ids.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    spark = ids.sparkSession
+    map_df = spark.createDataFrame(mapping, ["node", "_cl"])
+    return (
+        ids.join(F.broadcast(map_df), ids[id_col] == map_df.node, "left")
+        .select(ids[id_col],
+                F.coalesce(map_df._cl, ids[id_col]).alias("cluster_id"))
+    )
 
 
 def minhash_dedup(
@@ -174,27 +231,54 @@ def minhash_dedup(
         word_ngrams(F.col(text_col), ngram_n)
         if use_word_ngrams else char_shingles(F.col(text_col), shingle_k)
     )
-    base = df.select(
+    base = df.select(F.col(id_col), shingle_expr.alias("_sh"))
+
+    # Signature via explode + flat min-aggregates rather than one giant
+    # nested-lambda expression: num_hashes array_min(transform(...)) columns
+    # blow past the codegen size limit (interpreted fallback, MB-sized task
+    # binaries); exploding shingles and taking num_hashes MIN aggregates
+    # keeps every codegen unit small and gets map-side partial aggregation —
+    # the shuffle carries one partial signature per (id, partition), not the
+    # shingles. Each shingle string is hashed to a long once; the hash
+    # family rehashes that long per seed.
+    hashed = base.select(
         F.col(id_col),
-        shingle_expr.alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
-    buckets = base.select(
-        id_col, "_sh",
-        F.explode(lsh_band_buckets(F.col("_sig"), bands, rows_per_band)).alias("_bucket"),
+        F.explode(F.transform(F.col("_sh"), lambda s: F.xxhash64(s))).alias("_h"),
+    )
+    sig = hashed.groupBy(id_col).agg(*[
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ])
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
     )
 
-    left = buckets.select(F.col(id_col).alias("src"), F.col("_sh").alias("_sh_a"),
-                          "_bucket")
-    right = buckets.select(F.col(id_col).alias("dst"), F.col("_sh").alias("_sh_b"),
-                           "_bucket")
+    # Bucket join carries only (id, bucket) — the heavy shingle arrays never
+    # ride through the band explode/shuffle.
+    buckets = sig_arr.select(
+        F.col(id_col),
+        F.explode(
+            lsh_band_buckets(F.col("_sig"), bands, rows_per_band)
+        ).alias("_bucket"),
+    )
     candidates = (
-        left.join(right, "_bucket")
+        buckets.select(F.col(id_col).alias("src"), "_bucket")
+        .join(buckets.select(F.col(id_col).alias("dst"), "_bucket"), "_bucket")
         .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
-    verified = candidates.filter(
-        jaccard(F.col("_sh_a"), F.col("_sh_b")) >= threshold
-    ).select("src", "dst")
+    shingle_sets = base.select(id_col, "_sh")
+    verified = (
+        candidates
+        .join(shingle_sets.select(F.col(id_col).alias("src"),
+                                  F.col("_sh").alias("_sh_a")), "src")
+        .join(shingle_sets.select(F.col(id_col).alias("dst"),
+                                  F.col("_sh").alias("_sh_b")), "dst")
+        .filter(jaccard(F.col("_sh_a"), F.col("_sh_b")) >= threshold)
+        .select("src", "dst")
+    )
 
     return _cluster_min_label(df.select(id_col), verified, id_col)
 

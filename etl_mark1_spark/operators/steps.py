@@ -45,10 +45,16 @@ def op_rename_column(df: DataFrame, params: dict) -> DataFrame:
 
 def op_cast_type(df: DataFrame, params: dict) -> DataFrame:
     """P2 — CAST a column in place; target is a DuckDB type name
-    (duckdb_engine.py:282-285), mapped via the alias table."""
+    (duckdb_engine.py:282-285), mapped via the alias table.
+
+    try_cast, not cast: malformed values become NULL instead of failing the
+    whole job (under ANSI mode a single bad cell would otherwise kill a
+    100 TB run). ``strict=True`` restores error-on-malformed, which is what
+    the reference's raw ``CAST`` does."""
     col = params["column"]
     target = to_spark_type_name(params["target_type"])
-    return df.withColumn(col, F.col(col).cast(target))
+    caster = F.col(col).cast if params.get("strict") else F.col(col).try_cast
+    return df.withColumn(col, caster(target))
 
 
 def op_trim_whitespace(df: DataFrame, params: dict) -> DataFrame:

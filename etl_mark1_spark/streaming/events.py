@@ -82,9 +82,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                watermark: str = "2 hours") -> DataFrame:
     """Custom stateful operator: gap-based sessions per user via
     ``applyInPandasWithState`` — the pattern for semantics the built-in
-    windows can't express. Emits one row per closed session (timeout) plus
-    final flush. State per user is O(1): current session bounds + running
-    aggregates."""
+    windows can't express. State per user is O(1): current session bounds +
+    running aggregates. Sessions close either inline (a later event in the
+    same batch exceeds the gap) or via EVENT-time timeout when the watermark
+    passes session_end + gap. Event-time (not processing-time) timeouts
+    matter operationally: with wall-clock timeouts an AvailableNow drain
+    would block for the full gap duration waiting on real time."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ms = gap_minutes * 60 * 1000
@@ -136,7 +139,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                 n += 1
                 vsum += v
         state.update((start, end, n, vsum))
-        state.setTimeoutDuration(gap_ms)
+        # close via event time: fire when the watermark passes end + gap
+        state.setTimeoutTimestamp(
+            max(end + gap_ms, state.getCurrentWatermarkMs() + 1))
         if sessions:
             yield pd.DataFrame([{
                 "user_id": user_id,
@@ -151,6 +156,6 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "append",
-            GroupStateTimeout.ProcessingTimeTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )

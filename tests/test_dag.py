@@ -1,0 +1,105 @@
+"""DAG executor: topology, retry, conditional semantics, merge, reports."""
+
+import pytest
+from pyspark.sql import Row
+
+from etl_mark1_spark.plans.dag import ExecutionError, PipelineExecutor
+
+
+def test_end_to_end_pipeline(spark, sf_dir, tmp_path):
+    out_path = str(tmp_path / "out.parquet")
+    definition = {
+        "nodes": [
+            {"id": "in", "type": "file_input",
+             "config": {"path": f"{sf_dir}/orders.parquet", "format": "parquet"}},
+            {"id": "tf", "type": "transform", "config": {"steps": [
+                {"operator": "filter_rows",
+                 "params": {"expression": "o_totalprice > 100000"}}]}},
+            {"id": "val", "type": "validation", "config": {"min_score": 50}},
+            {"id": "out", "type": "file_output",
+             "config": {"path": out_path, "format": "parquet"}},
+        ],
+        "edges": [{"source": "in", "target": "tf"},
+                  {"source": "tf", "target": "val"},
+                  {"source": "val", "target": "out"}],
+    }
+    report = PipelineExecutor(spark, count_rows=True).execute(definition)
+    assert report.status == "succeeded"
+    assert [log.status for log in report.node_logs] == ["succeeded"] * 4
+    assert spark.read.parquet(out_path).count() == report.node_logs[1].rows
+
+
+def test_cycle_detection(spark):
+    with pytest.raises(ExecutionError, match="cycle"):
+        PipelineExecutor(spark).execute({
+            "nodes": [{"id": "a", "type": "transform", "config": {}},
+                      {"id": "b", "type": "transform", "config": {}}],
+            "edges": [{"source": "a", "target": "b"},
+                      {"source": "b", "target": "a"}],
+        })
+
+
+def test_validation_gate_fails_run(spark, sf_dir):
+    report = PipelineExecutor(spark).execute({
+        "nodes": [
+            {"id": "in", "type": "file_input",
+             "config": {"path": f"{sf_dir}/customer.parquet"}},
+            {"id": "val", "type": "validation", "config": {"min_score": 101}},
+        ],
+        "edges": [{"source": "in", "target": "val"}],
+    })
+    assert report.status == "failed"
+    assert "below minimum" in report.node_logs[-1].message
+    # semantic failures must NOT burn retries
+    assert report.node_logs[-1].attempts == 1
+
+
+def test_conditional_branch_filter_and_gate(spark):
+    df = spark.createDataFrame([Row(x=1), Row(x=5)])
+    ex = PipelineExecutor(spark)
+    ex._node_outputs["src"] = df
+    ex._exec_conditional("c", {"condition": "x > 2"}, [df])
+    assert ex._node_outputs["c"].count() == 1
+    ex._exec_conditional("g", {"condition": "x > 100", "mode": "gate"}, [df])
+    assert ex._node_outputs["g"].count() == 0
+    ex._exec_conditional("g2", {"condition": "x > 2", "mode": "gate"}, [df])
+    assert ex._node_outputs["g2"].count() == 2
+
+
+def test_merge_positional_and_by_name(spark):
+    a = spark.createDataFrame([Row(x=1, y="a")])
+    b = spark.createDataFrame([Row(x=2, y="b")])
+    ex = PipelineExecutor(spark)
+    ex._exec_merge("m", {}, [a, b])
+    assert ex._node_outputs["m"].count() == 2
+    ex._exec_merge("mn", {"by_name": True}, [a, b.select("y", "x")])
+    assert {r.x for r in ex._node_outputs["mn"].collect()} == {1, 2}
+
+
+def test_retry_then_success(spark):
+    calls = {"n": 0}
+
+    def flaky(node_id, config, inputs):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        ex._node_outputs[node_id] = "done"
+
+    ex = PipelineExecutor(spark, retry_delay=0.01)
+    ex.register_node_type("flaky", flaky)
+    report = ex.execute({"nodes": [{"id": "f", "type": "flaky", "config": {}}],
+                         "edges": []})
+    assert report.status == "succeeded"
+    assert report.node_logs[0].attempts == 3
+
+
+def test_unknown_node_passthrough(spark):
+    df = spark.createDataFrame([Row(x=1)])
+    ex = PipelineExecutor(spark)
+    ex._node_outputs["src"] = df
+    report = ex.execute({
+        "nodes": [{"id": "src", "type": "noop_src", "config": {}},
+                  {"id": "pdf", "type": "pdf_extract", "config": {}}],
+        "edges": [{"source": "src", "target": "pdf"}],
+    })
+    assert report.status == "succeeded"

@@ -1,0 +1,122 @@
+"""Dedup family + similarity search semantics on controlled fixtures."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.dedup import (
+    char_shingles,
+    dedup_exact,
+    embedding_neardup,
+    jaccard,
+    minhash_dedup,
+    simhash_dedup,
+    with_simhash,
+    word_ngrams,
+)
+from etl_mark1_spark.operators.similarity import (
+    cosine_topk,
+    ivf_build,
+    ivf_topk,
+    lsh_topk,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest to find some food for its hungry cubs")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),                      # exact dup of 1
+        Row(doc_id=3, text=BASE.replace("quick", "qvick")),  # near dup of 1
+        Row(doc_id=4, text="completely different content about quantum "
+                           "computing and linear algebra with many details"),
+        Row(doc_id=5, text="short"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    out = dedup_exact(docs, "text", "doc_id", keep="min_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 3, 4, 5}  # doc 2 collapsed into doc 1
+
+
+def test_jaccard_and_shingles(spark):
+    df = spark.createDataFrame([Row(a="abcdef", b="abcdeg")])
+    j = df.select(jaccard(char_shingles(F.col("a"), 3),
+                          char_shingles(F.col("b"), 3)).alias("j")).first().j
+    assert 0.0 < j < 1.0
+    ident = df.select(jaccard(char_shingles(F.col("a"), 3),
+                              char_shingles(F.col("a"), 3)).alias("j")).first().j
+    assert ident == 1.0
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    grams = df.select(word_ngrams(F.col("t"), 2).alias("g")).first().g
+    assert set(grams) == {"a b", "b c", "c d"}
+
+
+def test_minhash_dedup_clusters(docs):
+    out = minhash_dedup(docs, threshold=0.6)
+    clusters = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert clusters[1] == clusters[2] == clusters[3] == 1  # near-dup family
+    assert clusters[4] == 4 and clusters[5] == 5           # singletons
+
+
+def test_simhash_deterministic_and_clusters(docs):
+    a = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
+    b = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
+    assert a == b                       # md5-based: stable across runs
+    assert a[1] == a[2]                 # identical text -> identical simhash
+    out = simhash_dedup(docs, max_hamming=8)
+    clusters = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert clusters[1] == clusters[2]
+    assert clusters[4] != clusters[1]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0]),   # near dup of 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),
+        Row(vec_id=5, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_exact(vectors):
+    out = cosine_topk(vectors, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].similarity == 1.0
+    assert out[1].similarity == pytest.approx(0.99995, abs=1e-4)
+
+
+def test_embedding_neardup(vectors):
+    out = embedding_neardup(vectors, threshold=0.99, num_planes=4)
+    clusters = {r.vec_id: r.cluster_id for r in out.collect()}
+    assert clusters[1] == clusters[2] == 1
+    assert clusters[3] == 3 and clusters[4] == 4 and clusters[5] == 5
+
+
+def test_lsh_topk_finds_close_vector(vectors):
+    out = lsh_topk(vectors, [1.0, 0.0, 0.0], k=2, num_planes=4,
+                   probe_hamming=1).collect()
+    assert out and out[0].vec_id == 1
+
+
+def test_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter("vec_id = 1").first().embedding]
+    exact = [r.vec_id for r in
+             cosine_topk(emb.filter("vec_id != 1"), query, k=5).collect()]
+    assigned, centroids = ivf_build(emb.filter("vec_id != 1"), num_centroids=4)
+    approx = [r.vec_id for r in
+              ivf_topk(assigned, centroids, query, k=5, nprobe=4).collect()]
+    # probing ALL centroids must recover the exact result
+    assert approx == exact

@@ -1,0 +1,34 @@
+"""Driver-contract sanity: entry/queries/oracle_sql shapes."""
+
+import inspect
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as contract
+
+
+def test_entry_returns_rows(spark):
+    df = contract.entry(spark)
+    assert df.count() > 0
+
+
+def test_queries_signatures():
+    q = contract.queries()
+    assert len(q) >= 30
+    for name, fn in q.items():
+        assert len(inspect.signature(fn).parameters) == 2, name
+
+
+def test_oracles_subset_of_queries():
+    q, o = contract.queries(), contract.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(o) >= 25
+    for name, sql in o.items():
+        assert "SELECT" in sql.upper(), name
+
+
+def test_one_query_runs(spark, sf_dir):
+    df = contract.queries()["dedup_distinct"](spark, sf_dir)
+    assert df.count() > 0

@@ -1,0 +1,120 @@
+"""Readers/writers, SQL passthrough, schema reporting, quality scoring."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from etl_mark1_spark.dtypes import schema_to_dicts, to_spark_type_name
+from etl_mark1_spark.plans.quality import quality_report
+from etl_mark1_spark.plans.sql import execute_sql, infer_schema, preview
+from etl_mark1_spark.sources.readers import detect_format, read_file
+from etl_mark1_spark.sources.writers import write_file
+
+
+def test_type_alias_map():
+    assert to_spark_type_name("VARCHAR") == "string"
+    assert to_spark_type_name("BIGINT") == "long"
+    assert to_spark_type_name("DOUBLE") == "double"
+    assert to_spark_type_name("DECIMAL(10,2)") == "decimal(10,2)"
+    assert to_spark_type_name("varchar[]") == "array<string>"
+    assert to_spark_type_name("TIMESTAMP") == "timestamp"
+
+
+def test_detect_format():
+    assert detect_format("/a/b.csv") == "csv"
+    assert detect_format("/a/b.PARQUET") == "parquet"
+    assert detect_format("/a/b.unknown") == "csv"  # default (duckdb_engine.py:269)
+    assert detect_format("/a/b.txt") == "txt"
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return spark.createDataFrame(
+        [Row(id=1, v=1.5, s="x"), Row(id=2, v=2.5, s="y"),
+         Row(id=3, v=None, s="z")])
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+def test_write_read_roundtrip(spark, small, tmp_path, fmt):
+    path = str(tmp_path / f"out_{fmt}")
+    write_file(small, path, fmt)
+    back = read_file(spark, path, fmt)
+    assert back.count() == 3
+    assert set(back.columns) == {"id", "v", "s"}
+
+
+def test_single_file_write(spark, small, tmp_path):
+    path = str(tmp_path / "single.csv")
+    write_file(small, path, "csv", single_file=True)
+    assert os.path.isfile(path)
+    header = open(path).readline().strip().split(",")
+    assert set(header) == {"id", "v", "s"}
+
+
+def test_txt_reads_as_csv(spark, small, tmp_path):
+    path = str(tmp_path / "data.txt")
+    write_file(small, path, "csv")
+    assert read_file(spark, path).count() == 3  # autodetect txt -> csv
+
+
+def test_execute_sql_sources_and_input(spark, small):
+    out = execute_sql(spark, "SELECT count(*) AS n FROM {{input}} WHERE v > 1",
+                      input_df=small)
+    assert out.collect()[0].n == 2
+    out2 = execute_sql(spark, "SELECT max(id) AS m FROM t1", sources={"t1": small})
+    assert out2.collect()[0].m == 3
+
+
+def test_execute_sql_limit_wrapper(spark, sf_dir):
+    df = read_file(spark, f"{sf_dir}/lineitem.parquet")
+    out = execute_sql(spark, "SELECT * FROM {{input}}", input_df=df, limit=7)
+    assert out.count() == 7
+
+
+def test_preview_shape(small):
+    p = preview(small, limit=2)
+    assert p["total_rows"] == 3 and p["preview_rows"] == 2
+    assert p["columns"] == ["id", "v", "s"]
+    assert isinstance(p["rows"][0], dict)
+
+
+def test_infer_schema_duckdb_names(small):
+    s = {d["name"]: d["type"] for d in infer_schema(small)}
+    assert s == {"id": "BIGINT", "v": "DOUBLE", "s": "VARCHAR"}
+
+
+def test_schema_to_dicts_nested(spark):
+    df = spark.createDataFrame([Row(a=[1, 2], m={"k": 1.0})])
+    types = {d["name"]: d["type"] for d in schema_to_dicts(df.schema)}
+    assert types["a"] == "BIGINT[]"
+    assert types["m"].startswith("MAP(")
+
+
+def test_quality_report_formula(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (None, None), (4, None)], "a int, b string")
+    q = quality_report(df)
+    # a: 25% null -> 75; b: 100% null -> 0; mean = 37.5
+    assert q["score"] == pytest.approx(37.5)
+    assert q["details"]["a"]["null_count"] == 1
+    assert q["details"]["a"]["distinct_count"] == 3
+    assert q["details"]["b"]["score"] == 0.0
+
+
+def test_quality_report_empty(spark):
+    df = spark.createDataFrame([], "a int, b string")
+    q = quality_report(df)
+    assert q == {"score": 0.0, "row_count": 0, "column_count": 2, "details": {}}
+
+
+def test_quality_report_approx(spark, sf_dir):
+    df = read_file(spark, f"{sf_dir}/customer.parquet")
+    q = quality_report(df, approx_distinct=True)
+    assert q["score"] == 100.0
+    exact = quality_report(df)
+    # HLL estimate within 10% of exact
+    for c in df.columns:
+        a = q["details"][c]["distinct_count"]
+        e = exact["details"][c]["distinct_count"]
+        assert abs(a - e) <= max(2, 0.1 * e)

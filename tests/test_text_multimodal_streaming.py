@@ -1,0 +1,174 @@
+"""Text functions, multimodal plumbing, streaming veneer."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint_md5,
+    lang_id,
+    punct_count,
+    rolling_hash_fingerprint,
+    text_quality_score,
+    whitespace_token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    return spark.createDataFrame([
+        Row(id=1, t="the cat and the dog sat in the house for a while"),
+        Row(id=2, t="der Hund und die Katze ist nicht mit der Maus"),
+        Row(id=3, t="le chat est dans la maison pour une nuit"),
+        Row(id=4, t="xyzzy plugh qwerty"),
+        Row(id=5, t="  spaced   out\ttabs  "),
+        Row(id=6, t=""),
+    ])
+
+
+def stats(df, col_expr, name="v"):
+    return {r.id: r[1] for r in df.select("id", col_expr.alias(name)).collect()}
+
+
+def test_whitespace_token_count(texts):
+    v = stats(texts, whitespace_token_count("t"))
+    assert v[1] == 12
+    assert v[5] == 3   # runs of whitespace collapse
+    assert v[6] == 0   # empty -> 0
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([Row(id=1, t="hello, world42!")])
+    # "hello" "," "world" "42" "!"
+    assert stats(df, bpe_ish_token_count("t"))[1] == 5
+
+
+def test_punct_count(spark):
+    df = spark.createDataFrame([Row(id=1, t="a,b.c!d")])
+    assert stats(df, punct_count("t"))[1] == 3
+
+
+def test_lang_id(texts):
+    v = stats(texts, lang_id("t"))
+    assert v[1] == "en"
+    assert v[2] == "de"
+    assert v[3] == "fr"
+    assert v[4] == "und"
+
+
+def test_quality_score_bounds(texts):
+    v = stats(texts, text_quality_score("t"))
+    assert all(0.0 <= s <= 100.0 for s in v.values())
+    assert v[1] > v[4]  # prose beats gibberish
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([
+        Row(id=1, t="Hello   World"), Row(id=2, t=" hello world "),
+        Row(id=3, t="different")])
+    v = stats(df, fingerprint_md5("t"))
+    assert v[1] == v[2] != v[3]
+
+
+def test_rolling_hash_fingerprint(spark):
+    long_text = ("many distinct words appear here so block hashes vary a lot "
+                 "across the sliding windows of this text") * 3
+    df = spark.createDataFrame([
+        Row(id=1, t=long_text),
+        Row(id=2, t="  " + long_text.upper() + "  "),  # normalization-equal
+        Row(id=3, t="entirely different material")])
+    v = stats(df, rolling_hash_fingerprint("t", window=16))
+    assert v[1] == v[2]  # case/whitespace normalize away
+    assert v[1] != v[3]
+
+
+# -- multimodal ------------------------------------------------------------
+
+def test_multimodal_attach_decode(spark):
+    from etl_mark1_spark.operators.multimodal import (
+        attach_fake_media, decode_images)
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1, 21)])
+    media = attach_fake_media(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    feats = decode_images(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r.width >= 16 and r.phash for r in rows)
+    again = {r.doc_id: r.phash for r in decode_images(media).collect()}
+    assert again == {r.doc_id: r.phash for r in rows}  # deterministic
+
+
+def test_multimodal_real_codec_raises(spark):
+    from etl_mark1_spark.operators.multimodal import (
+        attach_fake_media, decode_images)
+
+    docs = attach_fake_media(spark.createDataFrame([Row(doc_id=1)]))
+    with pytest.raises(NotImplementedError):
+        decode_images(docs, codec="real")
+
+
+def test_multimodal_resize_and_frames(spark):
+    from etl_mark1_spark.operators.multimodal import (
+        attach_fake_media, resize_images, sample_video_frames)
+
+    docs = attach_fake_media(spark.createDataFrame([Row(doc_id=7)]))
+    resized = resize_images(docs, 32, 32)
+    meta = resized.first().media_meta
+    assert (meta.width, meta.height) == (32, 32)
+    frames = sample_video_frames(docs, every_ms=10000)
+    n = frames.count()
+    dur = docs.first().media_meta.duration_ms
+    assert n == dur // 10000 + 1
+
+
+# -- streaming -------------------------------------------------------------
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    from etl_mark1_spark.catalog import t
+    from etl_mark1_spark.streaming.events import (
+        hourly_event_aggregate, read_events_stream, run_available_now)
+
+    staged = str(tmp_path / "events_us")
+    (t(spark, sf_dir, "events")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .write.mode("overwrite").parquet(staged))
+
+    stream_out = run_available_now(
+        hourly_event_aggregate(read_events_stream(spark, staged)),
+        table_name="t_stream_test", output_mode="complete")
+    batch = (spark.read.parquet(staged)
+             .groupBy(F.window("ts", "1 hour").start.alias("window_start"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("value_sum")))
+    assert sorted(map(tuple, stream_out.collect())) == \
+        sorted(map(tuple, batch.collect()))
+
+
+def test_sessionize_batch_shape(spark, sf_dir, tmp_path):
+    """Sessionizer runs through the streaming engine and closes sessions."""
+    from etl_mark1_spark.streaming.events import (
+        read_events_stream, run_available_now, sessionize)
+
+    staged = str(tmp_path / "events_sess")
+    ev = spark.createDataFrame([
+        Row(event_id=1, ts="2024-01-01 00:00:00", user_id=1, event_type="a",
+            value=1.0, props="{}"),
+        Row(event_id=2, ts="2024-01-01 00:10:00", user_id=1, event_type="a",
+            value=2.0, props="{}"),
+        Row(event_id=3, ts="2024-01-01 05:00:00", user_id=1, event_type="a",
+            value=3.0, props="{}"),  # new session (gap > 30 min)
+        Row(event_id=4, ts="2024-01-01 00:00:00", user_id=2, event_type="b",
+            value=4.0, props="{}"),
+    ]).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.write.mode("overwrite").parquet(staged)
+
+    out = run_available_now(
+        sessionize(read_events_stream(spark, staged), gap_minutes=30),
+        table_name="t_sessions", output_mode="append")
+    rows = out.collect()
+    # at least the closed session for user 1 (00:00-00:10) must have emitted
+    u1 = [r for r in rows if r.user_id == 1]
+    assert any(r.n_events == 2 and r.value_sum == 3.0 for r in u1)
