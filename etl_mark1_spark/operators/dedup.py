@@ -34,6 +34,21 @@ from etl_mark1_spark.functions.text import normalized_text
 # exact
 # --------------------------------------------------------------------------
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow input out to the cluster's parallelism.
+
+    Compact columnar files arrive in very few partitions (a 5 MB parquet is
+    ONE split), which serializes every downstream CPU-heavy stage — shingling
+    a corpus on a single core while 31 idle. A cheap round-robin repartition
+    before expensive per-row work fixes that; inputs that already have enough
+    splits (the 100 TB case) pass through untouched.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 keep: str = "min_id") -> DataFrame:
     """Exact dedup on content: one row per distinct ``text_col``.
@@ -231,6 +246,7 @@ def minhash_dedup(
         word_ngrams(F.col(text_col), ngram_n)
         if use_word_ngrams else char_shingles(F.col(text_col), shingle_k)
     )
+    df = ensure_parallelism(df)
     base = df.select(F.col(id_col), shingle_expr.alias("_sh"))
 
     # Signature via explode + flat min-aggregates rather than one giant
@@ -249,10 +265,12 @@ def minhash_dedup(
         F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)
     ])
+    # signatures are tiny (num_hashes longs per doc): checkpoint so the
+    # candidate, estimate, and verify stages don't re-run the shingle scan
     sig_arr = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
-    )
+    ).localCheckpoint()
 
     # Bucket join carries only (id, bucket) — the heavy shingle arrays never
     # ride through the band explode/shuffle.
@@ -269,9 +287,32 @@ def minhash_dedup(
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
+
+    # Cheap pre-filter before the expensive exact verify: the fraction of
+    # agreeing minhashes is an unbiased Jaccard estimate, so candidates that
+    # can't plausibly clear the threshold (est < threshold - 0.2; false-drop
+    # probability ~1e-4 at 64 hashes) never touch the shingle sets. On
+    # template-heavy corpora this cuts verify pairs by orders of magnitude —
+    # and at scale it means the wide shingle arrays are only shuffled for
+    # the handful of surviving pairs.
+    est_threshold = max(0.0, threshold - 0.2)
+    agree = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+                 lambda v: v == 1)
+    ) / F.lit(float(num_hashes))
+    plausible = (
+        candidates
+        .join(sig_arr.select(F.col(id_col).alias("src"),
+                             F.col("_sig").alias("_sa")), "src")
+        .join(sig_arr.select(F.col(id_col).alias("dst"),
+                             F.col("_sig").alias("_sb")), "dst")
+        .filter(agree >= est_threshold)
+        .select("src", "dst")
+    )
+
     shingle_sets = base.select(id_col, "_sh")
     verified = (
-        candidates
+        plausible
         .join(shingle_sets.select(F.col(id_col).alias("src"),
                                   F.col("_sh").alias("_sh_a")), "src")
         .join(shingle_sets.select(F.col(id_col).alias("dst"),
@@ -323,7 +364,7 @@ def with_simhash(df: DataFrame, text_col: str = "text",
             out[i] = np.int64(sig)
         return pd.Series(out)
 
-    return df.withColumn(out_col, _simhash(F.col(text_col)))
+    return ensure_parallelism(df).withColumn(out_col, _simhash(F.col(text_col)))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -379,6 +420,7 @@ def embedding_neardup(df: DataFrame, vec_col: str = "embedding",
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))
 
+    df = ensure_parallelism(df)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     sig = F.concat_ws("", *[
