@@ -120,3 +120,47 @@ def test_ivf_topk(spark, sf_dir):
               ivf_topk(assigned, centroids, query, k=5, nprobe=4).collect()]
     # probing ALL centroids must recover the exact result
     assert approx == exact
+
+
+# -- temporal joins --------------------------------------------------------
+
+def test_asof_join_semantics(spark):
+    from etl_mark1_spark.operators.joins import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 02:00:00"), (1, "2024-01-01 04:00:00"),
+         (2, "2024-01-01 01:00:00")],
+        "k long, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", 10.0), (1, "2024-01-01 03:00:00", 20.0),
+         (3, "2024-01-01 00:00:00", 99.0)],
+        "k long, ts string, v double").withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {(r.k, str(r.ts)): r.v_asof
+           for r in asof_join(left, right, on="k").collect()}
+    assert out[(1, "2024-01-01 02:00:00")] == 10.0   # latest at-or-before
+    assert out[(1, "2024-01-01 04:00:00")] == 20.0
+    assert out[(2, "2024-01-01 01:00:00")] is None   # no right rows for key
+
+
+def test_asof_join_equal_ts_and_tolerance(spark):
+    from etl_mark1_spark.operators.joins import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 03:00:00"), (1, "2024-01-01 09:00:00")],
+        "k long, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 03:00:00", 5.0)],
+        "k long, ts string, v double").withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {str(r.ts): r.v_asof
+           for r in asof_join(left, right, on="k").collect()}
+    assert out["2024-01-01 03:00:00"] == 5.0  # ties match (<= semantics)
+
+    tol = {str(r.ts): r.v_asof
+           for r in asof_join(left, right, on="k",
+                              tolerance="2 hours").collect()}
+    assert tol["2024-01-01 03:00:00"] == 5.0
+    assert tol["2024-01-01 09:00:00"] is None  # stale beyond tolerance
