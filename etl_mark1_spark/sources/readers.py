@@ -71,17 +71,16 @@ def read_file(
 
 def _read_excel(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
     """S4 — Excel via pandas on the driver (gated: openpyxl optional)."""
-    try:
-        import pandas as pd
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("pandas required for Excel reads") from exc
-    try:
-        pdf = pd.read_excel(path, **options)
-    except ImportError as exc:
+    import importlib.util
+
+    if importlib.util.find_spec("openpyxl") is None:
         raise NotImplementedError(
-            "openpyxl/xlrd not installed in this environment; Excel reads are "
+            "openpyxl not installed in this environment; Excel reads are "
             "driver-side pandas and need an Excel codec"
-        ) from exc
+        )
+    import pandas as pd
+
+    pdf = pd.read_excel(path, **options)
     return spark.createDataFrame(pdf, schema=schema)
 
 
