@@ -478,6 +478,7 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = tempfile.mkdtemp(prefix="etl_mark1_events_us_")
     (t(spark, sf_dir, "events")
      .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs ltz
+     .coalesce(8)  # few well-sized files beat 32 splinters for the stream
      .write.mode("overwrite").parquet(staged))
     stream = read_events_stream(spark, staged)
     agg = hourly_event_aggregate(stream)

@@ -225,8 +225,8 @@ def minhash_dedup(
     id_col: str = "doc_id",
     *,
     shingle_k: int = 5,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 48,
+    bands: int = 12,
     threshold: float = 0.8,
     use_word_ngrams: bool = False,
     ngram_n: int = 3,
@@ -234,8 +234,8 @@ def minhash_dedup(
     """Near-duplicate clustering: returns (id_col, cluster_id); cluster_id is
     the minimum doc id of the connected component — deterministic.
 
-    Pipeline: shingles -> 64-hash MinHash -> 16 bands x 4 rows (s-curve
-    threshold ~0.5 at defaults) -> bucket self-join for candidates -> exact
+    Pipeline: shingles -> 48-hash MinHash -> 12 bands x 4 rows (s-curve
+    threshold ~0.54 at defaults) -> bucket self-join for candidates -> exact
     Jaccard >= threshold verify -> min-label clustering. The bucket join
     shuffles on bucket id; candidate count is bounded by bucket sizes, never
     all-pairs. ``use_word_ngrams=True`` switches the unit from char shingles
