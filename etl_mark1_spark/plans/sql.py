@@ -26,6 +26,7 @@ def execute_sql(
     sources: dict[str, DataFrame | str] | None = None,
     input_df: DataFrame | None = None,
     limit: int | None = DEFAULT_SQL_LIMIT,
+    dialect: str | None = None,
 ) -> DataFrame:
     """Run SQL with named sources registered as temp views.
 
@@ -34,8 +35,15 @@ def execute_sql(
     backend/api/transforms.py:51. ``limit=None`` disables the safety wrapper
     (the reference always wraps; at scale the limit matters only for
     driver-bound previews — Catalyst pushes it into the plan either way).
+    ``dialect="duckdb"`` runs the statement through the best-effort DuckDB
+    dialect shim (plans/dialect.py) first.
     """
     from etl_mark1_spark.sources.readers import read_file
+
+    if dialect == "duckdb":
+        from etl_mark1_spark.plans.dialect import translate
+
+        sql = translate(sql)
 
     for name, src in (sources or {}).items():
         df = src if isinstance(src, DataFrame) else read_file(spark, src)

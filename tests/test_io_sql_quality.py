@@ -118,3 +118,44 @@ def test_quality_report_approx(spark, sf_dir):
         a = q["details"][c]["distinct_count"]
         e = exact["details"][c]["distinct_count"]
         assert abs(a - e) <= max(2, 0.1 * e)
+
+
+# -- DuckDB dialect shim ---------------------------------------------------
+
+def test_dialect_translate_safe_constructs():
+    from etl_mark1_spark.plans.dialect import translate
+
+    assert translate("SELECT string_split(c, '.')[1] AS head FROM t") == \
+        "SELECT element_at(split(c, '\\\\.'), 1) AS head FROM t"
+    assert translate("SELECT string_split(c, ',') FROM t") == \
+        "SELECT split(c, ',') FROM t"
+    assert "monotonically_increasing_id()" in translate(
+        "SELECT ROWID FROM t")
+    assert translate("SELECT len(split(c, ',')) FROM t") == \
+        "SELECT cardinality(split(c, ',')) FROM t"
+    assert translate("SELECT list_contains(a, 'x') FROM t") == \
+        "SELECT array_contains(a, 'x') FROM t"
+
+
+def test_dialect_refuses_unsafe():
+    import pytest as _pytest
+
+    from etl_mark1_spark.plans.dialect import DialectError, translate
+
+    with _pytest.raises(DialectError, match="REPLACE/EXCLUDE"):
+        translate("SELECT * EXCLUDE (a) FROM t")
+    with _pytest.raises(DialectError, match="table functions"):
+        translate("SELECT * FROM read_csv_auto('f.csv')")
+
+
+def test_dialect_end_to_end(spark):
+    from etl_mark1_spark.plans.sql import execute_sql
+
+    df = spark.createDataFrame([("a.b.c",)], "path string")
+    out = execute_sql(
+        spark,
+        "SELECT string_split(path, '.')[2] AS mid, "
+        "len(string_split(path, '.')) AS parts FROM {{input}}",
+        input_df=df, dialect="duckdb")
+    row = out.first()
+    assert row.mid == "b" and row.parts == 3
