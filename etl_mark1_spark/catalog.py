@@ -1123,3 +1123,88 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct(fingerprint_md5("text")).alias("n_unique"),
                  F.sum("n_chars").cast("long").alias("total_chars"))
             .select("n_docs", "n_unique", "total_chars", "lang", "source"))
+
+
+# ---------------------------------------------------------------------------
+# Final surface batch: window first/last, FILTER aggregation, correlated
+# scalar subquery, explode/unnest, union distinct
+# ---------------------------------------------------------------------------
+
+@query("window_first_last", """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.first("value").over(w).alias("first_val"),
+                    F.last("value").over(w).alias("last_val"),
+                    F.nth_value("value", 2).over(w).alias("second_val")))
+
+
+_FILTERED_AGG_SQL = """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           count(*) FILTER (WHERE l_quantity >= 25)  AS n_bulk,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("filtered_agg", _FILTERED_AGG_SQL)
+def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER clause — one scan, several conditional aggregates."""
+    from etl_mark1_spark.plans.sql import execute_sql
+
+    return execute_sql(spark, _FILTERED_AGG_SQL,
+                       sources={"lineitem": t(spark, sf_dir, "lineitem")},
+                       limit=None)
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT c_custkey,
+           (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+               AS n_orders
+    FROM customer
+"""
+
+
+@query("scalar_subquery", _SCALAR_SUBQ_SQL)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into a join."""
+    from etl_mark1_spark.plans.sql import execute_sql
+
+    return execute_sql(spark, _SCALAR_SUBQ_SQL, sources={
+        "customer": t(spark, sf_dir, "customer"),
+        "orders": t(spark, sf_dir, "orders"),
+    }, limit=None)
+
+
+@query("explode_embeddings", """
+    SELECT vec_id, unnest(embedding) AS component
+    FROM embeddings WHERE vec_id <= 20
+""")
+def explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (UNNEST) — one row per vector component."""
+    return (t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") <= 20)
+            .select("vec_id", F.explode("embedding").alias("component")))
+
+
+@query("union_distinct_segments", """
+    SELECT c_mktsegment AS segment FROM customer
+    UNION
+    SELECT o_orderpriority AS segment FROM orders
+""")
+def union_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union + dedup in one set operation."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("segment"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("segment"))
+    return c.union(o).distinct()

@@ -159,3 +159,21 @@ def test_dialect_end_to_end(spark):
         input_df=df, dialect="duckdb")
     row = out.first()
     assert row.mid == "b" and row.parts == 3
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Partitioned writes enable partition pruning: a filter on the
+    partition column must prune directories, not scan them."""
+    out = str(tmp_path / "orders_by_status")
+    df = read_file(spark, f"{sf_dir}/orders.parquet")
+    df.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan
+    expected = df.filter("o_orderstatus = 'F'").count()
+    assert back.count() == expected
+    # physical layout: one directory per status value
+    import os
+    dirs = [d for d in os.listdir(out) if d.startswith("o_orderstatus=")]
+    assert len(dirs) >= 2
