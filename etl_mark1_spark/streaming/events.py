@@ -61,11 +61,15 @@ def hourly_event_aggregate(events: DataFrame, watermark: str = "1 hour",
 
 
 def run_available_now(result: DataFrame, table_name: str = "stream_out",
-                      output_mode: str = "append") -> DataFrame:
+                      output_mode: str = "append",
+                      checkpoint: str | None = None) -> DataFrame:
     """Drain all currently-available input through the streaming plan and
     return the materialized result as a DataFrame (memory sink — bounded
-    aggregate results only; real deployments write parquet/Delta)."""
-    checkpoint = tempfile.mkdtemp(prefix="etl_mark1_ckpt_")
+    aggregate results only; real deployments write parquet/Delta).
+
+    Pass a stable ``checkpoint`` to resume: watermark and state carry across
+    restarts, so successive drains process only new files."""
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="etl_mark1_ckpt_")
     query = (
         result.writeStream.format("memory")
         .queryName(table_name)

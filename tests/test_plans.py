@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the plan properties that matter at scale
+are asserted, not assumed — a change that silently drops a pushdown or
+broadcast fails here before it costs anything on a cluster."""
+
+import pytest
+
+from etl_mark1_spark.catalog import QUERIES
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan
+
+
+def test_q6_is_scan_plus_aggregate_only(spark, sf_dir):
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = executed_plan(df)
+    # (the PushedFilters list is truncated in toString, so match the scan's
+    # DataFilters instead)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "1996-01-01" in plan
+    assert "Join" not in plan  # no spurious joins in a scan+agg query
+
+
+@pytest.mark.parametrize("name", ["sql_join_q3", "sql_q5_region_revenue",
+                                  "q10_returned_items", "q14_promo_revenue"])
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    """At test scale every dimension side fits the broadcast threshold: no
+    join in these plans should fall back to shuffle-based strategies."""
+    df = QUERIES[name](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = QUERIES["dedup_distinct"](spark, sf_dir)
+    plan = executed_plan(df)
+    # only the two grouping columns are read, not all 11 lineitem columns
+    assert "ReadSchema: struct<l_returnflag:string,l_linestatus:string>" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """cosine_topk must compile to TakeOrderedAndProject (per-partition
+    heaps + k-row merge), never a global sort."""
+    from etl_mark1_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.first().embedding]
+    df = cosine_topk(emb, query, k=5)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    for name, kind in [("semi_join_customers", "LeftSemi"),
+                       ("anti_join_customers", "LeftAnti")]:
+        plan = executed_plan(QUERIES[name](spark, sf_dir))
+        assert kind in plan, name
+
+
+def test_step_chain_collapses_to_one_plan(spark, sf_dir):
+    """A folded step chain must optimize as ONE plan: the filter from a late
+    step reaches the scan even with rename/derive steps stacked before it."""
+    from etl_mark1_spark.operators.steps import apply_steps
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = apply_steps(df, [
+        {"operator": "rename_column",
+         "params": {"from_name": "l_quantity", "to_name": "qty"}},
+        {"operator": "add_derived_column",
+         "params": {"name": "rev",
+                    "expression": "l_extendedprice * (1 - l_discount)"}},
+        {"operator": "filter_rows", "params": {"expression": "qty < 10"}},
+    ])
+    plan = executed_plan(out.select("l_orderkey", "qty", "rev"))
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10" \
+        in plan
+
+
+def test_aggregate_has_partial_phase(spark, sf_dir):
+    """Map-side partial aggregation must precede the shuffle."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "partial_sum" in plan

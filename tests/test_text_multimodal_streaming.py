@@ -172,3 +172,65 @@ def test_sessionize_batch_shape(spark, sf_dir, tmp_path):
     # at least the closed session for user 1 (00:00-00:10) must have emitted
     u1 = [r for r in rows if r.user_id == 1]
     assert any(r.n_events == 2 and r.value_sum == 3.0 for r in u1)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data handling end-to-end across three incremental drains of the
+    same checkpointed stream: a record older than the watermark is dropped;
+    in-flight windows keep accumulating and emit once finalized."""
+    from etl_mark1_spark.streaming.events import (
+        hourly_event_aggregate, read_events_stream, run_available_now)
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+    os.makedirs(src)
+
+    def drop(name, rows):
+        (spark.createDataFrame(rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string")
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(tmp_path / name)))
+        import shutil, glob
+        for f in glob.glob(str(tmp_path / name / "part-*.parquet")):
+            shutil.copy(f, os.path.join(src, f"{name}.parquet"))
+
+    sink = str(tmp_path / "sink")
+
+    def drain(n):
+        # memory sinks can't recover a checkpoint; a parquet sink (the real
+        # deployment shape) persists both output and watermark state
+        stream = read_events_stream(spark, src)
+        q = (hourly_event_aggregate(stream)
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.read.parquet(sink).collect()
+
+    # batch 1: three events; watermark advances to 12:10 after processing,
+    # finalizing the 10:00 and 11:00 windows
+    drop("b1", [(1, "2024-01-01 10:15:00", 1, "view", 1.0, "{}"),
+                (2, "2024-01-01 11:45:00", 1, "view", 2.0, "{}"),
+                (3, "2024-01-01 13:10:00", 1, "view", 4.0, "{}")])
+    out1 = {str(r.window_start): r.n_events for r in drain(1)}
+    assert out1 == {"2024-01-01 10:00:00": 1, "2024-01-01 11:00:00": 1}
+
+    # batch 2: one LATE event (10:30 < watermark) -> dropped; one in-flight
+    # event extends the open 13:00 window; nothing finalizes yet
+    drop("b2", [(4, "2024-01-01 10:30:00", 1, "view", 8.0, "{}"),
+                (5, "2024-01-01 13:40:00", 1, "view", 16.0, "{}")])
+    out2 = {str(r.window_start): r.n_events for r in drain(2)}
+    assert out2 == out1  # late event dropped; open window not yet emitted
+
+    # batch 3: a far-future event pushes the watermark past 13:00 -> the
+    # 13:00 window closes with BOTH live events and WITHOUT the late one
+    drop("b3", [(6, "2024-01-01 16:30:00", 1, "view", 32.0, "{}")])
+    out3 = {str(r.window_start): (r.n_events, r.value_sum) for r in drain(3)}
+    assert out3["2024-01-01 13:00:00"] == (2, 20.0)  # late 10:30 excluded
+    assert "2024-01-01 10:00:00" in out3  # earlier emissions persisted
