@@ -32,6 +32,8 @@ HEADLINE = [
     "embedding_cosine_topk",
     "text_quality",
     "streaming_hourly",
+    "asof_last_error",
+    "sessionize_batch",
 ]
 
 
