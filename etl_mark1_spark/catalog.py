@@ -442,8 +442,14 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
 """)
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB: F.date_trunc coerces TIMESTAMP_NTZ through the session timezone
+    (wall times shift under non-UTC sessions); make_timestamp_ntz from the
+    extracted fields truncates timezone-independently."""
+    hour = F.make_timestamp_ntz(
+        F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts"),
+        F.lit(0), F.lit(0)).alias("hour")
     return (t(spark, sf_dir, "events")
-            .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .groupBy(hour, "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("value_sum")))
 

@@ -52,7 +52,10 @@ def hourly_event_aggregate(events: DataFrame, watermark: str = "1 hour",
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
         .select(
-            F.col("window").start.alias("window_start"),
+            # cast back to NTZ: symmetric with the ingest cast, so window
+            # starts keep the events' original wall times under any session
+            # timezone (watermarks force LTZ internally)
+            F.col("window").start.cast("timestamp_ntz").alias("window_start"),
             F.col("event_type"),
             F.col("n_events"),
             F.col("value_sum"),
