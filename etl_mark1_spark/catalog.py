@@ -1214,3 +1214,47 @@ def union_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("segment"))
     o = t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("segment"))
     return c.union(o).distinct()
+
+
+@query("conditional_exprs", """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN 'discounted'
+                WHEN l_tax > 0.06 THEN 'taxed'
+                ELSE 'plain' END AS bucket,
+           greatest(l_discount, l_tax)       AS max_rate,
+           least(l_discount, l_tax)          AS min_rate,
+           nullif(l_returnflag, 'N')         AS flag_or_null,
+           coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS flag_fb
+    FROM lineitem
+""")
+def conditional_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression battery: CASE/greatest/least/nullif/coalesce."""
+    df = t(spark, sf_dir, "lineitem")
+    bucket = (F.when(F.col("l_discount") > 0.05, "discounted")
+              .when(F.col("l_tax") > 0.06, "taxed")
+              .otherwise("plain"))
+    flag = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        bucket.alias("bucket"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        flag.alias("flag_or_null"),
+        F.coalesce(flag, F.col("l_linestatus")).alias("flag_fb"),
+    )
+
+
+@query("regexp_extract_groups", r"""
+    SELECT p_partkey,
+           regexp_extract(p_brand, 'Brand#(\d)(\d)', 1) AS brand_major,
+           regexp_extract(p_brand, 'Brand#(\d)(\d)', 2) AS brand_minor
+    FROM part
+""")
+def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group extraction (same group semantics in both engines)."""
+    return (t(spark, sf_dir, "part")
+            .select("p_partkey",
+                    F.regexp_extract("p_brand", r"Brand#(\d)(\d)", 1)
+                    .alias("brand_major"),
+                    F.regexp_extract("p_brand", r"Brand#(\d)(\d)", 2)
+                    .alias("brand_minor")))

@@ -92,3 +92,35 @@ def test_aggregate_has_partial_phase(spark, sf_dir):
     df = QUERIES["q1_pricing_summary"](spark, sf_dir)
     plan = executed_plan(df)
     assert "partial_sum" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """The 100 TB co-location story: both sides bucketed by the join key ->
+    the sort-merge join runs with NO Exchange (shuffle) on either side."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    orders_tbl, lineitem_tbl = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join down the SMJ path so bucketing is what's measured
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable(orders_tbl))
+        (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable(lineitem_tbl))
+
+        left = spark.table(lineitem_tbl)
+        right = spark.table(orders_tbl)
+        joined = left.join(right, left.l_orderkey == right.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing replaced the shuffle
+        assert "Bucketed: true" in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql(f"DROP TABLE IF EXISTS {orders_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {lineitem_tbl}")
