@@ -472,21 +472,14 @@ def events_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("streaming_hourly")
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming (AvailableNow) over the same events parquet —
-    same results as the batch plan, through the streaming engine. Oracle
-    shared with events_window_tumbling (set after definition)."""
-    import tempfile
-
+    same results as the batch plan, through the streaming engine. Reads the
+    TIMESTAMP(NANOS) source directly via the distributed nanosAsLong path
+    (no staging copy). Oracle shared with events_window_tumbling (set after
+    definition)."""
     from etl_mark1_spark.streaming.events import (
         hourly_event_aggregate, read_events_stream, run_available_now)
 
-    # File streams can't read TIMESTAMP(NANOS) parquet: stage a µs copy —
-    # the "rewrite at ingest" step a real deployment would do once.
-    staged = tempfile.mkdtemp(prefix="etl_mark1_events_us_")
-    (t(spark, sf_dir, "events")
-     .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs ltz
-     .coalesce(8)  # few well-sized files beat 32 splinters for the stream
-     .write.mode("overwrite").parquet(staged))
-    stream = read_events_stream(spark, staged)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     agg = hourly_event_aggregate(stream)
     return run_available_now(agg, table_name="stream_hourly_out",
                              output_mode="complete")

@@ -63,7 +63,7 @@ def read_file(
             reader = reader.schema(schema)
         return reader.json(path)
     if fmt == "parquet":
-        return spark.read.options(**options).parquet(path)
+        return read_parquet_compat(spark, path, **options)
     if fmt in ("xlsx", "xls"):
         return _read_excel(spark, path, schema=schema, **options)
     raise ValueError(f"unsupported format: {fmt}")
@@ -84,48 +84,77 @@ def _read_excel(spark: SparkSession, path: str, schema=None, **options) -> DataF
     return spark.createDataFrame(pdf, schema=schema)
 
 
-def _parquet_nanos_fields(path: str) -> list[str]:
-    """Names of nanosecond-precision timestamp fields in a parquet file."""
-    import pyarrow.parquet as pq
-    import pyarrow.types as pat
+#: Legacy conf that maps parquet TIMESTAMP(NANOS) columns to LongType
+#: (nanoseconds since epoch) instead of failing the vectorized reader with
+#: PARQUET_TYPE_ILLEGAL. Runtime-settable; left on once set.
+NANOS_AS_LONG_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
-    schema = pq.read_schema(path)
-    return [f.name for f in schema
-            if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+
+def _parquet_nanos_fields(path: str) -> list[str]:
+    """Names of nanosecond-precision timestamp fields in a parquet file or
+    directory of parquet files (first file's footer speaks for the dataset).
+    Remote paths (no local footer to sniff) report none — a real deployment
+    would check the table's catalog schema instead."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        inner = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not inner:
+            return []
+        target = inner[0]
+    elif not os.path.isfile(path):
+        return []
+    # Inspect the PARQUET logical type, not the Arrow-converted schema:
+    # pyarrow reports legacy INT96 timestamps (which Spark reads natively)
+    # as timestamp[ns] too, and those must NOT take the long path.
+    schema = pq.ParquetFile(target).schema
+    out = []
+    for i in range(len(schema)):
+        col = schema.column(i)
+        logical = str(col.logical_type)
+        if (col.physical_type == "INT64" and logical.startswith("Timestamp")
+                and "timeUnit=nanoseconds" in logical):
+            out.append(col.name)
+    return out
+
+
+def nanos_long_to_ntz(name: str):
+    """Expression rebuilding a TIMESTAMP_NTZ from epoch-nanos longs.
+
+    ``timestampadd`` on an NTZ base stays NTZ under ANY session timezone —
+    no LTZ round-trip, so wall times can't shift. ``div 1000`` truncates
+    sub-microsecond digits exactly like DuckDB's ns->µs read."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"timestampadd(MICROSECOND, `{name}` div 1000, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
 
 
 def read_parquet_compat(spark: SparkSession, path: str, **options) -> DataFrame:
-    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns — distributed.
 
-    Spark's vectorized reader rejects nanosecond timestamps
-    (PARQUET_TYPE_ILLEGAL); files carrying them are read via Arrow with a
-    lossless-enough cast to microseconds, then parallelized. The Arrow path
-    is driver-side — appropriate only for modest tables (the ns-producing
-    writers we see emit event-log-sized data); a 100 TB deployment should
-    rewrite such data to µs at ingest, which this function effectively does
-    on the fly.
+    Spark's vectorized reader rejects nanosecond timestamps; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as epoch-nanos longs
+    through the NORMAL distributed scan (pushdown + pruning intact), and a
+    JVM-side ``timestampadd`` rebuilds TIMESTAMP_NTZ. No driver
+    materialization at any size — the plan stays ``FileScan parquet``
+    (asserted in tests/test_plans.py). Range predicates on the rebuilt
+    column don't push past the cast; at 100 TB, partition-prune on a derived
+    date column or rewrite such data to µs at ingest.
     """
-    if os.path.isfile(path) and _parquet_nanos_fields(path):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(path)
-        fields = [
-            pa.field(f.name, pa.timestamp("us"))
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns" else f
-            for f in table.schema
-        ]
-        # safe=False truncates sub-microsecond digits — the same thing
-        # DuckDB does when reading ns parquet into its µs TIMESTAMP.
-        table = table.cast(pa.schema(fields), safe=False)
-        try:  # explicit NTZ schema: parity with Spark's native parquet read
-            from pyspark.sql.pandas.types import from_arrow_schema
-
-            schema = from_arrow_schema(table.schema, prefer_timestamp_ntz=True)
-            return spark.createDataFrame(table.to_pandas(), schema=schema)
-        except Exception:
-            return spark.createDataFrame(table.to_pandas())
-    return spark.read.options(**options).parquet(path)
+    ns_fields = _parquet_nanos_fields(path)
+    if not ns_fields:
+        return spark.read.options(**options).parquet(path)
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    df = spark.read.options(**options).parquet(path)
+    for name in ns_fields:
+        df = df.withColumn(name, nanos_long_to_ntz(name))
+    return df
 
 
 def read_http(spark: SparkSession, url: str, file_format: str | None = None,

@@ -10,6 +10,8 @@ engine — the same code then runs unchanged against a live Kafka/file source.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,11 +30,67 @@ EVENTS_SCHEMA = T.StructType([
 ])
 
 
+def events_source_dir(path: str) -> str:
+    """Resolve ``path`` to a directory a file-stream source can list.
+
+    Spark's file source requires a directory; a single-file path gets a
+    cached temp directory holding a SYMLINK to it — zero-copy staging, keyed
+    by (realpath, mtime) so a rewritten source file gets a fresh dir while
+    repeated invocations reuse the old one (no per-call write amplification).
+    """
+    if os.path.isdir(path):
+        return path
+    real = os.path.realpath(path)
+    mtime_ns = os.stat(real).st_mtime_ns
+    key = hashlib.md5(f"{real}:{mtime_ns}".encode()).hexdigest()[:16]
+    staged = os.path.join(tempfile.gettempdir(), f"etl_mark1_evsrc_{key}")
+    link = os.path.join(staged, os.path.basename(path))
+    if not os.path.islink(link):
+        os.makedirs(staged, exist_ok=True)
+        try:
+            os.symlink(real, link)
+        except FileExistsError:  # concurrent caller won the race
+            pass
+    return staged
+
+
 def read_events_stream(spark: SparkSession, path: str,
                        schema: T.StructType = EVENTS_SCHEMA) -> DataFrame:
     """File-source stream over an events directory/file. Streaming readers
-    need an explicit schema — no inference race at scale."""
-    return spark.readStream.schema(schema).format("parquet").load(path)
+    need an explicit schema — no inference race at scale.
+
+    TIMESTAMP(NANOS) parquet (which the file source would otherwise reject)
+    streams through the same nanosAsLong path as the batch reader
+    (sources/readers.py): the ns columns are read as epoch-nanos longs and
+    rebuilt JVM-side to the schema's declared timestamp type — fully
+    distributed, no staging copy of the data.
+    """
+    from etl_mark1_spark.sources.readers import (
+        NANOS_AS_LONG_CONF, _parquet_nanos_fields, nanos_long_to_ntz)
+
+    src = events_source_dir(path)
+    ts_fields = {f.name for f in schema.fields
+                 if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))}
+    ns_fields = set(_parquet_nanos_fields(src)) & ts_fields
+    if not ns_fields:
+        return spark.readStream.schema(schema).format("parquet").load(src)
+
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    read_schema = T.StructType([
+        T.StructField(f.name,
+                      T.LongType() if f.name in ns_fields else f.dataType,
+                      f.nullable)
+        for f in schema.fields
+    ])
+    df = spark.readStream.schema(read_schema).format("parquet").load(src)
+    for f in schema.fields:
+        if f.name in ns_fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
+                col = nanos_long_to_ntz(f.name)
+            else:  # LTZ — what watermarks want; epoch micros bind directly
+                col = F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            df = df.withColumn(f.name, col)
+    return df
 
 
 def hourly_event_aggregate(events: DataFrame, watermark: str = "1 hour",

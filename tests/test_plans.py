@@ -94,6 +94,21 @@ def test_aggregate_has_partial_phase(spark, sf_dir):
     assert "partial_sum" in plan
 
 
+def test_events_scan_is_native_parquet(spark, sf_dir):
+    """The ns-timestamp events table must read through a distributed
+    FileScan (nanosAsLong + JVM-side rebuild), never a driver-side
+    materialization — the scan prunes columns like any parquet read."""
+    from etl_mark1_spark.catalog import t as read_table
+
+    df = read_table(spark, sf_dir, "events").select("ts", "event_type")
+    plan = executed_plan(df)
+    assert "Scan parquet" in plan
+    assert "ExistingRDD" not in plan
+    assert "LocalTableScan" not in plan
+    # pruning: only the two referenced source columns reach the scan
+    assert "ReadSchema: struct<ts:bigint,event_type:string>" in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
     """The 100 TB co-location story: both sides bucketed by the join key ->
     the sort-merge join runs with NO Exchange (shuffle) on either side."""
