@@ -153,6 +153,7 @@ def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
     # id at the end without ever entering the loop.
     touched = sym.select(F.col("src").alias("node")).distinct()
     labels = touched.select("node", F.col("node").alias("label"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -166,16 +167,37 @@ def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
                         ).alias("label"),
             )
         )
+        # Pointer-jump: label <- min(label, label-of-label). Labels are
+        # always node ids, so self-joining the label table halves the
+        # remaining distance to the component minimum each round —
+        # convergence in O(log diameter) rounds instead of O(diameter).
+        hop = new_labels.select(F.col("node").alias("label"),
+                                F.col("label").alias("label2"))
+        new_labels = (
+            new_labels.join(hop, "label", "left")
+            .select(F.col("node"),
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("label2"), F.col("label"))
+                            ).alias("label"))
+        )
         new_labels = new_labels.localCheckpoint()  # cut lineage per round
-        changed = (
+        converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .isEmpty()
         )
         labels = new_labels
-        if changed:
+        if converged:
             break
+    if not converged:
+        # Silent split clusters are a correctness bug; with pointer jumping
+        # max_iter=10 covers diameters ~2^10, so hitting this means the
+        # graph is pathological — fail loudly rather than return wrong data.
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds; "
+            f"raise max_iter (components with diameter > ~2^{max_iter})"
+        )
     return (
         ids.join(labels, ids[id_col] == labels.node, "left")
         .select(ids[id_col],

@@ -160,10 +160,20 @@ def op_sql_transform(df: DataFrame, params: dict) -> DataFrame:
     """§2.7 — arbitrary SQL with ``{{input}}`` bound to the current frame
     (duckdb_engine.py:356-359). The frame is registered as a temp view and
     the statement goes through Catalyst unchanged — joins, windows, set ops,
-    grouping sets all arrive through this single primitive."""
-    view = f"_input_{abs(hash(params['sql'])) % 10**9}"
+    grouping sets all arrive through this single primitive.
+
+    The input view is content-addressed (md5, not PYTHONHASHSEED-dependent
+    ``hash``) and dropped immediately after analysis — ``spark.sql`` resolves
+    the view into the returned plan eagerly, so the catalog stays clean even
+    across thousands of steps in a long-lived session."""
+    import hashlib
+
+    view = f"_input_{hashlib.md5(params['sql'].encode()).hexdigest()[:12]}"
     df.createOrReplaceTempView(view)
-    return df.sparkSession.sql(params["sql"].replace("{{input}}", view))
+    try:
+        return df.sparkSession.sql(params["sql"].replace("{{input}}", view))
+    finally:
+        df.sparkSession.catalog.dropTempView(view)
 
 
 def op_aggregate(df: DataFrame, params: dict) -> DataFrame:

@@ -93,6 +93,9 @@ class PipelineExecutor:
     # -- execution -----------------------------------------------------
 
     def execute(self, definition: dict) -> RunReport:
+        # fresh run state: a reused executor must not leak prior-run outputs
+        # into report.outputs or feed stale frames to same-named edges
+        self._node_outputs = {}
         nodes = definition.get("nodes", [])
         edges = definition.get("edges", [])
         order = self._topological_sort(nodes, edges)
@@ -309,9 +312,12 @@ class PipelineExecutor:
         adjacency: dict[str, list[str]] = {nid: [] for nid in node_map}
         for edge in edges:
             src, tgt = edge["source"], edge["target"]
-            if src in adjacency:
+            # count an edge only when BOTH endpoints are known nodes: a
+            # dangling edge (common after node deletion in React-Flow
+            # graphs) must not strand its target at in-degree > 0 and
+            # masquerade as a cycle
+            if src in adjacency and tgt in in_degree:
                 adjacency[src].append(tgt)
-            if tgt in in_degree:
                 in_degree[tgt] += 1
 
         queue = sorted(nid for nid, deg in in_degree.items() if deg == 0)

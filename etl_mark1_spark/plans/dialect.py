@@ -8,8 +8,7 @@ wrong is worse than a parse error.
 
 Handled:
 - function renames with identical semantics (string_split -> split with the
-  delimiter regex-escaped when literal, len -> cardinality on arrays via
-  ``list_``-prefixed aliases, list_contains -> array_contains, ...)
+  delimiter regex-escaped when literal, list_contains -> array_contains, ...)
 - ``ROWID`` -> ``monotonically_increasing_id()`` (same role: a stable
   file-order-ish row tag)
 - 1-based list indexing ``expr[1]`` is NOT rewritten: Spark's bracket is
@@ -20,6 +19,10 @@ Refused (raise DialectError):
 - ``SELECT * REPLACE/EXCLUDE`` — needs schema expansion, use withColumn/drop
 - ``read_csv_auto / read_parquet / read_json_auto`` table functions — register
   sources via execute_sql(sources=...) instead
+- ``len(...)`` — DuckDB len() is both string length and list cardinality;
+  without the argument's type a rewrite guesses. Write ``length()`` for
+  strings (valid in both dialects) or ``cardinality()`` for arrays
+  (DuckDB's list spelling is ``array_length``).
 """
 
 from __future__ import annotations
@@ -38,6 +41,10 @@ _REFUSE = [
     (re.compile(r"\bread_(csv_auto|json_auto|parquet)\s*\(", re.IGNORECASE),
      "DuckDB table functions are not available; register the file as a "
      "source via execute_sql(sources={name: path})"),
+    (re.compile(r"(?<![a-zA-Z_])len\s*\(", re.IGNORECASE),
+     "DuckDB len() is ambiguous (string length vs list cardinality) and a "
+     "wrong rewrite fails Spark analysis; use length() for strings (valid "
+     "in both dialects) or cardinality() for arrays (DuckDB: array_length)"),
 ]
 
 #: fn renames where semantics AND argument order match exactly.
@@ -59,7 +66,6 @@ _STRING_SPLIT_IDX = re.compile(
 _STRING_SPLIT = re.compile(
     r"string_split\s*\(([^,]+),\s*'([^']*)'\s*\)", re.IGNORECASE)
 _ROWID = re.compile(r"\bROWID\b", re.IGNORECASE)
-_LEN_CALL = re.compile(r"\blen\s*\(", re.IGNORECASE)
 
 
 def translate(sql: str) -> str:
@@ -89,7 +95,6 @@ def translate(sql: str) -> str:
 
     out = _STRING_SPLIT.sub(split_repl, out)
     out = _ROWID.sub("monotonically_increasing_id()", out)
-    out = _LEN_CALL.sub("cardinality(", out)
 
     for src, dst in _FN_RENAMES.items():
         out = re.sub(rf"\b{src}\s*\(", f"{dst}(", out, flags=re.IGNORECASE)

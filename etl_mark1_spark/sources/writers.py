@@ -40,7 +40,7 @@ def write_file(
         fmt = "csv"
 
     if single_file:
-        return _write_single_file(df, path, fmt, **options)
+        return _write_single_file(df, path, fmt, mode=mode, **options)
 
     writer = df.write.mode(mode).options(**options)
     if fmt == "csv":
@@ -49,9 +49,24 @@ def write_file(
     return path
 
 
-def _write_single_file(df: DataFrame, path: str, fmt: str, **options) -> str:
+def _write_single_file(df: DataFrame, path: str, fmt: str,
+                       mode: str = "overwrite", **options) -> str:
     """K1 single-file semantics: coalesce(1) into a temp dir, move the part
-    file to ``path``. Compat-only — one task does the whole write."""
+    file to ``path``. Compat-only — one task does the whole write.
+
+    ``mode`` is honored against the DESTINATION file: ``error`` raises if it
+    exists, ``ignore`` returns without writing, ``append`` is rejected (a
+    single target file can't be appended to transactionally — use a
+    directory write for append semantics)."""
+    if mode == "append":
+        raise ValueError(
+            "mode='append' is not supported with single_file=True; "
+            "use a directory write for append semantics")
+    if os.path.exists(path):
+        if mode in ("error", "errorifexists"):
+            raise FileExistsError(f"destination exists: {path}")
+        if mode == "ignore":
+            return path
     tmp_dir = tempfile.mkdtemp(prefix="etl_mark1_write_")
     try:
         out_dir = os.path.join(tmp_dir, "out")

@@ -39,6 +39,42 @@ def test_cycle_detection(spark):
         })
 
 
+def test_dangling_edge_is_not_a_cycle(spark, sf_dir):
+    """An edge whose source node was deleted (routine in React-Flow graphs)
+    must be ignored, not strand its target at in-degree > 0 and report a
+    spurious cycle."""
+    report = PipelineExecutor(spark).execute({
+        "nodes": [
+            {"id": "in", "type": "file_input",
+             "config": {"path": f"{sf_dir}/nation.parquet"}},
+            {"id": "tf", "type": "transform", "config": {"steps": []}},
+        ],
+        "edges": [{"source": "in", "target": "tf"},
+                  {"source": "ghost", "target": "tf"},   # deleted source
+                  {"source": "tf", "target": "ghost2"}],  # deleted target
+    })
+    assert report.status == "succeeded"
+
+
+def test_executor_reuse_resets_outputs(spark, sf_dir):
+    """A second execute() on the same instance must not leak prior-run
+    outputs into report.outputs or feed stale frames to same-named edges."""
+    ex = PipelineExecutor(spark)
+    first = ex.execute({
+        "nodes": [{"id": "old", "type": "file_input",
+                   "config": {"path": f"{sf_dir}/region.parquet"}}],
+        "edges": [],
+    })
+    assert "old" in first.outputs
+    second = ex.execute({
+        "nodes": [{"id": "tf", "type": "transform", "config": {"steps": []}}],
+        "edges": [{"source": "old", "target": "tf"}],  # refers to prior run
+    })
+    assert "old" not in second.outputs
+    # the stale edge supplies no input, so the transform fails cleanly
+    assert second.status == "failed"
+
+
 def test_validation_gate_fails_run(spark, sf_dir):
     report = PipelineExecutor(spark).execute({
         "nodes": [

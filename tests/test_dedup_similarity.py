@@ -67,6 +67,26 @@ def test_minhash_dedup_clusters(docs):
     assert clusters[4] == 4 and clusters[5] == 5           # singletons
 
 
+def test_min_label_converges_on_long_chain(spark):
+    """Distributed min-label propagation with pointer jumping must resolve a
+    chain component whose diameter far exceeds the round count (a plain
+    per-round propagation would silently split it), and must raise rather
+    than return split clusters when genuinely out of rounds."""
+    from etl_mark1_spark.operators.dedup import _cluster_min_label
+
+    n = 40  # diameter 39 chain: 0-1-2-...-39
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    out = _cluster_min_label(ids, edges, "doc_id",
+                             max_iter=8, driver_threshold=0)
+    assert {r.cluster_id for r in out.collect()} == {0}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cluster_min_label(ids, edges, "doc_id",
+                           max_iter=2, driver_threshold=0)
+
+
 def test_simhash_deterministic_and_clusters(docs):
     a = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
     b = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}

@@ -52,6 +52,25 @@ def test_single_file_write(spark, small, tmp_path):
     assert set(header) == {"id", "v", "s"}
 
 
+def test_single_file_write_honors_mode(spark, small, tmp_path):
+    """single_file must respect the caller's mode against the destination
+    file: error raises, ignore leaves it untouched, append is rejected."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "modes.csv")
+    write_file(small, path, "csv", single_file=True)
+    before = open(path).read()
+
+    with _pytest.raises(FileExistsError):
+        write_file(small, path, "csv", mode="error", single_file=True)
+    with _pytest.raises(ValueError, match="append"):
+        write_file(small.limit(1), path, "csv", mode="append", single_file=True)
+    write_file(small.limit(1), path, "csv", mode="ignore", single_file=True)
+    assert open(path).read() == before  # ignore: untouched
+    write_file(small.limit(1), path, "csv", mode="overwrite", single_file=True)
+    assert open(path).read() != before  # overwrite: replaced
+
+
 def test_txt_reads_as_csv(spark, small, tmp_path):
     path = str(tmp_path / "data.txt")
     write_file(small, path, "csv")
@@ -131,10 +150,10 @@ def test_dialect_translate_safe_constructs():
         "SELECT split(c, ',') FROM t"
     assert "monotonically_increasing_id()" in translate(
         "SELECT ROWID FROM t")
-    assert translate("SELECT len(split(c, ',')) FROM t") == \
-        "SELECT cardinality(split(c, ',')) FROM t"
     assert translate("SELECT list_contains(a, 'x') FROM t") == \
         "SELECT array_contains(a, 'x') FROM t"
+    # 'length(' must not trip the len( refusal
+    assert translate("SELECT length(c) FROM t") == "SELECT length(c) FROM t"
 
 
 def test_dialect_refuses_unsafe():
@@ -146,6 +165,10 @@ def test_dialect_refuses_unsafe():
         translate("SELECT * EXCLUDE (a) FROM t")
     with _pytest.raises(DialectError, match="table functions"):
         translate("SELECT * FROM read_csv_auto('f.csv')")
+    # len() is string-length AND list-cardinality in DuckDB; a blind rewrite
+    # to cardinality() fails Spark analysis on varchar args — refuse instead
+    with _pytest.raises(DialectError, match="ambiguous"):
+        translate("SELECT len(c) FROM t")
 
 
 def test_dialect_end_to_end(spark):
@@ -155,7 +178,7 @@ def test_dialect_end_to_end(spark):
     out = execute_sql(
         spark,
         "SELECT string_split(path, '.')[2] AS mid, "
-        "len(string_split(path, '.')) AS parts FROM {{input}}",
+        "cardinality(string_split(path, '.')) AS parts FROM {{input}}",
         input_df=df, dialect="duckdb")
     row = out.first()
     assert row.mid == "b" and row.parts == 3

@@ -130,6 +130,19 @@ def test_sql_transform_placeholder(df):
     assert {(r.id, r.n) for r in out.collect()} == {(1, 1), (2, 1), (3, 2)}
 
 
+def test_sql_transform_leaves_catalog_clean(spark, df):
+    """Repeated sql_transform steps must not accumulate temp views — the
+    input view is dropped right after analysis."""
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    out = df
+    for _ in range(3):
+        out = apply_steps(out, [step(
+            "sql_transform", sql="SELECT * FROM {{input}}")])
+    assert out.count() == 4  # plans still execute after the views dropped
+    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert after == before
+
+
 def test_aggregate_grouped_naming(df):
     out = apply_steps(df, [step("aggregate", group_by=["cat"],
                                 aggregations={"id": "sum"})])
