@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 #: Formats the reference accepts at upload (backend/services/file_service.py:61).
-KNOWN_FORMATS = ("csv", "json", "xlsx", "parquet", "xml", "txt")
+KNOWN_FORMATS = ("csv", "json", "xlsx", "parquet", "xml", "txt", "pdf")
 
 
 def detect_format(file_path: str) -> str:
@@ -66,6 +66,10 @@ def read_file(
         return read_parquet_compat(spark, path, **options)
     if fmt in ("xlsx", "xls"):
         return _read_excel(spark, path, schema=schema, **options)
+    if fmt == "pdf":
+        from .pdf import read_pdf
+
+        return read_pdf(spark, path)
     raise ValueError(f"unsupported format: {fmt}")
 
 
