@@ -814,6 +814,41 @@ def _stage_pdf_fixture(spark: SparkSession, sf_dir: str, n_docs: int = 100):
     return pdf_path, [(i, r.doc_id) for i, r in enumerate(rows)]
 
 
+@query("xml_scan", """
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100
+""")
+def xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real XML ingestion (S5): documents staged to an XML file (cached by
+    source mtime), parsed back through Spark 4's native XML source into
+    typed columns, oracle-checked against the source table. The reference
+    reads XML as CSV (duckdb_engine.py:260-261) — that behavior survives
+    only behind read_file(compat='reference')."""
+    import hashlib
+    import os
+    import tempfile
+    from xml.sax.saxutils import escape
+
+    from etl_mark1_spark.sources.readers import read_file
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.stat(src).st_mtime_ns}".encode()).hexdigest()[:16]
+    xml_path = os.path.join(tempfile.gettempdir(), f"etl_mark1_xml_{key}.xml")
+    if not os.path.exists(xml_path):
+        rows = (t(spark, sf_dir, "documents").select("doc_id", "text")
+                .orderBy("doc_id").limit(100).collect())
+        tmp = xml_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("<docs>")
+            for r in rows:
+                fh.write(f"<doc><doc_id>{r.doc_id}</doc_id>"
+                         f"<text>{escape(r.text)}</text></doc>")
+            fh.write("</docs>")
+        os.replace(tmp, xml_path)
+    return (read_file(spark, xml_path, rowTag="doc")
+            .select("doc_id", "text"))
+
+
 @query("pdf_extract", """
     SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100
 """)

@@ -43,11 +43,22 @@ def read_file(
     - xlsx/xls -> driver-side pandas/openpyxl then parallelize (S4) — the
       reference shells out to a spatial extension for this; there is no
       distributed Excel codec, and spreadsheets are small by nature.
-    - xml      -> falls back to csv parsing, matching the reference's
-      declared-but-not-implemented branch (duckdb_engine.py:260-261). A real
-      deployment would add the spark-xml package.
+    - xml      -> Spark 4's native XML source (``rowTag`` defaults to
+      ``row``; pass ``rowTag=`` to override). DIVERGENCE: the reference
+      declares XML but actually parses it as CSV (duckdb_engine.py:260-261)
+      — garbage rows for any real XML. Pass ``compat="reference"`` to get
+      that bug-for-bug csv fallback.
+    - pdf      -> distributed binaryFile scan + per-file text extraction
+      (sources/pdf.py), one row per (path, page, text).
     """
     fmt = (file_format or detect_format(path)).lower()
+    if fmt == "xml" and options.pop("compat", None) != "reference":
+        reader = (spark.read.format("xml")
+                  .option("rowTag", options.pop("rowTag", "row"))
+                  .options(**options))
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(path)
     if fmt in ("csv", "txt", "xml"):
         reader = (
             spark.read.option("header", options.pop("header", True))

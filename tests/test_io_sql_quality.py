@@ -71,6 +71,33 @@ def test_single_file_write_honors_mode(spark, small, tmp_path):
     assert open(path).read() != before  # overwrite: replaced
 
 
+def test_xml_reads_typed_rows(spark, tmp_path):
+    """Real XML parses into typed columns via Spark 4's native source.
+    DIVERGENCE from the reference, which reads XML through read_csv_auto
+    (duckdb_engine.py:260-261) and yields garbage rows."""
+    path = str(tmp_path / "data.xml")
+    with open(path, "w") as fh:
+        fh.write("<rows>"
+                 "<row><id>1</id><name>alpha</name><score>3.5</score></row>"
+                 "<row><id>2</id><name>beta</name><score>4.25</score></row>"
+                 "</rows>")
+    out = read_file(spark, path)
+    rows = {(r.id, r.name, r.score) for r in out.collect()}
+    assert rows == {(1, "alpha", 3.5), (2, "beta", 4.25)}
+    assert dict(out.dtypes)["id"] == "bigint"  # typed, not strings
+
+    # custom row tag
+    path2 = str(tmp_path / "items.xml")
+    with open(path2, "w") as fh:
+        fh.write("<r><item><k>7</k></item><item><k>8</k></item></r>")
+    assert {r.k for r in read_file(spark, path2, rowTag="item").collect()} \
+        == {7, 8}
+
+    # bug-for-bug reference behavior stays available behind compat
+    ref = read_file(spark, path, compat="reference")
+    assert "id" not in ref.columns  # csv parse of xml: garbage, as shipped
+
+
 def test_txt_reads_as_csv(spark, small, tmp_path):
     path = str(tmp_path / "data.txt")
     write_file(small, path, "csv")
