@@ -749,8 +749,9 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH with multiprobe.
-    Approximate by construction: rows-only check."""
+    """Approximate top-10 via banded random-hyperplane LSH (16 tables x 4
+    planes). Approximate by construction: golden-replay + recall-floor
+    checks in tests/test_goldens.py."""
     from etl_mark1_spark.operators.similarity import lsh_topk
 
     qv = _query_vector(spark, sf_dir, 1)

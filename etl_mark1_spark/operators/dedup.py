@@ -435,36 +435,51 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def embedding_neardup(df: DataFrame, vec_col: str = "embedding",
                       id_col: str = "vec_id", threshold: float = 0.95,
-                      num_planes: int = 16, seed: int = 42) -> DataFrame:
+                      num_tables: int = 4, planes_per_table: int = 8,
+                      seed: int = 42) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold.
 
-    Random-hyperplane LSH: the sign pattern of <v, r_i> over ``num_planes``
-    seeded Gaussian planes is the bucket key; exact cosine verifies
-    candidates inside each bucket; min-label clustering as elsewhere.
-    One bucket per vector (not banded) — tune num_planes down for higher
-    recall / bigger buckets.
+    BANDED random-hyperplane LSH: ``num_tables`` independent sign-pattern
+    signatures of ``planes_per_table`` planes each; a pair is a candidate if
+    it shares a bucket in ANY table (explode over table-tagged buckets ->
+    bucket equi-join, the same shape as MinHash banding). Recall for a pair
+    at angle theta is 1 - (1 - p^b)^L with p = 1 - theta/pi — at cosine
+    0.95 and the 8x4 default that is ~0.89 vs ~0.19 for one unbanded
+    16-plane signature (the naive formulation this replaces). Exact cosine
+    verifies candidates; min-label clustering as elsewhere.
     """
     import numpy as np
 
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
+    planes = rng.standard_normal((num_tables, planes_per_table, dim))
 
     df = ensure_parallelism(df)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    sig = F.concat_ws("", *[
-        F.when(
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(float(p)) for p in planes[i]]),
-                           lambda x, y: x * y),
-                F.lit(0.0), lambda a, x: a + x,
-            ) >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
-        for i in range(num_planes)
-    ])
-    base = df.select(id_col, F.col(vec_col), sig.alias("_bucket"),
-                     norm.alias("_norm"))
+
+    def table_sig(table: int) -> Column:
+        bits = F.concat_ws("", *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(p))
+                                  for p in planes[table][i]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0), lambda a, x: a + x,
+                ) >= 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for i in range(planes_per_table)
+        ])
+        return F.concat_ws(":", F.lit(table), bits)
+
+    base = df.select(
+        id_col, F.col(vec_col), norm.alias("_norm"),
+        F.explode(F.array(*[table_sig(t) for t in range(num_tables)])
+                  ).alias("_bucket"),
+    )
 
     left = base.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"),
                        F.col("_norm").alias("_na"), "_bucket")
@@ -479,6 +494,7 @@ def embedding_neardup(df: DataFrame, vec_col: str = "embedding",
     pairs = (
         left.join(right, "_bucket")
         .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
         .filter(dot / (F.col("_na") * F.col("_nb")) >= threshold)
         .select("src", "dst")
     )

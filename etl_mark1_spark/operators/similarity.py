@@ -4,8 +4,9 @@ Three tiers (SURVEY.md §7.2 step 8):
 
 - ``cosine_topk``      : exact brute-force top-k — the correctness baseline.
                          One scan, no shuffle except the final top-k.
-- ``lsh_topk``         : random-hyperplane LSH with multi-probe — prunes the
-                         scan to candidate buckets; approximate.
+- ``lsh_topk``         : banded random-hyperplane LSH (OR of independent
+                         hash tables) — prunes the scan to candidate
+                         buckets; approximate with tunable recall.
 - ``ivf_topk``         : IVF via KMeans centroids — scan only the ``nprobe``
                          nearest inverted lists; the scale path (at 100 TB the
                          table is bucketed/partitioned by centroid id so a
@@ -86,30 +87,32 @@ def _rhp_signature(col: Column, planes) -> Column:
 
 def lsh_topk(df: DataFrame, query: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             num_planes: int = 12, probe_hamming: int = 1,
+             num_tables: int = 16, planes_per_table: int = 4,
              seed: int = 42) -> DataFrame:
-    """Approximate top-k: restrict the exact scan to vectors whose
-    hyperplane signature is within ``probe_hamming`` bits of the query's
-    (multi-probe LSH). At scale, write the table bucketed by signature so
-    this filter becomes partition pruning."""
+    """Approximate top-k via BANDED random-hyperplane LSH: ``num_tables``
+    independent hash tables of ``planes_per_table`` planes each; a vector is
+    a candidate if it matches the query's signature in ANY table, then the
+    exact cosine ranks candidates.
+
+    The OR-of-tables shape is what makes recall tunable: per-table match
+    probability is p^b (p = 1 - angle/pi per plane), overall
+    1 - (1 - p^b)^L — more tables raise recall, more planes per table raise
+    selectivity. A single deep signature (the naive formulation) has recall
+    p^bits, which collapses unless neighbors are near-identical. At scale,
+    persist the L bucket columns and turn each table probe into a bucket
+    equi-join / partition prune instead of this filter-scan.
+    """
     import numpy as np
 
     dim = len(query)
-    planes = _hyperplanes(dim, num_planes, seed)
-    qsig_bits = (planes @ np.asarray(query, dtype=float) >= 0).astype(int)
-
-    probe_sigs = {"".join(map(str, qsig_bits))}
-    if probe_hamming >= 1:
-        for i in range(num_planes):
-            flipped = qsig_bits.copy()
-            flipped[i] ^= 1
-            probe_sigs.add("".join(map(str, flipped)))
-
-    sig = _rhp_signature(F.col(vec_col), planes)
-    candidates = df.withColumn("_sig", sig).filter(
-        F.col("_sig").isin(*sorted(probe_sigs))
-    )
-    return cosine_topk(candidates.drop("_sig"), query, k, vec_col, id_col)
+    q = np.asarray(query, dtype=float)
+    keep = None
+    for table in range(num_tables):
+        planes = _hyperplanes(dim, planes_per_table, seed + table)
+        qsig = "".join(map(str, (planes @ q >= 0).astype(int)))
+        match = _rhp_signature(F.col(vec_col), planes) == qsig
+        keep = match if keep is None else keep | match
+    return cosine_topk(df.filter(keep), query, k, vec_col, id_col)
 
 
 def ivf_build(df: DataFrame, vec_col: str = "embedding",

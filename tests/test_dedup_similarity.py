@@ -118,15 +118,16 @@ def test_cosine_topk_exact(vectors):
 
 
 def test_embedding_neardup(vectors):
-    out = embedding_neardup(vectors, threshold=0.99, num_planes=4)
+    out = embedding_neardup(vectors, threshold=0.99,
+                            num_tables=4, planes_per_table=2)
     clusters = {r.vec_id: r.cluster_id for r in out.collect()}
     assert clusters[1] == clusters[2] == 1
     assert clusters[3] == 3 and clusters[4] == 4 and clusters[5] == 5
 
 
 def test_lsh_topk_finds_close_vector(vectors):
-    out = lsh_topk(vectors, [1.0, 0.0, 0.0], k=2, num_planes=4,
-                   probe_hamming=1).collect()
+    out = lsh_topk(vectors, [1.0, 0.0, 0.0], k=2,
+                   num_tables=8, planes_per_table=2).collect()
     assert out and out[0].vec_id == 1
 
 
