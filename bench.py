@@ -20,7 +20,9 @@ from etl_mark1_spark import get_spark
 from etl_mark1_spark.catalog import QUERIES
 
 #: Headline set: scan+agg, multi-join, window, events, dedup (exact + LSH),
-#: similarity, text scoring, streaming.
+#: similarity, text scoring, streaming, selective-filter agg, big-group
+#: having, percentiles. Keep names stable across rounds — BENCH_r{N}.json
+#: files are compared line-by-line.
 HEADLINE = [
     "q1_pricing_summary",
     "sql_join_q3",
@@ -34,6 +36,9 @@ HEADLINE = [
     "streaming_hourly",
     "asof_last_error",
     "sessionize_batch",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "percentile_by_status",
 ]
 
 
