@@ -40,9 +40,9 @@ def read_file(
     - json     -> line-delimited by default; ``multiline=True`` for document
       JSON (S2; ``read_json_auto`` handles both).
     - parquet  -> self-describing (S3).
-    - xlsx/xls -> driver-side pandas/openpyxl then parallelize (S4) — the
-      reference shells out to a spatial extension for this; there is no
-      distributed Excel codec, and spreadsheets are small by nature.
+    - xlsx/xls -> driver-side read then parallelize (S4): pandas+openpyxl
+      when installed, else the built-in stdlib zip+XML codec
+      (sources/excel.py). Spreadsheets are small by nature.
     - xml      -> Spark 4's native XML source (``rowTag`` defaults to
       ``row``; pass ``rowTag=`` to override). DIVERGENCE: the reference
       declares XML but actually parses it as CSV (duckdb_engine.py:260-261)
@@ -85,18 +85,33 @@ def read_file(
 
 
 def _read_excel(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
-    """S4 — Excel via pandas on the driver (gated: openpyxl optional)."""
+    """S4 — Excel on the driver: pandas+openpyxl when installed, else the
+    built-in stdlib codec (sources/excel.py — .xlsx is a zip of XML).
+    First row is the header, matching ``pd.read_excel`` defaults.
+    Spreadsheets cap at ~1M rows so a driver read is the honest shape;
+    bulk data belongs in parquet/csv that executors scan directly."""
     import importlib.util
 
-    if importlib.util.find_spec("openpyxl") is None:
-        raise NotImplementedError(
-            "openpyxl not installed in this environment; Excel reads are "
-            "driver-side pandas and need an Excel codec"
-        )
+    if importlib.util.find_spec("openpyxl") is not None:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, **options)
+        return spark.createDataFrame(pdf, schema=schema)
+
+    from .excel import read_xlsx_rows
+
+    rows = read_xlsx_rows(path, sheet=options.pop("sheet_name", 0))
+    if not rows:
+        raise ValueError(f"empty workbook: {path}")
+    header = [str(h) for h in rows[0]]
+    if schema is not None:
+        return spark.createDataFrame(rows[1:], schema=schema)
     import pandas as pd
 
-    pdf = pd.read_excel(path, **options)
-    return spark.createDataFrame(pdf, schema=schema)
+    pdf = pd.DataFrame(rows[1:], columns=header)
+    # mixed None/str columns arrive as object; let pandas firm up numerics
+    pdf = pdf.infer_objects()
+    return spark.createDataFrame(pdf)
 
 
 #: Legacy conf that maps parquet TIMESTAMP(NANOS) columns to LongType
