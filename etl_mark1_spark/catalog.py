@@ -785,6 +785,133 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-preparation operators (training-data pipeline; operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+@query("train_test_split", """
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 4)) AS INTEGER) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+""")
+def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash 80/20 split — membership is a pure function
+    of doc_id (identical in any engine), never of partitioning or rand()."""
+    from etl_mark1_spark.operators.corpus import train_test_split
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return train_test_split(docs)
+
+
+@query("stratified_sample_lang", """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS _rn,
+               count(*) OVER (PARTITION BY lang) AS _n
+        FROM documents
+    ) WHERE _rn <= ceil(_n * 0.2)
+""")
+def stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20% per-language sample, picked in md5-of-id order —
+    reproducible across engines/runs, unlike Bernoulli sampleBy."""
+    from etl_mark1_spark.operators.corpus import stratified_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", 0.2)
+
+
+@query("tfidf_top_terms", """
+    WITH terms AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    docfreq AS (SELECT term, count(DISTINCT doc_id) AS df_count
+                FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents)
+    SELECT doc_id, term,
+           round(tf * ln(n.n / df_count), 6) AS tfidf,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(tf * ln(n.n / df_count), 6) DESC, term)
+             AS BIGINT) AS rank
+    FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    QUALIFY rank <= 3
+""")
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf: two aggregations (map-side
+    partials) + broadcast vocabulary join + one window."""
+    from etl_mark1_spark.operators.corpus import tfidf_top_terms
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=3)
+
+
+@query("contamination_ngram", """
+    WITH words AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source, array_to_string(w[i:i+3], ' ') AS g
+        FROM words, UNNEST(range(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 4
+    )
+    SELECT DISTINCT doc_id FROM grams
+    WHERE source <> 'src0'
+      AND g IN (SELECT g FROM grams WHERE source = 'src0')
+""")
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination sweep: documents outside source src0 that share a
+    word 4-gram with the src0 'benchmark' set (semi-join on grams; the
+    benchmark side broadcasts)."""
+    from etl_mark1_spark.operators.corpus import ngram_contamination
+
+    docs = t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("source") != "src0").select("doc_id", "text"),
+        docs.filter(F.col("source") == "src0").select("text"),
+        n=4,
+    )
+
+
+@query("pii_redact", """
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   text || ' contact: user' || doc_id ||
+                   '@example.com or +1 (555) 010-' ||
+                   lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'
+           ) AS clean_text
+    FROM documents
+""")
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over synthesized contact strings (the corpus itself
+    is clean): chained global regexp_replace, JVM-side."""
+    from etl_mark1_spark.operators.corpus import redact_pii
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact: user"), F.col("doc_id"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select("doc_id", "clean_text")
+
+
+# ---------------------------------------------------------------------------
 # PDF extraction (reference: accepted upload format file_service.py:61 and
 # declared pdf_extract node executor/engine.py:26-27, never implemented)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,147 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+Beyond the reference's surface (its engine stops at generic SQL —
+backend/services/duckdb_engine.py) these cover the steps an LLM data
+pipeline runs between raw documents and a training shard: deterministic
+splits, stratified sampling, TF-IDF term scoring, benchmark-contamination
+checks, and PII redaction. Every operator is a pure DataFrame expression
+chain (no Python in the hot path) and is oracle-checked against DuckDB in
+the catalog — the split/sample hashes are md5-based so both engines agree
+bit-for-bit.
+
+Scale notes are per function; the common theme: splits and samples must be
+DETERMINISTIC FUNCTIONS OF THE ROW, never of partitioning or visit order
+(``rand()`` or ``monotonically_increasing_id`` would reshuffle membership
+on every re-run/backfill and leak test data into training).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from the md5 of a value — stable
+    across engines, runs, partitionings, and Spark versions (unlike
+    ``hash``/``xxhash64``, which are engine-specific)."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+            .cast("int") % buckets)
+
+
+def train_test_split(df: DataFrame, id_col: str = "doc_id",
+                     train_pct: int = 80,
+                     out_col: str = "split") -> DataFrame:
+    """Tag each row 'train' or 'test' by hashing its id — a map-side
+    expression: no shuffle, no state, and membership never changes when the
+    corpus is re-partitioned, appended to, or re-processed."""
+    bucket = _md5_bucket(F.col(id_col))
+    return df.withColumn(
+        out_col, F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("test")))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, fraction: float,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sample: keep the first
+    ``ceil(fraction * stratum_size)`` rows of each stratum in md5-of-id
+    order. Within-stratum proportions are exact (unlike
+    ``df.sampleBy``, which is Bernoulli and drifts per run); ordering by a
+    hash makes the pick pseudo-random but reproducible. One window shuffle
+    on the stratum key; at scale prefer a pre-bucketed table on
+    ``strata_col`` so the window runs shuffle-free."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    cnt = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rn", "_n")
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k terms per document by tf-idf (idf = ln(N / df), raw tf).
+
+    explode -> (doc, term) counts -> document frequency -> window top-k.
+    Two aggregations and one window, all JVM-side; the (doc, term) grouping
+    gets map-side partial aggregation, and document frequency is a
+    broadcast-sized table (vocabulary), joined without shuffling the terms.
+    Ties break on term text for determinism.
+    """
+    n_docs = df.select(id_col).distinct().count()
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                           lambda t: t != "")).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_count"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .withColumn("tfidf", F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_count")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def word_ngram_col(text_col: Column, n: int) -> Column:
+    """Word n-grams of lowercased text as an array column (JVM-side)."""
+    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    cnt = F.size(words) - F.lit(n - 1)
+    return F.when(cnt <= 0, F.array()).otherwise(
+        F.transform(F.sequence(F.lit(1), cnt),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+
+
+def ngram_contamination(df: DataFrame, benchmark: DataFrame, n: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Documents sharing any word n-gram with a benchmark set — the
+    standard eval-contamination sweep before training.
+
+    Both sides explode to (gram) and meet in a semi-join on the gram hash:
+    candidate generation is an equi-join, never a cross product. The
+    benchmark side is usually tiny (eval suites), so Catalyst broadcasts
+    it; at 100 TB the corpus side stays a single exploded scan with
+    map-side dedup of grams (distinct before join keeps shuffle volume at
+    unique-gram cardinality)."""
+    corpus_grams = df.select(
+        F.col(id_col), F.explode(word_ngram_col(F.col(text_col), n))
+        .alias("_gram"))
+    bench_grams = (benchmark
+                   .select(F.explode(word_ngram_col(F.col(text_col), n))
+                           .alias("_gram"))
+                   .distinct())
+    return (
+        corpus_grams.join(bench_grams, "_gram", "left_semi")
+        .select(id_col).distinct()
+    )
+
+
+#: simple, engine-portable PII patterns (emails; international-ish phones)
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "clean_text") -> DataFrame:
+    """Regex PII redaction (emails, phone numbers) — ``regexp_replace``
+    chains, JVM-side, global replacement. The pattern list is the portable
+    common denominator; production pipelines layer locale-specific patterns
+    on top via the same chain."""
+    col = F.col(text_col)
+    for pattern, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, token)
+    return df.withColumn(out_col, col)

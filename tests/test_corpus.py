@@ -1,0 +1,96 @@
+"""Corpus-prep operators (operators/corpus.py): split determinism,
+stratified exactness, tf-idf ranking, contamination, and PII redaction.
+Cross-engine value parity is covered by the catalog oracles; these tests
+pin the semantic properties the oracle can't state."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.corpus import (
+    ngram_contamination,
+    redact_pii,
+    stratified_sample,
+    tfidf_top_terms,
+    train_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([
+        Row(doc_id=i, lang="en" if i % 3 else "de",
+            text=f"alpha beta gamma delta token{i}")
+        for i in range(200)
+    ])
+
+
+def test_split_is_deterministic_and_partition_independent(docs):
+    a = {r.doc_id: r.split for r in train_test_split(docs).collect()}
+    b = {r.doc_id: r.split
+         for r in train_test_split(docs.repartition(13)).collect()}
+    assert a == b  # membership survives repartitioning
+    frac = sum(v == "train" for v in a.values()) / len(a)
+    assert 0.7 < frac < 0.9  # ~80/20
+
+
+def test_split_stable_under_append(spark, docs):
+    """Appending rows must not move existing rows between splits — the
+    failure mode of rand()/row-order splits that leaks test data."""
+    before = {r.doc_id: r.split for r in train_test_split(docs).collect()}
+    more = docs.union(spark.createDataFrame(
+        [Row(doc_id=1000 + i, lang="en", text="x") for i in range(50)]))
+    after = {r.doc_id: r.split for r in train_test_split(more).collect()}
+    assert all(after[k] == v for k, v in before.items())
+
+
+def test_stratified_sample_exact_proportions(docs):
+    out = stratified_sample(docs, "lang", 0.25)
+    got = {r[0]: r[1] for r in
+           out.groupBy("lang").count().collect()}
+    want = {r[0]: r[1] for r in
+            docs.groupBy("lang").count().collect()}
+    import math
+
+    for lang, n in want.items():
+        assert got[lang] == math.ceil(n * 0.25)
+    # deterministic pick
+    again = stratified_sample(docs, "lang", 0.25)
+    assert {r.doc_id for r in out.collect()} == \
+        {r.doc_id for r in again.collect()}
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="common common rare1"),
+        Row(doc_id=2, text="common rare2 rare2"),
+        Row(doc_id=3, text="common filler"),
+    ])
+    out = tfidf_top_terms(corpus, k=1)
+    top = {r.doc_id: r.term for r in out.collect()}
+    # 'common' appears in every doc -> idf 0; distinctive terms win
+    assert top[1] == "rare1" and top[2] == "rare2"
+    assert all(r.rank == 1 for r in out.collect())
+
+
+def test_contamination_finds_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [Row(text="the quick brown fox jumps over the lazy dog")])
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="intro quick brown fox jumps outro"),  # 4-gram hit
+        Row(doc_id=2, text="entirely different words here now"),
+        Row(doc_id=3, text="quick brown cat naps"),               # no 4-gram
+    ])
+    hits = {r.doc_id for r in
+            ngram_contamination(corpus, bench, n=4).collect()}
+    assert hits == {1}
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame([Row(
+        doc_id=1,
+        text="mail a.b+c@sub.example.org or call +44 (0)20 7946-0958 now")])
+    out = redact_pii(df).first().clean_text
+    assert "<EMAIL>" in out and "<PHONE>" in out
+    assert "example.org" not in out and "7946" not in out
+    assert out.startswith("mail ") and out.endswith(" now")
