@@ -133,12 +133,15 @@ def test_format_roundtrip_set(spark, tmp_path):
         assert set(back.columns) == {"id", "v", "s"}, (fmt, ext)
 
 
-def test_excel_reader_gated(spark, tmp_path):
-    """S4: Excel reads raise a clear NotImplementedError without openpyxl
-    (not installed in this container); the dispatch path itself works."""
+def test_excel_reader_rejects_non_xlsx(spark, tmp_path):
+    """S4: Excel now reads via the built-in stdlib codec when openpyxl is
+    absent (tests/test_excel.py covers real workbooks); a file that is not
+    an xlsx container fails loudly, not with garbage rows."""
+    import zipfile
+
     path = str(tmp_path / "book.xlsx")
     open(path, "wb").close()
-    with pytest.raises(NotImplementedError, match="openpyxl|Excel|excel"):
+    with pytest.raises((zipfile.BadZipFile, ValueError)):
         read_file(spark, path)
 
 
