@@ -911,6 +911,128 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs).select("doc_id", "clean_text")
 
 
+@query("pack_sequences_lang", """
+    SELECT doc_id, lang, n_chars,
+           CAST(floor((sum(n_chars) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_chars) / 2048)
+             AS BIGINT) AS seq_id
+    FROM documents
+""")
+def pack_sequences_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 2048-char training sequences, sharded
+    by lang so each shard packs in parallel (one running-sum window)."""
+    from etl_mark1_spark.operators.corpus import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return pack_sequences(docs, budget=2048, size_col="n_chars",
+                          shard_col="lang")
+
+
+@query("curation_pipeline", """
+    WITH kept AS (
+        SELECT doc_id, text FROM documents
+        WHERE lang = 'en' AND n_chars BETWEEN 100 AND 500
+    ),
+    deduped AS (
+        SELECT doc_id, text FROM kept
+        WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)
+    )
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 4)) AS INTEGER) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM deduped
+""")
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite: language + length gate -> exact dedup
+    (min-id keep) -> deterministic split. One lazy lineage — Catalyst fuses
+    the filters into the scan and the whole chain optimizes as one plan,
+    the property the reference loses by materializing CSV between nodes
+    (executor/engine.py:209-216)."""
+    from etl_mark1_spark.operators.corpus import train_test_split
+    from etl_mark1_spark.operators.dedup import dedup_exact
+
+    docs = (t(spark, sf_dir, "documents")
+            .filter((F.col("lang") == "en")
+                    & F.col("n_chars").between(100, 500))
+            .select("doc_id", "text"))
+    return train_test_split(dedup_exact(docs)).select("doc_id", "split")
+
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_nation_volume", _Q7_SQL)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join with a disjunctive nation pair filter +
+    per-year rollup; both nation dimensions broadcast."""
+    from etl_mark1_spark.plans.sql import execute_sql
+
+    return execute_sql(spark, _Q7_SQL, sources={
+        name: t(spark, sf_dir, name)
+        for name in ("supplier", "lineitem", "orders", "customer", "nation")
+    }, limit=None)
+
+
+_Q9_SQL = """
+    SELECT n_name AS nation,
+           CAST(year(l_shipdate) AS BIGINT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, o_year
+"""
+
+
+@query("q9_profit_by_nation", _Q9_SQL)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: fact-to-part/supplier joins with a LIKE filter
+    pushed at the part scan, profit rollup by nation and year."""
+    from etl_mark1_spark.plans.sql import execute_sql
+
+    return execute_sql(spark, _Q9_SQL, sources={
+        name: t(spark, sf_dir, name)
+        for name in ("lineitem", "part", "supplier", "nation")
+    }, limit=None)
+
+
+@query("salted_join_lineitem", """
+    SELECT l_orderkey, l_linenumber, o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""")
+def salted_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted equi-join (operators/skew.py): results must be
+    IDENTICAL to the plain join — the oracle is the plain SQL join, which
+    is the whole point of the check."""
+    from etl_mark1_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    return salted_join(li, orders, "l_orderkey", num_salts=8)
+
+
 # ---------------------------------------------------------------------------
 # PDF extraction (reference: accepted upload format file_service.py:61 and
 # declared pdf_extract node executor/engine.py:26-27, never implemented)

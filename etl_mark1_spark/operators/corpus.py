@@ -128,6 +128,30 @@ def ngram_contamination(df: DataFrame, benchmark: DataFrame, n: int = 8,
     )
 
 
+def pack_sequences(df: DataFrame, budget: int, size_col: str = "n_tokens",
+                   shard_col: str | None = None,
+                   id_col: str = "doc_id",
+                   out_col: str = "seq_id") -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are (conceptually)
+    concatenated in ``id_col`` order and cut into fixed ``budget``-sized
+    training sequences; each document is tagged with the sequence its first
+    token lands in — ``floor(running_size_before_doc / budget)``.
+
+    This is the standard LLM-pretraining packing (concatenate with EOS,
+    chunk to context length), expressed as one running-sum window. With
+    ``shard_col`` the window partitions by shard and each shard packs
+    independently IN PARALLEL — the shape that scales; without it the
+    running sum is a single global window (one partition: fine for a demo,
+    wrong at 100 TB — always shard there, e.g. by a hash bucket of the id).
+    """
+    w = (Window.partitionBy(shard_col) if shard_col is not None
+         else Window.partitionBy()).orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    before = F.sum(size_col).over(w) - F.col(size_col)
+    return df.withColumn(
+        out_col, F.floor(before / F.lit(budget)).cast("bigint"))
+
+
 #: simple, engine-portable PII patterns (emails; international-ish phones)
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -42,3 +42,30 @@ def salted_aggregate(
         _MERGE[fn](F.col(f"_p_{col}_{fn}")).alias(f"{col}_{fn}")
         for col, fn in aggregations.items()
     ])
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: list[str] | str,
+                how: str = "inner", num_salts: int = 16) -> DataFrame:
+    """Skew-proof equi-join: salt the (big, skewed) left side with a random
+    bucket and replicate the right side across all buckets, so one hot key
+    spreads over ``num_salts`` reducers instead of funneling into one.
+
+    Results are identical to ``left.join(right, on, how)`` — salt never
+    reaches the output. Cost: the right side shuffles ``num_salts``-fold,
+    so use it when right is small-ish but past the broadcast threshold and
+    AQE's skew splitting hasn't kicked in (e.g. a forced sort-merge against
+    a pre-partitioned table). ``how`` supports inner/left joins (the
+    replicated right side makes right/full-outer dedup ambiguous — refused).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            "salted_join supports inner/left joins; a replicated right side "
+            "cannot express right/full outer semantics")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_left = left.withColumn(
+        "_salt", (F.rand(seed=42) * num_salts).cast("int"))
+    salts = left.sparkSession.range(num_salts) \
+        .select(F.col("id").cast("int").alias("_salt"))
+    replicated = right.crossJoin(salts)
+    return (salted_left.join(replicated, [*keys, "_salt"], how)
+            .drop("_salt"))

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from etl_mark1_spark.operators.corpus import (
     ngram_contamination,
+    pack_sequences,
     redact_pii,
     stratified_sample,
     tfidf_top_terms,
@@ -84,6 +85,52 @@ def test_contamination_finds_planted_overlap(spark):
     hits = {r.doc_id for r in
             ngram_contamination(corpus, bench, n=4).collect()}
     assert hits == {1}
+
+
+def test_pack_sequences_chunks_by_budget(spark):
+    rows = [Row(doc_id=i, shard="a", n_tokens=60) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r.seq_id for r in
+           pack_sequences(df, budget=100, size_col="n_tokens",
+                          shard_col="shard").collect()}
+    # doc i starts at token 60*i; seq = floor(60*i / 100)
+    assert out == {i: (60 * i) // 100 for i in range(10)}
+
+
+def test_pack_sequences_shards_pack_independently(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, shard="a" if i < 5 else "b", n_tokens=50)
+         for i in range(10)])
+    out = pack_sequences(df, budget=100, size_col="n_tokens",
+                         shard_col="shard").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.seq_id)
+    # both shards restart at sequence 0
+    assert sorted(by_shard["a"]) == sorted(by_shard["b"]) == [0, 0, 1, 1, 2]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from etl_mark1_spark.operators.skew import salted_join
+
+    # pathological skew: 90% of left rows share one key
+    left = spark.createDataFrame(
+        [Row(k=1 if i % 10 else i, v=i) for i in range(1000)])
+    right = spark.createDataFrame([Row(k=i, w=f"w{i}") for i in range(100)])
+    plain = {(r.k, r.v, r.w) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.v, r.w)
+              for r in salted_join(left, right, "k", num_salts=8).collect()}
+    assert salted == plain
+    # left join keeps unmatched rows exactly once
+    plain_l = sorted((r.k, r.v, r.w)
+                     for r in left.join(right, "k", "left").collect())
+    salted_l = sorted(
+        (r.k, r.v, r.w)
+        for r in salted_join(left, right, "k", how="left").collect())
+    assert salted_l == plain_l
+
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(left, right, "k", how="full")
 
 
 def test_redact_pii_patterns(spark):
