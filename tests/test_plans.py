@@ -139,3 +139,45 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql(f"DROP TABLE IF EXISTS {orders_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {lineitem_tbl}")
+
+
+def test_train_test_split_is_shuffle_free(spark, sf_dir):
+    """Split membership is a map-side expression — ANY Exchange here means
+    someone reintroduced a shuffle into a per-row tag."""
+    df = QUERIES["train_test_split"](spark, sf_dir)
+    assert "Exchange" not in executed_plan(df)
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """Sharded packing needs exactly one Exchange (hash by shard for the
+    running-sum window) — a second one would mean the window or the scan
+    re-partitions needlessly."""
+    plan = executed_plan(QUERIES["pack_sequences_lang"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_dir):
+    """The benchmark gram set is eval-suite-sized: the semi-join must build
+    a broadcast on it, never shuffle the full corpus gram explode."""
+    plan = executed_plan(QUERIES["contamination_ngram"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_vocabulary_broadcasts(spark, sf_dir):
+    """Document frequency is vocabulary-sized — it must broadcast into the
+    tf join rather than shuffling the term table a second time."""
+    plan = executed_plan(QUERIES["tfidf_top_terms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q9_like_filter_reaches_part_scan(spark, sf_dir):
+    """The p_name LIKE filter must land in the part scan's data filters so
+    the fact join only sees matching parts; all dims broadcast."""
+    plan = executed_plan(QUERIES["q9_profit_by_nation"](spark, sf_dir))
+    scan_lines = [l for l in plan.splitlines()
+                  if "FileScan parquet" in l and "p_partkey" in l]
+    assert scan_lines and "p_name" in scan_lines[0]
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
