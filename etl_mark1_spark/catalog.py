@@ -492,6 +492,48 @@ ORACLE["streaming_hourly"] = """
 """
 
 
+@query("streaming_dedup", """
+    SELECT DISTINCT event_id FROM events
+""")
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through real duplicate pressure: the source is
+    unioned with itself (every event arrives twice), dropDuplicates keyed
+    on event_id with a watermark bounding state. AvailableNow drain must
+    equal batch DISTINCT — the oracle."""
+    from etl_mark1_spark.streaming.events import (
+        dedup_stream, read_events_stream, run_available_now)
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    doubled = stream.union(read_events_stream(
+        spark, f"{sf_dir}/events.parquet"))
+    deduped = dedup_stream(doubled).select("event_id")
+    return run_available_now(deduped, table_name="stream_dedup_out",
+                             output_mode="append")
+
+
+@query("streaming_enrich_count", """
+    SELECT c_mktsegment, count(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+""")
+def streaming_enrich_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: events stream enriched against the customer
+    dimension (planned per micro-batch, broadcast-sized) then counted per
+    market segment; complete-mode AvailableNow equals the batch join —
+    the oracle."""
+    from etl_mark1_spark.streaming.events import (
+        enrich_stream, read_events_stream, run_available_now)
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = enrich_stream(stream, dim,
+                           F.col("user_id") == F.col("c_custkey"))
+    counted = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    return run_available_now(counted, table_name="stream_enrich_out",
+                             output_mode="complete")
+
+
 # ---------------------------------------------------------------------------
 # Profiling / pipeline (SURVEY.md §2.4 A4-A7, §2.6)
 # ---------------------------------------------------------------------------

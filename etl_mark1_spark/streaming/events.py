@@ -121,6 +121,25 @@ def hourly_event_aggregate(events: DataFrame, watermark: str = "1 hour",
     )
 
 
+def dedup_stream(events: DataFrame, id_col: str = "event_id",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: one state entry per id, with the event-time
+    watermark bounding state retention — ids older than
+    max(event time) - watermark are evicted, so state stays proportional to
+    the watermark horizon, not the stream's lifetime. The batch analogue is
+    plain DISTINCT, which is exactly how the catalog oracle checks it."""
+    return events.withWatermark("ts", watermark).dropDuplicates([id_col])
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  join_expr, how: str = "inner") -> DataFrame:
+    """Stream-static enrichment join: the static side is planned per
+    micro-batch (broadcast when small — the dimension-join shape); no
+    watermark is needed because the static side never ages. Use for
+    attaching dimensions to a stream before windowing/aggregation."""
+    return events.join(dim, join_expr, how)
+
+
 def run_available_now(result: DataFrame, table_name: str = "stream_out",
                       output_mode: str = "append",
                       checkpoint: str | None = None) -> DataFrame:

@@ -234,3 +234,52 @@ def test_watermark_drops_late_events(spark, tmp_path):
     out3 = {str(r.window_start): (r.n_events, r.value_sum) for r in drain(3)}
     assert out3["2024-01-01 13:00:00"] == (2, 20.0)  # late 10:30 excluded
     assert "2024-01-01 10:00:00" in out3  # earlier emissions persisted
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """An id seen in drain 1 must still be suppressed when it reappears in
+    drain 2 (checkpointed dedup state), while genuinely new ids pass; ids
+    older than the watermark age out of state."""
+    from etl_mark1_spark.streaming.events import (
+        dedup_stream, read_events_stream)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    import glob
+    import os
+    import shutil
+    os.makedirs(src)
+
+    def drop(name, rows):
+        (spark.createDataFrame(rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string")
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(tmp_path / name)))
+        for f in glob.glob(str(tmp_path / name / "part-*.parquet")):
+            shutil.copy(f, os.path.join(src, f"{name}.parquet"))
+
+    def drain():
+        q = (dedup_stream(read_events_stream(spark, src), watermark="1 hour")
+             .select("event_id")
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return sorted(r.event_id for r in spark.read.parquet(sink).collect())
+
+    drop("b1", [(1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+                (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),  # in-batch dup
+                (2, "2024-01-01 10:05:00", 1, "view", 2.0, "{}")])
+    assert drain() == [1, 2]
+
+    # id 1 reappears within the watermark horizon -> suppressed by state;
+    # id 3 is new -> emitted
+    drop("b2", [(1, "2024-01-01 10:20:00", 1, "view", 1.0, "{}"),
+                (3, "2024-01-01 10:30:00", 1, "view", 3.0, "{}")])
+    assert drain() == [1, 2, 3]
