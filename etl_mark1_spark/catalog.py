@@ -819,11 +819,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns end-to-end: synthesize payload+metadata, decode
-    via mapInPandas (fake codec), emit typed features. Rows-only check."""
+    via mapInPandas (fake codec), emit typed features. Golden-replay check."""
     from etl_mark1_spark.operators.multimodal import attach_fake_media, decode_images
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return decode_images(attach_fake_media(docs))
+
+
+@query("multimodal_bmp_decode")
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each row carries an actual 24-bit BMP
+    (id-seeded gradient, generated executor-side), decoded by the built-in
+    numpy parser into true dimensions, mean pixel, and a genuine 64-bit
+    average-hash. No image library involved; golden-replay check."""
+    from etl_mark1_spark.operators.multimodal import attach_bmp_media, decode_images
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_bmp_media(docs), codec="real")
 
 
 # ---------------------------------------------------------------------------

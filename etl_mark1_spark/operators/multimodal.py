@@ -85,31 +85,169 @@ def _fake_image_stats(payload: bytes) -> tuple[float, str]:
     return mean, hashlib.md5(payload).hexdigest()[:16]
 
 
+def make_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (fixture generator — the real container format, readable by any image
+    tool)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    header = (
+        b"BM" + (54 + len(data)).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return header + data
+
+
+def decode_image_bytes(payload: bytes):
+    """REAL decode for uncompressed formats: returns (width, height,
+    mean_pixel, phash) where phash is a genuine 64-bit average-hash
+    (8x8 block-sampled grayscale thresholded at its mean).
+
+    BMP (24-bit) and binary PPM/PGM parse with numpy alone; other formats
+    fall through to PIL when installed, else raise NotImplementedError
+    naming the format — the wiring point for jpeg/png in containers that
+    ship an image library."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        w = int.from_bytes(payload[18:22], "little")
+        h = int.from_bytes(payload[22:26], "little")
+        bpp = int.from_bytes(payload[28:30], "little")
+        off = int.from_bytes(payload[10:14], "little")
+        if bpp != 24 or int.from_bytes(payload[30:34], "little") != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP")
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(payload, dtype=np.uint8,
+                             count=h * stride, offset=off)
+        img = rows.reshape(h, stride)[::-1, :w * 3] \
+            .reshape(h, w, 3)[:, :, ::-1]  # top-down RGB
+    elif payload[:2] in (b"P6", b"P5"):
+        import re
+
+        # header ends at the SINGLE whitespace after maxval; the raster may
+        # itself start with whitespace-valued bytes, so never split() it
+        m = re.match(rb"P[56]\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if not m:
+            raise NotImplementedError("malformed PPM/PGM header")
+        w, h = int(m.group(1)), int(m.group(2))
+        ch = 3 if payload[:2] == b"P6" else 1
+        img = np.frombuffer(payload, dtype=np.uint8, count=h * w * ch,
+                            offset=m.end()).reshape(h, w, ch)
+    else:
+        try:
+            import io
+
+            from PIL import Image  # type: ignore[import-not-found]
+
+            arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+            img = arr
+        except ImportError:
+            raise NotImplementedError(
+                f"no built-in decoder for format {payload[:4]!r}; install "
+                "PIL/opencv for compressed formats")
+        w, h = img.shape[1], img.shape[0]
+        return w, h, round(float(img.mean()), 6), _ahash(img)
+    return img.shape[1], img.shape[0], round(float(img.mean()), 6), _ahash(img)
+
+
+def _ahash(img) -> str:
+    """64-bit average hash: grayscale, 8x8 nearest-sample grid, threshold
+    at the grid mean, row-major bits as 16 hex chars."""
+    import numpy as np
+
+    gray = img.mean(axis=2) if img.ndim == 3 else img
+    h, w = gray.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(8) * w // 8).clip(0, w - 1)
+    grid = gray[np.ix_(ys, xs)]
+    bits = (grid > grid.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return f"{val:016x}"
+
+
+def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL 24-bit BMP per row (deterministic id-seeded
+    gradient) — executors generate their own partitions' payloads inside
+    mapInPandas, nothing flows through the driver."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + i % 16, 16 + (i // 2) % 16
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                r = np.broadcast_to(x * 255 // max(w - 1, 1), (h, w))
+                g = np.broadcast_to((y * 255 // max(h - 1, 1))[:, None],
+                                    (h, w))
+                b = np.full((h, w), i % 256, dtype=np.int64)
+                px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                rows.append((i, make_bmp(px), w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "content",
+                                              "width", "height"])
+
+    flat = df.select(id_col).mapInPandas(gen, schema=out_schema)
+    meta = F.struct(
+        F.lit("image").alias("modality"), F.lit("bmp").alias("format"),
+        F.col("width"), F.col("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("channels"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    return flat.withColumn("media_meta", meta).drop("width", "height")
+
+
 def decode_images(df: DataFrame, id_col: str = "doc_id",
                   codec: str = "fake") -> DataFrame:
     """Decode image payloads to features via mapInPandas.
 
-    ``codec="real"`` raises NotImplementedError (no PIL/opencv in this
-    container — wire the real decode in the marked spot); ``codec="fake"``
-    derives deterministic stats from the raw bytes so the distributed path
-    (Arrow batches in, feature batches out) is fully exercised.
+    ``codec="real"`` decodes genuinely: BMP/PPM/PGM via the built-in numpy
+    parser (no image library needed), other formats via PIL when installed
+    (NotImplementedError otherwise). ``codec="fake"`` derives deterministic
+    stats from the raw bytes — same distributed path (Arrow batches in,
+    feature batches out), zero decode cost, for plumbing tests.
     """
-    if codec == "real":
-        raise NotImplementedError(
-            "real image decode requires PIL/opencv; install and replace "
-            "_fake_image_stats with Image.open(io.BytesIO(payload))"
-        )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame({
-                "doc_id": pdf[id_col],
-                "width": pdf["media_meta"].map(lambda m: m["width"]),
-                "height": pdf["media_meta"].map(lambda m: m["height"]),
-            })
-            stats = pdf["content"].map(lambda b: _fake_image_stats(bytes(b or b"")))
-            out["mean_pixel"] = stats.map(lambda s: s[0])
-            out["phash"] = stats.map(lambda s: s[1])
+            out = pd.DataFrame({"doc_id": pdf[id_col]})
+            if codec == "real":
+                decoded = pdf["content"].map(
+                    lambda b: decode_image_bytes(bytes(b)))
+                out["width"] = decoded.map(lambda d: d[0])
+                out["height"] = decoded.map(lambda d: d[1])
+                out["mean_pixel"] = decoded.map(lambda d: d[2])
+                out["phash"] = decoded.map(lambda d: d[3])
+            else:
+                out["width"] = pdf["media_meta"].map(lambda m: m["width"])
+                out["height"] = pdf["media_meta"].map(lambda m: m["height"])
+                stats = pdf["content"].map(
+                    lambda b: _fake_image_stats(bytes(b or b"")))
+                out["mean_pixel"] = stats.map(lambda s: s[0])
+                out["phash"] = stats.map(lambda s: s[1])
             yield out.astype({"width": "int32", "height": "int32"})
 
     return df.select(id_col, "content", "media_meta").mapInPandas(

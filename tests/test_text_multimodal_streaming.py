@@ -100,13 +100,18 @@ def test_multimodal_attach_decode(spark):
     assert again == {r.doc_id: r.phash for r in rows}  # deterministic
 
 
-def test_multimodal_real_codec_raises(spark):
+def test_multimodal_real_codec_rejects_undecodable(spark):
+    """codec='real' now genuinely decodes BMP/PPM/PGM; a payload that is
+    none of those (the fake md5 bytes) must fail loudly, not produce
+    garbage features."""
     from etl_mark1_spark.operators.multimodal import (
         attach_fake_media, decode_images)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
 
     docs = attach_fake_media(spark.createDataFrame([Row(doc_id=1)]))
-    with pytest.raises(NotImplementedError):
-        decode_images(docs, codec="real")
+    with pytest.raises((PythonException, Py4JJavaError)):
+        decode_images(docs, codec="real").collect()
 
 
 def test_multimodal_resize_and_frames(spark):
@@ -283,3 +288,56 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     drop("b2", [(1, "2024-01-01 10:20:00", 1, "view", 1.0, "{}"),
                 (3, "2024-01-01 10:30:00", 1, "view", 3.0, "{}")])
     assert drain() == [1, 2, 3]
+
+
+def test_bmp_roundtrip_exact_stats():
+    """make_bmp -> decode_image_bytes must recover exact dimensions and
+    mean over a known pixel array (including stride padding rows)."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.multimodal import (
+        decode_image_bytes, make_bmp)
+
+    px = np.zeros((3, 5, 3), dtype=np.uint8)   # 5*3=15 bytes/row -> padded
+    px[0, 0] = [255, 0, 0]
+    px[2, 4] = [0, 0, 90]
+    w, h, mean, phash = decode_image_bytes(make_bmp(px))
+    assert (w, h) == (5, 3)
+    assert mean == round((255 + 90) / 45, 6)
+    assert len(phash) == 16 and int(phash, 16) >= 0
+
+    # ahash distinguishes structure: gradient vs its mirror
+    grad = np.broadcast_to(
+        (np.arange(32) * 8).astype(np.uint8)[None, :, None], (32, 32, 3))
+    assert decode_image_bytes(make_bmp(grad))[3] != \
+        decode_image_bytes(make_bmp(grad[:, ::-1]))[3]
+
+
+def test_ppm_decode():
+    from etl_mark1_spark.operators.multimodal import decode_image_bytes
+
+    raster = bytes([10, 20, 30, 40, 50, 60])  # 2x1 RGB
+    w, h, mean, _ = decode_image_bytes(b"P6\n2 1\n255\n" + raster)
+    assert (w, h) == (2, 1) and mean == round(sum(raster) / 6, 6)
+
+
+def test_real_decode_distributed(spark):
+    """attach_bmp_media -> decode_images(codec='real') across executors:
+    decoded dimensions must match the generator's id-seeded formula."""
+    from etl_mark1_spark.operators.multimodal import (
+        attach_bmp_media, decode_images)
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in
+           decode_images(attach_bmp_media(docs), codec="real").collect()}
+    assert len(out) == 40
+    for i, r in out.items():
+        assert (r.width, r.height) == (16 + i % 16, 16 + (i // 2) % 16)
+        assert 0.0 <= r.mean_pixel <= 255.0
+
+    # unknown compressed format still fails loudly without PIL
+    import importlib.util
+    if importlib.util.find_spec("PIL") is None:
+        from etl_mark1_spark.operators.multimodal import decode_image_bytes
+        with pytest.raises(NotImplementedError, match="decoder|PIL"):
+            decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
