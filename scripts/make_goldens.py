@@ -26,6 +26,7 @@ GOLDEN_ENTRIES = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_image_features",
+    "multimodal_bmp_decode",
 )
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
