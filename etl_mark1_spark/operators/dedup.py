@@ -450,7 +450,10 @@ def embedding_neardup(df: DataFrame, vec_col: str = "embedding",
     """
     import numpy as np
 
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()
+    if probe is None or probe[0] is None:  # empty input: nothing to cluster
+        return df.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    dim = len(probe[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables, planes_per_table, dim))
 

@@ -141,3 +141,21 @@ def test_redact_pii_patterns(spark):
     assert "<EMAIL>" in out and "<PHONE>" in out
     assert "example.org" not in out and "7946" not in out
     assert out.startswith("mail ") and out.endswith(" now")
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Degenerate inputs must yield empty results, not crash — backfills
+    and partition-sliced runs routinely hand operators zero rows."""
+    from etl_mark1_spark.operators.dedup import (
+        dedup_exact, embedding_neardup, minhash_dedup, simhash_dedup)
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    assert dedup_exact(empty_docs).count() == 0
+    assert minhash_dedup(empty_docs).count() == 0
+    assert simhash_dedup(empty_docs).count() == 0
+    assert embedding_neardup(empty_vecs).count() == 0
+    assert train_test_split(empty_docs).count() == 0
+    assert tfidf_top_terms(empty_docs).count() == 0
+    assert ngram_contamination(empty_docs, empty_docs).count() == 0
