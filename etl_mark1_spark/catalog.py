@@ -1014,6 +1014,30 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_test_split(dedup_exact(docs)).select("doc_id", "split")
 
 
+_NTILE_SQL = """
+    SELECT q, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (SELECT o_totalprice,
+                 CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS BIGINT) AS q
+          FROM orders)
+    GROUP BY q
+"""
+
+
+@query("ntile_quartiles", _NTILE_SQL)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment via ntile + per-bucket bounds. The global-ORDER
+    window is a single-partition sort — fine as DSL surface at this size;
+    at 100 TB use approx_percentile cutoffs + a map-side bucket expression
+    instead (SCALE.md)."""
+    from etl_mark1_spark.plans.sql import execute_sql
+
+    return execute_sql(spark, _NTILE_SQL,
+                       sources={"orders": t(spark, sf_dir, "orders")},
+                       limit=None)
+
+
 _Q7_SQL = """
     SELECT supp_nation, cust_nation, l_year,
            round(sum(volume), 2) AS revenue

@@ -103,8 +103,11 @@ def _cell_xml(ref: str, value) -> str:
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value}</v></c>'
+    # \r must be a character reference: XML parsers normalize literal CR to
+    # LF (the xlsx spec's own escaping rule)
+    text = escape(str(value), {"\r": "&#13;"})
     return (f'<c r="{ref}" t="inlineStr"><is>'
-            f'<t xml:space="preserve">{escape(str(value))}</t></is></c>')
+            f'<t xml:space="preserve">{text}</t></is></c>')
 
 
 def _col_ref(idx: int) -> str:
