@@ -1014,6 +1014,24 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_test_split(dedup_exact(docs)).select("doc_id", "split")
 
 
+@query("leakage_safe_split", """
+    SELECT d.doc_id,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(c.canon AS VARCHAR)),
+                                             1, 4)) AS INTEGER) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d
+    JOIN (SELECT text, min(doc_id) AS canon FROM documents GROUP BY text) c
+      ON d.text = c.text
+""")
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split hashed on the duplicate group's canonical id, so identical
+    documents can never straddle train/test (memorized eval leakage)."""
+    from etl_mark1_spark.operators.corpus import leakage_safe_split
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return leakage_safe_split(docs).select("doc_id", "split")
+
+
 _NTILE_SQL = """
     SELECT q, count(*) AS n, round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi

@@ -169,3 +169,56 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     for pattern, token in PII_PATTERNS:
         col = F.regexp_replace(col, pattern, token)
     return df.withColumn(out_col, col)
+
+
+def leakage_safe_split(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", train_pct: int = 80,
+                       out_col: str = "split") -> DataFrame:
+    """Split that can NEVER put two copies of the same content on opposite
+    sides: the split hash is taken over the duplicate group's canonical id
+    (min id per identical text), so all members land together. Splitting
+    by row id alone leaks — a train document with a test-side duplicate is
+    memorized eval data. Same shape extends to near-dup clusters: feed
+    ``minhash_dedup``'s cluster_id in as the grouping instead of raw text.
+    One aggregation + one broadcast-able join more than the plain split."""
+    canon = df.groupBy(text_col).agg(F.min(id_col).alias("_canon_id"))
+    bucket = _md5_bucket(F.col("_canon_id"))
+    return (df.join(canon, text_col)
+            .withColumn(out_col,
+                        F.when(bucket < train_pct, F.lit("train"))
+                        .otherwise(F.lit("test")))
+            .drop("_canon_id"))
+
+
+# -- step-DSL integration ---------------------------------------------------
+# The corpus operators double as step operators, so the reference-style
+# pipeline surface ({"operator": ..., "params": ...}) can run a curation
+# chain (backend/schemas/schemas.py:227-230 is the wire shape).
+
+def _register_steps() -> None:
+    from etl_mark1_spark.operators.steps import register_operator
+
+    register_operator(
+        "train_test_split",
+        lambda df, p: train_test_split(
+            df, id_col=p.get("id_column", "doc_id"),
+            train_pct=int(p.get("train_pct", 80))))
+    register_operator(
+        "redact_pii",
+        lambda df, p: redact_pii(
+            df, text_col=p.get("column", "text"),
+            out_col=p.get("target_column", "clean_text")))
+    register_operator(
+        "stratified_sample",
+        lambda df, p: stratified_sample(
+            df, p["strata_column"], float(p["fraction"]),
+            id_col=p.get("id_column", "doc_id")))
+    register_operator(
+        "pack_sequences",
+        lambda df, p: pack_sequences(
+            df, int(p["budget"]), size_col=p.get("size_column", "n_tokens"),
+            shard_col=p.get("shard_column"),
+            id_col=p.get("id_column", "doc_id")))
+
+
+_register_steps()

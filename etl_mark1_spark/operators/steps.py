@@ -231,3 +231,10 @@ def apply_steps(df: DataFrame, steps: list[dict[str, Any]]) -> DataFrame:
         fn = STEP_OPERATORS.get(step.get("operator", ""), op_passthrough)
         df = fn(df, step.get("params", {}) or {})
     return df
+
+
+# corpus-prep operators register themselves as steps on import; importing
+# here makes them available to every step-DSL consumer without a separate
+# opt-in (the import is at the bottom: corpus.py calls register_operator,
+# which must exist first)
+from etl_mark1_spark.operators import corpus as _corpus  # noqa: E402,F401

@@ -159,3 +159,31 @@ def test_operators_tolerate_empty_input(spark):
     assert train_test_split(empty_docs).count() == 0
     assert tfidf_top_terms(empty_docs).count() == 0
     assert ngram_contamination(empty_docs, empty_docs).count() == 0
+
+
+def test_leakage_safe_split_keeps_dups_together(spark):
+    from etl_mark1_spark.operators.corpus import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"shared {i % 7}") for i in range(100)])
+    out = leakage_safe_split(df).collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r.text, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_text.values())  # never straddles
+    assert {r.split for r in out} == {"train", "test"}  # both sides used
+
+
+def test_corpus_steps_available_in_dsl(spark):
+    """Corpus ops run through the reference-style step surface."""
+    from etl_mark1_spark.operators.steps import apply_steps
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i} mail x@y.org") for i in range(20)])
+    out = apply_steps(df, [
+        {"operator": "redact_pii", "params": {"column": "text"}},
+        {"operator": "train_test_split", "params": {"train_pct": 50}},
+    ])
+    rows = out.collect()
+    assert all("<EMAIL>" in r.clean_text for r in rows)
+    assert {r.split for r in rows} == {"train", "test"}
