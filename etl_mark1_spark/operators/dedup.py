@@ -44,9 +44,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     splits (the 100 TB case) pass through untouched.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # df.rdd.getNumPartitions() would answer exactly but forces a full
+    # plan-to-RDD conversion per call; the file count is a free upper-bound
+    # proxy: few source files (or none — an in-memory frame) means few
+    # splits. Many files => enough natural parallelism => pass through.
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
