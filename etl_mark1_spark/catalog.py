@@ -1014,6 +1014,54 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_test_split(dedup_exact(docs)).select("doc_id", "split")
 
 
+@query("expectations_customer", """
+    SELECT 'min_rows' AS rule, count(*) >= 1000 AS passed,
+           round(CAST(count(*) AS DOUBLE), 6) AS actual FROM customer
+    UNION ALL
+    SELECT 'custkey_unique',
+           (count(c_custkey) - count(DISTINCT c_custkey)) = 0,
+           round(CAST(count(c_custkey) - count(DISTINCT c_custkey)
+                 AS DOUBLE), 6) FROM customer
+    UNION ALL
+    SELECT 'segment_not_null',
+           avg(CASE WHEN c_mktsegment IS NULL THEN 1.0 ELSE 0.0 END) <= 0.0,
+           round(avg(CASE WHEN c_mktsegment IS NULL THEN 1.0 ELSE 0.0 END),
+                 6) FROM customer
+    UNION ALL
+    SELECT 'acctbal_range',
+           count(CASE WHEN c_acctbal NOT BETWEEN -2000 AND 12000
+                 THEN 1 END) = 0,
+           round(CAST(count(CASE WHEN c_acctbal NOT BETWEEN -2000 AND 12000
+                 THEN 1 END) AS DOUBLE), 6) FROM customer
+    UNION ALL
+    SELECT 'segment_values',
+           count(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING',
+                 'FURNITURE', 'MACHINERY', 'HOUSEHOLD')
+                 AND c_mktsegment IS NOT NULL THEN 1 END) = 0,
+           round(CAST(count(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE',
+                 'BUILDING', 'FURNITURE', 'MACHINERY', 'HOUSEHOLD')
+                 AND c_mktsegment IS NOT NULL THEN 1 END) AS DOUBLE), 6)
+    FROM customer
+""")
+def expectations_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality expectations — five rules, ONE aggregation pass
+    (the reference's A7 score generalized into per-rule gates)."""
+    from etl_mark1_spark.plans.quality import check_expectations
+
+    return check_expectations(t(spark, sf_dir, "customer"), [
+        {"name": "min_rows", "kind": "row_count_min", "min": 1000},
+        {"name": "custkey_unique", "kind": "unique", "column": "c_custkey"},
+        {"name": "segment_not_null", "kind": "not_null",
+         "column": "c_mktsegment"},
+        {"name": "acctbal_range", "kind": "in_range", "column": "c_acctbal",
+         "lo": -2000, "hi": 12000},
+        {"name": "segment_values", "kind": "accepted_values",
+         "column": "c_mktsegment",
+         "values": ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY",
+                    "HOUSEHOLD"]},
+    ])
+
+
 @query("leakage_safe_split", """
     SELECT d.doc_id,
            CASE WHEN CAST(('0x' || substring(md5(CAST(c.canon AS VARCHAR)),

@@ -66,3 +66,52 @@ def quality_report(df: DataFrame, columns: list[str] | None = None,
         "column_count": len(cols),
         "details": details,
     }
+
+
+def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality expectations, ALL evaluated in one
+    aggregation pass — rows of (rule, passed, actual). The extension of the
+    reference's single quality score (A7) into per-rule gates a validation
+    node can act on.
+
+    Rule kinds (each a dict with ``name``, ``kind`` and kind-specific keys):
+    - ``row_count_min``: {"min": n} — actual = row count
+    - ``not_null``:      {"column", "max_null_frac": f} — actual = null frac
+    - ``unique``:        {"column"} — actual = duplicate row count
+    - ``in_range``:      {"column", "lo", "hi"} — actual = out-of-range count
+    - ``accepted_values``: {"column", "values": [...]} — actual = off-list
+      count (NULLs don't count against the list; add a not_null rule)
+    """
+    aggs = []
+    for r in rules:
+        kind, col = r["kind"], r.get("column")
+        if kind == "row_count_min":
+            actual = F.count(F.lit(1)).cast("double")
+            passed = actual >= float(r["min"])
+        elif kind == "not_null":
+            actual = F.avg(F.col(col).isNull().cast("double"))
+            passed = actual <= float(r.get("max_null_frac", 0.0))
+        elif kind == "unique":
+            actual = (F.count(col) - F.countDistinct(col)).cast("double")
+            passed = actual == 0.0
+        elif kind == "in_range":
+            actual = F.count(F.when(
+                ~F.col(col).between(r["lo"], r["hi"]), 1)).cast("double")
+            passed = actual == 0.0
+        elif kind == "accepted_values":
+            actual = F.count(F.when(
+                ~F.col(col).isin(*r["values"]) & F.col(col).isNotNull(), 1)
+            ).cast("double")
+            passed = actual == 0.0
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        aggs.append(F.struct(
+            F.lit(r["name"]).alias("rule"),
+            passed.alias("passed"),
+            F.round(actual, 6).alias("actual"),
+        ).alias(f"_r{len(aggs)}"))
+
+    wide = df.agg(*aggs)
+    stacked = wide.select(F.explode(F.array(
+        *[F.col(f"_r{i}") for i in range(len(aggs))])).alias("r"))
+    return stacked.select("r.rule", "r.passed", "r.actual")

@@ -227,3 +227,35 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     import os
     dirs = [d for d in os.listdir(out) if d.startswith("o_orderstatus=")]
     assert len(dirs) >= 2
+
+
+def test_expectations_pass_and_fail(spark):
+    """check_expectations: passing and failing rules report correctly, all
+    from one aggregation pass (no joins, single Aggregate pair)."""
+    from pyspark.sql import Row
+
+    from etl_mark1_spark.plans.quality import check_expectations
+
+    df = spark.createDataFrame([
+        Row(id=1, seg="A", bal=10.0),
+        Row(id=2, seg=None, bal=50.0),
+        Row(id=2, seg="B", bal=999.0),   # dup id; out-of-range bal
+    ])
+    out = check_expectations(df, [
+        {"name": "rows", "kind": "row_count_min", "min": 2},
+        {"name": "id_unique", "kind": "unique", "column": "id"},
+        {"name": "seg_filled", "kind": "not_null", "column": "seg"},
+        {"name": "bal_range", "kind": "in_range", "column": "bal",
+         "lo": 0, "hi": 100},
+        {"name": "seg_vals", "kind": "accepted_values", "column": "seg",
+         "values": ["A", "B"]},
+    ])
+    got = {r.rule: (r.passed, r.actual) for r in out.collect()}
+    assert got["rows"] == (True, 3.0)
+    assert got["id_unique"] == (False, 1.0)       # one duplicate
+    assert got["seg_filled"][0] is False          # 1/3 null
+    assert got["bal_range"] == (False, 1.0)       # 999 out of range
+    assert got["seg_vals"] == (True, 0.0)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # one pass, no self-joins
