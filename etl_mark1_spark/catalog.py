@@ -1014,6 +1014,34 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_test_split(dedup_exact(docs)).select("doc_id", "split")
 
 
+@query("resample_ffill_events", """
+    WITH actual AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               round(sum(value), 2) AS _actual
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+               FROM actual GROUP BY 1),
+    grid AS (
+        SELECT b.user_id,
+               UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds b
+    )
+    SELECT g.user_id, g.bucket,
+           last_value(a._actual IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS UNBOUNDED PRECEDING) AS val
+    FROM grid g LEFT JOIN actual a
+      ON g.user_id = a.user_id AND g.bucket = a.bucket
+""")
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid with gap buckets forward-filled
+    (operators/timeseries.py) — the metrics/feature-pipeline resample."""
+    from etl_mark1_spark.operators.timeseries import resample_ffill
+
+    return resample_ffill(t(spark, sf_dir, "events"))
+
+
 @query("expectations_customer", """
     SELECT 'min_rows' AS rule, count(*) >= 1000 AS passed,
            round(CAST(count(*) AS DOUBLE), 6) AS actual FROM customer

@@ -1,0 +1,56 @@
+"""Resample/gap-fill semantics (operators/timeseries.py); cross-engine
+value parity is the resample_ffill_events oracle."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.timeseries import resample_ffill, truncate_ntz
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        (1, "2024-01-01 10:15:00", 1.0),
+        (1, "2024-01-01 10:45:00", 2.0),   # same bucket as above -> sums
+        (1, "2024-01-01 13:05:00", 8.0),   # 11:00 and 12:00 are gaps
+        (2, "2024-01-01 00:30:00", 5.0),
+    ]
+    return (spark.createDataFrame(rows, "user_id long, ts string, value double")
+            .withColumn("ts", F.col("ts").cast("timestamp_ntz")))
+
+
+def test_gaps_filled_and_sums_bucketed(events):
+    out = {(r.user_id, str(r.bucket)): r.val
+           for r in resample_ffill(events).collect()}
+    assert out[(1, "2024-01-01 10:00:00")] == 3.0   # 1.0 + 2.0
+    assert out[(1, "2024-01-01 11:00:00")] == 3.0   # gap: carried forward
+    assert out[(1, "2024-01-01 12:00:00")] == 3.0   # gap: carried forward
+    assert out[(1, "2024-01-01 13:00:00")] == 8.0   # real bucket overrides
+    assert out[(2, "2024-01-01 00:00:00")] == 5.0   # single-bucket key
+    # grid is exactly each key's [min, max] span — no rows outside
+    assert len(out) == 4 + 1
+
+
+def test_empty_input(spark):
+    empty = spark.createDataFrame(
+        [], "user_id long, ts timestamp_ntz, value double")
+    assert resample_ffill(empty).count() == 0
+
+
+def test_truncate_ntz_is_timezone_proof(spark):
+    df = spark.createDataFrame([("2024-06-01 23:59:59",)], "ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = df.select(truncate_ntz("ts", "hour").alias("b")).first().b
+            assert str(got) == "2024-06-01 23:00:00"
+            got_d = df.select(truncate_ntz("ts", "day").alias("b")).first().b
+            assert str(got_d) == "2024-06-01 00:00:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
+
+    with pytest.raises(ValueError, match="unit"):
+        truncate_ntz("ts", "fortnight")
