@@ -26,12 +26,16 @@ def write_file(
     file_format: str | None = None,
     mode: str = "overwrite",
     single_file: bool = False,
+    partition_by: list[str] | str | None = None,
     **options,
 ) -> str:
     """Write ``df`` to ``path``; returns the written path.
 
     Unknown formats default to csv, matching duckdb_engine.py:190-191.
     CSV writes include a header like the reference's ``HEADER`` flag.
+    ``partition_by`` lays the output out hive-style (one directory per
+    value) — the knob that turns downstream filters on those columns into
+    partition pruning; incompatible with ``single_file``.
     """
     from etl_mark1_spark.sources.readers import detect_format
 
@@ -40,9 +44,14 @@ def write_file(
         fmt = "csv"
 
     if single_file:
+        if partition_by:
+            raise ValueError("partition_by and single_file are exclusive")
         return _write_single_file(df, path, fmt, mode=mode, **options)
 
     writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
     if fmt == "csv":
         writer = writer.option("header", True)
     getattr(writer, fmt)(path)

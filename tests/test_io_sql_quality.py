@@ -216,7 +216,11 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     partition column must prune directories, not scan them."""
     out = str(tmp_path / "orders_by_status")
     df = read_file(spark, f"{sf_dir}/orders.parquet")
-    df.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    write_file(df, out, "parquet", partition_by="o_orderstatus")
+
+    with pytest.raises(ValueError, match="exclusive"):
+        write_file(df, out, "parquet", partition_by="o_orderstatus",
+                   single_file=True)
 
     back = spark.read.parquet(out).filter("o_orderstatus = 'F'")
     plan = back._jdf.queryExecution().executedPlan().toString()
