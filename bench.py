@@ -59,12 +59,9 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    # generated-code-heavy engine: the JDK default 240m code cache fills
-    # over a many-query session and stalls C2 compilation (Spark's own
-    # tuning guidance is to raise it)
-    spark = get_spark(app_name="bench", driver_memory="24g", extra_conf={
-        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
-    })
+    # code-cache sizing for this generated-code-heavy workload lives in
+    # get_spark's defaults (session.py)
+    spark = get_spark(app_name="bench", driver_memory="24g")
 
     # one tiny action to absorb JVM startup outside the timings
     spark.range(1).count()

