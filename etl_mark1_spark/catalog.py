@@ -826,6 +826,17 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(attach_fake_media(docs))
 
 
+@query("multimodal_wav_decode")
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: id-seeded PCM WAV sines generated
+    executor-side, decoded (stdlib wave + numpy) into sample rate,
+    duration, and normalized RMS. Golden-replay check."""
+    from etl_mark1_spark.operators.multimodal import attach_wav_media, decode_audio
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio(attach_wav_media(docs))
+
+
 @query("multimodal_bmp_decode")
 def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: each row carries an actual 24-bit BMP

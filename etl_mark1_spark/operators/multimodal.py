@@ -255,6 +255,112 @@ def decode_images(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def make_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode an int16 mono sample array as a PCM WAV blob (stdlib wave)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio_bytes(payload: bytes):
+    """REAL audio decode for PCM WAV: (sample_rate, channels, duration_ms,
+    rms) with rms normalized to [0, 1] over full-scale int16. Compressed
+    formats (mp3/ogg/flac) raise NotImplementedError — the wiring point for
+    containers that ship an audio library."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"no built-in decoder for audio format {payload[:4]!r}; "
+            "PCM WAV only (install an audio library for compressed formats)")
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, channels, width = w.getframerate(), w.getnchannels(), \
+            w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if width != 2:
+        raise NotImplementedError("only 16-bit PCM WAV")
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    duration_ms = int(n * 1000 / rate)
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    return rate, channels, duration_ms, round(rms, 6)
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id",
+                     sample_rate: int = 16000) -> DataFrame:
+    """Synthesize a real PCM WAV per row (id-seeded sine: frequency and
+    amplitude derive from the id) — generated executor-side in
+    mapInPandas, like attach_bmp_media."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = sample_rate // 10 + (i % 5) * sample_rate // 100
+                freq = 110.0 * (1 + i % 8)
+                amp = 0.1 + (i % 9) / 10.0
+                t = np.arange(n) / sample_rate
+                samples = (np.sin(2 * np.pi * freq * t) * amp * 32767) \
+                    .astype(np.int16)
+                rows.append((i, make_wav(samples, sample_rate),
+                             int(n * 1000 / sample_rate)))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "content", "duration_ms"])
+
+    flat = df.select(id_col).mapInPandas(gen, schema=out_schema)
+    meta = F.struct(
+        F.lit("audio").alias("modality"), F.lit("wav").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(sample_rate).cast("int").alias("sample_rate"),
+        F.lit(1).cast("int").alias("channels"),
+        F.col("duration_ms"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    return flat.withColumn("media_meta", meta).drop("duration_ms")
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode audio payloads to features via mapInPandas (real PCM WAV
+    decode; schema AUDIO_FEATURES)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["content"].map(
+                lambda b: decode_audio_bytes(bytes(b)))
+            out = pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "sample_rate": decoded.map(lambda d: d[0]),
+                "duration_ms": decoded.map(lambda d: d[2]),
+                "rms": decoded.map(lambda d: d[3]),
+            })
+            yield out.astype({"sample_rate": "int32", "duration_ms": "int64"})
+
+    return df.select(id_col, "content").mapInPandas(
+        decode_batches, schema=AUDIO_FEATURES)
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   id_col: str = "doc_id", codec: str = "fake") -> DataFrame:
     """Resize stub: real codec not available; fake mode rewrites metadata and

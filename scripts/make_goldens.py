@@ -27,6 +27,7 @@ GOLDEN_ENTRIES = (
     "ann_ivf_topk",
     "multimodal_image_features",
     "multimodal_bmp_decode",
+    "multimodal_wav_decode",
 )
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(

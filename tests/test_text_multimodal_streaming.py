@@ -341,3 +341,39 @@ def test_real_decode_distributed(spark):
         from etl_mark1_spark.operators.multimodal import decode_image_bytes
         with pytest.raises(NotImplementedError, match="decoder|PIL"):
             decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_wav_roundtrip_exact_stats():
+    """make_wav -> decode_audio_bytes: exact duration/rate; a sine's RMS is
+    amplitude/sqrt(2)."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.multimodal import (
+        decode_audio_bytes, make_wav)
+
+    rate, amp, freq = 8000, 0.5, 200.0
+    t = np.arange(rate)  # exactly 1 s; 200 full cycles
+    samples = (np.sin(2 * np.pi * freq * t / rate) * amp * 32767) \
+        .astype(np.int16)
+    got_rate, ch, dur, rms = decode_audio_bytes(make_wav(samples, rate))
+    assert (got_rate, ch, dur) == (rate, 1, 1000)
+    assert rms == pytest.approx(amp / 2 ** 0.5, rel=1e-3)
+
+    with pytest.raises(NotImplementedError, match="audio format"):
+        decode_audio_bytes(b"ID3\x04rest-of-an-mp3")
+
+
+def test_wav_decode_distributed(spark):
+    from etl_mark1_spark.operators.multimodal import (
+        attach_wav_media, decode_audio)
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in
+           decode_audio(attach_wav_media(docs)).collect()}
+    assert len(out) == 30
+    for i, r in out.items():
+        assert r.sample_rate == 16000
+        n = 16000 // 10 + (i % 5) * 16000 // 100
+        assert r.duration_ms == int(n * 1000 / 16000)
+        amp = 0.1 + (i % 9) / 10.0
+        assert r.rms == pytest.approx(amp / 2 ** 0.5, rel=0.02)
