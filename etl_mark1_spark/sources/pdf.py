@@ -219,9 +219,39 @@ def _page_text(content: bytes) -> str:
     return "".join(parts)
 
 
+_LENGTH = re.compile(rb"/Length\s+(\d+)")
+_STREAM_KW = re.compile(rb"stream\r?\n")
+
+
+def _stream_bytes(data: bytes, obj_start: int) -> bytes | None:
+    """Exact stream payload of the object starting at ``obj_start``.
+
+    Prefers the dict's literal /Length — a regex hunt for ``endstream``
+    truncates when the (binary) payload itself ends in CR or contains the
+    keyword. Falls back to the delimiter scan when /Length is absent or
+    indirect."""
+    kw = _STREAM_KW.search(data, obj_start)
+    if not kw:
+        return None
+    lm = _LENGTH.search(data, obj_start, kw.start())
+    if lm:
+        start = kw.end()
+        n = int(lm.group(1))
+        payload = data[start:start + n]
+        after = data[start + n:start + n + 12]
+        if re.match(rb"\r?\n?endstream", after):
+            return payload
+    sm = _STREAM.search(data, obj_start)
+    return sm.group(1) if sm else None
+
+
 def _extract_pages_minimal(data: bytes) -> list[str]:
-    objs: dict[int, bytes] = {int(m.group(1)): m.group(2)
-                              for m in _OBJ.finditer(data)}
+    objs: dict[int, bytes] = {}
+    starts: dict[int, int] = {}
+    for m in _OBJ.finditer(data):
+        num = int(m.group(1))
+        objs[num] = m.group(2)
+        starts[num] = m.start(2)
     # page order: /Kids of the page tree root(s), else object-number order
     page_nums: list[int] = []
     for body in objs.values():
@@ -241,13 +271,16 @@ def _extract_pages_minimal(data: bytes) -> list[str]:
         if not m:
             pages.append("")
             continue
-        cbody = objs.get(int(m.group(1)), b"")
-        sm = _STREAM.search(cbody)
-        if not sm:
+        cnum = int(m.group(1))
+        cbody = objs.get(cnum, b"")
+        stream = (_stream_bytes(data, starts[cnum])
+                  if cnum in starts else None)
+        if stream is None:
             pages.append("")
             continue
-        stream = sm.group(1)
-        if re.search(rb"/Filter\s*/FlateDecode", cbody[:sm.start()]):
+        kw = _STREAM_KW.search(cbody)
+        head = cbody[:kw.start()] if kw else cbody
+        if re.search(rb"/Filter\s*/FlateDecode", head):
             stream = zlib.decompress(stream)
         pages.append(_page_text(stream))
     return pages

@@ -37,6 +37,26 @@ def test_minimal_parser_handles_tj_arrays_and_hex():
     assert _page_text(b"(noise) Tz (shown) Tj") == "shown"
 
 
+def test_stream_payload_ending_in_cr():
+    """A stream payload whose final byte is 0x0D must survive extraction: a
+    regex delimiter scan eats that byte as the optional \\r before
+    ``endstream`` (the failure the hypothesis fuzz found on Flate payloads);
+    streams are now sliced by the dict's literal /Length instead. Built
+    byte-exact so the test never has to fish for a CR-tailed compression."""
+    content = b"BT /F1 12 Tf 72 720 Td (cr tail) Tj ET\r"
+    assert content.endswith(b"\r")
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n" + f"<< /Length {len(content)} >>".encode()
+        + b"\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert _extract_pages_minimal(pdf) == ["cr tail"]
+
+
 def test_extractor_survives_xref_of_other_tools():
     # parser keys off object bodies, not the xref table — truncate it
     data = make_pdf(["page one", "page two"])
