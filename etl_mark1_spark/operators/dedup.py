@@ -145,13 +145,18 @@ def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
     """
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"))).distinct()
-    sym = sym.localCheckpoint()  # candidates/verify lineage ends here
 
-    n_edges = sym.count()
-    if n_edges == 0:
+    # Small-graph probe and fast path in ONE action: collect up to
+    # threshold+1 edges. When the edge list is sparse (the normal near-dup
+    # case) this single job replaces the old checkpoint + count + collect
+    # triple — the rows ARE the union-find input. Only a genuinely large
+    # graph pays for the checkpoint and the distributed loop.
+    head = sym.limit(driver_threshold + 1).collect()
+    if len(head) == 0:
         return ids.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-    if n_edges <= driver_threshold:
-        return _cluster_driver_union_find(ids, sym, id_col)
+    if len(head) <= driver_threshold:
+        return _cluster_driver_union_find(ids, head, id_col)
+    sym = sym.localCheckpoint()  # candidates/verify lineage ends here
 
     # Iterate only over nodes that have edges — isolated nodes get their own
     # id at the end without ever entering the loop.
@@ -209,12 +214,12 @@ def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
     )
 
 
-def _cluster_driver_union_find(ids: DataFrame, sym_edges: DataFrame,
+def _cluster_driver_union_find(ids: DataFrame, sym_edges: list,
                                id_col: str) -> DataFrame:
-    """Small-graph fast path: collect the edge list, union-find locally,
-    broadcast-join the (node, cluster) mapping back. Only nodes whose label
-    differs from their own id appear in the mapping, so the broadcast stays
-    tiny."""
+    """Small-graph fast path: union-find over the already-collected edge
+    list, broadcast-join the (node, cluster) mapping back. Only nodes whose
+    label differs from their own id appear in the mapping, so the broadcast
+    stays tiny."""
     parent: dict = {}
 
     def find(x):
@@ -225,7 +230,7 @@ def _cluster_driver_union_find(ids: DataFrame, sym_edges: DataFrame,
             parent[x], x = root, parent[x]
         return root
 
-    for row in sym_edges.collect():
+    for row in sym_edges:
         a, b = find(row.src), find(row.dst)
         if a != b:
             if b < a:
