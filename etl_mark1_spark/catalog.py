@@ -1768,3 +1768,232 @@ def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("brand_major"),
                     F.regexp_extract("p_brand", r"Brand#(\d)(\d)", 2)
                     .alias("brand_minor")))
+
+
+# ---------------------------------------------------------------------------
+# Round 2: rolling range windows, statistics, histograms, weighted sampling,
+# CDC (upsert / SCD2), and Z-order layout
+# ---------------------------------------------------------------------------
+
+@query("window_range_rolling", """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour aggregates per user: a RANGE frame over event time
+    (micros), not a ROWS frame — the window contains whatever fits in the
+    hour, however many rows that is. Decimal sum so both engines accumulate
+    exactly. One shuffle on user_id; frames evaluate in a single sorted
+    pass per partition."""
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, 0))
+    return (t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+                    F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                            .over(w), 2).alias("sum_1h")))
+
+
+@query("histogram_prices", """
+    SELECT CAST(least(floor(l_extendedprice / 10000), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)            AS n,
+           round(min(l_extendedprice), 2)      AS lo,
+           round(max(l_extendedprice), 2)      AS hi
+    FROM lineitem
+    GROUP BY bucket
+""")
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a map-side bucket expression + one
+    aggregation (no width_bucket dependency; the arithmetic IS the
+    operator). The 100 TB shape: bucketing before the shuffle means the
+    exchange carries 10 groups, not 600k rows."""
+    b = F.least(F.floor(F.col("l_extendedprice") / 10000), F.lit(9)) \
+        .cast("bigint")
+    return (t(spark, sf_dir, "lineitem")
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.min("l_extendedprice"), 2).alias("lo"),
+                 F.round(F.max("l_extendedprice"), 2).alias("hi")))
+
+
+@query("column_entropy", """
+    WITH c AS (SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+               FROM documents GROUP BY source, lang),
+         tot AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)
+    SELECT c.source,
+           round(-sum((n / tot) * log2(n / tot)), 6) AS lang_entropy
+    FROM c JOIN tot USING (source)
+    GROUP BY c.source
+""")
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the distribution-
+    drift / diversity metric for corpus monitoring. Two small aggregations
+    over already-reduced counts; the wide table is touched once."""
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang") \
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (c.join(tot, "source")
+            .groupBy("source")
+            .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("lang_entropy")))
+
+
+@query("corr_stats", """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(stddev_samp(l_discount), 6)                 AS discount_sd
+    FROM lineitem
+    GROUP BY l_returnflag
+""")
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics battery (corr / covar_samp / stddev_samp)
+    — single-pass co-moment aggregates with map-side partials in both
+    engines; rounded because merge order differs."""
+    return (t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("qty_price_corr"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+                 .alias("qty_price_covar"),
+                 F.round(F.stddev_samp("l_discount"), 6)
+                 .alias("discount_sd")))
+
+
+@query("weighted_sample_quality", """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0
+          < least(greatest(n_chars / 400.0, 0.0), 1.0)
+""")
+def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: keep probability proportional to a
+    per-row score, decided by md5-of-id — deterministic across engines,
+    runs, and partitionings (operators/corpus.py:weighted_sample). Pure
+    map-side filter: no shuffle, expected kept fraction = avg(weight)."""
+    from etl_mark1_spark.operators.corpus import weighted_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return weighted_sample(docs, F.col("n_chars") / 400.0) \
+        .select("doc_id", "lang", "source")
+
+
+@query("upsert_orders", """
+    WITH updates AS (
+        SELECT o_orderkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                          * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+               AS o_totalprice,
+               'REPRICED' AS o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, round(o_totalprice, 2), 'NEW'
+        FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM updates
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 0
+""")
+def upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE (operators/cdc.py:upsert): a change batch of repriced +
+    brand-new orders applied over the base table — updates win, new keys
+    append, untouched rows pass through. One anti-join on the key."""
+    from etl_mark1_spark.operators.cdc import upsert
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority")
+    repriced = (orders.filter(F.col("o_orderkey") % 10 == 0)
+                .select("o_orderkey",
+                        F.round(F.col("o_totalprice").cast("decimal(18,2)")
+                                * F.expr("CAST(1.1 AS DECIMAL(2,1))"), 2)
+                        .cast("double").alias("o_totalprice"),
+                        F.lit("REPRICED").alias("o_orderpriority")))
+    fresh = (orders.filter(F.col("o_orderkey") % 1000 == 0)
+             .select((F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                     "o_totalprice", F.lit("NEW").alias("o_orderpriority")))
+    return upsert(orders, repriced.unionByName(fresh), ["o_orderkey"])
+
+
+@query("scd2_customers", """
+    SELECT c_custkey, c_name, c_mktsegment,
+           TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+           CASE WHEN c_custkey % 5 = 0
+                THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to,
+           (c_custkey % 5 <> 0) AS is_current
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, 'PROMO',
+           TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, 'NEWSEG',
+           TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
+    FROM customer WHERE c_custkey % 100 = 0
+""")
+def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 (operators/cdc.py:scd2_apply): a segment-change batch
+    versions the customer dimension — changed keys get their open row
+    closed at the effective timestamp and a new open row; new keys open
+    their first version. The oracle states the expected end state
+    directly; the operator must reconstruct it from (current, incoming)."""
+    from etl_mark1_spark.operators.cdc import scd2_apply
+
+    cust = t(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    incoming = (cust.filter(F.col("c_custkey") % 5 == 0)
+                .select("c_custkey", "c_name",
+                        F.lit("PROMO").alias("c_mktsegment"))
+                .unionByName(
+                    cust.filter(F.col("c_custkey") % 100 == 0)
+                    .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+                            "c_name", F.lit("NEWSEG").alias("c_mktsegment"))))
+    return scd2_apply(current, incoming, ["c_custkey"], ["c_mktsegment"],
+                      "2024-06-01 00:00:00")
+
+
+def _spread_sql(x: str) -> str:
+    """The spread_bits magic-mask sequence as portable SQL text (oracle
+    mirror of operators/layout.py:spread_bits)."""
+    s = f"(({x}) & 65535)"
+    for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                  (2, 0x33333333), (1, 0x55555555)):
+        s = f"((({s}) | (({s}) << {sh})) & {m})"
+    return s
+
+
+_ZORDER_SQL = f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_spread_sql('l_partkey % 65536')} |
+                ({_spread_sql('l_suppkey % 65536')} << 1) AS BIGINT) AS z
+    FROM lineitem
+"""
+
+
+@query("zorder_values", _ZORDER_SQL)
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values (operators/layout.py) — the interleaved sort key
+    behind multi-dimensional data skipping. Pure shift/mask expressions,
+    whole-stage codegen; zorder_write range-partitions on this key so each
+    output file covers a tight (dim1, dim2) rectangle and min-max pruning
+    works on BOTH dimensions (test_cdc_layout asserts the pruning)."""
+    from etl_mark1_spark.operators.layout import zvalue
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        zvalue(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536)
+        .cast("bigint").alias("z"))

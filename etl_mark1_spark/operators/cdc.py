@@ -1,0 +1,124 @@
+"""Change-data-capture operators: keyed upsert (MERGE) and SCD Type 2.
+
+The reference's sinks are append/overwrite only (writers at
+backend/services/duckdb_engine.py:370-395 and connectors/builtin.py write
+whole results); a warehouse-grade pipeline also needs keyed merges. Both
+operators here are pure DataFrame algebra — one shuffle on the merge key,
+broadcastable when the change batch is small — so they compose with any
+sink (including ``write_file(partition_by=...)``) and survive scale: no
+driver-side diffing, no per-row Python.
+
+At 100 TB the copy-on-write pattern is: partition the base table on a
+stable key bucket, apply :func:`upsert` / :func:`scd2_apply` only to the
+partitions the change batch touches (predicate on the bucket column prunes
+the rest), and rewrite those partitions atomically.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["upsert", "scd2_apply"]
+
+
+def upsert(existing: DataFrame, updates: DataFrame,
+           key_cols: list[str]) -> DataFrame:
+    """MERGE semantics by key: rows of ``updates`` win over same-key rows of
+    ``existing``; unmatched existing rows pass through; new keys append.
+
+    Shape: one left-anti join on the key (shuffle on key, or broadcast of
+    ``updates`` when small — Spark picks via AQE) + a union. Schemas must
+    agree by name (``unionByName``) so callers can evolve column order
+    freely.
+    """
+    survivors = existing.join(updates.select(*key_cols).distinct(),
+                              key_cols, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def scd2_apply(
+    current: DataFrame,
+    incoming: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_ts: str,
+    *,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: apply an ``incoming`` snapshot of
+    (key, tracked attributes) to a versioned ``current`` dimension.
+
+    ``current`` carries ``valid_from``/``valid_to``/``is_current``; a key
+    whose tracked attributes changed gets its open row closed at
+    ``effective_ts`` and a new open row appended. Unchanged keys, already-
+    closed history rows, and keys absent from ``incoming`` pass through
+    untouched. New keys open their first version at ``effective_ts``.
+
+    One equi-join on the key decides changed/new; comparisons are null-safe
+    (``<=>``) so NULL -> value transitions version correctly.
+    """
+    eff = F.lit(effective_ts).cast("timestamp")
+    dim_cols = current.columns
+    attr_cols = [c for c in dim_cols
+                 if c not in (valid_from_col, valid_to_col, current_col)]
+
+    open_rows = current.filter(F.col(current_col))
+    closed_rows = current.filter(~F.col(current_col))
+
+    inc = incoming.withColumn("_inc_present", F.lit(True))
+    joined = open_rows.withColumn("_cur_present", F.lit(True)).alias("cur") \
+        .join(inc.alias("inc"), key_cols, "full_outer")
+
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"cur.{c}").eqNullSafe(F.col(f"inc.{c}"))
+         for c in tracked_cols],
+    )
+    # presence markers, not null-probes: an incoming row whose tracked
+    # attributes are all NULL is still a real version
+    has_cur = F.coalesce(F.col("cur._cur_present"), F.lit(False))
+    has_inc = F.coalesce(F.col("inc._inc_present"), F.lit(False))
+
+    def cur_row(valid_to, is_current):
+        return [F.col(f"cur.{c}").alias(c) for c in attr_cols] + [
+            F.col(f"cur.{valid_from_col}").alias(valid_from_col),
+            valid_to.alias(valid_to_col),
+            is_current.alias(current_col),
+        ]
+
+    # 1. open rows whose key is untouched or unchanged: pass through
+    unchanged = joined.filter(has_cur & (~has_inc | ~changed)) \
+        .select(*cur_row(F.col(f"cur.{valid_to_col}"), F.lit(True)))
+    # 2. open rows with a changed incoming version: close at effective_ts
+    closed_out = joined.filter(has_cur & has_inc & changed) \
+        .select(*cur_row(eff, F.lit(False)))
+
+    # 3. new versions (changed keys) + first versions (new keys)
+    def inc_row(filter_expr):
+        rows = joined.filter(filter_expr)
+        cols = []
+        for c in attr_cols:
+            if c in key_cols:
+                cols.append(F.coalesce(F.col(f"cur.{c}"),
+                                       F.col(f"inc.{c}")).alias(c))
+            elif c in inc.columns:
+                cols.append(F.col(f"inc.{c}").alias(c))
+            else:  # untracked attribute: carry forward from current
+                cols.append(F.col(f"cur.{c}").alias(c))
+        return rows.select(*cols, eff.alias(valid_from_col),
+                           F.lit(None).cast("timestamp").alias(valid_to_col),
+                           F.lit(True).alias(current_col))
+
+    new_versions = inc_row(has_cur & has_inc & changed)
+    first_versions = inc_row(~has_cur)
+
+    return (closed_rows
+            .unionByName(unchanged)
+            .unionByName(closed_out)
+            .unionByName(new_versions)
+            .unionByName(first_versions))

@@ -190,6 +190,31 @@ def leakage_safe_split(df: DataFrame, text_col: str = "text",
             .drop("_canon_id"))
 
 
+def md5_uniform(col: Column) -> Column:
+    """Deterministic pseudo-uniform in [0, 1) from the md5 of a value —
+    the engine-portable replacement for ``rand()`` (see module docstring on
+    why sampling must be a function of the row). 32 hash bits of
+    resolution."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("double") / F.lit(4294967296.0))
+
+
+def weighted_sample(df: DataFrame, weight: Column,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep each row with probability ``weight`` (clamped to [0, 1]),
+    deterministically: a row survives iff md5-uniform(id) < weight.
+
+    This is how quality-weighted corpus downsampling works at scale — keep
+    probability proportional to a quality score — as a pure map-side
+    filter: no shuffle, no state, membership stable under re-partitioning
+    and backfills, and the expected kept fraction is exactly
+    ``avg(weight)``. Upsampling (weights > 1) belongs in a separate
+    repeat-explode pass; here extra mass clamps to "always keep".
+    """
+    p = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(md5_uniform(F.col(id_col)) < p)
+
+
 # -- step-DSL integration ---------------------------------------------------
 # The corpus operators double as step operators, so the reference-style
 # pipeline surface ({"operator": ..., "params": ...}) can run a curation
