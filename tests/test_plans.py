@@ -181,3 +181,56 @@ def test_q9_like_filter_reaches_part_scan(spark, sf_dir):
     assert scan_lines and "p_name" in scan_lines[0]
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
+
+
+def test_q4_exists_is_semi_join_not_inner_distinct(spark, sf_dir):
+    """EXISTS must compile to a LeftSemi join — an inner join + distinct
+    would duplicate orders rows across the shuffle before deduping."""
+    plan = executed_plan(QUERIES["q4_late_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+
+
+def test_q16_blacklist_and_part_dim_broadcast(spark, sf_dir):
+    """The NOT IN blacklist (6 rows) and the size-filtered part dim must
+    both broadcast; the only fact shuffle is the distinct aggregation."""
+    plan = executed_plan(QUERIES["q16_supplier_count"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_part_prefilter_reaches_scan_and_broadcasts(spark, sf_dir):
+    """The brand/size disjunction must filter the part scan before its
+    broadcast — reading all parts to apply the filter post-join wastes
+    the whole dim scan."""
+    plan = executed_plan(QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    scan_lines = [l for l in plan.splitlines()
+                  if "FileScan parquet" in l and "p_brand" in l]
+    assert scan_lines, "part scan missing"
+
+
+def test_q21_single_fact_scan_formulation(spark, sf_dir):
+    """The EXISTS/NOT EXISTS pair must NOT re-probe the fact per row: the
+    window formulation scans lineitem/orders/supplier exactly once each —
+    3 scans total, versus one probe per correlated row."""
+    plan = executed_plan(QUERIES["q21_sole_late_supplier"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 3
+    assert "BroadcastHashJoin" in plan  # supplier dim
+    assert "Window" in plan
+
+
+def test_zorder_values_whole_stage_codegen(spark, sf_dir):
+    """The Morton bit-spread must stay inside codegen — a Python UDF here
+    would put per-row Python in what should be pure JVM bit math."""
+    plan = executed_plan(QUERIES["zorder_values"](spark, sf_dir))
+    assert "*(1) Project" in plan  # the *(n) prefix marks codegen stages
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_is_map_side_only(spark, sf_dir):
+    """Weighted sampling is a pure filter: any Exchange means someone
+    added a shuffle to a per-row membership decision."""
+    plan = executed_plan(QUERIES["weighted_sample_quality"](spark, sf_dir))
+    assert "Exchange" not in plan
