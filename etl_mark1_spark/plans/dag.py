@@ -15,8 +15,10 @@ concurrently on the cluster.
 Kept in spirit from the reference: per-node retry (3 attempts, 2·attempt
 backoff — engine.py:33-34,77-102), per-node run logs with duration, Kahn
 topological order. Fixed: cycle detection (the reference silently truncates
-cyclic graphs), and ``conditional_branch`` has real semantics (the reference's
-is a pass-through — engine.py:311-314).
+cyclic graphs), ``conditional_branch`` has real semantics (the reference's
+is a pass-through — engine.py:311-314), and ``pdf_extract`` / ``split_json``
+are implemented (the reference declares them at engine.py:26-27 and never
+handles them; ``email_notify`` stays a logged pass-through — no SMTP here).
 
 Node definition shape::
 
@@ -85,6 +87,8 @@ class PipelineExecutor:
             "db_insert": self._exec_db_insert,
             "export": self._exec_export,
             "file_output": self._exec_file_output,
+            "pdf_extract": self._exec_pdf_extract,
+            "split_json": self._exec_split_json,
         }
 
     def register_node_type(self, name: str, fn: Callable) -> None:
@@ -171,6 +175,50 @@ class PipelineExecutor:
         self._node_outputs[node_id] = connector.read(
             self.spark, **config.get("read_params", {})
         )
+
+    def _exec_pdf_extract(self, node_id: str, config: dict,
+                          inputs: list) -> None:
+        """pdf_extract — declared but never implemented in the reference
+        (executor/engine.py:26-27); here it is the distributed binaryFile →
+        mapInPandas extraction, one row per (path, page, text)."""
+        from etl_mark1_spark.sources.pdf import read_pdf
+
+        path = config.get("path")
+        if not path:
+            raise ExecutionError("pdf_extract requires 'path'")
+        self._node_outputs[node_id] = read_pdf(self.spark, path)
+
+    def _exec_split_json(self, node_id: str, config: dict,
+                         inputs: list) -> None:
+        """split_json — declared but never implemented in the reference
+        (executor/engine.py:26-27); here it parses a JSON string column
+        into typed top-level columns. Schema comes from config
+        ("schema": DDL string) or is inferred from one sampled non-null
+        value (bounded driver read); parsing itself is the JVM-side
+        ``from_json`` on every row."""
+        from pyspark.sql import functions as F
+
+        if not inputs:
+            raise ExecutionError("split_json node has no inputs")
+        df = inputs[0]
+        column = config.get("column", "json")
+        if column not in df.columns:
+            raise ExecutionError(f"split_json: no column '{column}'")
+        schema = config.get("schema")
+        if not schema:
+            sample = df.select(column).filter(
+                F.col(column).isNotNull()).limit(1).collect()
+            if not sample:
+                raise ExecutionError(
+                    f"split_json: column '{column}' has no non-null rows "
+                    "to infer a schema from; pass config['schema']")
+            schema = df.sparkSession.range(1).select(
+                F.schema_of_json(F.lit(sample[0][0])).alias("s")
+            ).first().s
+        parsed = df.withColumn("_parsed", F.from_json(F.col(column), schema))
+        keep = [c for c in df.columns if c != column]
+        self._node_outputs[node_id] = parsed.select(
+            *keep, F.col("_parsed.*"))
 
     def _exec_transform(self, node_id: str, config: dict, inputs: list) -> None:
         """transform (engine.py:202-217): fold the step list — no

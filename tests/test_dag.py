@@ -135,7 +135,68 @@ def test_unknown_node_passthrough(spark):
     ex._node_outputs["src"] = df
     report = ex.execute({
         "nodes": [{"id": "src", "type": "noop_src", "config": {}},
-                  {"id": "pdf", "type": "pdf_extract", "config": {}}],
-        "edges": [{"source": "src", "target": "pdf"}],
+                  {"id": "mail", "type": "email_notify", "config": {}}],
+        "edges": [{"source": "src", "target": "mail"}],
     })
     assert report.status == "succeeded"
+
+
+def test_pdf_extract_node(spark, tmp_path):
+    from etl_mark1_spark.sources.pdf import make_pdf
+
+    pdf_dir = tmp_path / "pdfs"
+    pdf_dir.mkdir()
+    (pdf_dir / "a.pdf").write_bytes(make_pdf(["hello world", "page two"]))
+    report = PipelineExecutor(spark).execute({
+        "nodes": [{"id": "pdf", "type": "pdf_extract",
+                   "config": {"path": str(pdf_dir)}}],
+        "edges": [],
+    })
+    assert report.status == "succeeded"
+    rows = sorted(report.outputs["pdf"].collect(), key=lambda r: r.page)
+    assert [r.text for r in rows] == ["hello world", "page two"]
+
+    missing = PipelineExecutor(spark).execute({
+        "nodes": [{"id": "pdf", "type": "pdf_extract", "config": {}}],
+        "edges": [],
+    })
+    assert missing.status == "failed"
+    assert "path" in missing.node_logs[-1].message
+
+
+def test_split_json_node_infers_and_splits(spark, tmp_path):
+    src = tmp_path / "j.json"
+    df = spark.createDataFrame(
+        [(1, '{"a": 5, "b": "x"}'), (2, '{"a": 7, "b": "y"}')],
+        "id int, payload string")
+    df.write.mode("overwrite").parquet(str(src))
+    report = PipelineExecutor(spark).execute({
+        "nodes": [
+            {"id": "in", "type": "file_input",
+             "config": {"path": str(src), "format": "parquet"}},
+            {"id": "sj", "type": "split_json",
+             "config": {"column": "payload"}},
+        ],
+        "edges": [{"source": "in", "target": "sj"}],
+    })
+    assert report.status == "succeeded"
+    out = report.outputs["sj"]
+    assert set(out.columns) == {"id", "a", "b"}
+    got = {r.id: (r.a, r.b) for r in out.collect()}
+    assert got == {1: (5, "x"), 2: (7, "y")}
+
+
+def test_split_json_explicit_schema_and_errors(spark):
+    df = spark.createDataFrame([('{"n": 1}',)], "payload string")
+    ex = PipelineExecutor(spark)
+    ex._node_outputs["src"] = df
+    # explicit DDL schema wins over inference
+    ex._exec_split_json("sj", {"column": "payload", "schema": "n double"},
+                        [df])
+    assert ex._node_outputs["sj"].schema["n"].dataType.typeName() == "double"
+
+    with pytest.raises(ExecutionError, match="no column"):
+        ex._exec_split_json("sj", {"column": "missing"}, [df])
+    empty = spark.createDataFrame([], "payload string")
+    with pytest.raises(ExecutionError, match="no non-null rows"):
+        ex._exec_split_json("sj", {"column": "payload"}, [empty])
