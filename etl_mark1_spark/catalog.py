@@ -2386,3 +2386,73 @@ def q2_best_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey", "s_name",
                     F.round("unit_price", 4).alias("best_price"))
             .distinct())
+
+
+# ---------------------------------------------------------------------------
+# Sketches & mergeable rollups (operators/sketches.py): approximate
+# distinct / heavy hitters with exact oracle-checked siblings
+# ---------------------------------------------------------------------------
+
+@query("distinct_rollup_daily", """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+""")
+def distinct_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day distinct users via the two-phase rollup
+    (operators/sketches.py:exact_distinct_rollup): dedup (day, user)
+    pairs map-side first so the exchange carries unique pairs, then a
+    cheap count — the formulation whose shuffle stays bounded when the
+    raw table is 100 TB but the daily audience is millions."""
+    from etl_mark1_spark.operators.sketches import exact_distinct_rollup
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return exact_distinct_rollup(ev, ["day"], "user_id")
+
+
+@query("heavy_hitter_types", """
+    SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    HAVING count(*) >= (SELECT count(*) FROM events) * 0.05
+""")
+def heavy_hitter_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (operators/sketches.py:heavy_hitters): event
+    types covering >= 5% of traffic. The global total re-aggregates the
+    per-value counts (no second fact scan) and broadcasts into the share
+    filter."""
+    from etl_mark1_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(t(spark, sf_dir, "events"), "event_type", 0.05)
+
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via DataSketches HLL
+    (operators/sketches.py:hll_rollup + estimate). No SQL oracle — DuckDB's
+    HLL is a different sketch — so correctness is the relative-error bound
+    vs the exact count (tests/test_sketches.py) and the lossless-merge
+    equality below."""
+    from etl_mark1_spark.operators.sketches import (hll_estimate_over,
+                                                    hll_rollup)
+
+    ev = t(spark, sf_dir, "events")
+    return hll_estimate_over(hll_rollup(ev, ["event_type"], "user_id"),
+                             ["event_type"]) \
+        .orderBy("event_type")
+
+
+@query("hll_rollup_merge")
+def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup-merge pattern end-to-end: materialize per-(day, type)
+    sketches once, answer the per-type question by MERGING sketches —
+    the raw table is read exactly once however many ranges are queried.
+    tests/test_sketches.py asserts the merged estimate matches the
+    single-pass estimate to sub-percent (a union can densify a
+    sparse-mode sketch, so it is not bit-identical)."""
+    from etl_mark1_spark.operators.sketches import (hll_estimate_over,
+                                                    hll_rollup)
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_rollup(ev, ["day", "event_type"], "user_id")
+    return hll_estimate_over(daily, ["event_type"]).orderBy("event_type")

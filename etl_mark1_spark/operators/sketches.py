@@ -1,0 +1,76 @@
+"""Sketch-based approximate aggregation: the mergeable-partial pattern.
+
+Exact DISTINCT / percentiles over 100 TB force a full shuffle of every key
+occurrence. The scale pattern is to aggregate ONCE into tiny mergeable
+sketches (HLL for distinct, KLL/GK for quantiles, count-min for frequency)
+partitioned by a rollup key (day, tenant, ...), persist those, and answer
+any coarser query by MERGING sketches — no second pass over the raw data.
+This is the continuous-aggregate / hypertable-rollup idea: a year of
+distinct-user queries over any date range costs a scan of 365 sketch rows,
+not 100 TB.
+
+Spark 4 ships Apache DataSketches HLL natively (``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate``), so the whole pipeline stays
+JVM-side; a union of per-partition sketches built at the same lgK is
+lossless with respect to the single-pass sketch.
+
+The exact variants here (two-phase distinct rollup, exact heavy hitters)
+are shuffle-disciplined formulations of the same questions for when the
+answer must be exact — both oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_rollup", "hll_estimate_over", "exact_distinct_rollup",
+           "heavy_hitters"]
+
+
+def hll_rollup(df: DataFrame, keys: list[str], col: str,
+               lgk: int = 12) -> DataFrame:
+    """One HLL sketch per ``keys`` group over ``col`` — the materialized
+    rollup. ~2^lgk bytes per group regardless of cardinality; map-side
+    partial sketches merge in the exchange, so the shuffle carries
+    sketches, not raw keys."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("hll"))
+
+
+def hll_estimate_over(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Answer a coarser-grained distinct count by merging rollup sketches.
+    ``group_cols`` must be a subset of the rollup's key columns; the raw
+    data is never touched."""
+    return rollup.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll"))
+        .cast("bigint").alias("approx_distinct"))
+
+
+def exact_distinct_rollup(df: DataFrame, keys: list[str],
+                          col: str) -> DataFrame:
+    """Exact per-group distinct counts via the two-phase formulation:
+    dedup (keys, col) pairs first (map-side partial dedup shrinks the
+    exchange to unique pairs), then count per group. Equivalent to
+    COUNT(DISTINCT col) but with the shuffle bounded by unique pairs
+    instead of raw rows — the exact-answer sibling of :func:`hll_rollup`.
+    """
+    return (df.select(*keys, col).distinct()
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct")))
+
+
+def heavy_hitters(df: DataFrame, col: str | Column,
+                  min_share: float) -> DataFrame:
+    """Exact heavy hitters: values of ``col`` occurring in at least
+    ``min_share`` of rows. Two aggregations over already-reduced counts —
+    the global total re-aggregates the per-value counts — and the share
+    test cross-multiplies (n * 1/share >= total) so the comparison stays
+    in exact integers when ``min_share`` is a unit fraction."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = df.groupBy(c.alias("value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("n") >= F.col("total") * F.lit(min_share))
+            .select("value", "n"))

@@ -1,0 +1,70 @@
+"""Sketch semantics (operators/sketches.py): HLL error bounds, lossless
+rollup merges, exact heavy hitters; the exact variants' cross-engine
+parity is the distinct_rollup_daily / heavy_hitter_types oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.sketches import (exact_distinct_rollup,
+                                                heavy_hitters,
+                                                hll_estimate_over,
+                                                hll_rollup)
+
+
+@pytest.fixture()
+def keyed(spark):
+    # 20k rows, 1..2000 distinct ids spread over 4 groups
+    return spark.range(20_000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % (500 * ((F.col("id") % 4) + 1))).alias("uid"))
+
+
+def test_hll_estimate_within_bound(keyed):
+    exact = {r.g: r.n_distinct for r in
+             exact_distinct_rollup(keyed, ["g"], "uid").collect()}
+    approx = {r.g: r.approx_distinct for r in
+              hll_estimate_over(hll_rollup(keyed, ["g"], "uid"),
+                                ["g"]).collect()}
+    assert set(exact) == set(approx)
+    for g, n in exact.items():
+        # lgK=12 -> relative standard error ~1.6%; allow 4 sigma
+        assert abs(approx[g] - n) <= max(2, 0.065 * n), (g, approx[g], n)
+
+
+def test_hll_union_of_partials_matches_single_pass(keyed):
+    """The scale contract: merging per-partition sketches estimates the
+    same as sketching the raw rows in one pass. Not bit-identical — a
+    union can densify a sparse-mode sketch and nudge the estimate by ~1 —
+    so assert a sub-percent tolerance, far inside the sketch's own error."""
+    direct = {r.g: r.approx_distinct for r in
+              hll_estimate_over(hll_rollup(keyed, ["g"], "uid"),
+                                ["g"]).collect()}
+    split = keyed.withColumn("part", F.col("uid") % 7)
+    merged = {r.g: r.approx_distinct for r in
+              hll_estimate_over(hll_rollup(split, ["g", "part"], "uid"),
+                                ["g"]).collect()}
+    assert set(direct) == set(merged)
+    for g in direct:
+        assert abs(direct[g] - merged[g]) <= max(2, 0.005 * direct[g])
+
+
+def test_exact_distinct_rollup_matches_count_distinct(keyed):
+    via_rollup = {r.g: r.n_distinct for r in
+                  exact_distinct_rollup(keyed, ["g"], "uid").collect()}
+    direct = {r.g: r.n for r in
+              keyed.groupBy("g")
+              .agg(F.count_distinct("uid").alias("n")).collect()}
+    assert via_rollup == direct
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    # 135 rows: 100 'a', 30 'b', 5 'c'
+    rows = [("a",)] * 100 + [("b",)] * 30 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "v string")
+    top = {r.value: r.n for r in heavy_hitters(df, "v", 0.25).collect()}
+    assert top == {"a": 100}                       # threshold 33.75
+    both = {r.value for r in heavy_hitters(df, "v", 0.05).collect()}
+    assert both == {"a", "b"}                      # threshold 6.75 excludes c
+    # boundary: exactly at the threshold is included (>=)
+    edge = {r.value for r in heavy_hitters(df, "v", 5 / 135).collect()}
+    assert "c" in edge
