@@ -2456,3 +2456,37 @@ def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     daily = hll_rollup(ev, ["day", "event_type"], "user_id")
     return hll_estimate_over(daily, ["event_type"]).orderBy("event_type")
+
+
+@query("incremental_agg_orders", """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS total,
+           round(max(o_totalprice), 2) AS biggest
+    FROM orders
+    GROUP BY o_orderstatus
+""")
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/cdc.py:
+    merge_aggregates): the base aggregate is built from six-sevenths of
+    the orders, then the remaining seventh arrives as a delta batch and
+    folds in WITHOUT rescanning history. The oracle is the full-table
+    aggregate — the merged result must equal recomputing from scratch."""
+    from etl_mark1_spark.operators.cdc import merge_aggregates
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)"))
+    history = orders.filter(F.col("o_orderkey") % 7 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 7 == 0)
+    measures = {"n_orders": ("o_orderkey", "count"),
+                "total": ("price_dec", "sum"),
+                "biggest": ("o_totalprice", "max")}
+    base = (history.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("price_dec").alias("total"),
+                 F.max("o_totalprice").alias("biggest")))
+    merged = merge_aggregates(base, delta, ["o_orderstatus"], measures)
+    return merged.select(
+        "o_orderstatus", F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("total", 2).alias("total"),
+        F.round("biggest", 2).alias("biggest"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spread_bits", "zvalue", "zorder_write"]
+__all__ = ["spread_bits", "zvalue", "zorder_write", "compact_files"]
 
 _BITS = 16  # per-dimension quantization width (2 dims -> 32-bit z-value)
 
@@ -70,3 +70,48 @@ def zorder_write(
        .sortWithinPartitions("_z")
        .drop("_z")
        .write.format(fmt).mode("overwrite").save(path))
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite a directory of many small files into files of roughly
+    ``target_bytes`` each; returns the new file count.
+
+    The small-file problem is the quiet killer of 100 TB tables:
+    streaming micro-batches and over-partitioned writes leave thousands
+    of KB-sized files, and every later scan pays per-file open/footer
+    cost while min-max pruning degrades to noise. Compaction is one
+    sized repartition: the on-disk byte size (from the file listing, via
+    Hadoop's FileSystem so object stores work the same) divides by the
+    target to give the output file count, an optional sort restores
+    clustering, and the rewrite swaps in atomically (write to a sibling
+    temp dir, then rename) so concurrent readers never see a half-written
+    table.
+    """
+    import math
+    import uuid
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    total = fs.getContentSummary(src).getLength()
+    n_files = max(1, math.ceil(total / target_bytes))
+
+    df = spark.read.format(fmt).load(path)
+    writer = df.repartition(n_files)
+    if sort_by:
+        writer = writer.sortWithinPartitions(*sort_by)
+    tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
+    writer.write.format(fmt).mode("overwrite").save(tmp)
+
+    trash = jvm.org.apache.hadoop.fs.Path(tmp + "_old")
+    fs.rename(src, trash)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src)
+    fs.delete(trash, True)
+    return n_files

@@ -14,7 +14,7 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -243,3 +243,59 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def upsert_sink(stream_df: DataFrame, path: str, key_cols: list[str],
+                checkpoint: str | None = None) -> None:
+    """Stream into a keyed parquet table with MERGE semantics: each
+    micro-batch upserts (operators/cdc.py:upsert) into the table instead
+    of appending, so the sink holds one current row per key.
+
+    ``foreachBatch`` gives the batch-DataFrame hook; the rewritten table
+    swaps in atomically (write a sibling version dir, rename over the
+    current one) so concurrent readers never observe a half-merged table.
+    This is copy-on-write: each batch rewrites the table, which is right
+    for dimension-sized sinks. For a 100 TB fact sink, partition the
+    table by a key bucket and rewrite only the partitions the batch
+    touches (the module docstring pattern in operators/cdc.py) — or use a
+    table format with transactional MERGE (Delta/Iceberg) when available.
+    Exactly-once: replaying a failed batch re-applies the same upsert,
+    which is idempotent by key.
+    """
+    import uuid
+
+    from etl_mark1_spark.operators.cdc import upsert
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="etl_mark1_ckpt_")
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        jvm = spark._jvm
+        fs_path = jvm.org.apache.hadoop.fs.Path(path)
+        fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        # one row per key within the batch: latest by event time when the
+        # batch carries ts, else an arbitrary representative
+        if "ts" in batch.columns:
+            w = Window.partitionBy(*key_cols).orderBy(F.col("ts").desc())
+            batch = (batch.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") == 1).drop("_rn"))
+        else:
+            batch = batch.dropDuplicates(key_cols)
+        if fs.exists(fs_path):
+            current = spark.read.parquet(path)
+            merged = upsert(current, batch, key_cols)
+        else:
+            merged = batch
+        tmp = f"{path.rstrip('/')}_v{epoch_id}_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        trash = jvm.org.apache.hadoop.fs.Path(tmp + "_old")
+        if fs.exists(fs_path):
+            fs.rename(fs_path, trash)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), fs_path)
+        fs.delete(trash, True)
+
+    (stream_df.writeStream.foreachBatch(apply_batch)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())

@@ -215,3 +215,59 @@ def _file_overlaps(meta, col_name, lo, hi):
         if s.min <= hi and s.max >= lo:
             return True
     return False
+
+
+# -- incremental aggregate maintenance --------------------------------------
+
+def test_merge_aggregates_equals_full_recompute(spark):
+    full = spark.range(1000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").cast("double").alias("v"))
+    history = full.filter(F.col("id") % 3 != 0)
+    delta = full.filter(F.col("id") % 3 == 0)
+    measures = {"n": ("v", "count"), "s": ("v", "sum"),
+                "lo": ("v", "min"), "hi": ("v", "max")}
+    base = history.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"))
+    from etl_mark1_spark.operators.cdc import merge_aggregates
+    merged = {r.k: (r.n, r.s, r.lo, r.hi)
+              for r in merge_aggregates(base, delta, ["k"],
+                                        measures).collect()}
+    expect = {r.k: (r.n, r.s, r.lo, r.hi)
+              for r in full.groupBy("k").agg(
+                  F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                  F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
+    assert merged == expect
+
+
+def test_merge_aggregates_new_and_untouched_keys(spark):
+    from etl_mark1_spark.operators.cdc import merge_aggregates
+    base = spark.createDataFrame([(1, 2, 10.0), (2, 1, 5.0)],
+                                 "k int, n long, s double")
+    delta = spark.createDataFrame([(2, 7.0), (3, 1.0)], "k int, v double")
+    got = {r.k: (r.n, r.s) for r in merge_aggregates(
+        base, delta, ["k"], {"n": ("v", "count"), "s": ("v", "sum")}
+    ).collect()}
+    assert got == {1: (2, 10.0),      # untouched key passes through
+                   2: (2, 12.0),      # merged
+                   3: (1, 1.0)}       # brand-new key
+
+    with pytest.raises(ValueError, match="not decomposable"):
+        merge_aggregates(base, delta, ["k"], {"a": ("v", "avg")})
+
+
+# -- compaction -------------------------------------------------------------
+
+def test_compact_files_reduces_count_keeps_rows(spark, tmp_path):
+    from etl_mark1_spark.operators.layout import compact_files
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    df.repartition(40).write.parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 30
+    n = compact_files(spark, path, target_bytes=10 * 1024 * 1024)
+    after = glob.glob(path + "/*.parquet")
+    assert len(after) == n < before
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(10_000))

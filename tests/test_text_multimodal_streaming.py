@@ -377,3 +377,49 @@ def test_wav_decode_distributed(spark):
         assert r.duration_ms == int(n * 1000 / 16000)
         amp = 0.1 + (i % 9) / 10.0
         assert r.rms == pytest.approx(amp / 2 ** 0.5, rel=0.02)
+
+
+def test_streaming_upsert_sink_keeps_one_row_per_key(spark, tmp_path):
+    """Two drains through upsert_sink: batch 2 updates a key from batch 1,
+    adds a new key, and the sink always holds exactly one current row per
+    key — MERGE semantics, not append."""
+    import glob
+    import os
+    import shutil
+
+    from etl_mark1_spark.streaming.events import (read_events_stream,
+                                                  upsert_sink)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "table")
+    os.makedirs(src)
+
+    def drop(name, rows):
+        (spark.createDataFrame(rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string")
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(tmp_path / name)))
+        for f in glob.glob(str(tmp_path / name / "part-*.parquet")):
+            shutil.copy(f, os.path.join(src, f"{name}.parquet"))
+
+    drop("b1", [(1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+                (2, "2024-01-01 10:05:00", 1, "view", 2.0, "{}")])
+    upsert_sink(read_events_stream(spark, src), table,
+                ["event_id"], checkpoint=ckpt)
+    first = {r.event_id: r.value
+             for r in spark.read.parquet(table).collect()}
+    assert first == {1: 1.0, 2: 2.0}
+
+    # batch 2: update key 2 (two versions in-batch; latest ts must win),
+    # insert key 3
+    drop("b2", [(2, "2024-01-01 11:00:00", 1, "view", 20.0, "{}"),
+                (2, "2024-01-01 11:30:00", 1, "view", 25.0, "{}"),
+                (3, "2024-01-01 11:10:00", 2, "click", 3.0, "{}")])
+    upsert_sink(read_events_stream(spark, src), table,
+                ["event_id"], checkpoint=ckpt)
+    second = {r.event_id: r.value
+              for r in spark.read.parquet(table).collect()}
+    assert second == {1: 1.0, 2: 25.0, 3: 3.0}
