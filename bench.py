@@ -46,6 +46,13 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q18_large_orders",
     "percentile_by_status",
+    # round-2 additions (new names append; earlier names stay comparable)
+    "q8_market_share",
+    "q21_sole_late_supplier",
+    "distinct_rollup_daily",
+    "hll_rollup_merge",
+    "upsert_orders",
+    "zorder_values",
 ]
 
 

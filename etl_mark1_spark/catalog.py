@@ -2490,3 +2490,75 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", F.col("n_orders").cast("bigint").alias("n_orders"),
         F.round("total", 2).alias("total"),
         F.round("biggest", 2).alias("biggest"))
+
+
+@query("unpivot_part_metrics", """
+    SELECT p_partkey, metric, round(val, 2) AS val
+    FROM (SELECT p_partkey, round(p_retailprice, 2) AS retail_price,
+                 CAST(p_size AS DOUBLE) AS size
+          FROM part)
+    UNPIVOT (val FOR metric IN (retail_price, size))
+""")
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT/melt — the inverse of pivot_linestatus. In
+    Spark this is the native ``unpivot`` (an Expand node: each input row
+    emits one output row per measure in the same codegen stage — no
+    shuffle, no UDF)."""
+    return (t(spark, sf_dir, "part")
+            .select("p_partkey",
+                    F.round("p_retailprice", 2).alias("retail_price"),
+                    F.col("p_size").cast("double").alias("size"))
+            .unpivot(["p_partkey"], ["retail_price", "size"],
+                     "metric", "val")
+            .select("p_partkey", "metric", F.round("val", 2).alias("val")))
+
+
+@query("regr_price_quantity", """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+""")
+def regr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit via the SQL regression
+    aggregates — single-pass co-moment accumulation with map-side
+    partials (the same machinery as corr_stats), no ML-library round
+    trip. Rounded because partial-merge order differs between engines."""
+    return (t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4)
+                 .alias("slope"),
+                 F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2)
+                 .alias("intercept"),
+                 F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6)
+                 .alias("r2"),
+                 F.regr_count("l_extendedprice", "l_quantity")
+                 .cast("bigint").alias("n")))
+
+
+@query("fuzzy_match_names", """
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM (SELECT DISTINCT p_name FROM part) a
+    JOIN (SELECT DISTINCT p_name FROM part) b
+      ON a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 3
+""")
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-match on edit distance — the dirty-dimension
+    reconciliation primitive. Both engines implement the same Levenshtein
+    metric, so the oracle is exact. The join deliberately runs on the
+    DISTINCT value domain (tiny) — at 100 TB you fuzzy-join value
+    domains, never raw rows, then semi-join the winners back; an
+    all-pairs fuzzy join on facts is the anti-pattern."""
+    names = t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (a.join(b, (F.col("name_a") < F.col("name_b"))
+                   & (F.levenshtein("name_a", "name_b") <= 3))
+            .select("name_a", "name_b",
+                    F.levenshtein("name_a", "name_b").cast("bigint")
+                    .alias("dist")))

@@ -34,6 +34,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_mark1_spark.operators.steps import apply_steps
 
@@ -64,17 +65,23 @@ class PipelineExecutor:
     """Walks the node DAG passing DataFrames along edges.
 
     ``count_rows=True`` forces an action per node for observability (like the
-    reference's per-node row logs, engine.py:104-108) — leave it off in
-    production so the lineage stays lazy end-to-end.
+    reference's per-node row logs, engine.py:104-108). Prefer
+    ``observe_rows=True``: the same per-node row counts piggy-back on the
+    sink actions the pipeline runs anyway (``Observation`` accumulators in
+    the existing plans), so the lineage stays lazy end-to-end and the
+    cluster runs one job, not one per node.
     """
 
     def __init__(self, spark: SparkSession, max_retries: int = 3,
-                 retry_delay: float = 2.0, count_rows: bool = False):
+                 retry_delay: float = 2.0, count_rows: bool = False,
+                 observe_rows: bool = False):
         self.spark = spark
         self._max_retries = max_retries
         self._retry_delay = retry_delay
         self._count_rows = count_rows
+        self._observe_rows = observe_rows
         self._node_outputs: dict[str, DataFrame | Any] = {}
+        self._observations: dict[str, Any] = {}
         self._handlers: dict[str, Callable] = {
             "file_input": self._exec_file_input,
             "connector_input": self._exec_connector_input,
@@ -100,6 +107,7 @@ class PipelineExecutor:
         # fresh run state: a reused executor must not leak prior-run outputs
         # into report.outputs or feed stale frames to same-named edges
         self._node_outputs = {}
+        self._observations = {}
         nodes = definition.get("nodes", [])
         edges = definition.get("edges", [])
         order = self._topological_sort(nodes, edges)
@@ -124,10 +132,39 @@ class PipelineExecutor:
             out = self._node_outputs.get(node_id)
             if self._count_rows and isinstance(out, DataFrame):
                 log.rows = out.count()
+            elif self._observe_rows and isinstance(out, DataFrame):
+                from pyspark.sql import Observation
+
+                obs = Observation(f"rows_{node_id}")
+                self._node_outputs[node_id] = out.observe(
+                    obs, F.count(F.lit(1)).alias("rows"))
+                self._observations[node_id] = obs
 
         report.status = "succeeded"
         report.outputs = dict(self._node_outputs)
+        self._fill_observed_rows(report)
         return report
+
+    def _fill_observed_rows(self, report: RunReport) -> None:
+        """Populate log.rows from piggy-backed metrics, zero extra actions.
+
+        ``observe_rows`` attaches an ``Observation`` (an
+        ``AggregatingAccumulator`` riding the node's existing plan) instead
+        of ``count_rows``'s per-node ``count()`` action — at 100 TB an
+        extra full pass per node is the difference between one job and N.
+        Metrics exist only for nodes some sink action actually executed;
+        nodes on never-actioned branches keep ``rows=None`` (the probe
+        raises / returns empty pre-action, which is the signal itself)."""
+        if not self._observations:
+            return
+        by_id = {log.node_id: log for log in report.node_logs}
+        for node_id, obs in self._observations.items():
+            try:
+                jmap = obs._jo.getOrEmpty()
+                if not jmap.isEmpty():
+                    by_id[node_id].rows = jmap.apply("rows")
+            except Exception:
+                pass  # no action reached this node's plan: rows stays None
 
     def _run_with_retry(self, log: NodeLog, node_id: str, node_type: str,
                         config: dict, edges: list[dict]) -> None:
@@ -196,8 +233,6 @@ class PipelineExecutor:
         ("schema": DDL string) or is inferred from one sampled non-null
         value (bounded driver read); parsing itself is the JVM-side
         ``from_json`` on every row."""
-        from pyspark.sql import functions as F
-
         if not inputs:
             raise ExecutionError("split_json node has no inputs")
         df = inputs[0]

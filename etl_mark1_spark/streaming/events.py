@@ -299,3 +299,39 @@ def upsert_sink(stream_df: DataFrame, path: str, key_cols: list[str],
      .trigger(availableNow=True)
      .start()
      .awaitTermination())
+
+
+def correlate_streams(left: DataFrame, right: DataFrame,
+                      key_col: str = "user_id",
+                      within: str = "10 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same key that happen within ``within`` AFTER it —
+    click-to-conversion attribution as a streaming operator.
+
+    Both sides carry watermarks and the join condition bounds the time
+    range, which is what lets Spark evict buffered state: a left row can
+    stop waiting once the right watermark passes its ``ts + within``
+    horizon, so state is proportional to key-rate x window, not stream
+    lifetime. Without the range condition a stream-stream join must
+    buffer forever. Batch parity: the same join on static frames (the
+    test's oracle).
+
+    Returns (key, left event id/ts, right event id/ts, lag seconds); the
+    inner join emits only matched pairs, in append mode.
+    """
+    lw = left.withWatermark("ts", watermark).select(
+        F.col(key_col).alias("k"),
+        F.col("event_id").alias("left_id"), F.col("ts").alias("left_ts"))
+    rw = right.withWatermark("ts", watermark).select(
+        F.col(key_col).alias("rk"),
+        F.col("event_id").alias("right_id"), F.col("ts").alias("right_ts"))
+    cond = ((F.col("k") == F.col("rk"))
+            & (F.col("right_ts") >= F.col("left_ts"))
+            & (F.col("right_ts") <= F.col("left_ts")
+               + F.expr(f"INTERVAL {within}")))
+    return (lw.join(rw, cond)
+            .select(F.col("k").alias(key_col), "left_id", "left_ts",
+                    "right_id", "right_ts",
+                    (F.unix_timestamp("right_ts")
+                     - F.unix_timestamp("left_ts")).alias("lag_s")))

@@ -200,3 +200,34 @@ def test_split_json_explicit_schema_and_errors(spark):
     empty = spark.createDataFrame([], "payload string")
     with pytest.raises(ExecutionError, match="no non-null rows"):
         ex._exec_split_json("sj", {"column": "payload"}, [empty])
+
+
+def test_observe_rows_piggybacks_on_sink_action(spark, sf_dir, tmp_path):
+    """observe_rows must report per-node row counts from the single sink
+    action — no count() jobs — and leave rows=None on nodes no action
+    reached."""
+    out_path = str(tmp_path / "obs.parquet")
+    definition = {
+        "nodes": [
+            {"id": "in", "type": "file_input",
+             "config": {"path": f"{sf_dir}/orders.parquet",
+                        "format": "parquet"}},
+            {"id": "tf", "type": "transform", "config": {"steps": [
+                {"operator": "filter_rows",
+                 "params": {"expression": "o_totalprice > 100000"}}]}},
+            {"id": "out", "type": "file_output",
+             "config": {"path": out_path, "format": "parquet"}},
+            # a dead branch: transforms the input but reaches no sink
+            {"id": "dead", "type": "transform", "config": {"steps": []}},
+        ],
+        "edges": [{"source": "in", "target": "tf"},
+                  {"source": "tf", "target": "out"},
+                  {"source": "in", "target": "dead"}],
+    }
+    report = PipelineExecutor(spark, observe_rows=True).execute(definition)
+    assert report.status == "succeeded"
+    rows = {log.node_id: log.rows for log in report.node_logs}
+    written = spark.read.parquet(out_path).count()
+    assert rows["tf"] == written
+    assert rows["in"] is not None and rows["in"] > written  # pre-filter
+    assert rows["dead"] is None     # no action on that branch

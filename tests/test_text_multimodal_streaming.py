@@ -423,3 +423,49 @@ def test_streaming_upsert_sink_keeps_one_row_per_key(spark, tmp_path):
     second = {r.event_id: r.value
               for r in spark.read.parquet(table).collect()}
     assert second == {1: 1.0, 2: 25.0, 3: 3.0}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """correlate_streams over two file streams must produce exactly the
+    pairs the same interval join yields on static frames."""
+    import os
+
+    from etl_mark1_spark.streaming.events import (correlate_streams,
+                                                  read_events_stream)
+
+    rows_l = [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+              (2, "2024-01-01 10:20:00", 1, "click", 1.0, "{}"),
+              (3, "2024-01-01 10:00:00", 2, "click", 1.0, "{}")]
+    rows_r = [(101, "2024-01-01 10:05:00", 1, "buy", 5.0, "{}"),   # <- 1
+              (102, "2024-01-01 10:25:00", 1, "buy", 5.0, "{}"),   # <- 2
+              (103, "2024-01-01 11:00:00", 2, "buy", 5.0, "{}")]   # too late
+
+    schema = ("event_id long, ts string, user_id long, event_type string, "
+              "value double, props string")
+
+    def stage(name, rows):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        (spark.createDataFrame(rows, schema)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(d))
+        return d
+
+    ldir, rdir = stage("l", rows_l), stage("r", rows_r)
+    joined = correlate_streams(read_events_stream(spark, ldir),
+                               read_events_stream(spark, rdir),
+                               within="10 minutes")
+    sink = str(tmp_path / "out")
+    (joined.writeStream.format("parquet").option("path", sink)
+     .option("checkpointLocation", str(tmp_path / "ck"))
+     .outputMode("append").trigger(availableNow=True)
+     .start().awaitTermination())
+    got = {(r.left_id, r.right_id, r.lag_s)
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, 101, 300), (2, 102, 300)}
+
+    # batch parity: identical join on static frames
+    batch = correlate_streams(spark.read.parquet(ldir),
+                              spark.read.parquet(rdir), within="10 minutes")
+    assert {(r.left_id, r.right_id, r.lag_s)
+            for r in batch.collect()} == got
