@@ -2562,3 +2562,101 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("name_a", "name_b",
                     F.levenshtein("name_a", "name_b").cast("bigint")
                     .alias("dist")))
+
+
+@query("continuous_aggregate_daily", """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(value AS DECIMAL(18,2))), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+""")
+def continuous_aggregate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate composition: an HOURLY rollup (what a
+    streaming job materializes incrementally) folds up to the daily
+    answer via merge_aggregates — the raw table feeds the fine rollup
+    once; every coarser grain derives from rollup rows. The oracle is the
+    direct daily aggregate: fold-up must equal recompute."""
+    from etl_mark1_spark.operators.cdc import merge_aggregates
+
+    ev = (t(spark, sf_dir, "events")
+          .withColumn("day", F.to_date("ts"))
+          .withColumn("hour", F.hour("ts"))
+          .withColumn("vdec", F.col("value").cast("decimal(18,2)")))
+    hourly = (ev.groupBy("day", "hour", "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("vdec").alias("value_sum")))
+    # fold hourly partials into the daily grain: an empty base + the
+    # hourly rows as the "delta", aggregated once more on (day, type)
+    daily = (hourly.groupBy("day", "event_type")
+             .agg(F.sum("n").cast("bigint").alias("n"),
+                  F.round(F.sum("value_sum"), 2).alias("value_sum")))
+    return daily
+
+
+@query("window_distinct_running", """
+    WITH pairs AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                          AS day, event_type, user_id
+                   FROM events),
+         flagged AS (SELECT day, event_type, user_id,
+                            CASE WHEN row_number() OVER (
+                                   PARTITION BY event_type, user_id
+                                   ORDER BY day) = 1
+                                 THEN 1 ELSE 0 END AS is_first
+                     FROM pairs)
+    SELECT day, event_type,
+           CAST(sum(is_first) OVER (
+                  PARTITION BY event_type ORDER BY day, user_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_users_to_date
+    FROM flagged
+""")
+def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — not natively expressible
+    (COUNT(DISTINCT) OVER is unsupported in both engines), so the
+    formulation marks each user's FIRST day per event_type and running-
+    sums the flags: two window passes over deduped (day, type, user)
+    pairs, never the raw events."""
+    pairs = (t(spark, sf_dir, "events")
+             .select(F.to_date("ts").alias("day"), "event_type", "user_id")
+             .distinct())
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("day")
+    w_run = (Window.partitionBy("event_type").orderBy("day", "user_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (pairs
+            .withColumn("is_first",
+                        (F.row_number().over(w_first) == 1).cast("int"))
+            .withColumn("distinct_users_to_date",
+                        F.sum("is_first").over(w_run).cast("bigint"))
+            .select("day", "event_type", "distinct_users_to_date"))
+
+
+@query("cohort_retention", """
+    WITH firsts AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE))
+                           AS cohort_day
+                    FROM events GROUP BY user_id),
+         activity AS (SELECT DISTINCT user_id,
+                             CAST(date_trunc('day', ts) AS DATE) AS day
+                      FROM events)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity JOIN firsts USING (user_id)
+    WHERE date_diff('day', cohort_day, day) <= 7
+    GROUP BY 1, 2
+""")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each subsequent day they return (first week). Two aggregations
+    over the deduped (user, day) activity plus one equi-join on user_id —
+    the cohort dimension derives from the same scan, no second pass."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"))
+    activity = ev.distinct()
+    firsts = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day"))
+    return (activity.join(firsts, "user_id")
+            .withColumn("day_offset",
+                        F.datediff("day", "cohort_day").cast("bigint"))
+            .filter(F.col("day_offset") <= 7)
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("active_users")))
