@@ -2660,3 +2660,44 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("day_offset") <= 7)
             .groupBy("cohort_day", "day_offset")
             .agg(F.count(F.lit(1)).cast("bigint").alias("active_users")))
+
+
+@query("token_repetition", """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(1.0 - count(DISTINCT tok) * 1.0 / count(*), 6) AS rep_ratio
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY doc_id
+""")
+def token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (1 - distinct/total tokens) — the
+    boilerplate/spam signal for corpus quality filtering. One explode +
+    one aggregation with map-side partials; the text column never
+    shuffles, only (doc_id, token)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (toks.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.round(1.0 - F.count_distinct("tok")
+                         / F.count(F.lit(1)), 6).alias("rep_ratio")))
+
+
+@query("cross_corpus_decontam")
+def cross_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup decontamination of the corpus against a 'benchmark' slice
+    (operators/dedup.py:minhash_cross_dedup): every 20th document plays
+    the eval set; any corpus doc near-matching one is flagged with its
+    best match. Rows-only (LSH not SQL-expressible); semantics pinned by
+    tests/test_dedup_similarity.py planted-contamination cases plus the
+    self-match floor (every benchmark doc must flag itself at jaccard 1)."""
+    from etl_mark1_spark.operators.dedup import minhash_cross_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return minhash_cross_dedup(docs, benchmark, threshold=0.8) \
+        .orderBy("doc_id")

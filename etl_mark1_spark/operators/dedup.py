@@ -511,3 +511,67 @@ def embedding_neardup(df: DataFrame, vec_col: str = "embedding",
         .select("src", "dst")
     )
     return _cluster_min_label(df.select(id_col), pairs, id_col)
+
+
+def minhash_cross_dedup(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 48,
+    bands: int = 12,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate DECONTAMINATION: corpus docs that near-match any
+    reference doc (eval suite, held-out set, licensed content). Returns
+    (corpus id, matched reference id, jaccard) — one row per corpus doc,
+    its best match.
+
+    Same machinery as :func:`minhash_dedup` but the bucket join is
+    corpus x reference instead of a self-join, so candidate volume is
+    bounded by shared buckets with the (small) reference side — the
+    reference's buckets broadcast at eval-suite sizes. Complements
+    ngram_contamination (operators/corpus.py): exact n-gram overlap
+    catches verbatim leaks; this catches paraphrased/reformatted ones.
+    """
+    rows_per_band = num_hashes // bands
+
+    def prep(df: DataFrame, label: str) -> tuple[DataFrame, DataFrame]:
+        base = ensure_parallelism(df).select(
+            F.col(id_col).alias(label),
+            char_shingles(F.col(text_col), shingle_k).alias(f"_sh_{label}"))
+        hashed = base.select(
+            label,
+            F.explode(F.transform(F.col(f"_sh_{label}"),
+                                  lambda s: F.xxhash64(s))).alias("_h"))
+        sig = hashed.groupBy(label).agg(*[
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]).select(label, F.array(*[F.col(f"_m{i}")
+                                   for i in range(num_hashes)]).alias("_sig"))
+        buckets = sig.select(label, F.explode(
+            lsh_band_buckets(F.col("_sig"), bands, rows_per_band)
+        ).alias("_bucket"))
+        return base, buckets
+
+    corpus_base, corpus_buckets = prep(corpus, "src")
+    ref_base, ref_buckets = prep(reference, "ref")
+
+    candidates = (corpus_buckets.join(ref_buckets, "_bucket")
+                  .select("src", "ref").dropDuplicates(["src", "ref"]))
+    verified = (candidates
+                .join(corpus_base.select("src", "_sh_src"), "src")
+                .join(ref_base.select("ref", "_sh_ref"), "ref")
+                .select("src", "ref",
+                        jaccard(F.col("_sh_src"), F.col("_sh_ref"))
+                        .alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy("src").orderBy(F.col("jaccard").desc(), F.col("ref"))
+    return (verified.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+            .select(F.col("src").alias(id_col),
+                    F.col("ref").alias("matched_ref"),
+                    F.round("jaccard", 6).alias("jaccard")))

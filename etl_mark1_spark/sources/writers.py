@@ -104,3 +104,32 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
     df.write.mode(mode).format("jdbc").option("url", url).option(
         "dbtable", table
     ).options(**options).save()
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | str,
+    file_format: str = "parquet",
+    **options,
+) -> str:
+    """Idempotent partition backfill: overwrite ONLY the hive partitions
+    present in ``df``, leaving every other partition untouched.
+
+    This is the rerun-safe shape for incremental pipelines: reprocessing
+    one day replaces exactly that day's directory — a plain overwrite
+    would truncate the whole table, append would duplicate the rerun.
+    Implemented with Spark's dynamic partition-overwrite mode, scoped to
+    this write and restored after (session-level INSERT OVERWRITE
+    semantics shouldn't leak to other writers)."""
+    cols = [partition_by] if isinstance(partition_by, str) else partition_by
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (df.write.mode("overwrite").options(**options)
+         .partitionBy(*cols).format(file_format).save(path))
+    finally:
+        spark.conf.set(key, before)
+    return path

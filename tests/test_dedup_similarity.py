@@ -185,3 +185,27 @@ def test_asof_join_equal_ts_and_tolerance(spark):
                               tolerance="2 hours").collect()}
     assert tol["2024-01-01 03:00:00"] == 5.0
     assert tol["2024-01-01 09:00:00"] is None  # stale beyond tolerance
+
+
+def test_minhash_cross_dedup_flags_paraphrased_contamination(spark):
+    from etl_mark1_spark.operators.dedup import minhash_cross_dedup
+
+    bench_text = ("What is the capital of France? Paris is the capital "
+                  "and largest city of France, located on the Seine." * 3)
+    # near-copy: small tail edit; paraphrase-level overlap stays high
+    leaked = bench_text[:-40] + " It has been the capital since 508 AD."
+    clean = ("Completely unrelated text about distributed query engines "
+             "and shuffle partitioning strategies at scale." * 4)
+    corpus = spark.createDataFrame(
+        [(1, leaked), (2, clean), (3, bench_text)],
+        "doc_id long, text string")
+    benchmark = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string")
+
+    got = {r.doc_id: (r.matched_ref, r.jaccard)
+           for r in minhash_cross_dedup(corpus, benchmark,
+                                        threshold=0.7).collect()}
+    assert 3 in got and got[3] == (100, 1.0)    # verbatim copy
+    assert 1 in got and got[1][0] == 100        # near-copy flagged
+    assert got[1][1] >= 0.7
+    assert 2 not in got                         # clean doc untouched

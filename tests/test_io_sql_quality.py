@@ -263,3 +263,29 @@ def test_expectations_pass_and_fail(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # one pass, no self-joins
+
+
+def test_backfill_partitions_overwrites_only_touched(spark, tmp_path):
+    from etl_mark1_spark.sources.writers import backfill_partitions
+
+    path = str(tmp_path / "table")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0)], "day string, id int, v double")
+    backfill_partitions(full, path, "day")
+    assert spark.read.parquet(path).count() == 3
+
+    # rerun day 2 with corrected data: day 1 must be untouched, day 2
+    # replaced (not appended)
+    rerun = spark.createDataFrame(
+        [("2024-01-02", 3, 99.0), ("2024-01-02", 4, 44.0)],
+        "day string, id int, v double")
+    backfill_partitions(rerun, path, "day")
+    # NB: hive partition values read back type-inferred (string -> date)
+    got = {(str(r.day), r.id): r.v
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1): 10.0, ("2024-01-01", 2): 20.0,
+                   ("2024-01-02", 3): 99.0, ("2024-01-02", 4): 44.0}
+    # the conf didn't leak
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static") == "static"
