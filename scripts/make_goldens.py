@@ -28,6 +28,7 @@ GOLDEN_ENTRIES = (
     "multimodal_image_features",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
+    "cross_corpus_decontam",
 )
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
