@@ -95,10 +95,14 @@ def test_aggregate_has_partial_phase(spark, sf_dir):
 
 
 def test_events_scan_is_native_parquet(spark, sf_dir):
-    """The ns-timestamp events table must read through a distributed
-    FileScan (nanosAsLong + JVM-side rebuild), never a driver-side
-    materialization — the scan prunes columns like any parquet read."""
+    """The events table must read through a distributed FileScan, never a
+    driver-side materialization — the scan prunes columns like any parquet
+    read. The fixture's ts precision decides the scan schema: ns-era data
+    takes the nanosAsLong path (ts:bigint + JVM rebuild), µs data the plain
+    native path (ts:timestamp_ntz) — both are correct; driver fixtures have
+    shipped both over time."""
     from etl_mark1_spark.catalog import t as read_table
+    from etl_mark1_spark.sources.readers import _parquet_nanos_fields
 
     df = read_table(spark, sf_dir, "events").select("ts", "event_type")
     plan = executed_plan(df)
@@ -106,7 +110,47 @@ def test_events_scan_is_native_parquet(spark, sf_dir):
     assert "ExistingRDD" not in plan
     assert "LocalTableScan" not in plan
     # pruning: only the two referenced source columns reach the scan
-    assert "ReadSchema: struct<ts:bigint,event_type:string>" in plan
+    if _parquet_nanos_fields(f"{sf_dir}/events.parquet"):
+        assert "ReadSchema: struct<ts:bigint,event_type:string>" in plan
+    else:
+        assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string>" in plan
+
+
+def test_ns_parquet_compat_path(spark, tmp_path):
+    """Regression for the TIMESTAMP(NANOS) compat path now that the shared
+    fixtures are µs: a synthesized ns parquet must (a) be detected, (b) read
+    through a distributed FileScan as bigint + JVM-side rebuild, and (c)
+    rebuild the exact wall-clock values with ns->µs truncation."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_mark1_spark.sources.readers import (
+        _parquet_nanos_fields,
+        read_parquet_compat,
+    )
+
+    path = str(tmp_path / "ns_events.parquet")
+    base = 1_700_000_000_000_000_000  # epoch ns
+    tbl = pa.table({
+        "ts": pa.array([base, base + 1_234_567_891, base + 999],
+                       type=pa.timestamp("ns")),
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+    })
+    pq.write_table(tbl, path, store_schema=False)
+
+    assert _parquet_nanos_fields(path) == ["ts"]
+    df = read_parquet_compat(spark, path)
+    plan = executed_plan(df.select("ts", "k"))
+    assert "Scan parquet" in plan and "ExistingRDD" not in plan
+    assert "ReadSchema: struct<ts:bigint,k:bigint>" in plan
+
+    got = [r.ts for r in df.orderBy("k").collect()]
+    want = [datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(microseconds=ns // 1000)
+            for ns in (base, base + 1_234_567_891, base + 999)]
+    assert got == want
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
