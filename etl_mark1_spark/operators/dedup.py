@@ -35,22 +35,60 @@ from etl_mark1_spark.functions.text import normalized_text
 # --------------------------------------------------------------------------
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Fan a narrow input out to the cluster's parallelism.
+    """Fan a narrow FILE-BACKED input out to the cluster's parallelism.
 
     Compact columnar files arrive in very few partitions (a 5 MB parquet is
     ONE split), which serializes every downstream CPU-heavy stage — shingling
     a corpus on a single core while 31 idle. A cheap round-robin repartition
     before expensive per-row work fixes that; inputs that already have enough
     splits (the 100 TB case) pass through untouched.
+
+    Derived frames (post-join/post-agg — ``inputFiles()`` is empty) pass
+    through untouched: their partitioning reflects upstream shuffles and
+    AQE's coalescing, and a blind round-robin there is a gratuitous
+    full-data shuffle at scale. Callers that KNOW such a frame is narrow
+    (e.g. a tiny in-memory test frame) opt in with ``min_partitions``.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if min_partitions is not None:
+        return df.repartition(min_partitions)
+    files = df.inputFiles()
+    if not files:  # in-memory frame: parallelized at creation, trust it
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
     # df.rdd.getNumPartitions() would answer exactly but forces a full
-    # plan-to-RDD conversion per call; the file count is a free upper-bound
-    # proxy: few source files (or none — an in-memory frame) means few
-    # splits. Many files => enough natural parallelism => pass through.
-    if len(df.inputFiles()) >= target:
+    # plan-to-RDD conversion per call; the file count is a free proxy:
+    # few source files means few splits. Many files => enough natural
+    # parallelism => pass through. NB inputFiles() reports the LEAF scans'
+    # files even for post-join/post-agg frames, so a shuffle check below
+    # keeps derived frames out.
+    if len(files) >= target:
+        return df
+    # A frame whose plan already shuffles (join/agg/window upstream) has
+    # its partitioning set by that shuffle and AQE's coalescing — adding a
+    # round-robin there is a gratuitous full-data shuffle at scale. Only a
+    # shuffle-free narrow scan genuinely inherits the (few) file splits.
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
         return df
     return df.repartition(target)
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the executor storage blocks behind a ``localCheckpoint``'d frame.
+
+    ``localCheckpoint`` truncates lineage, so its blocks cannot be
+    recomputed — only call this once nothing still depends on ``df``. In a
+    long-lived session (the DAG-executor use case) un-released checkpoints
+    are unbounded executor storage growth; every checkpoint this module
+    creates is released as soon as its consumers have run. No-op for frames
+    that are not checkpoint-backed. Best-effort: failure here is storage
+    pressure, never a correctness problem.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -132,7 +170,8 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
                        max_iter: int = 10,
-                       driver_threshold: int = 2_000_000) -> DataFrame:
+                       driver_threshold: int = 2_000_000,
+                       release_after_edges: tuple = ()) -> DataFrame:
     """Connected components: each node labeled with the minimum id of its
     component. ``edges`` has columns (src, dst), undirected.
 
@@ -142,6 +181,11 @@ def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
     Spark jobs with one. Above the threshold, iterative min-label
     propagation runs distributed: O(E) hash joins per round, no driver
     state, which is the 100 TB path.
+
+    ``release_after_edges``: checkpointed frames the EDGE pipeline depends
+    on; their storage blocks are freed the moment the edge list has been
+    materialized (collected or checkpointed), so repeated dedup calls in a
+    long-lived session keep executor storage flat.
     """
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"))).distinct()
@@ -152,61 +196,78 @@ def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
     # triple — the rows ARE the union-find input. Only a genuinely large
     # graph pays for the checkpoint and the distributed loop.
     head = sym.limit(driver_threshold + 1).collect()
-    if len(head) == 0:
-        return ids.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     if len(head) <= driver_threshold:
+        # edge pipeline fully consumed — upstream checkpoints can go now
+        for upstream in release_after_edges:
+            release_checkpoint(upstream)
+        if len(head) == 0:
+            return ids.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
         return _cluster_driver_union_find(ids, head, id_col)
     sym = sym.localCheckpoint()  # candidates/verify lineage ends here
+    for upstream in release_after_edges:
+        release_checkpoint(upstream)
 
     # Iterate only over nodes that have edges — isolated nodes get their own
     # id at the end without ever entering the loop.
     touched = sym.select(F.col("src").alias("node")).distinct()
     labels = touched.select("node", F.col("node").alias("label"))
     converged = False
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src").agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                        ).alias("label"),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.dst == labels.node)
+                .groupBy("src").agg(F.min("label").alias("nmin"))
             )
-        )
-        # Pointer-jump: label <- min(label, label-of-label). Labels are
-        # always node ids, so self-joining the label table halves the
-        # remaining distance to the component minimum each round —
-        # convergence in O(log diameter) rounds instead of O(diameter).
-        hop = new_labels.select(F.col("node").alias("label"),
-                                F.col("label").alias("label2"))
-        new_labels = (
-            new_labels.join(hop, "label", "left")
-            .select(F.col("node"),
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src,
+                            "left")
+                .select(
+                    F.col("node"),
                     F.least(F.col("label"),
-                            F.coalesce(F.col("label2"), F.col("label"))
-                            ).alias("label"))
-        )
-        new_labels = new_labels.localCheckpoint()  # cut lineage per round
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if converged:
-            break
-    if not converged:
-        # Silent split clusters are a correctness bug; with pointer jumping
-        # max_iter=10 covers diameters ~2^10, so hitting this means the
-        # graph is pathological — fail loudly rather than return wrong data.
-        raise RuntimeError(
-            f"min-label propagation did not converge in {max_iter} rounds; "
-            f"raise max_iter (components with diameter > ~2^{max_iter})"
-        )
+                            F.coalesce(F.col("nmin"), F.col("label"))
+                            ).alias("label"),
+                )
+            )
+            # Pointer-jump: label <- min(label, label-of-label). Labels are
+            # always node ids, so self-joining the label table halves the
+            # remaining distance to the component minimum each round —
+            # convergence in O(log diameter) rounds instead of O(diameter).
+            hop = new_labels.select(F.col("node").alias("label"),
+                                    F.col("label").alias("label2"))
+            new_labels = (
+                new_labels.join(hop, "label", "left")
+                .select(F.col("node"),
+                        F.least(F.col("label"),
+                                F.coalesce(F.col("label2"), F.col("label"))
+                                ).alias("label"))
+            )
+            new_labels = new_labels.localCheckpoint()  # cut lineage per round
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .isEmpty()
+            )
+            # the convergence probe was the last reader of the previous
+            # round's checkpoint — free its blocks before the next round
+            release_checkpoint(labels)
+            labels = new_labels
+            if converged:
+                break
+        if not converged:
+            # Silent split clusters are a correctness bug; with pointer
+            # jumping max_iter=10 covers diameters ~2^10, so hitting this
+            # means the graph is pathological — fail loudly rather than
+            # return wrong data.
+            raise RuntimeError(
+                f"min-label propagation did not converge in {max_iter} "
+                f"rounds; raise max_iter (components with diameter > "
+                f"~2^{max_iter})"
+            )
+    finally:
+        # the result depends only on the FINAL labels checkpoint (which
+        # must stay alive for the caller) — the edge list can go
+        release_checkpoint(sym)
     return (
         ids.join(labels, ids[id_col] == labels.node, "left")
         .select(ids[id_col],
@@ -352,7 +413,8 @@ def minhash_dedup(
         .select("src", "dst")
     )
 
-    return _cluster_min_label(df.select(id_col), verified, id_col)
+    return _cluster_min_label(df.select(id_col), verified, id_col,
+                              release_after_edges=(sig_arr,))
 
 
 # --------------------------------------------------------------------------

@@ -209,3 +209,59 @@ def test_minhash_cross_dedup_flags_paraphrased_contamination(spark):
     assert 1 in got and got[1][0] == 100        # near-copy flagged
     assert got[1][1] >= 0.7
     assert 2 not in got                         # clean doc untouched
+
+
+def test_ensure_parallelism_passes_derived_frames_through(spark, sf_dir):
+    """A post-shuffle frame must NOT get a blind round-robin repartition —
+    its partitioning reflects upstream shuffles/AQE, and at scale the extra
+    Exchange is a gratuitous full-data shuffle (the 100 TB entry path)."""
+    from etl_mark1_spark.operators.dedup import ensure_parallelism
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    derived = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    assert ensure_parallelism(derived) is derived
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert ensure_parallelism(joined) is joined
+    # explicit hint still fans an in-memory frame out
+    hinted = ensure_parallelism(derived, min_partitions=4)
+    assert "RoundRobinPartitioning" in \
+        hinted._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ensure_parallelism_fans_out_narrow_file_scan(spark, sf_dir):
+    """A single-file parquet (one split) must still fan out so per-row
+    CPU-heavy stages use the whole cluster."""
+    from etl_mark1_spark.operators.dedup import ensure_parallelism
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(docs.inputFiles()) < spark.sparkContext.defaultParallelism
+    out = ensure_parallelism(docs)
+    assert out is not docs
+    assert "RoundRobinPartitioning" in \
+        out._jdf.queryExecution().executedPlan().toString()
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_release_checkpoint_frees_storage(spark):
+    from etl_mark1_spark.operators.dedup import release_checkpoint
+
+    before = _persistent_rdd_count(spark)
+    ck = spark.range(100).localCheckpoint()
+    assert _persistent_rdd_count(spark) == before + 1
+    assert ck.count() == 100
+    release_checkpoint(ck)
+    assert _persistent_rdd_count(spark) == before
+    # non-checkpointed frames are a safe no-op
+    release_checkpoint(spark.range(5))
+
+
+def test_minhash_dedup_leaves_storage_flat(docs, spark):
+    """Repeated dedup calls in a long-lived session (the DAG-executor use
+    case) must not accumulate checkpoint blocks."""
+    before = _persistent_rdd_count(spark)
+    for _ in range(2):
+        minhash_dedup(docs, threshold=0.6).collect()
+    assert _persistent_rdd_count(spark) == before
