@@ -12,19 +12,26 @@ multi-second variance, once a session has executed many plans). One-time
 compilation amortizes to zero at the 100 TB design point, so steady-state
 is the number that predicts cluster behavior. Set SPARK_GRAFT_NO_WARMUP=1
 for single-run cold numbers.
+
+ISOLATION: each query runs in its OWN subprocess (fresh JVM + session).
+Sharing one session across ~20 plans was measured to pollute later
+entries — accumulated code-cache/C2 churn and storage blocks inflated
+recorded times up to 7x over a fresh-session run of the same query
+(round-2 artifact: minhash 36.4 s shared vs 5.1 s isolated). Per-query
+JVM startup costs wall-clock but never lands in the timings, and the
+numbers become reproducible run-over-run. Set SPARK_GRAFT_SHARED_SESSION=1
+to get the old one-session behavior for quick local iteration.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from etl_mark1_spark import get_spark
-from etl_mark1_spark.catalog import QUERIES
 
 #: Headline set: scan+agg, multi-join, window, events, dedup (exact + LSH),
 #: similarity, text scoring, streaming, selective-filter agg, big-group
@@ -53,37 +60,76 @@ HEADLINE = [
     "hll_rollup_merge",
     "upsert_orders",
     "zorder_values",
+    # round-3 addition: checkpointed streaming restart drain at bench scale
+    "streaming_restart_drain",
 ]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
+    from etl_mark1_spark.catalog import QUERIES
+
     started = time.monotonic()
     df = QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.monotonic() - started
 
 
+def time_in_session(spark, name: str, sf_dir: str) -> float:
+    if not os.environ.get("SPARK_GRAFT_NO_WARMUP"):
+        run_query(spark, name, sf_dir)  # compile pass; steady-state is timed
+    return round(run_query(spark, name, sf_dir), 3)
+
+
+def child_main(name: str, sf_dir: str) -> None:
+    """One query in a fresh session; prints a single JSON line to stdout."""
+    from etl_mark1_spark import get_spark
+
+    spark = get_spark(app_name=f"bench-{name}", driver_memory="24g")
+    spark.range(1).count()  # absorb JVM startup outside the timings
+    print(json.dumps({"query": name, "sec": time_in_session(spark, name, sf_dir)}))
+    spark.stop()
+
+
+def time_isolated(name: str, sf_dir: str) -> float | None:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", name],
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)["sec"]
+        except (json.JSONDecodeError, KeyError):
+            continue
+    sys.stderr.write(f"bench error in {name}:\n{proc.stderr[-2000:]}\n")
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        child_main(sys.argv[2], sf_dir)
+        return
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    # code-cache sizing for this generated-code-heavy workload lives in
-    # get_spark's defaults (session.py)
-    spark = get_spark(app_name="bench", driver_memory="24g")
+    timings: dict[str, float | None] = {}
+    if os.environ.get("SPARK_GRAFT_SHARED_SESSION"):
+        from etl_mark1_spark import get_spark
 
-    # one tiny action to absorb JVM startup outside the timings
-    spark.range(1).count()
-
-    do_warmup = not os.environ.get("SPARK_GRAFT_NO_WARMUP")
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        try:
-            if do_warmup:  # first run compiles; the timed run is steady-state
-                run_query(spark, name, sf_dir)
-            timings[name] = round(run_query(spark, name, sf_dir), 3)
-        except Exception as exc:  # a broken query shows as null, not a crash
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
-            timings[name] = None
+        # code-cache sizing for this generated-code-heavy workload lives in
+        # get_spark's defaults (session.py)
+        spark = get_spark(app_name="bench", driver_memory="24g")
+        spark.range(1).count()
+        for name in HEADLINE:
+            try:
+                timings[name] = time_in_session(spark, name, sf_dir)
+            except Exception as exc:  # broken query shows as null, not a crash
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+                timings[name] = None
+        spark.stop()
+    else:
+        for name in HEADLINE:
+            timings[name] = time_isolated(name, sf_dir)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(json.dumps({
@@ -93,7 +139,6 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

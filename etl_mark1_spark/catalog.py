@@ -492,6 +492,24 @@ ORACLE["streaming_hourly"] = """
 """
 
 
+@query("streaming_restart_drain")
+def streaming_restart_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed restart at data scale: events arrive as two time-ordered
+    file batches; the second AvailableNow drain resumes from the first's
+    checkpoint and merges new files into restored state. Equal to the batch
+    hourly aggregate over all events — the oracle."""
+    from etl_mark1_spark.streaming.events import restart_drain
+
+    return restart_drain(spark, f"{sf_dir}/events.parquet")
+
+
+ORACLE["streaming_restart_drain"] = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+"""
+
+
 @query("streaming_dedup", """
     SELECT DISTINCT event_id FROM events
 """)

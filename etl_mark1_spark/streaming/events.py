@@ -93,6 +93,79 @@ def read_events_stream(spark: SparkSession, path: str,
     return df
 
 
+def staged_time_halves(spark: SparkSession, events_path: str) -> list[str]:
+    """Materialize an events parquet as two TIME-ordered halves (first/second
+    half of the ts range) under a cached temp dir, for restart-drain tests
+    and benches: a checkpointed stream drains half 0, then resumes and
+    drains half 1 as newly-arrived files.
+
+    Time-ordered (not id-hashed) halves matter: the second drain's rows are
+    all >= the restored watermark, so none are dropped as late and the one
+    window straddling the split merges from restored state — the drained
+    total must equal the batch aggregate exactly. Cached by (path, mtime),
+    built atomically (tmp dir + rename) so concurrent callers share it.
+    """
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    real = os.path.realpath(events_path)
+    key = hashlib.md5(
+        f"{real}:{os.stat(real).st_mtime_ns}".encode()).hexdigest()[:16]
+    stage = os.path.join(tempfile.gettempdir(), f"etl_mark1_evhalves_{key}")
+    halves = [os.path.join(stage, "half0"), os.path.join(stage, "half1")]
+    if not os.path.isdir(stage):
+        from etl_mark1_spark.sources.readers import read_parquet_compat
+
+        events = read_parquet_compat(spark, events_path).withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        build = f"{stage}.build_{uuid.uuid4().hex[:8]}"
+        events.filter(F.col("ts") < F.lit(mid)) \
+            .write.parquet(os.path.join(build, "half0"))
+        events.filter(F.col("ts") >= F.lit(mid)) \
+            .write.parquet(os.path.join(build, "half1"))
+        try:
+            os.rename(build, stage)
+        except OSError:  # concurrent builder won; use theirs
+            shutil.rmtree(build, ignore_errors=True)
+    return halves
+
+
+def restart_drain(spark: SparkSession, events_path: str,
+                  table_name: str = "stream_restart_out") -> DataFrame:
+    """Two-phase checkpointed AvailableNow drain: the events table arrives
+    as two file batches; drain 1 aggregates the first, drain 2 resumes from
+    the SAME checkpoint, sees only the new file, and merges into restored
+    state. The complete-mode result after drain 2 equals the batch hourly
+    aggregate over ALL events — which is exactly how the oracle checks it.
+    This is the streaming save/restore path at data scale, not fixture
+    scale: state size and restore cost ride the bench round-over-round.
+    """
+    halves = staged_time_halves(spark, events_path)
+    work = tempfile.mkdtemp(prefix="etl_mark1_restart_")
+    srcdir = os.path.join(work, "src")
+    os.makedirs(srcdir)
+    ckpt = os.path.join(work, "ckpt")
+
+    def arrive(half_dir: str) -> None:
+        tag = os.path.basename(half_dir)
+        for fname in os.listdir(half_dir):
+            if fname.endswith(".parquet"):
+                os.symlink(os.path.join(half_dir, fname),
+                           os.path.join(srcdir, f"{tag}_{fname}"))
+
+    out = None
+    for half in halves:
+        arrive(half)
+        agg = hourly_event_aggregate(read_events_stream(spark, srcdir))
+        out = run_available_now(agg, table_name=table_name,
+                                output_mode="complete", checkpoint=ckpt)
+    return out
+
+
 def hourly_event_aggregate(events: DataFrame, watermark: str = "1 hour",
                            slide: str | None = None) -> DataFrame:
     """Tumbling (or sliding, if ``slide`` given) 1-hour event-time windows:
