@@ -60,6 +60,21 @@ def row_set(columns: list[str], rows: list[tuple]) -> list[str]:
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+#: Sketch entries whose estimates cannot hash-match an exact answer (DuckDB
+#: uses a different HLL implementation): checked against the exact
+#: COUNT(DISTINCT) within the sketch's own error bound instead of
+#: rows-only. lgK=12 -> relative standard error ~1.6%; the band is 4 sigma.
+_EXACT_DISTINCT_USERS = """
+    SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1
+"""
+APPROX_ORACLES = {
+    "approx_distinct_users":
+        (_EXACT_DISTINCT_USERS, "event_type", "approx_distinct", 0.065),
+    "hll_rollup_merge":
+        (_EXACT_DISTINCT_USERS, "event_type", "approx_distinct", 0.065),
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -89,6 +104,30 @@ def main() -> int:
             failures.append(name)
             continue
         elapsed = time.monotonic() - started
+
+        if name in APPROX_ORACLES:
+            exact_sql, key_col, est_col, rel_tol = APPROX_ORACLES[name]
+            exact = dict(con.execute(exact_sql).fetchall())
+            got = {r[key_col]: r[est_col] for r in
+                   (dict(zip(scols, row)) for row in srows)}
+            bad = []
+            if set(got) != set(exact):
+                bad.append(f"groups {sorted(got)} != {sorted(exact)}")
+            for g, n in exact.items():
+                est = got.get(g, 0)
+                if abs(est - n) > max(2, rel_tol * n):
+                    bad.append(f"{g}: est {est} vs exact {n} "
+                               f"(tol {rel_tol:.1%})")
+            if bad:
+                print(f"FAIL  {name}: {'; '.join(bad)}")
+                failures.append(name)
+            else:
+                worst = max((abs(got[g] - n) / n for g, n in exact.items()
+                             if n), default=0.0)
+                print(f"PASS  {name}: within {rel_tol:.1%} of exact "
+                      f"COUNT(DISTINCT) (worst err {worst:.2%}, "
+                      f"{len(srows)} rows, {elapsed:.1f}s)")
+            continue
 
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows, "
