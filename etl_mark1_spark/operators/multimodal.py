@@ -114,13 +114,18 @@ def decode_image_bytes(payload: bytes):
     mean_pixel, phash) where phash is a genuine 64-bit average-hash
     (8x8 block-sampled grayscale thresholded at its mean).
 
-    BMP (24-bit) and binary PPM/PGM parse with numpy alone; other formats
-    fall through to PIL when installed, else raise NotImplementedError
-    naming the format — the wiring point for jpeg/png in containers that
-    ship an image library."""
+    BMP (24-bit) and binary PPM/PGM parse with numpy alone; baseline JPEG
+    decodes through the vendored pure-Python codec (operators/jpeg.py) —
+    no image library needed for the dominant real-world format. Remaining
+    formats (png, progressive jpeg, ...) fall through to PIL when
+    installed, else raise NotImplementedError naming the format."""
     import numpy as np
 
-    if payload[:2] == b"BM":
+    if payload[:2] == b"\xff\xd8":
+        from etl_mark1_spark.operators.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)  # (h, w, 3) RGB or (h, w) grayscale
+    elif payload[:2] == b"BM":
         w = int.from_bytes(payload[18:22], "little")
         h = int.from_bytes(payload[22:26], "little")
         bpp = int.from_bytes(payload[28:30], "little")
@@ -211,6 +216,56 @@ def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     flat = df.select(id_col).mapInPandas(gen, schema=out_schema)
     meta = F.struct(
         F.lit("image").alias("modality"), F.lit("bmp").alias("format"),
+        F.col("width"), F.col("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("channels"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    return flat.withColumn("media_meta", meta).drop("width", "height")
+
+
+def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL baseline JPEG per row (id-seeded gradient via the
+    vendored encoder) — executor-side in mapInPandas like attach_bmp_media.
+    Ids cycle through plain 4:4:4, 4:2:0 subsampled, and restart-marker
+    variants so the full decoder surface stays exercised at corpus scale."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_mark1_spark.operators.jpeg import make_jpeg
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + i % 16, 16 + (i // 2) % 16
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                r = np.broadcast_to(x * 255 // max(w - 1, 1), (h, w))
+                g = np.broadcast_to((y * 255 // max(h - 1, 1))[:, None],
+                                    (h, w))
+                b = np.full((h, w), i % 256, dtype=np.int64)
+                px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                variant = i % 3
+                blob = make_jpeg(
+                    px, quality=95,
+                    subsample=(variant == 1),
+                    restart_interval=2 if variant == 2 else 0)
+                rows.append((i, blob, w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "content",
+                                              "width", "height"])
+
+    flat = df.select(id_col).mapInPandas(gen, schema=out_schema)
+    meta = F.struct(
+        F.lit("image").alias("modality"), F.lit("jpeg").alias("format"),
         F.col("width"), F.col("height"),
         F.lit(None).cast("int").alias("sample_rate"),
         F.lit(None).cast("int").alias("channels"),

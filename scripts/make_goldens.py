@@ -27,6 +27,7 @@ GOLDEN_ENTRIES = (
     "ann_ivf_topk",
     "multimodal_image_features",
     "multimodal_bmp_decode",
+    "multimodal_jpeg_decode",
     "multimodal_wav_decode",
     "cross_corpus_decontam",
 )

@@ -469,3 +469,87 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
                               spark.read.parquet(rdir), within="10 minutes")
     assert {(r.left_id, r.right_id, r.lag_s)
             for r in batch.collect()} == got
+
+
+def test_jpeg_roundtrip_all_variants():
+    """The vendored baseline codec must round-trip a smooth image near-
+    losslessly at q100 across 4:4:4, 4:2:0, and restart-marker encodings
+    (chroma subsampling is lossy by construction, so its band is wider)."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    h, w = 24, 37
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    img = np.stack([np.tile(x, (h, 1)), np.tile(y[:, None], (1, w)),
+                    np.full((h, w), 90.0)], -1).astype(np.uint8)
+    for kwargs, tol in [
+        (dict(quality=100), 2),
+        (dict(quality=100, restart_interval=2), 2),
+        (dict(quality=100, subsample=True), 12),
+        (dict(quality=90, subsample=True, restart_interval=3), 20),
+    ]:
+        dec = decode_jpeg(make_jpeg(img, **kwargs))
+        assert dec.shape == img.shape, kwargs
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert err <= tol, (kwargs, err)
+
+    gray = np.tile(np.linspace(0, 255, 33, dtype=np.uint8), (17, 1))
+    dec = decode_jpeg(make_jpeg(gray, quality=100))
+    assert dec.shape == gray.shape
+    assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 2
+
+    # q100 keeps even noise within quantization-rounding distance
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    dec = decode_jpeg(make_jpeg(noise, quality=100))
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_progressive_and_non_jpeg():
+    import pytest as _pytest
+
+    from etl_mark1_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n")
+    # flip the SOF0 marker to SOF2 (progressive): must refuse loudly
+    import numpy as np
+
+    blob = bytearray(make_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    idx = bytes(blob).find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_decode_via_image_bytes_dispatch():
+    """decode_image_bytes must route JPEG payloads through the vendored
+    codec: true dimensions and a gradient-consistent mean, no PIL."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import make_jpeg
+    from etl_mark1_spark.operators.multimodal import decode_image_bytes
+
+    img = np.tile(np.linspace(0, 255, 32, dtype=np.uint8), (20, 1))
+    img = np.stack([img, img, img], axis=-1)
+    w, h, mean, phash = decode_image_bytes(make_jpeg(img, quality=100))
+    assert (w, h) == (32, 20)
+    assert abs(mean - float(img.mean())) < 1.0
+    assert len(phash) == 16
+
+
+def test_jpeg_decode_distributed(spark):
+    """End-to-end through mapInPandas on executors: every synthesized JPEG
+    (all three encoder variants) decodes to its true dimensions."""
+    from etl_mark1_spark.operators.multimodal import (attach_jpeg_media,
+                                                      decode_images)
+
+    ids = spark.range(30).select(F.col("id").alias("doc_id"))
+    out = decode_images(attach_jpeg_media(ids), codec="real").collect()
+    assert len(out) == 30
+    for r in out:
+        assert r.width == 16 + r.doc_id % 16
+        assert r.height == 16 + (r.doc_id // 2) % 16
+        assert 0.0 < r.mean_pixel < 255.0
