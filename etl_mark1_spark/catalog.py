@@ -1026,6 +1026,57 @@ def pack_sequences_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                           shard_col="lang")
 
 
+@query("chunk_documents_overlap", """
+    SELECT d.doc_id,
+           s.k AS chunk_id,
+           s.k * 320 AS chunk_start,
+           substring(d.text, CAST(s.k * 320 + 1 AS INTEGER), 400)
+               AS chunk_text
+    FROM documents d
+    JOIN (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k
+          FROM documents) AS s
+      ON s.k <= (greatest(length(d.text) - 80, 1) - 1) // 320
+    WHERE d.text IS NOT NULL
+""")
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 400-char chunks with 80-char overlap (stride 320) —
+    retrieval/training chunking as a pure flat-map (no shuffle, no
+    Python; chunk ids are functions of the row, so backfills reproduce
+    them). Oracle: the same integer arithmetic via generate_series."""
+    from etl_mark1_spark.operators.corpus import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=400, overlap=80)
+
+
+@query("rebalance_mixture_sources", """
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    with_p AS (
+        SELECT source, n, 1.0 / count(*) OVER () AS p FROM counts
+    ),
+    probs AS (
+        SELECT source, min(n / p) OVER () * p / n AS keep FROM with_p
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN probs pr ON d.source = pr.source
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < pr.keep
+""")
+def rebalance_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: every source deterministically
+    downsampled toward the smallest one (uniform targets). Stratum stats
+    are a tiny aggregate, probabilities broadcast back, membership is the
+    md5-of-id filter — identical row set in any engine, which is exactly
+    what the oracle checks."""
+    from etl_mark1_spark.operators.corpus import rebalance_mixture
+
+    docs = t(spark, sf_dir, "documents")
+    return rebalance_mixture(docs, strata_col="source") \
+        .select("doc_id", "source")
+
+
 @query("curation_pipeline", """
     WITH kept AS (
         SELECT doc_id, text FROM documents
@@ -2717,6 +2768,96 @@ def token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
                  F.round(1.0 - F.count_distinct("tok")
                          / F.count(F.lit(1)), 6).alias("rep_ratio")))
+
+
+@query("text_char_entropy", """
+    WITH chars AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
+        FROM documents WHERE length(text) > 0
+    ),
+    freq AS (
+        SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        FROM chars GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY 1)
+    SELECT f.doc_id,
+           round(-sum((c / n) * ln(c / n)), 6) AS char_entropy
+    FROM freq f JOIN tot USING (doc_id)
+    GROUP BY f.doc_id
+""")
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy as a perplexity proxy for quality
+    filtering (functions/text.py:char_entropy_stats): explode -> partial-
+    aggregated (doc, char) counts -> per-doc fold; the shuffle is bounded
+    by alphabet size per doc. Must agree with the oracle's SQL formulation
+    to 6 decimals."""
+    from etl_mark1_spark.functions.text import char_entropy_stats
+
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return char_entropy_stats(docs)
+
+
+@query("unigram_lm_score", """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+    counts AS (SELECT tok, count(*) AS c FROM toks2 GROUP BY tok),
+    stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+    probs AS (SELECT tok, (c + 1) * 1.0 / (n + v) AS p FROM counts, stats)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(p)), 6) AS avg_logprob
+    FROM toks2 t JOIN probs USING (tok)
+    GROUP BY t.doc_id
+""")
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average token log-probability under a corpus-trained smoothed
+    unigram LM (operators/corpus.py:unigram_logprob_score) — the cheap
+    perplexity quality scorer. Vocabulary counts broadcast back onto the
+    token stream; the corpus shuffles once as (doc, token)."""
+    from etl_mark1_spark.operators.corpus import unigram_logprob_score
+
+    return unigram_logprob_score(t(spark, sf_dir, "documents"))
+
+
+@query("psi_drift_chars", """
+    WITH a AS (
+        SELECT floor(n_chars / 50.0) AS bin, CAST(count(*) AS DOUBLE) AS ca
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+        SELECT floor(n_chars / 50.0) AS bin, CAST(count(*) AS DOUBLE) AS cb
+        FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+    ),
+    j AS (
+        SELECT coalesce(a.ca, 0.0) AS ca, coalesce(b.cb, 0.0) AS cb
+        FROM a FULL OUTER JOIN b ON a.bin = b.bin
+    ),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS k FROM j),
+    p AS (
+        SELECT (ca + 0.5) / (na + 0.5 * k) AS pa,
+               (cb + 0.5) / (nb + 0.5 * k) AS pb,
+               na, nb, k
+        FROM j, t
+    )
+    SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           CAST(max(k) AS BIGINT) AS n_bins,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b
+    FROM p
+""")
+def psi_drift_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus slices' length
+    distributions (plans/quality.py:psi_drift): even vs odd doc ids, 50-
+    char bins. Everything after the first aggregation is bin-cardinality
+    sized — the drift monitor a pipeline run can afford every time."""
+    from etl_mark1_spark.plans.quality import psi_drift
+
+    docs = t(spark, sf_dir, "documents")
+    return psi_drift(docs.filter(F.col("doc_id") % 2 == 0),
+                     docs.filter(F.col("doc_id") % 2 == 1),
+                     "n_chars", 50.0)
 
 
 @query("cross_corpus_decontam")

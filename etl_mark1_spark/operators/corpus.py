@@ -215,6 +215,116 @@ def weighted_sample(df: DataFrame, weight: Column,
     return df.filter(md5_uniform(F.col(id_col)) < p)
 
 
+def chunk_documents(df: DataFrame, chunk_chars: int = 400,
+                    overlap: int = 80, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping character windows — the standard
+    retrieval/training chunking step (context-length-bounded pieces with
+    ``overlap`` chars of continuity at each boundary).
+
+    One row per (doc, chunk): id, 0-based chunk_id, start offset, and the
+    chunk text. Pure explode of a generated offset sequence — map-side,
+    no shuffle, no Python; chunk membership is a function of the row, so
+    re-runs and backfills produce identical chunk ids. At 100 TB this is
+    the shape that matters: chunking is a flat-map, and anything stateful
+    (a window over the corpus) would shuffle the whole text volume.
+    """
+    if chunk_chars <= overlap:
+        raise ValueError("chunk_chars must exceed overlap")
+    step = chunk_chars - overlap
+    text = F.col(text_col)
+    # n_chunks = ((max(len - overlap, 1) - 1) div step) + 1; integer math
+    # only, so the DuckDB oracle can reproduce it bit-for-bit
+    last_k = F.expr(
+        f"(greatest(length({text_col}) - {overlap}, 1) - 1) div {step}")
+    k = F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             last_k.cast("bigint"))).alias("chunk_id")
+    return (
+        df.filter(text.isNotNull())
+        .select(F.col(id_col), text, k)
+        .select(
+            id_col,
+            F.col("chunk_id"),
+            (F.col("chunk_id") * step).alias("chunk_start"),
+            text.substr(
+                (F.col("chunk_id") * step + 1).cast("int"),
+                F.lit(chunk_chars)).alias("chunk_text"),
+        )
+    )
+
+
+def rebalance_mixture(df: DataFrame, strata_col: str = "source",
+                      targets: dict[str, float] | None = None,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministically downsample strata to a target mixture — the
+    training-data rebalancing step (e.g. cap web-crawl at 50%, keep all of
+    the small curated sources).
+
+    With ``targets`` = {stratum: proportion}, the kept corpus approaches
+    the largest total consistent with never UPSAMPLING any stratum:
+    c = min_s(n_s / p_s), keep_prob_s = c * p_s / n_s. ``targets=None``
+    means uniform — every stratum downsampled toward the smallest one.
+    Membership is the md5-of-id filter (map-side, re-run stable); kept
+    sizes are binomial around the target, not exact counts — exactness
+    would need a per-stratum rank window over the full corpus.
+
+    Shape at scale: stratum statistics are a tiny aggregate (one shuffle
+    of stratum cardinality rows), the probabilities broadcast back, and
+    the sample itself is a pure filter.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy()
+    if targets is None:
+        with_p = counts.withColumn(
+            "_p", F.lit(1.0) / F.count(F.lit(1)).over(w))
+    else:
+        spark = df.sparkSession
+        tgt = spark.createDataFrame(
+            [(k, float(v)) for k, v in targets.items()],
+            [strata_col, "_p"])
+        with_p = counts.join(F.broadcast(tgt), strata_col)
+    probs = with_p.withColumn(
+        "_keep",
+        F.min(F.col("_n") / F.col("_p")).over(w) * F.col("_p") / F.col("_n"))
+    return (
+        df.join(F.broadcast(probs.select(strata_col, "_keep")), strata_col)
+        .filter(md5_uniform(F.col(id_col)) < F.col("_keep"))
+        .drop("_keep")
+    )
+
+
+def unigram_logprob_score(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document average token log-probability under a corpus-trained
+    add-one-smoothed unigram LM — the classic cheap perplexity scorer for
+    quality filtering (docs full of rare/garbage tokens score low, plain
+    prose scores high). Returns (id, n_tokens, avg_logprob).
+
+    Shape at scale: one exploded token scan -> vocabulary counts (map-side
+    partials, vocabulary-sized result) -> probabilities BROADCAST back onto
+    the token stream -> per-doc average. The corpus text shuffles as
+    (doc_id, token) once; the model itself is a broadcast table. A
+    bigram/KenLM upgrade keeps the same join shape with gram keys.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    stats = counts.agg(F.sum("_c").alias("_n"),
+                       F.count(F.lit(1)).alias("_v"))
+    probs = counts.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        ((F.col("_c") + 1).cast("double")
+         / (F.col("_n") + F.col("_v")).cast("double")).alias("_p"))
+    return (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+             F.round(F.avg(F.log("_p")), 6).alias("avg_logprob"))
+    )
+
+
 # -- step-DSL integration ---------------------------------------------------
 # The corpus operators double as step operators, so the reference-style
 # pipeline surface ({"operator": ..., "params": ...}) can run a curation
@@ -243,6 +353,19 @@ def _register_steps() -> None:
         lambda df, p: pack_sequences(
             df, int(p["budget"]), size_col=p.get("size_column", "n_tokens"),
             shard_col=p.get("shard_column"),
+            id_col=p.get("id_column", "doc_id")))
+    register_operator(
+        "chunk_documents",
+        lambda df, p: chunk_documents(
+            df, chunk_chars=int(p.get("chunk_chars", 400)),
+            overlap=int(p.get("overlap", 80)),
+            text_col=p.get("column", "text"),
+            id_col=p.get("id_column", "doc_id")))
+    register_operator(
+        "rebalance_mixture",
+        lambda df, p: rebalance_mixture(
+            df, strata_col=p.get("strata_column", "source"),
+            targets=p.get("targets"),
             id_col=p.get("id_column", "doc_id")))
 
 

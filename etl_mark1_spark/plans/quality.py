@@ -115,3 +115,47 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     stacked = wide.select(F.explode(F.array(
         *[F.col(f"_r{i}") for i in range(len(aggs))])).alias("r"))
     return stacked.select("r.rule", "r.passed", "r.actual")
+
+
+def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
+              bin_width: float, smoothing: float = 0.5) -> DataFrame:
+    """Population Stability Index between two slices of a numeric column —
+    the standard drift monitor between a reference window and a current
+    window (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    Each side bins to ``floor(value / bin_width)``, proportions are
+    add-``smoothing`` smoothed over the union of observed bins, and
+    PSI = sum((p_a - p_b) * ln(p_a / p_b)). Returns one row:
+    (psi, n_bins, n_a, n_b).
+
+    Shape at scale: each side is one map-side binning + a bin-cardinality
+    aggregate; the join is bin-count-sized. Nothing about the raw rows
+    survives the first aggregation, so the monitor runs cheaply per
+    pipeline run (plans/dag.py validation nodes can gate on it).
+    """
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        return (df.select(
+            F.floor(F.col(value_col) / F.lit(bin_width)).alias("_bin"))
+            .groupBy("_bin")
+            .agg(F.count(F.lit(1)).cast("double").alias(f"_c_{side}")))
+
+    a, b = binned(df_a, "a"), binned(df_b, "b")
+    joined = a.join(b, "_bin", "full_outer").select(
+        "_bin",
+        F.coalesce("_c_a", F.lit(0.0)).alias("_c_a"),
+        F.coalesce("_c_b", F.lit(0.0)).alias("_c_b"))
+    tot = joined.agg(F.sum("_c_a").alias("_n_a"),
+                     F.sum("_c_b").alias("_n_b"),
+                     F.count(F.lit(1)).alias("_k"))
+    with_p = joined.crossJoin(F.broadcast(tot)).select(
+        ((F.col("_c_a") + F.lit(smoothing))
+         / (F.col("_n_a") + F.lit(smoothing) * F.col("_k"))).alias("_p_a"),
+        ((F.col("_c_b") + F.lit(smoothing))
+         / (F.col("_n_b") + F.lit(smoothing) * F.col("_k"))).alias("_p_b"),
+        "_n_a", "_n_b", "_k")
+    return with_p.groupBy().agg(
+        F.round(F.sum((F.col("_p_a") - F.col("_p_b"))
+                      * F.log(F.col("_p_a") / F.col("_p_b"))), 6).alias("psi"),
+        F.max("_k").cast("bigint").alias("n_bins"),
+        F.max("_n_a").cast("bigint").alias("n_a"),
+        F.max("_n_b").cast("bigint").alias("n_b"))

@@ -187,3 +187,112 @@ def test_corpus_steps_available_in_dsl(spark):
     rows = out.collect()
     assert all("<EMAIL>" in r.clean_text for r in rows)
     assert {r.split for r in rows} == {"train", "test"}
+
+
+def test_chunk_documents_covers_text_with_overlap(spark):
+    from etl_mark1_spark.operators.corpus import chunk_documents
+
+    rows = [(1, "a" * 1000), (2, "b" * 400), (3, "c" * 401),
+            (4, "short"), (5, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_chars=400, overlap=80)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # stride = 320: 1000 chars -> chunks at 0/320/640 (ceil(920/320)=3)
+    assert [c.chunk_start for c in sorted(by_doc[1],
+                                          key=lambda c: c.chunk_id)] \
+        == [0, 320, 640]
+    # consecutive chunks share exactly `overlap` characters
+    c0, c1, c2 = sorted(by_doc[1], key=lambda c: c.chunk_id)
+    assert c0.chunk_text[-80:] == c1.chunk_text[:80]
+    assert len(c0.chunk_text) == 400
+    # reassembling strides reproduces the document
+    assert c0.chunk_text + c1.chunk_text[80:] + c2.chunk_text[80:] \
+        == "a" * 1000
+    # exactly-chunk-sized and one-past documents
+    assert [c.chunk_start for c in by_doc[2]] == [0]
+    assert sorted(c.chunk_start for c in by_doc[3]) == [0, 320]
+    # short and empty docs still yield one (possibly short/empty) chunk
+    assert by_doc[4][0].chunk_text == "short"
+    assert by_doc[5][0].chunk_text == ""
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from etl_mark1_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_chars=80, overlap=80)
+
+
+def test_rebalance_mixture_uniform_caps_at_smallest(spark):
+    """Uniform targets: every stratum downsamples toward the smallest
+    one; the smallest stratum keeps (essentially) everything."""
+    from etl_mark1_spark.operators.corpus import rebalance_mixture
+
+    rows = [(i, "big") for i in range(400)] \
+        + [(1000 + i, "mid") for i in range(100)] \
+        + [(2000 + i, "small") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = rebalance_mixture(df, strata_col="source")
+    kept = {s: 0 for s in ("big", "mid", "small")}
+    for r in out.collect():
+        kept[r.source] += 1
+    assert kept["small"] >= 45            # keep_prob 1.0 modulo md5 ties
+    # binomial around 50 with n=400,p=.125 and n=100,p=.5
+    assert 25 <= kept["big"] <= 75
+    assert 30 <= kept["mid"] <= 70
+    # determinism: identical row set on re-run
+    again = {r.doc_id for r in
+             rebalance_mixture(df, strata_col="source").collect()}
+    assert again == {r.doc_id for r in out.collect()}
+
+
+def test_rebalance_mixture_explicit_targets(spark):
+    """targets={a:.8, b:.2} with equal input sizes must keep ~4x more of
+    a than b, and never upsample: c = min(n/p) binds at the scarcer-
+    relative stratum (a), whose keep_prob is exactly 1."""
+    from etl_mark1_spark.operators.corpus import rebalance_mixture
+
+    rows = [(i, "a") for i in range(200)] \
+        + [(1000 + i, "b") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = rebalance_mixture(df, strata_col="source",
+                            targets={"a": 0.8, "b": 0.2})
+    kept = {"a": 0, "b": 0}
+    for r in out.collect():
+        kept[r.source] += 1
+    assert kept["a"] == 200               # keep_prob exactly 1.0
+    assert 30 <= kept["b"] <= 70          # binomial around 50
+
+
+def test_unigram_lm_scores_common_above_rare(spark):
+    """A document of corpus-common tokens must outscore one of hapaxes;
+    smoothing keeps every probability finite."""
+    from etl_mark1_spark.operators.corpus import unigram_logprob_score
+
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the the the the"),
+            (3, "xylophone quixotic zygote")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+    assert got[2].avg_logprob > got[1].avg_logprob > got[3].avg_logprob
+    assert got[1].n_tokens == 6 and got[3].n_tokens == 3
+
+
+def test_psi_drift_detects_shift(spark):
+    from etl_mark1_spark.plans.quality import psi_drift
+
+    same_a = spark.createDataFrame([(i % 100,) for i in range(1000)], ["v"])
+    same_b = spark.createDataFrame([(i % 100,) for i in range(1000)], ["v"])
+    shifted = spark.createDataFrame([(500 + i % 100,) for i in range(1000)],
+                                    ["v"])
+    stable = psi_drift(same_a, same_b, "v", 10.0).first()
+    moved = psi_drift(same_a, shifted, "v", 10.0).first()
+    assert stable.psi < 0.01           # identical distributions
+    assert moved.psi > 0.25            # disjoint bins: hard shift
+    assert stable.n_a == stable.n_b == 1000

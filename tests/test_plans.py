@@ -278,3 +278,38 @@ def test_weighted_sample_is_map_side_only(spark, sf_dir):
     added a shuffle to a per-row membership decision."""
     plan = executed_plan(QUERIES["weighted_sample_quality"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Chunking is a flat-map: ANY Exchange means someone made a per-row
+    explode shuffle the corpus text."""
+    plan = executed_plan(QUERIES["chunk_documents_overlap"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_rebalance_only_shuffles_stratum_stats(spark, sf_dir):
+    """Mixture rebalancing must shuffle only the tiny stratum aggregate
+    and broadcast probabilities back — the corpus side stays a scan +
+    broadcast-join + filter (no corpus-wide Exchange)."""
+    plan = executed_plan(QUERIES["rebalance_mixture_sources"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_char_entropy_partial_aggregates(spark, sf_dir):
+    """The (doc, char) count must partial-aggregate map-side so the
+    shuffle carries at most |alphabet| rows per doc per partition — and
+    no Python appears anywhere in the plan."""
+    plan = executed_plan(QUERIES["text_char_entropy"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_lm_model_broadcasts(spark, sf_dir):
+    """The vocabulary-probability table is vocabulary-sized: it must
+    broadcast back onto the token stream, never shuffle it a second
+    time (same discipline as tf-idf)."""
+    plan = executed_plan(QUERIES["unigram_lm_score"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

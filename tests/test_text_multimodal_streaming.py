@@ -553,3 +553,22 @@ def test_jpeg_decode_distributed(spark):
         assert r.width == 16 + r.doc_id % 16
         assert r.height == 16 + (r.doc_id // 2) % 16
         assert 0.0 < r.mean_pixel < 255.0
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from etl_mark1_spark.functions.text import char_entropy_stats
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None),
+            (6, "a\nb\nc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.char_entropy
+           for r in char_entropy_stats(df).collect()}
+    assert got[1] == 0.0                                  # single symbol
+    assert abs(got[2] - math.log(2)) < 1e-6               # two equi-likely
+    assert abs(got[3] - math.log(4)) < 1e-6               # four equi-likely
+    assert 4 not in got and 5 not in got   # empty/NULL: no output row
+    # newlines are symbols too: a,\n,b,\n,c -> p(\n)=2/5, others 1/5
+    want = -(2 / 5 * math.log(2 / 5) + 3 * (1 / 5) * math.log(1 / 5))
+    assert abs(got[6] - want) < 1e-6
