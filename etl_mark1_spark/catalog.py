@@ -2797,6 +2797,72 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_stats(docs)
 
 
+@query("pagerank_parts", """
+    WITH pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    nodes AS (SELECT src AS node FROM sym UNION SELECT dst FROM sym),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+    r0 AS (SELECT node, 1.0 / cnt AS rank FROM nodes, n),
+    i1 AS (
+        SELECT g.dst AS node, sum(r.rank / d.deg) AS s
+        FROM sym g JOIN r0 r ON g.src = r.node JOIN deg d ON g.src = d.src
+        GROUP BY g.dst
+    ),
+    r1 AS (
+        SELECT nd.node, (1.0 - 0.85) / (SELECT cnt FROM n)
+                        + 0.85 * coalesce(i.s, 0.0) AS rank
+        FROM nodes nd LEFT JOIN i1 i ON nd.node = i.node
+    ),
+    i2 AS (
+        SELECT g.dst AS node, sum(r.rank / d.deg) AS s
+        FROM sym g JOIN r1 r ON g.src = r.node JOIN deg d ON g.src = d.src
+        GROUP BY g.dst
+    ),
+    r2 AS (
+        SELECT nd.node, (1.0 - 0.85) / (SELECT cnt FROM n)
+                        + 0.85 * coalesce(i.s, 0.0) AS rank
+        FROM nodes nd LEFT JOIN i2 i ON nd.node = i.node
+    ),
+    i3 AS (
+        SELECT g.dst AS node, sum(r.rank / d.deg) AS s
+        FROM sym g JOIN r2 r ON g.src = r.node JOIN deg d ON g.src = d.src
+        GROUP BY g.dst
+    ),
+    r3 AS (
+        SELECT nd.node, (1.0 - 0.85) / (SELECT cnt FROM n)
+                        + 0.85 * coalesce(i.s, 0.0) AS rank
+        FROM nodes nd LEFT JOIN i3 i ON nd.node = i.node
+    )
+    SELECT node, round(rank, 7) AS rank FROM r3
+""")
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over the co-order
+    part graph (parts that appear in the same order are neighbors) —
+    authority weighting as three join+aggregate rounds, rank state one
+    row per node, never collected. The oracle replays the exact float
+    recurrence as chained CTEs."""
+    from etl_mark1_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iterations=3, damping=0.85)
+
+
 @query("unigram_lm_score", """
     WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok

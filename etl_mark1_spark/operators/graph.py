@@ -1,0 +1,91 @@
+"""Iterative graph algorithms as DataFrame joins.
+
+The reference has no graph surface at all (its engine stops at SQL over
+files — backend/services/duckdb_engine.py); connected components already
+live in operators/dedup.py as the dedup clustering step. This module adds
+the other workhorse iterative shape — fixed-iteration PageRank — because
+training-data pipelines use it for source/document authority weighting
+(rank hosts in a link graph, weight co-citation neighborhoods).
+
+Scale shape: one edge-list self-describing table, degree aggregation once,
+then per iteration exactly one join (edges x ranks, shuffled on the edge
+key) + one aggregation (contributions by destination, map-side partials).
+Rank state is one row per node — never collected to the driver. Fixed
+iteration count keeps the whole thing a static plan that an oracle can
+reproduce as chained CTEs; convergence-tested variants wrap the same loop
+body (see dedup._cluster_min_label for the loud-failure pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "src",
+               dst: str = "dst") -> DataFrame:
+    """Undirected view of an edge list: both directions, deduplicated."""
+    return (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .union(edges.select(F.col(dst).alias("src"),
+                                F.col(src).alias("dst")))
+            .distinct())
+
+
+def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
+             src: str = "src", dst: str = "dst",
+             undirected: bool = True) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list; returns (node, rank).
+
+    rank_{k+1}(v) = (1-d)/N + d * sum over in-neighbors u of
+    rank_k(u) / outdeg(u). The undirected default symmetrizes edges, which
+    also guarantees no dangling nodes (every node has out-degree >= 1);
+    with ``undirected=False`` dangling mass leaks, as in the classic
+    simplified formulation — both behaviors reproduce exactly in SQL.
+
+    The edge list is checkpointed once (every iteration joins it; without
+    the cut each round re-derives the edge build), the intermediate rank
+    plans stay lazy (small fixed depth), and the final ranks materialize
+    as a tiny checkpoint before the edge blocks are released — repeated
+    calls hold only the result table. Convergence-driven variants add a
+    per-round checkpoint + release like dedup's label loop.
+    """
+    from etl_mark1_spark.operators.dedup import release_checkpoint
+
+    g = symmetrize(edges, src, dst) if undirected else (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct())
+    # checkpoint the edge list: every iteration joins against it, and
+    # without the cut each round's plan would re-derive the (possibly
+    # expensive) edge build from scratch
+    g = g.localCheckpoint()
+    deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (g.select(F.col("src").alias("node"))
+             .union(g.select(F.col("dst").alias("node"))).distinct())
+    n = nodes.count()  # one scalar; the driver holds a single long
+    base = (1.0 - damping) / n
+
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    out_deg = deg.withColumnRenamed("src", "node")
+    for _ in range(iterations):
+        contribs = (
+            g.join(ranks, g.src == ranks.node)
+            .join(out_deg.withColumnRenamed("node", "_dn"),
+                  F.col("src") == F.col("_dn"))
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        incoming = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        # nodes with no in-edges (directed case) fall back to the base term
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select("node",
+                    (F.lit(base) + F.lit(damping)
+                     * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"))
+        )
+    # materialize the (tiny: one row per node) result, then free the edge
+    # blocks — callers keep a checkpoint-backed rank table and repeated
+    # calls leave executor storage flat apart from it
+    out = ranks.select("node", F.round("rank", 7).alias("rank")) \
+        .localCheckpoint()
+    release_checkpoint(g)
+    return out

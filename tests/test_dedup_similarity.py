@@ -265,3 +265,41 @@ def test_minhash_dedup_leaves_storage_flat(docs, spark):
     for _ in range(2):
         minhash_dedup(docs, threshold=0.6).collect()
     assert _persistent_rdd_count(spark) == before
+
+
+def test_pagerank_path_graph_matches_reference(spark):
+    """Hand-checkable path graph 1-2-3: the middle node must outrank the
+    ends, ranks must sum to ~1, and values must equal the exact recurrence
+    computed independently in Python."""
+    from etl_mark1_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+
+    # independent replay of the recurrence
+    ranks = {1: 1 / 3, 2: 1 / 3, 3: 1 / 3}
+    deg = {1: 1, 2: 2, 3: 1}
+    neigh = {1: [2], 2: [1, 3], 3: [2]}
+    for _ in range(3):
+        ranks = {v: (1.0 - 0.85) / 3
+                 + 0.85 * sum(ranks[u] / deg[u] for u in neigh[v])
+                 for v in ranks}
+    for v in ranks:
+        assert abs(got[v] - ranks[v]) < 1e-6, v
+    assert got[2] > got[1] == got[3]
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_directed_dangling(spark):
+    """Directed mode: a sink node receives mass but contributes none
+    (dangling leak, the documented simplified formulation); source nodes
+    fall back to the base term."""
+    from etl_mark1_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 3), (2, 3)], ["src", "dst"])
+    got = {r.node: r.rank
+           for r in pagerank(edges, iterations=2,
+                             undirected=False).collect()}
+    base = 0.15 / 3
+    assert abs(got[1] - base) < 1e-9 and abs(got[2] - base) < 1e-9
+    assert got[3] > got[1]

@@ -124,3 +124,55 @@ def test_strf_java_side_matches_duckdb_via_spark(spark, fmt):
     want = duckdb.sql(sql).fetchone()[0]
     got = spark.sql(translate(sql)).first().x
     assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=40),   # width
+    st.integers(min_value=1, max_value=40),   # height
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.sampled_from([(False, 0), (True, 0), (False, 2), (True, 3)]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_any_shape(w, h, seed, variant):
+    """Any image shape (odd dims, 1xN strips, MCU-straddling sizes) must
+    survive encode->decode at q100 within quantization-rounding distance
+    for 4:4:4, and within the documented chroma band when subsampled."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    subsample, restart = variant
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    blob = make_jpeg(img, quality=100, subsample=subsample,
+                     restart_interval=restart)
+    dec = decode_jpeg(blob)
+    assert dec.shape == img.shape
+    err = abs(dec.astype(int) - img.astype(int)).max()
+    if subsample:
+        # chroma averaged over 2x2 then re-expanded: on noise, chroma error
+        # is unbounded by design, and out-of-gamut clipping lets a little
+        # of it bleed into reconstructed luma — so bound the luma error in
+        # aggregate (tight) and pointwise (loose, clipping-limited)
+        y = img @ [0.299, 0.587, 0.114]
+        y2 = dec @ [0.299, 0.587, 0.114]
+        assert abs(y2 - y).mean() <= 2
+        assert abs(y2 - y).max() <= 24
+    else:
+        assert err <= 2
+
+
+@given(st.integers(min_value=1, max_value=60),
+       st.integers(min_value=1, max_value=60),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_grayscale_roundtrip_any_shape(w, h, seed):
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    dec = decode_jpeg(make_jpeg(img, quality=100))
+    assert dec.shape == img.shape
+    assert abs(dec.astype(int) - img.astype(int)).max() <= 2
