@@ -1748,6 +1748,28 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.nth_value("value", 2).over(w).alias("second_val")))
 
 
+@query("window_relative_rank", """
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+""")
+def window_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window battery: percent_rank, cume_dist,
+    dense_rank per status ordered by price. One hash shuffle on the
+    partition key; ties broken on the key for determinism."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice",
+                                                    "o_orderkey")
+    return (t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus",
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cume"),
+                    F.dense_rank().over(w).cast("bigint").alias("drank")))
+
+
 _FILTERED_AGG_SQL = """
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,

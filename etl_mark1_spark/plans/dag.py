@@ -74,12 +74,15 @@ class PipelineExecutor:
 
     def __init__(self, spark: SparkSession, max_retries: int = 3,
                  retry_delay: float = 2.0, count_rows: bool = False,
-                 observe_rows: bool = False):
+                 observe_rows: bool = False, parallel_branches: bool = False,
+                 max_parallel_nodes: int = 8):
         self.spark = spark
         self._max_retries = max_retries
         self._retry_delay = retry_delay
         self._count_rows = count_rows
         self._observe_rows = observe_rows
+        self._parallel_branches = parallel_branches
+        self._max_parallel_nodes = max_parallel_nodes
         self._node_outputs: dict[str, DataFrame | Any] = {}
         self._observations: dict[str, Any] = {}
         self._handlers: dict[str, Callable] = {
@@ -110,40 +113,91 @@ class PipelineExecutor:
         self._observations = {}
         nodes = definition.get("nodes", [])
         edges = definition.get("edges", [])
-        order = self._topological_sort(nodes, edges)
         report = RunReport(status="running")
 
-        for node in order:
-            node_id, node_type = node["id"], node.get("type", "")
-            config = node.get("config", node.get("data", {})) or {}
-            log = NodeLog(node_id=node_id, node_type=node_type)
-            report.node_logs.append(log)
-            started = time.monotonic()
-            try:
-                self._run_with_retry(log, node_id, node_type, config, edges)
-                log.status = "succeeded"
-            except Exception as exc:
-                log.status = "failed"
-                log.message = str(exc)
-                log.duration_s = time.monotonic() - started
-                report.status = "failed"
-                return report
-            log.duration_s = time.monotonic() - started
-            out = self._node_outputs.get(node_id)
-            if self._count_rows and isinstance(out, DataFrame):
-                log.rows = out.count()
-            elif self._observe_rows and isinstance(out, DataFrame):
-                from pyspark.sql import Observation
-
-                obs = Observation(f"rows_{node_id}")
-                self._node_outputs[node_id] = out.observe(
-                    obs, F.count(F.lit(1)).alias("rows"))
-                self._observations[node_id] = obs
-
+        if self._parallel_branches:
+            ok = self._execute_levels(nodes, edges, report)
+        else:
+            ok = True
+            for node in self._topological_sort(nodes, edges):
+                log = NodeLog(node_id=node["id"],
+                              node_type=node.get("type", ""))
+                report.node_logs.append(log)
+                if not self._execute_node(node, log, edges):
+                    ok = False
+                    break
+        if not ok:
+            report.status = "failed"
+            return report
         report.status = "succeeded"
         report.outputs = dict(self._node_outputs)
         self._fill_observed_rows(report)
         return report
+
+    def _execute_node(self, node: dict, log: NodeLog,
+                      edges: list[dict]) -> bool:
+        """Run one node (with retry + row accounting) updating its log;
+        returns False on failure. Thread-safe: per-node state lands in
+        dict slots keyed by node_id, and Spark supports concurrent job
+        submission from multiple driver threads."""
+        node_id, node_type = node["id"], node.get("type", "")
+        config = node.get("config", node.get("data", {})) or {}
+        started = time.monotonic()
+        try:
+            self._run_with_retry(log, node_id, node_type, config, edges)
+            log.status = "succeeded"
+        except Exception as exc:
+            log.status = "failed"
+            log.message = str(exc)
+            log.duration_s = time.monotonic() - started
+            return False
+        log.duration_s = time.monotonic() - started
+        out = self._node_outputs.get(node_id)
+        if self._count_rows and isinstance(out, DataFrame):
+            log.rows = out.count()
+        elif self._observe_rows and isinstance(out, DataFrame):
+            from pyspark.sql import Observation
+
+            obs = Observation(f"rows_{node_id}")
+            self._node_outputs[node_id] = out.observe(
+                obs, F.count(F.lit(1)).alias("rows"))
+            self._observations[node_id] = obs
+        return True
+
+    def _execute_levels(self, nodes: list[dict], edges: list[dict],
+                        report: RunReport) -> bool:
+        """Concurrent execution of independent branches, level by level.
+
+        The reference imports ProcessPoolExecutor and never uses it —
+        nodes run strictly serially (engine.py:9, :60). Here each Kahn
+        level's nodes (mutually independent by construction: an edge
+        always crosses levels) run on a thread pool; Spark's scheduler
+        interleaves their jobs across the cluster, so two independent
+        sink branches overlap instead of queueing. Transformation-only
+        nodes are near-free either way (lazy); the win is concurrent
+        ACTIONS — sinks, exports, validation counts.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        for level in self._topo_levels(nodes, edges):
+            logs = []
+            for node in level:
+                log = NodeLog(node_id=node["id"],
+                              node_type=node.get("type", ""))
+                report.node_logs.append(log)
+                logs.append(log)
+            if len(level) == 1:
+                if not self._execute_node(level[0], logs[0], edges):
+                    return False
+                continue
+            workers = min(self._max_parallel_nodes, len(level))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(
+                    lambda pair: self._execute_node(pair[0], pair[1], edges),
+                    zip(level, logs)))
+            if not all(results):
+                return False
+        return True
 
     def _fill_observed_rows(self, report: RunReport) -> None:
         """Populate log.rows from piggy-backed metrics, zero extra actions.
@@ -385,6 +439,39 @@ class PipelineExecutor:
             for e in edges
             if e.get("target") == node_id and e.get("source") in self._node_outputs
         ]
+
+    @classmethod
+    def _topo_levels(cls, nodes: list[dict],
+                     edges: list[dict]) -> list[list[dict]]:
+        """Kahn's algorithm grouped into dependency levels: every node in
+        level k has all dependencies in levels < k, so nodes within one
+        level are mutually independent and safe to run concurrently.
+        Same cycle detection as the flat sort."""
+        node_map = {n["id"]: n for n in nodes}
+        in_degree = {nid: 0 for nid in node_map}
+        adjacency: dict[str, list[str]] = {nid: [] for nid in node_map}
+        for edge in edges:
+            src, tgt = edge["source"], edge["target"]
+            if src in adjacency and tgt in in_degree:
+                adjacency[src].append(tgt)
+                in_degree[tgt] += 1
+        frontier = sorted(nid for nid, deg in in_degree.items() if deg == 0)
+        levels, seen = [], 0
+        while frontier:
+            levels.append([node_map[nid] for nid in frontier])
+            seen += len(frontier)
+            nxt: set[str] = set()
+            for nid in frontier:
+                for neighbor in adjacency.get(nid, []):
+                    in_degree[neighbor] -= 1
+                    if in_degree[neighbor] == 0:
+                        nxt.add(neighbor)
+            frontier = sorted(nxt)
+        if seen != len(nodes):
+            cyclic = sorted(nid for nid, deg in in_degree.items() if deg > 0)
+            raise ExecutionError(
+                f"pipeline graph has a cycle involving: {cyclic}")
+        return levels
 
     @staticmethod
     def _topological_sort(nodes: list[dict], edges: list[dict]) -> list[dict]:

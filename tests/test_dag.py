@@ -231,3 +231,81 @@ def test_observe_rows_piggybacks_on_sink_action(spark, sf_dir, tmp_path):
     assert rows["tf"] == written
     assert rows["in"] is not None and rows["in"] > written  # pre-filter
     assert rows["dead"] is None     # no action on that branch
+
+
+def test_parallel_branches_match_serial(spark, sf_dir, tmp_path):
+    """A diamond DAG with two independent sink branches must produce
+    identical outputs under parallel_branches, with both sinks written
+    and per-level logs all green."""
+    def definition(tag):
+        return {
+            "nodes": [
+                {"id": "in", "type": "file_input",
+                 "config": {"path": f"{sf_dir}/orders.parquet",
+                            "format": "parquet"}},
+                {"id": "big", "type": "transform", "config": {"steps": [
+                    {"operator": "filter_rows",
+                     "params": {"expression": "o_totalprice > 100000"}}]}},
+                {"id": "small", "type": "transform", "config": {"steps": [
+                    {"operator": "filter_rows",
+                     "params": {"expression": "o_totalprice <= 100000"}}]}},
+                {"id": "out_big", "type": "file_output",
+                 "config": {"path": str(tmp_path / f"big_{tag}.parquet"),
+                            "format": "parquet"}},
+                {"id": "out_small", "type": "file_output",
+                 "config": {"path": str(tmp_path / f"small_{tag}.parquet"),
+                            "format": "parquet"}},
+            ],
+            "edges": [{"source": "in", "target": "big"},
+                      {"source": "in", "target": "small"},
+                      {"source": "big", "target": "out_big"},
+                      {"source": "small", "target": "out_small"}],
+        }
+
+    serial = PipelineExecutor(spark).execute(definition("s"))
+    parallel = PipelineExecutor(
+        spark, parallel_branches=True).execute(definition("p"))
+    assert serial.status == parallel.status == "succeeded"
+    for side in ("big", "small"):
+        a = spark.read.parquet(str(tmp_path / f"{side}_s.parquet"))
+        b = spark.read.parquet(str(tmp_path / f"{side}_p.parquet"))
+        assert a.count() == b.count() > 0
+    assert {log.status for log in parallel.node_logs} == {"succeeded"}
+    # level structure: source alone, then the two transforms together
+    levels = PipelineExecutor._topo_levels(
+        definition("x")["nodes"], definition("x")["edges"])
+    assert [sorted(n["id"] for n in lv) for lv in levels] == [
+        ["in"], ["big", "small"], ["out_big", "out_small"]]
+
+
+def test_parallel_branches_failure_stops_run(spark, sf_dir):
+    definition = {
+        "nodes": [
+            {"id": "in", "type": "file_input",
+             "config": {"path": f"{sf_dir}/orders.parquet",
+                        "format": "parquet"}},
+            {"id": "ok", "type": "transform", "config": {"steps": []}},
+            {"id": "bad", "type": "validation",
+             "config": {"min_score": 101}},  # unreachable score: fails
+            {"id": "never", "type": "transform", "config": {"steps": []}},
+        ],
+        "edges": [{"source": "in", "target": "ok"},
+                  {"source": "in", "target": "bad"},
+                  {"source": "bad", "target": "never"}],
+    }
+    report = PipelineExecutor(
+        spark, parallel_branches=True).execute(definition)
+    assert report.status == "failed"
+    statuses = {log.node_id: log.status for log in report.node_logs}
+    assert statuses["bad"] == "failed"
+    assert "never" not in statuses  # downstream level never scheduled
+
+
+def test_parallel_branches_cycle_still_detected(spark):
+    with pytest.raises(ExecutionError, match="cycle"):
+        PipelineExecutor(spark, parallel_branches=True).execute({
+            "nodes": [{"id": "a", "type": "transform", "config": {}},
+                      {"id": "b", "type": "transform", "config": {}}],
+            "edges": [{"source": "a", "target": "b"},
+                      {"source": "b", "target": "a"}],
+        })
