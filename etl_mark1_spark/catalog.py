@@ -1077,6 +1077,70 @@ def rebalance_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
 
 
+@query("curation_chunks", """
+    WITH kept AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE n_chars >= 100 AND text IS NOT NULL
+    ),
+    deduped AS (
+        SELECT doc_id, lang, text FROM kept
+        WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)
+    ),
+    chunks AS (
+        SELECT d.doc_id, d.lang,
+               s.k AS chunk_id,
+               substring(d.text, CAST(s.k * 320 + 1 AS INTEGER), 400)
+                   AS chunk_text
+        FROM deduped d
+        JOIN (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k
+              FROM documents) AS s
+          ON s.k <= (greatest(length(d.text) - 80, 1) - 1) // 320
+    ),
+    counted AS (
+        SELECT doc_id, lang, chunk_id,
+               CASE WHEN length(trim(chunk_text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(chunk_text), '\\s+'))
+               END AS n_tokens
+        FROM chunks
+    )
+    SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id, chunk_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 512)
+             AS BIGINT) AS seq_id
+    FROM counted
+""")
+def curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level curation composite — the full training-shard prep as
+    ONE lazy lineage: length gate -> exact dedup (min-id keep) ->
+    overlapping 400/80 chunking -> whitespace token counts -> 512-token
+    sequence packing sharded by lang. Every stage is a deterministic
+    function of row content (integer math + md5-free ordering), so the
+    SQL oracle reproduces the whole pipeline hash-exactly. The reference
+    would round-trip CSV between each of these five steps
+    (executor/engine.py:209-216); here Catalyst fuses the gate into the
+    scan and the only shuffles are the dedup group and the per-lang
+    packing window."""
+    from etl_mark1_spark.functions.text import whitespace_token_count
+    from etl_mark1_spark.operators.corpus import chunk_documents, pack_sequences
+    from etl_mark1_spark.operators.dedup import dedup_exact
+
+    docs = (t(spark, sf_dir, "documents")
+            .filter((F.col("n_chars") >= 100) & F.col("text").isNotNull())
+            .select("doc_id", "lang", "text"))
+    deduped = dedup_exact(docs, "text", "doc_id", keep="min_id")
+    chunks = chunk_documents(deduped, chunk_chars=400, overlap=80,
+                             keep_cols=("lang",))
+    counted = chunks.select(
+        "doc_id", "lang", "chunk_id",
+        whitespace_token_count(F.col("chunk_text")).cast("bigint")
+        .alias("n_tokens"))
+    packed = pack_sequences(
+        counted.withColumn("_ord", F.struct("doc_id", "chunk_id")),
+        budget=512, size_col="n_tokens", shard_col="lang", id_col="_ord")
+    return packed.select("doc_id", "chunk_id", "n_tokens", "seq_id")
+
+
 @query("curation_pipeline", """
     WITH kept AS (
         SELECT doc_id, text FROM documents

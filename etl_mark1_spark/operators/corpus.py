@@ -217,7 +217,8 @@ def weighted_sample(df: DataFrame, weight: Column,
 
 def chunk_documents(df: DataFrame, chunk_chars: int = 400,
                     overlap: int = 80, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    keep_cols: tuple = ()) -> DataFrame:
     """Split documents into overlapping character windows — the standard
     retrieval/training chunking step (context-length-bounded pieces with
     ``overlap`` chars of continuity at each boundary).
@@ -241,9 +242,10 @@ def chunk_documents(df: DataFrame, chunk_chars: int = 400,
                              last_k.cast("bigint"))).alias("chunk_id")
     return (
         df.filter(text.isNotNull())
-        .select(F.col(id_col), text, k)
+        .select(F.col(id_col), *[F.col(c) for c in keep_cols], text, k)
         .select(
             id_col,
+            *keep_cols,
             F.col("chunk_id"),
             (F.col("chunk_id") * step).alias("chunk_start"),
             text.substr(
