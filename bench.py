@@ -60,8 +60,11 @@ HEADLINE = [
     "hll_rollup_merge",
     "upsert_orders",
     "zorder_values",
-    # round-3 addition: checkpointed streaming restart drain at bench scale
+    # round-3 additions: checkpointed streaming restart drain at bench
+    # scale; iterative graph ranking; the 5-stage curation composite
     "streaming_restart_drain",
+    "pagerank_parts",
+    "curation_chunks",
 ]
 
 

@@ -830,6 +830,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, qv, k=10)
 
 
+@query("semantic_dedup_embeddings")
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py): KMeans
+    clusters, within-centroid cosine pairs >= 0.9, min-id component
+    labels. Rows-only (KMeans isn't SQL-expressible); semantics pinned by
+    planted-duplicate tests in test_dedup_similarity."""
+    from etl_mark1_spark.operators.similarity import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.9, num_centroids=8)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (extension; decode is a deterministic fake)
 # ---------------------------------------------------------------------------

@@ -138,6 +138,48 @@ def ivf_build(df: DataFrame, vec_col: str = "embedding",
     return assigned, centroids
 
 
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.9,
+                   num_centroids: int = 16, seed: int = 42,
+                   sample_fraction: float | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings (KMeans),
+    then within each cluster connect pairs with cosine >= threshold and
+    keep the minimum id per connected component. Returns
+    (id_col, cluster_id) like the other dedup families — filter to
+    ``id == cluster_id`` for the kept representatives.
+
+    The candidate pairs come from a WITHIN-CENTROID self-join: quadratic
+    only in cluster size, never corpus size — the standard SemDeDup
+    approximation (cross-centroid near-dups are missed by design; raise
+    ``num_centroids`` proportionally to corpus size to keep clusters
+    bounded, or run :func:`embedding_neardup`'s hyperplane-LSH variant
+    when candidate recall matters more than cluster locality). At scale,
+    persist ``assigned`` bucketed by ``_centroid`` so the self-join is
+    co-partitioned and shuffle-free.
+    """
+    from etl_mark1_spark.operators.dedup import _cluster_min_label
+
+    assigned, _ = ivf_build(df, vec_col, num_centroids, seed,
+                            sample_fraction=sample_fraction)
+    norm = l2_norm(F.col(vec_col))
+    base = assigned.select(F.col(id_col), F.col(vec_col), "_centroid",
+                           norm.alias("_norm"))
+    left = base.select(F.col(id_col).alias("src"),
+                       F.col(vec_col).alias("_va"),
+                       F.col("_norm").alias("_na"), "_centroid")
+    right = base.select(F.col(id_col).alias("dst"),
+                        F.col(vec_col).alias("_vb"),
+                        F.col("_norm").alias("_nb"), "_centroid")
+    pairs = (
+        left.join(right, "_centroid")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")) >= threshold)
+        .select("src", "dst")
+    )
+    return _cluster_min_label(df.select(id_col), pairs, id_col)
+
+
 def ivf_topk(assigned_df: DataFrame, centroids: list[list[float]],
              query: list[float], k: int = 10, nprobe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -303,3 +303,24 @@ def test_pagerank_directed_dangling(spark):
     base = 0.15 / 3
     assert abs(got[1] - base) < 1e-9 and abs(got[2] - base) < 1e-9
     assert got[3] > got[1]
+
+
+def test_semantic_dedup_collapses_planted_duplicates(spark):
+    """Exact and near-identical vectors must land in one component with
+    the min id as the label; an orthogonal vector stays a singleton."""
+    from etl_mark1_spark.operators.similarity import semantic_dedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.04, 0.0, 0.0]    # cosine ~0.9992
+    ortho = [0.0, 1.0, 0.0, 0.0]
+    rows = [(1, base), (2, list(base)), (3, near), (4, ortho),
+            (5, [0.0, 0.0, 1.0, 0.0]), (6, [0.0, 0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r.cluster_id
+           for r in semantic_dedup(df, threshold=0.95,
+                                   num_centroids=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4 and out[5] == 5 and out[6] == 6
+    # representatives = rows whose id is their own label
+    kept = {k for k, v in out.items() if k == v}
+    assert kept == {1, 4, 5, 6}
