@@ -58,9 +58,14 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     # without the cut each round's plan would re-derive the (possibly
     # expensive) edge build from scratch
     g = g.localCheckpoint()
-    deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # degree and node tables are node-cardinality sized and joined EVERY
+    # round — checkpoint them too, or each iteration re-runs their
+    # aggregations from the edge list
+    deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+        .localCheckpoint()
     nodes = (g.select(F.col("src").alias("node"))
-             .union(g.select(F.col("dst").alias("node"))).distinct())
+             .union(g.select(F.col("dst").alias("node"))).distinct()) \
+        .localCheckpoint()
     n = nodes.count()  # one scalar; the driver holds a single long
     base = (1.0 - damping) / n
 
@@ -87,5 +92,6 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     # calls leave executor storage flat apart from it
     out = ranks.select("node", F.round("rank", 7).alias("rank")) \
         .localCheckpoint()
-    release_checkpoint(g)
+    for upstream in (g, deg, nodes):
+        release_checkpoint(upstream)
     return out
