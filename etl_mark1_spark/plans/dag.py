@@ -419,12 +419,24 @@ class PipelineExecutor:
         self._node_outputs[node_id] = inputs[0]
 
     def _exec_file_output(self, node_id: str, config: dict, inputs: list) -> None:
-        """file_output (engine.py:235-242): distributed write to the target."""
-        from etl_mark1_spark.sources.writers import write_file
-
+        """file_output (engine.py:235-242): distributed write to the target.
+        ``versioned: true`` commits an atomic snapshot version instead of
+        overwriting in place (sources/versioned.py) — concurrent readers
+        keep the old snapshot; ``mode: append`` becomes a copy-on-write
+        versioned append."""
         if not inputs:
             raise ExecutionError("File output node has no inputs")
         path = config.get("path") or config.get("filename", "output.csv")
+        if config.get("versioned"):
+            from etl_mark1_spark.sources.versioned import write_version
+
+            write_version(inputs[0], path,
+                          mode=config.get("mode", "overwrite"),
+                          note=config.get("note", f"node {node_id}"))
+            self._node_outputs[node_id] = path
+            return
+        from etl_mark1_spark.sources.writers import write_file
+
         write_file(inputs[0], path, config.get("format"),
                    mode=config.get("mode", "overwrite"),
                    single_file=config.get("single_file", False))

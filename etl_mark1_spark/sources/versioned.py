@@ -1,0 +1,136 @@
+"""Versioned parquet tables: atomic snapshots + time travel, no deps.
+
+The reference's only notion of a "table" is a file that gets overwritten
+(backend/services/file_service.py); overwriting parquet in place leaves
+readers racing half-written directories. This module gives the write side
+snapshot-isolation semantics with nothing but parquet + a manifest file —
+the core discipline of Delta/Iceberg, scoped to what an engine without
+their jars can guarantee:
+
+- every write lands in a NEW immutable version directory ``v=N``;
+- a single small ``_MANIFEST.json`` names the current version, committed
+  by atomic rename — readers see the old snapshot or the new one, never
+  a mix;
+- old versions remain readable (``version=N`` time travel) until
+  ``vacuum`` removes them.
+
+At 100 TB the same layout holds: version dirs are written by the cluster
+(parallel parquet), only the KB-sized manifest commit is serialized.
+Concurrent WRITERS are last-commit-wins (single-writer discipline or an
+external lock; a real multi-writer table needs a log, i.e. Delta/Iceberg
+— use them when the deploy ships their jars).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_MANIFEST.json"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, MANIFEST)
+
+
+def read_manifest(table_dir: str) -> dict:
+    with open(_manifest_path(table_dir)) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(table_dir: str, manifest: dict) -> None:
+    """Atomic replace: write a sibling temp file, rename over the live
+    manifest (POSIX rename is atomic within a filesystem; on object
+    stores, the equivalent is a conditional PUT of the manifest key)."""
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, _manifest_path(table_dir))
+
+
+def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
+                  note: str = "") -> int:
+    """Commit ``df`` as the next version of the table; returns the version.
+
+    ``mode="overwrite"`` makes the new version the full table;
+    ``mode="append"`` unions the current snapshot with ``df`` into the new
+    version (copy-on-write append — rewrite-free appends need a
+    multi-dir manifest, deliberately out of scope). The version directory
+    is fully written BEFORE the manifest commit, so a crash mid-write
+    leaves an orphan directory, never a corrupt table.
+    """
+    os.makedirs(table_dir, exist_ok=True)
+    try:
+        manifest = read_manifest(table_dir)
+    except FileNotFoundError:
+        manifest = {"table": os.path.basename(table_dir.rstrip("/")),
+                    "current": -1, "versions": []}
+    version = manifest["current"] + 1
+    vdir = os.path.join(table_dir, f"v={version}")
+    if mode == "append" and manifest["current"] >= 0:
+        current = read_table(df.sparkSession, table_dir)
+        df = current.unionByName(df, allowMissingColumns=False)
+    elif mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode: {mode}")
+    # stage under a temp name, then rename: a concurrent reader listing
+    # the table dir never sees a half-written v=N
+    staging = os.path.join(table_dir, f".staging_{uuid.uuid4().hex[:8]}")
+    df.write.parquet(staging)
+    os.rename(staging, vdir)
+    manifest["current"] = version
+    manifest["versions"].append({
+        "version": version, "dir": f"v={version}",
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "note": note,
+    })
+    _commit_manifest(table_dir, manifest)
+    return version
+
+
+def read_table(spark: SparkSession, table_dir: str,
+               version: int | None = None) -> DataFrame:
+    """Read the current snapshot, or ``version=N`` for time travel."""
+    manifest = read_manifest(table_dir)
+    if version is None:
+        version = manifest["current"]
+    known = {v["version"] for v in manifest["versions"]}
+    if version not in known:
+        raise ValueError(
+            f"version {version} not in table {table_dir} "
+            f"(have {sorted(known)})")
+    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+
+
+def history(table_dir: str) -> list[dict]:
+    """Commit log, oldest first."""
+    return list(read_manifest(table_dir)["versions"])
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the last ``keep_last`` versions (and any orphaned
+    staging dirs from crashed writes); returns removed version numbers.
+    Readers of a removed version fail loudly on their next manifest
+    check — retention policy is the caller's contract, as in any
+    snapshot table."""
+    import shutil
+
+    manifest = read_manifest(table_dir)
+    keep = [v["version"] for v in manifest["versions"]][-keep_last:]
+    removed = []
+    for entry in manifest["versions"]:
+        if entry["version"] not in keep:
+            shutil.rmtree(os.path.join(table_dir, entry["dir"]),
+                          ignore_errors=True)
+            removed.append(entry["version"])
+    manifest["versions"] = [v for v in manifest["versions"]
+                            if v["version"] in keep]
+    _commit_manifest(table_dir, manifest)
+    for name in os.listdir(table_dir):
+        if name.startswith(".staging_"):
+            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+    return removed

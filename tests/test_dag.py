@@ -309,3 +309,34 @@ def test_parallel_branches_cycle_still_detected(spark):
             "edges": [{"source": "a", "target": "b"},
                       {"source": "b", "target": "a"}],
         })
+
+
+def test_file_output_versioned_snapshots(spark, sf_dir, tmp_path):
+    """Two runs of a versioned file_output accumulate snapshots; the
+    first run's data stays readable by version after the second."""
+    from etl_mark1_spark.sources.versioned import history, read_table
+
+    table = str(tmp_path / "snap_out")
+
+    def run(expr):
+        return PipelineExecutor(spark).execute({
+            "nodes": [
+                {"id": "in", "type": "file_input",
+                 "config": {"path": f"{sf_dir}/orders.parquet",
+                            "format": "parquet"}},
+                {"id": "tf", "type": "transform", "config": {"steps": [
+                    {"operator": "filter_rows",
+                     "params": {"expression": expr}}]}},
+                {"id": "out", "type": "file_output",
+                 "config": {"path": table, "versioned": True}},
+            ],
+            "edges": [{"source": "in", "target": "tf"},
+                      {"source": "tf", "target": "out"}],
+        })
+
+    assert run("o_totalprice > 100000").status == "succeeded"
+    first = read_table(spark, table).count()
+    assert run("o_totalprice > 200000").status == "succeeded"
+    assert [h["version"] for h in history(table)] == [0, 1]
+    assert read_table(spark, table, version=0).count() == first
+    assert read_table(spark, table).count() < first

@@ -1,0 +1,78 @@
+"""Versioned table semantics: atomic snapshots, time travel, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.sources.versioned import (
+    history,
+    read_manifest,
+    read_table,
+    vacuum,
+    write_version,
+)
+
+
+def test_overwrite_versions_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    v0 = write_version(spark.range(10), table, note="initial")
+    v1 = write_version(spark.range(25), table, note="reload")
+    assert (v0, v1) == (0, 1)
+    assert read_table(spark, table).count() == 25          # current
+    assert read_table(spark, table, version=0).count() == 10  # time travel
+    assert [h["version"] for h in history(table)] == [0, 1]
+    assert history(table)[1]["note"] == "reload"
+
+
+def test_append_is_copy_on_write_snapshot(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    write_version(spark.range(10), table)
+    write_version(spark.range(10, 15), table, mode="append")
+    assert read_table(spark, table).count() == 15
+    # the pre-append snapshot is intact — appends never mutate history
+    assert read_table(spark, table, version=0).count() == 10
+
+
+def test_reader_sees_old_snapshot_until_commit(spark, tmp_path):
+    """The manifest IS the table: a reader that resolved the manifest
+    before a new commit keeps reading its (immutable) version dir."""
+    table = str(tmp_path / "tbl")
+    write_version(spark.range(10), table)
+    old_reader = read_table(spark, table)       # resolves v=0 now
+    write_version(spark.range(99), table)
+    assert old_reader.count() == 10             # immutable old snapshot
+    assert read_table(spark, table).count() == 99
+
+
+def test_no_partial_version_visible(spark, tmp_path):
+    """Version dirs appear only via atomic rename: nothing named v=* may
+    exist without being a complete committed snapshot."""
+    table = str(tmp_path / "tbl")
+    write_version(spark.range(10), table)
+    names = set(os.listdir(table))
+    assert names == {"_MANIFEST.json", "v=0"}
+    assert read_manifest(table)["current"] == 0
+
+
+def test_vacuum_drops_old_versions_loudly(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    for n in (5, 10, 15):
+        write_version(spark.range(n), table)
+    removed = vacuum(table, keep_last=1)
+    assert removed == [0, 1]
+    assert read_table(spark, table).count() == 15
+    with pytest.raises(ValueError, match="version 0 not in table"):
+        read_table(spark, table, version=0)
+    assert not (tmp_path / "tbl" / "v=0").exists()
+
+
+def test_versioned_sink_composes_with_engine(spark, sf_dir, tmp_path):
+    """A real pipeline result lands as a snapshot and reads back exactly."""
+    table = str(tmp_path / "orders_big")
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .filter(F.col("o_totalprice") > 100000))
+    write_version(df, table, note="big orders")
+    back = read_table(spark, table)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
