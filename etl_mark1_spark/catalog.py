@@ -830,6 +830,67 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, qv, k=10)
 
 
+@query("snapshot_diff_orders", """
+    WITH base AS (
+        SELECT o_orderkey,
+               round(o_totalprice, 2) AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    old AS (SELECT * FROM base),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0
+                    THEN CAST(round(CAST(price AS DECIMAL(18,2))
+                              * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                    ELSE price END AS price,
+               status
+        FROM base WHERE o_orderkey % 13 != 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, price, 'NEW'
+        FROM base WHERE o_orderkey % 1000 = 0
+    )
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN NOT (o.price IS NOT DISTINCT FROM n.price
+                          AND o.status IS NOT DISTINCT FROM n.status)
+                     THEN 'update'
+           END AS change_type,
+           n.price AS new_price, n.status AS new_status,
+           o.price AS old_price, o.status AS old_status
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN NOT (o.price IS NOT DISTINCT FROM n.price
+                          AND o.status IS NOT DISTINCT FROM n.status)
+                     THEN 'update' END) IS NOT NULL
+""")
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two snapshots (operators/cdc.py:snapshot_diff):
+    repriced keys surface as updates, retired keys as deletes, new keys
+    as inserts; unchanged keys are absent, so the feed is churn-sized.
+    One full-outer key join with null-safe struct comparison."""
+    from etl_mark1_spark.operators.cdc import snapshot_diff
+
+    base = (t(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"),
+                    F.col("o_orderstatus").alias("status")))
+    repriced = F.when(
+        F.col("o_orderkey") % 10 == 0,
+        F.round(F.col("price").cast("decimal(18,2)")
+                * F.lit(1.1).cast("decimal(2,1)"), 2).cast("double")
+    ).otherwise(F.col("price"))
+    new = (base.filter(F.col("o_orderkey") % 13 != 0)
+           .select("o_orderkey", repriced.alias("price"), "status")
+           .unionAll(base.filter(F.col("o_orderkey") % 1000 == 0)
+                     .select((F.col("o_orderkey") + 100000000)
+                             .alias("o_orderkey"),
+                             "price", F.lit("NEW").alias("status"))))
+    return snapshot_diff(base, new, ["o_orderkey"])
+
+
 @query("semantic_dedup_embeddings")
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py): KMeans

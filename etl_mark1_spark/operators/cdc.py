@@ -21,7 +21,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["upsert", "scd2_apply", "merge_aggregates"]
+__all__ = ["upsert", "scd2_apply", "merge_aggregates", "snapshot_diff"]
 
 
 def upsert(existing: DataFrame, updates: DataFrame,
@@ -178,3 +178,55 @@ def merge_aggregates(
             combined = F.greatest(bc, dc)
         out_cols.append(combined.alias(out))
     return joined.select(*out_cols)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: list[str]) -> DataFrame:
+    """Change feed between two table snapshots (e.g. two versions of a
+    sources/versioned.py table): one row per changed key with
+    ``change_type`` in {insert, update, delete}. Unchanged keys are
+    dropped — the feed is proportional to churn, not table size.
+
+    One full-outer join on the key; change detection compares the
+    null-safe struct of all non-key columns JVM-side. Downstream this is
+    the input to incremental maintenance (merge_aggregates on the
+    update/insert rows) or replication. At 100 TB: bucket both snapshots
+    on the key so the join is co-partitioned, and prune untouched
+    partitions first when the writer records which it rewrote.
+    """
+    payload = [c for c in old.columns if c not in key_cols]
+    if payload != [c for c in new.columns if c not in key_cols]:
+        raise ValueError("snapshot schemas differ; diff requires the same "
+                         "column set on both sides")
+    # qualified alias references, not df[col]: both snapshots may share
+    # one lineage (e.g. two versions derived from the same base), where
+    # attribute-id resolution is ambiguous in a self-join
+    o = old.alias("_diff_old")
+    n = new.alias("_diff_new")
+
+    def oc(c):
+        return F.col(f"_diff_old.{c}")
+
+    def nc(c):
+        return F.col(f"_diff_new.{c}")
+
+    cond = reduce(lambda a, b: a & b,
+                  [oc(k).eqNullSafe(nc(k)) for k in key_cols])
+    joined = o.join(n, cond, "full_outer")
+    old_key_null = reduce(lambda a, b: a & b,
+                          [oc(k).isNull() for k in key_cols])
+    new_key_null = reduce(lambda a, b: a & b,
+                          [nc(k).isNull() for k in key_cols])
+    changed = ~F.struct(*[oc(c) for c in payload]).eqNullSafe(
+        F.struct(*[nc(c) for c in payload]))
+    change_type = (
+        F.when(old_key_null, F.lit("insert"))
+        .when(new_key_null, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    keys = [F.coalesce(nc(k), oc(k)).alias(k) for k in key_cols]
+    news = [nc(c).alias(f"new_{c}") for c in payload]
+    olds = [oc(c).alias(f"old_{c}") for c in payload]
+    return (joined.withColumn("change_type", change_type)
+            .filter(F.col("change_type").isNotNull())
+            .select(*keys, F.col("change_type"), *news, *olds))

@@ -271,3 +271,26 @@ def test_compact_files_reduces_count_keeps_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).first()[0] == sum(range(10_000))
+
+
+def test_snapshot_diff_classifies_changes_null_safely(spark):
+    from etl_mark1_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)],
+        ["k", "name", "v"])
+    new = spark.createDataFrame(
+        [(2, "b", 2.5), (3, "c", None), (4, "d", 4.0)],
+        ["k", "name", "v"])
+    out = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(out) == {1, 2, 4}          # key 3 unchanged (null-safe)
+    assert out[1].change_type == "delete" and out[1].old_name == "a"
+    assert out[2].change_type == "update"
+    assert (out[2].old_v, out[2].new_v) == (2.0, 2.5)
+    assert out[4].change_type == "insert" and out[4].new_v == 4.0
+    assert out[4].old_name is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(old, new.withColumnRenamed("v", "w"), ["k"])
