@@ -3085,6 +3085,62 @@ def psi_drift_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_chars", 50.0)
 
 
+@query("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressed/raw size per document (functions/text.py:
+    compression_ratio) — the classic repetitiveness signal: boilerplate
+    compresses far below natural prose. Arrow-batched Pandas UDF (the
+    SimHash boundary shape); deterministic for a fixed zlib level, so the
+    committed golden replays it. Rows-only: no SQL engine exposes zlib."""
+    from etl_mark1_spark.functions.text import compression_ratio
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       compression_ratio("text").alias("zlib_ratio"))
+
+
+@query("robust_outliers_orders", """
+    WITH med AS (
+        SELECT o_orderstatus, median(o_totalprice) AS med
+        FROM orders GROUP BY 1
+    ),
+    dev AS (
+        SELECT o.o_orderstatus, o.o_totalprice, m.med,
+               abs(o.o_totalprice - m.med) AS ad
+        FROM orders o JOIN med m USING (o_orderstatus)
+    ),
+    mad AS (SELECT o_orderstatus, median(ad) AS mad FROM dev GROUP BY 1)
+    SELECT d.o_orderstatus,
+           round(max(d.med), 6) AS med,
+           round(max(m.mad), 6) AS mad,
+           CAST(count(*) FILTER (
+               WHERE 0.6745 * d.ad / m.mad > 3.5) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderstatus)
+    GROUP BY d.o_orderstatus
+""")
+def robust_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (the estimator
+    that, unlike mean/stddev, outliers cannot drag), modified z-score
+    0.6745*|x-med|/MAD > 3.5. Two exact percentile aggregations with the
+    group medians broadcast back between them — no window over the fact,
+    no second scan beyond the deviation pass."""
+    orders = t(spark, sf_dir, "orders").select("o_orderstatus",
+                                               "o_totalprice")
+    med = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med"))
+    dev = (orders.join(F.broadcast(med), "o_orderstatus")
+           .withColumn("ad", F.abs(F.col("o_totalprice") - F.col("med"))))
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad"))
+    return (dev.join(F.broadcast(mad), "o_orderstatus")
+            .groupBy("o_orderstatus")
+            .agg(F.round(F.max("med"), 6).alias("med"),
+                 F.round(F.max("mad"), 6).alias("mad"),
+                 F.count(F.when(
+                     F.lit(0.6745) * F.col("ad") / F.col("mad") > 3.5, 1))
+                 .cast("bigint").alias("n_outliers")))
+
+
 @query("cross_corpus_decontam")
 def cross_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup decontamination of the corpus against a 'benchmark' slice

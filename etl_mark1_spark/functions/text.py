@@ -176,3 +176,33 @@ def char_entropy_stats(df, text_col: str = "text",
             .agg(F.round(-F.sum((F.col("c") / F.col("n"))
                                 * F.log(F.col("c") / F.col("n"))), 6)
                  .alias("char_entropy")))
+
+
+def compression_ratio(col: Column | str) -> Column:
+    """zlib compressed-size / raw-size per document — the classic cheap
+    repetitiveness signal (boilerplate and spam compress far below
+    natural prose; random noise barely compresses). Arrow-batched Pandas
+    UDF: zlib is the one thing the JVM expression library can't do, and
+    per-batch Python over bytes is the same boundary shape as SimHash.
+    Deterministic for a fixed zlib level, so goldens replay it. Empty or
+    NULL text scores NULL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    @pandas_udf("double")
+    def _ratio(texts):
+        import zlib
+
+        import pandas as pd
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return pd.Series([one(t) for t in texts])
+
+    return _ratio(c)

@@ -30,6 +30,7 @@ GOLDEN_ENTRIES = (
     "multimodal_jpeg_decode",
     "multimodal_wav_decode",
     "cross_corpus_decontam",
+    "text_compression_ratio",
 )
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(

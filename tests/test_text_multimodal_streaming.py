@@ -572,3 +572,23 @@ def test_char_entropy_known_values(spark):
     # newlines are symbols too: a,\n,b,\n,c -> p(\n)=2/5, others 1/5
     want = -(2 / 5 * math.log(2 / 5) + 3 * (1 / 5) * math.log(1 / 5))
     assert abs(got[6] - want) < 1e-6
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    from etl_mark1_spark.functions.text import compression_ratio
+
+    rows = [(1, "spam spam spam spam " * 50),
+            (2, "The quick brown fox jumps over the lazy dog while the "
+                "autumn wind scatters crisp leaves across the quiet road."),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.ratio for r in
+           df.select("doc_id",
+                     compression_ratio("text").alias("ratio")).collect()}
+    assert got[1] < 0.1 < got[2] <= 1.2   # boilerplate crushes, prose doesn't
+    assert got[3] is None and got[4] is None
+    # deterministic: same input, same ratio on a re-run
+    again = {r.doc_id: r.ratio for r in
+             df.select("doc_id",
+                       compression_ratio("text").alias("ratio")).collect()}
+    assert got == again
