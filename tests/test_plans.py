@@ -313,3 +313,18 @@ def test_unigram_lm_model_broadcasts(spark, sf_dir):
     plan = executed_plan(QUERIES["unigram_lm_score"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_single_full_outer_join(spark, sf_dir):
+    """The diff is ONE full-outer key join — a formulation that probed
+    each side twice (exists + anti) would double the fact scans."""
+    plan = executed_plan(QUERIES["snapshot_diff_orders"](spark, sf_dir))
+    assert "FullOuter" in plan
+
+
+def test_robust_outliers_broadcasts_group_stats(spark, sf_dir):
+    """Group medians/MADs are group-cardinality sized: both must
+    broadcast back onto the fact, never shuffle it again."""
+    plan = executed_plan(QUERIES["robust_outliers_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
