@@ -1661,6 +1661,54 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum("l_quantity"), 2)))
 
 
+@query("date_arithmetic", """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS expiry,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+                AS BIGINT) AS days_to_cutoff,
+           CAST(date_diff('month', CAST(o_orderdate AS DATE),
+                          DATE '1998-12-01') AS BIGINT) AS months_to_cutoff
+    FROM orders
+""")
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/date arithmetic battery: day offsets, interval addition,
+    month-end snapping, day- and month-granularity differences. All pure
+    date expressions in codegen; DuckDB's date_diff('month') counts
+    month-boundary crossings, which Spark reproduces as a year*12+month
+    delta (months_between would return fractions — a documented dialect
+    delta, not used here)."""
+    d = F.col("o_orderdate").cast("date")
+    cutoff = F.lit("1998-12-01").cast("date")
+    months = ((F.year(cutoff) - F.year(d)) * 12
+              + (F.month(cutoff) - F.month(d))).cast("bigint")
+    return (t(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.date_add(d, 30).alias("due_date"),
+                    F.date_add(d, 90).alias("expiry"),
+                    F.last_day(d).alias("month_end"),
+                    F.datediff(cutoff, d).cast("bigint")
+                    .alias("days_to_cutoff"),
+                    months.alias("months_to_cutoff")))
+
+
+@query("hash_functions", """
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256
+    FROM documents
+""")
+def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-stable hash battery (md5, sha-256) — the portable
+    fingerprints shareable between systems, unlike engine-internal
+    hash/xxhash64."""
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.md5("text").alias("h_md5"),
+                    F.sha2("text", 256).alias("h_sha256")))
+
+
 @query("date_parts", """
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INTEGER)    AS y,
