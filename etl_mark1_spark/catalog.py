@@ -485,11 +485,56 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                              output_mode="complete")
 
 
+@query("streaming_window_sliding")
+def streaming_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows through the STREAMING engine (2h size, 1h slide,
+    AvailableNow complete mode) — must equal the batch sliding aggregate,
+    which is exactly what the oracle (set below) checks."""
+    from etl_mark1_spark.streaming.events import (
+        hourly_event_aggregate, read_events_stream, run_available_now)
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = hourly_event_aggregate(stream, slide="1 hour", size="2 hours")
+    return run_available_now(agg, table_name="stream_sliding_out",
+                             output_mode="complete")
+
+
+ORACLE["streaming_window_sliding"] = """
+    SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events CROSS JOIN (VALUES (0), (1)) AS t(k)
+    GROUP BY 1, 2
+"""
+
+
 ORACLE["streaming_hourly"] = """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events, round(sum(value), 2) AS value_sum
     FROM events GROUP BY 1, 2
 """
+
+
+@query("events_window_sliding", """
+    SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events CROSS JOIN (VALUES (0), (1)) AS t(k)
+    GROUP BY 1, 2
+""")
+def events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows in batch: 2-hour windows sliding by 1 hour — every
+    event lands in exactly two windows (F.window's explode). The oracle
+    reproduces the assignment as trunc(hour) - k for k in {0, 1}."""
+    return (t(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum"))
+            .select(F.col("w").start.alias("window_start"), "event_type",
+                    "n_events", "value_sum"))
 
 
 @query("streaming_restart_drain")

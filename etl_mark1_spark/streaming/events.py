@@ -167,13 +167,14 @@ def restart_drain(spark: SparkSession, events_path: str,
 
 
 def hourly_event_aggregate(events: DataFrame, watermark: str = "1 hour",
-                           slide: str | None = None) -> DataFrame:
-    """Tumbling (or sliding, if ``slide`` given) 1-hour event-time windows:
+                           slide: str | None = None,
+                           size: str = "1 hour") -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) ``size`` event-time windows:
     count + sum(value) per (window, event_type). The watermark bounds state:
     windows older than max(event time) - watermark are finalized and evicted
     — without it, state grows unboundedly at stream scale."""
     window = (
-        F.window("ts", "1 hour", slide) if slide else F.window("ts", "1 hour")
+        F.window("ts", size, slide) if slide else F.window("ts", size)
     )
     return (
         events.withWatermark("ts", watermark)
