@@ -1706,6 +1706,42 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum("l_quantity"), 2)))
 
 
+@query("collect_set_priorities", """
+    SELECT o_orderstatus,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+""")
+def collect_set_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation battery: collected distinct values are a SET —
+    sort before comparing (collect order is partition-dependent in any
+    distributed engine; the sorted array is the portable canonical
+    form)."""
+    return (t(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.array_sort(F.collect_set("o_orderpriority"))
+                 .alias("priorities"),
+                 F.count_distinct("o_orderpriority").cast("bigint")
+                 .alias("n_priorities")))
+
+
+@query("multi_quantiles_quantity", """
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                          x -> round(x, 6)) AS quartiles
+    FROM lineitem GROUP BY l_returnflag
+""")
+def multi_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile in one aggregation: exact interpolated quartiles as
+    an array — one pass instead of three percentile aggregates."""
+    q = F.percentile("l_quantity",
+                     F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.transform(q, lambda x: F.round(x, 6))
+                 .alias("quartiles")))
+
+
 @query("date_arithmetic", """
     SELECT o_orderkey,
            CAST(o_orderdate AS DATE) + 30 AS due_date,
