@@ -163,9 +163,12 @@ def test_jpeg_roundtrip_any_shape(w, h, seed, variant):
         assert abs(y2 - y).max() <= 64
     else:
         # q100 quantizes every DCT coefficient to the nearest integer;
-        # the +-0.5 per-coefficient rounding can stack to a few units of
-        # pixel error on adversarial blocks — 4 is the honest bound, not 2
-        assert err <= 4
+        # +-0.5 on all 64 coefficients stacks to at most
+        # 0.5 * sum|basis| ~ 6 pixel units on adversarial blocks (plus
+        # color-transform rounding) — bound above the theoretical worst
+        # case so a stochastic fuzz run can never flake on a real codec
+        assert err <= 8
+        assert abs(dec.astype(int) - img.astype(int)).mean() <= 2
 
 
 @given(st.integers(min_value=1, max_value=60),
