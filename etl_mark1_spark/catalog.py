@@ -1269,14 +1269,34 @@ _NTILE_SQL = """
 @query("ntile_quartiles", _NTILE_SQL)
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile assignment via ntile + per-bucket bounds. The global-ORDER
-    window is a single-partition sort — fine as DSL surface at this size;
-    at 100 TB use approx_percentile cutoffs + a map-side bucket expression
-    instead (SCALE.md)."""
+    window is a single-partition sort — kept for exact DSL parity at this
+    size; ``quartiles_approx`` below is the 100 TB formulation (sketch
+    cutoffs + map-side bucketing, no window)."""
     from etl_mark1_spark.plans.sql import execute_sql
 
     return execute_sql(spark, _NTILE_SQL,
                        sources={"orders": t(spark, sf_dir, "orders")},
                        limit=None)
+
+
+@query("quartiles_approx")
+def quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ntile_quartiles: approx_percentile cutoffs computed
+    in one decomposable aggregate, broadcast, and applied as a map-side
+    bucket expression (operators/sketches.py:approx_ntile) — the executed
+    plan contains NO window and NO single-partition sort. Checked against
+    exact ntile bucket counts within a 1% band (scripts/check_oracle.py
+    APPROX_ORACLES; rank error at accuracy=10000 over 15k rows is <2
+    rows, so the band is generous) plus a plan assertion + exact-count
+    test in tests/test_sketches.py."""
+    from etl_mark1_spark.operators.sketches import approx_ntile
+
+    orders = t(spark, sf_dir, "orders")
+    return (approx_ntile(orders, "o_totalprice", num_buckets=4)
+            .groupBy("q")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))
 
 
 _Q7_SQL = """
@@ -1504,6 +1524,42 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem": t(spark, sf_dir, "lineitem"),
         "part": t(spark, sf_dir, "part"),
     }, limit=None)
+
+
+@query("q15_top_supplier", """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier(s) by quarterly revenue — the view +
+    scalar-MAX pattern (reference surface: raw SQL passthrough,
+    duckdb_engine.py:84-119). Distributed formulation: one filtered
+    fact aggregation per supplier, a single-row MAX reduced from it, and
+    a broadcast equality join back — no second lineitem scan and no
+    global sort. Revenue rounds to 2dp on both sides so the MAX equality
+    binds to identical values despite engine-order float summation."""
+    li = (t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = (rev.join(F.broadcast(mx),
+                    rev.total_revenue == mx.mx).drop("mx"))
+    supp = t(spark, sf_dir, "supplier")
+    return (supp.join(F.broadcast(top),
+                      supp.s_suppkey == top.supplier_no)
+            .select("s_suppkey", "s_name", "total_revenue"))
 
 
 _Q18_SQL = """

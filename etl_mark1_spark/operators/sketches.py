@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hll_rollup", "hll_estimate_over", "exact_distinct_rollup",
-           "heavy_hitters"]
+           "heavy_hitters", "approx_ntile"]
 
 
 def hll_rollup(df: DataFrame, keys: list[str], col: str,
@@ -74,3 +74,35 @@ def heavy_hitters(df: DataFrame, col: str | Column,
     return (counts.crossJoin(F.broadcast(total))
             .filter(F.col("n") >= F.col("total") * F.lit(min_share))
             .select("value", "n"))
+
+
+def approx_ntile(df: DataFrame, col: str, num_buckets: int = 4,
+                 accuracy: int = 10000) -> DataFrame:
+    """Scale-safe ntile: sketch quantile cutoffs + map-side bucketing.
+
+    Exact ``ntile(n) OVER (ORDER BY col)`` plans a WindowExec with no
+    PARTITION BY — every row moves to ONE partition for a global sort, a
+    scale-killer at 100 TB. This computes the ``num_buckets - 1`` interior
+    cutoffs with a single decomposable aggregate (``approx_percentile``,
+    KLL-style sketch with rank error <= rows/accuracy per cutoff; partial
+    sketches merge map-side), broadcasts the one-row cutoff frame, and
+    assigns buckets with a pure map-side comparison chain — no sort, no
+    window, no single-partition stage.
+
+    Bucket populations match exact ntile within ~2*rows/accuracy per
+    boundary plus the mass of values tied exactly at a cutoff (ties all
+    land in the lower bucket, where ntile would split them by rank).
+
+    Returns ``df`` plus a BIGINT ``q`` column in ``1..num_buckets``.
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = df.agg(F.percentile_approx(
+        col, F.array(*[F.lit(p) for p in probs]),
+        F.lit(accuracy)).alias("_cuts"))
+    bucket: Column = F.lit(1)
+    for i in range(num_buckets - 1):
+        bucket = bucket + F.when(F.col(col) > F.col("_cuts")[i],
+                                 1).otherwise(0)
+    return (df.crossJoin(F.broadcast(cuts))
+            .withColumn("q", bucket.cast("bigint"))
+            .drop("_cuts"))

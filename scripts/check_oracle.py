@@ -67,11 +67,21 @@ def row_set(columns: list[str], rows: list[tuple]) -> list[str]:
 _EXACT_DISTINCT_USERS = """
     SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1
 """
+#: quartiles_approx: sketch cutoffs (rank error <= rows/accuracy = ~2 rows
+#: at sf0.01) vs exact ntile bucket counts; 1% per-bucket band.
+_EXACT_NTILE_COUNTS = """
+    SELECT q, count(*) FROM (
+        SELECT CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)
+                 AS BIGINT) AS q
+        FROM orders) GROUP BY q
+"""
 APPROX_ORACLES = {
     "approx_distinct_users":
         (_EXACT_DISTINCT_USERS, "event_type", "approx_distinct", 0.065),
     "hll_rollup_merge":
         (_EXACT_DISTINCT_USERS, "event_type", "approx_distinct", 0.065),
+    "quartiles_approx":
+        (_EXACT_NTILE_COUNTS, "q", "n", 0.01),
 }
 
 

@@ -5,7 +5,8 @@ parity is the distinct_rollup_daily / heavy_hitter_types oracles."""
 import pytest
 from pyspark.sql import functions as F
 
-from etl_mark1_spark.operators.sketches import (exact_distinct_rollup,
+from etl_mark1_spark.operators.sketches import (approx_ntile,
+                                                exact_distinct_rollup,
                                                 heavy_hitters,
                                                 hll_estimate_over,
                                                 hll_rollup)
@@ -68,3 +69,49 @@ def test_heavy_hitters_exact_threshold(spark):
     # boundary: exactly at the threshold is included (>=)
     edge = {r.value for r in heavy_hitters(df, "v", 5 / 135).collect()}
     assert "c" in edge
+
+
+def test_approx_ntile_counts_match_exact_ntile(spark):
+    """The scale contract for quartiles_approx: sketch-cutoff buckets
+    reproduce exact ntile populations within the rank-error band, every
+    row lands in exactly one bucket, and buckets are value-ordered."""
+    from pyspark.sql import Window
+    n = 20_000
+    # deterministic non-uniform values with no ties at the cutoffs
+    df = spark.range(n).select(
+        "id", (F.sin(F.col("id")) * 1000 + F.col("id") / 7).alias("v"))
+    got = approx_ntile(df, "v", num_buckets=4)
+    counts = {r.q: r.n for r in
+              got.groupBy("q").agg(F.count(F.lit(1)).alias("n")).collect()}
+    exact = {r.q: r.n for r in
+             df.withColumn("q", F.ntile(4).over(
+                 Window.orderBy("v", "id")).cast("bigint"))
+             .groupBy("q").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {1, 2, 3, 4}
+    assert sum(counts.values()) == n
+    for q in exact:
+        # accuracy=10000 -> rank error <= n/10000 = 2 rows per boundary
+        assert abs(counts[q] - exact[q]) <= max(4, 0.01 * exact[q]), \
+            (q, counts[q], exact[q])
+    # bucket value ranges must be ordered and non-overlapping
+    bounds = {r.q: (r.lo, r.hi) for r in
+              got.groupBy("q").agg(F.min("v").alias("lo"),
+                                   F.max("v").alias("hi")).collect()}
+    for q in (1, 2, 3):
+        assert bounds[q][1] <= bounds[q + 1][0]
+
+
+def test_approx_ntile_plan_has_no_window_or_global_sort(spark):
+    """The point of the operator: the executed plan must contain neither a
+    Window node nor a single-partition global Sort — the two shapes that
+    kill exact ntile at 100 TB."""
+    df = spark.range(50_000).select(
+        "id", (F.col("id") % 997).cast("double").alias("v"))
+    out = approx_ntile(df, "v", num_buckets=4)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan, plan
+    # The only single-partition stage is the cutoff merge, and its input
+    # is per-partition sketch PARTIALS (bytes per split), not data rows.
+    assert "partial_percentile_approx" in plan, plan
