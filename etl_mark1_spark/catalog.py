@@ -1015,6 +1015,26 @@ def pack_sequences_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                           shard_col="lang")
 
 
+@query("pack_sequences_global", """
+    SELECT doc_id, n_chars,
+           CAST(floor((sum(n_chars) OVER (
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       - n_chars) / 2048)
+             AS BIGINT) AS seq_id
+    FROM documents
+""")
+def pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsharded packing over the whole corpus — the oracle is the naive
+    single-partition global window, but the Spark plan is the two-phase
+    exact prefix sum (sketch-cutoff id ranges packing in parallel +
+    broadcast cumulative offsets; operators/corpus.py:pack_sequences).
+    Integer arithmetic end-to-end, so the equality is hash-exact."""
+    from etl_mark1_spark.operators.corpus import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(docs, budget=2048, size_col="n_chars")
+
+
 @query("chunk_documents_overlap", """
     SELECT d.doc_id,
            s.k AS chunk_id,

@@ -131,25 +131,54 @@ def ngram_contamination(df: DataFrame, benchmark: DataFrame, n: int = 8,
 def pack_sequences(df: DataFrame, budget: int, size_col: str = "n_tokens",
                    shard_col: str | None = None,
                    id_col: str = "doc_id",
-                   out_col: str = "seq_id") -> DataFrame:
+                   out_col: str = "seq_id",
+                   num_shards: int = 64) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are (conceptually)
     concatenated in ``id_col`` order and cut into fixed ``budget``-sized
     training sequences; each document is tagged with the sequence its first
     token lands in — ``floor(running_size_before_doc / budget)``.
 
     This is the standard LLM-pretraining packing (concatenate with EOS,
-    chunk to context length), expressed as one running-sum window. With
-    ``shard_col`` the window partitions by shard and each shard packs
-    independently IN PARALLEL — the shape that scales; without it the
-    running sum is a single global window (one partition: fine for a demo,
-    wrong at 100 TB — always shard there, e.g. by a hash bucket of the id).
+    chunk to context length). With ``shard_col`` the running-sum window
+    partitions by shard and each shard packs independently IN PARALLEL.
+
+    Without ``shard_col`` the result is still the EXACT global running
+    sum, but never through a single-partition window: ``num_shards``
+    contiguous ``id_col`` ranges are derived from sketch quantile cutoffs
+    (sketches.py:approx_ntile — one decomposable aggregate), each range
+    computes its prefix sums in parallel, and range totals fold into
+    broadcast cumulative offsets (a triangular join over ``num_shards``
+    rows — metadata-sized). Identical output to the naive global window;
+    plan-asserted window-parallel in tests/test_corpus.py. The unsharded
+    path needs an orderable numeric/date ``id_col`` (sketch cutoffs);
+    for string ids pass a ``shard_col``.
     """
-    w = (Window.partitionBy(shard_col) if shard_col is not None
-         else Window.partitionBy()).orderBy(id_col) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    before = F.sum(size_col).over(w) - F.col(size_col)
-    return df.withColumn(
-        out_col, F.floor(before / F.lit(budget)).cast("bigint"))
+    if shard_col is not None:
+        w = (Window.partitionBy(shard_col).orderBy(id_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        before = F.sum(size_col).over(w) - F.col(size_col)
+        return df.withColumn(
+            out_col, F.floor(before / F.lit(budget)).cast("bigint"))
+
+    from etl_mark1_spark.operators.sketches import approx_ntile
+
+    bucketed = approx_ntile(df, id_col, num_buckets=num_shards,
+                            out_col="_pack_q")
+    w = (Window.partitionBy("_pack_q").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within_before = F.sum(size_col).over(w) - F.col(size_col)
+    totals = bucketed.groupBy("_pack_q").agg(F.sum(size_col).alias("_tot"))
+    offsets = (totals.alias("a")
+               .join(F.broadcast(totals.alias("b")),
+                     F.col("b._pack_q") < F.col("a._pack_q"), "left")
+               .groupBy(F.col("a._pack_q").alias("_pack_q"))
+               .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off")))
+    return (bucketed.withColumn("_before", within_before)
+            .join(F.broadcast(offsets), "_pack_q")
+            .withColumn(out_col,
+                        F.floor((F.col("_before") + F.col("_off"))
+                                / F.lit(budget)).cast("bigint"))
+            .drop("_pack_q", "_before", "_off"))
 
 
 #: simple, engine-portable PII patterns (emails; international-ish phones)

@@ -77,7 +77,7 @@ def heavy_hitters(df: DataFrame, col: str | Column,
 
 
 def approx_ntile(df: DataFrame, col: str, num_buckets: int = 4,
-                 accuracy: int = 10000) -> DataFrame:
+                 accuracy: int = 10000, out_col: str = "q") -> DataFrame:
     """Scale-safe ntile: sketch quantile cutoffs + map-side bucketing.
 
     Exact ``ntile(n) OVER (ORDER BY col)`` plans a WindowExec with no
@@ -93,7 +93,13 @@ def approx_ntile(df: DataFrame, col: str, num_buckets: int = 4,
     boundary plus the mass of values tied exactly at a cutoff (ties all
     land in the lower bucket, where ntile would split them by rank).
 
-    Returns ``df`` plus a BIGINT ``q`` column in ``1..num_buckets``.
+    Buckets are contiguous value ranges and ordered: every value in
+    bucket i is <= every value in bucket i+1, and equal values always
+    share a bucket — which is what lets two-phase prefix sums (see
+    operators/corpus.py:pack_sequences) use these buckets as parallel
+    shards of a global ordering.
+
+    Returns ``df`` plus a BIGINT ``out_col`` column in ``1..num_buckets``.
     """
     probs = [i / num_buckets for i in range(1, num_buckets)]
     cuts = df.agg(F.percentile_approx(
@@ -104,5 +110,5 @@ def approx_ntile(df: DataFrame, col: str, num_buckets: int = 4,
         bucket = bucket + F.when(F.col(col) > F.col("_cuts")[i],
                                  1).otherwise(0)
     return (df.crossJoin(F.broadcast(cuts))
-            .withColumn("q", bucket.cast("bigint"))
+            .withColumn(out_col, bucket.cast("bigint"))
             .drop("_cuts"))

@@ -110,6 +110,45 @@ def test_pack_sequences_shards_pack_independently(spark):
     assert sorted(by_shard["a"]) == sorted(by_shard["b"]) == [0, 0, 1, 1, 2]
 
 
+def test_pack_sequences_unsharded_matches_global_window(spark):
+    """The two-phase default must reproduce the naive single-partition
+    global running sum exactly — ragged sizes, many buckets, ids sparse
+    and unordered on input."""
+    from pyspark.sql import Window
+
+    rows = [Row(doc_id=i * 7 % 1009, n_tokens=1 + (i * 13) % 97)
+            for i in range(1009)]  # permutation -> unique sparse ids
+    df = spark.createDataFrame(rows).repartition(16)
+    got = {r.doc_id: r.seq_id for r in
+           pack_sequences(df, budget=256, size_col="n_tokens",
+                          num_shards=32).collect()}
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = {r.doc_id: r.seq_id for r in
+             df.withColumn(
+                 "seq_id",
+                 F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                         / 256).cast("bigint")).collect()}
+    assert got == naive
+
+
+def test_pack_sequences_unsharded_plan_is_window_parallel(spark):
+    """Without shard_col, every window in the plan must partition by the
+    derived bucket column — no empty-partition (single-partition) window
+    over the data."""
+    import re
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 80 + 1).alias("n_tokens"))
+    out = pack_sequences(df, budget=500, size_col="n_tokens", num_shards=16)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, plan  # the per-bucket prefix sum is a window
+    assert all("_pack_q" in s for s in specs), specs
+
+
 def test_salted_join_matches_plain_join(spark):
     from etl_mark1_spark.operators.skew import salted_join
 
