@@ -3367,3 +3367,19 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return decode_images(attach_jpeg_media(docs), codec="real")
+
+
+@query("multimodal_png_decode")
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end with NO image library: each row carries
+    an actual PNG (id-seeded gradient; ids cycle RGB / grayscale / RGBA
+    color types, rows cycle all five filters, every third id splits IDAT),
+    decoded by the vendored pure-Python codec (operators/png.py, stdlib
+    zlib inflate + numpy unfilter) into true dimensions, mean pixel, and a
+    genuine 64-bit average-hash. Golden-replay check + lossless
+    round-trip property fuzz in tests/test_property.py."""
+    from etl_mark1_spark.operators.multimodal import (attach_png_media,
+                                                      decode_images)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_png_media(docs), codec="real")

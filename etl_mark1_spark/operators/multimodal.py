@@ -115,16 +115,27 @@ def decode_image_bytes(payload: bytes):
     (8x8 block-sampled grayscale thresholded at its mean).
 
     BMP (24-bit) and binary PPM/PGM parse with numpy alone; baseline JPEG
-    decodes through the vendored pure-Python codec (operators/jpeg.py) —
-    no image library needed for the dominant real-world format. Remaining
-    formats (png, progressive jpeg, ...) fall through to PIL when
-    installed, else raise NotImplementedError naming the format."""
+    and 8-bit PNG (all filters, gray/RGB/palette/alpha) decode through the
+    vendored pure-Python codecs (operators/jpeg.py, operators/png.py) —
+    no image library needed for the dominant real-world formats. Remaining
+    formats (progressive jpeg, 16-bit/interlaced png, ...) fall through to
+    PIL when installed, else raise NotImplementedError naming the format.
+    Alpha/gray+alpha planes are dropped for the stats (mean and ahash are
+    over color channels, matching PIL's convert("RGB") path)."""
     import numpy as np
 
     if payload[:2] == b"\xff\xd8":
         from etl_mark1_spark.operators.jpeg import decode_jpeg
 
         img = decode_jpeg(payload)  # (h, w, 3) RGB or (h, w) grayscale
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from etl_mark1_spark.operators.png import decode_png
+
+        img = decode_png(payload)
+        if img.ndim == 3 and img.shape[2] == 4:    # RGBA -> RGB
+            img = img[:, :, :3]
+        elif img.ndim == 3 and img.shape[2] == 2:  # gray+alpha -> gray
+            img = img[:, :, 0]
     elif payload[:2] == b"BM":
         w = int.from_bytes(payload[18:22], "little")
         h = int.from_bytes(payload[22:26], "little")
@@ -266,6 +277,62 @@ def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     flat = df.select(id_col).mapInPandas(gen, schema=out_schema)
     meta = F.struct(
         F.lit("image").alias("modality"), F.lit("jpeg").alias("format"),
+        F.col("width"), F.col("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("channels"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    return flat.withColumn("media_meta", meta).drop("width", "height")
+
+
+def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL PNG per row (id-seeded gradient via the vendored
+    encoder) — executor-side in mapInPandas like attach_bmp_media. Ids
+    cycle color types (RGB / grayscale / RGBA) and each image cycles all
+    five row filters, so the whole unfilter surface stays exercised at
+    corpus scale; every third id also splits the stream across multiple
+    IDAT chunks."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_mark1_spark.operators.png import make_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + i % 16, 16 + (i // 2) % 16
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                r = np.broadcast_to(x * 255 // max(w - 1, 1), (h, w))
+                g = np.broadcast_to((y * 255 // max(h - 1, 1))[:, None],
+                                    (h, w))
+                b = np.full((h, w), i % 256, dtype=np.int64)
+                variant = i % 3
+                if variant == 0:
+                    px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                elif variant == 1:
+                    px = ((r + g + b) // 3).astype(np.uint8)
+                else:
+                    a = np.full((h, w), 255 - i % 128, dtype=np.int64)
+                    px = np.stack([r, g, b, a], axis=-1).astype(np.uint8)
+                blob = make_png(px, idat_chunk_size=512 if variant == 2
+                                else None)
+                rows.append((i, blob, w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "content",
+                                              "width", "height"])
+
+    flat = df.select(id_col).mapInPandas(gen, schema=out_schema)
+    meta = F.struct(
+        F.lit("image").alias("modality"), F.lit("png").alias("format"),
         F.col("width"), F.col("height"),
         F.lit(None).cast("int").alias("sample_rate"),
         F.lit(None).cast("int").alias("channels"),

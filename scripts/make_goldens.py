@@ -28,6 +28,7 @@ GOLDEN_ENTRIES = (
     "multimodal_image_features",
     "multimodal_bmp_decode",
     "multimodal_jpeg_decode",
+    "multimodal_png_decode",
     "multimodal_wav_decode",
     "cross_corpus_decontam",
     "text_compression_ratio",

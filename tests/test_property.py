@@ -171,6 +171,55 @@ def test_jpeg_roundtrip_any_shape(w, h, seed, variant):
         assert abs(dec.astype(int) - img.astype(int)).mean() <= 2
 
 
+@given(
+    st.integers(min_value=1, max_value=40),   # width
+    st.integers(min_value=1, max_value=40),   # height
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.sampled_from([1, 2, 3, 4]),            # channels
+    st.sampled_from([None, 0, 1, 2, 3, 4]),   # row filter (None = cycle)
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_is_lossless(w, h, seed, ch, filt):
+    """PNG is lossless: any shape x any channel count x any row filter
+    must round-trip encode->decode bit-exactly — including 1xN strips
+    where the left/up predecessors are all edge cases."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.png import decode_png, make_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    dec = decode_png(make_png(img, filter_type=filt))
+    assert dec.shape == img.shape
+    assert (dec == img).all()
+
+
+@given(st.integers(min_value=0, max_value=2**32 - 1),
+       st.integers(min_value=1, max_value=300))
+@settings(max_examples=25, deadline=None)
+def test_png_single_byte_corruption_never_misdecodes(seed, pos):
+    """Flipping any byte must either still decode to the exact original
+    (flip landed in padding/irrelevant bits — impossible here since every
+    chunk is CRC-covered) or raise cleanly; silent wrong pixels are the
+    one unacceptable outcome."""
+    import numpy as np
+    import zlib
+
+    from etl_mark1_spark.operators.png import decode_png, make_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    blob = bytearray(make_png(img))
+    pos = 8 + pos % (len(blob) - 8)  # leave the signature alone
+    blob[pos] ^= 0x5A
+    try:
+        dec = decode_png(bytes(blob))
+    except (ValueError, NotImplementedError, zlib.error):
+        return
+    assert (dec == img).all()
+
+
 @given(st.integers(min_value=1, max_value=60),
        st.integers(min_value=1, max_value=60),
        st.integers(min_value=0, max_value=2**32 - 1))

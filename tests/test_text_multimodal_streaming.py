@@ -114,6 +114,68 @@ def test_multimodal_real_codec_rejects_undecodable(spark):
         decode_images(docs, codec="real").collect()
 
 
+def test_multimodal_png_attach_decode_end_to_end(spark):
+    """attach_png_media payloads (RGB / gray / RGBA variants, cycling
+    filters, split IDAT) decode through the Spark path to their true
+    dimensions and gradient statistics."""
+    from etl_mark1_spark.operators.multimodal import (
+        attach_png_media, decode_images)
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1, 13)])
+    feats = {r.doc_id: r for r in
+             decode_images(attach_png_media(docs), codec="real").collect()}
+    assert len(feats) == 12
+    for i, r in feats.items():
+        assert (r.width, r.height) == (16 + i % 16, 16 + (i // 2) % 16), i
+        assert 0.0 < r.mean_pixel < 255.0
+        assert len(r.phash) == 16
+
+
+def test_png_decodes_system_pngs():
+    """Interop: PNGs produced by real-world encoders (not our fixture
+    encoder) must decode to their documented dimensions."""
+    import os
+
+    from etl_mark1_spark.operators.png import decode_png
+
+    cases = [("/usr/share/gitweb/static/git-logo.png", (27, 72, 3)),
+             ("/usr/share/doc/python3/_static/file.png", (16, 16, 4)),
+             ("/usr/share/doc/python3/_static/minus.png", (11, 11))]
+    found = [(p, shape) for p, shape in cases if os.path.exists(p)]
+    if not found:
+        pytest.skip("no system PNGs on this machine")
+    for p, shape in found:
+        img = decode_png(open(p, "rb").read())
+        assert img.shape == shape, p
+
+
+def test_png_palette_and_gates():
+    """Palette images expand through PLTE; 16-bit / interlaced raise the
+    honest NotImplementedError gate rather than mis-decoding."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_mark1_spark.operators.png import (
+        PNG_SIG, _chunk, decode_png, make_png_palette)
+
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4) % 5
+    pal = np.arange(15, dtype=np.uint8).reshape(5, 3) * 7
+    assert (decode_png(make_png_palette(idx, pal)) == pal[idx]).all()
+
+    def header_only(depth, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 3, depth, 0, 0, 0, interlace)
+        scan = zlib.compress(bytes([0, 1, 2, 3, 4]) * 3)
+        return (PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", scan)
+                + _chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(header_only(16, 0))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(header_only(8, 1))
+
+
 def test_multimodal_resize_and_frames(spark):
     from etl_mark1_spark.operators.multimodal import (
         attach_fake_media, resize_images, sample_video_frames)
@@ -339,7 +401,11 @@ def test_real_decode_distributed(spark):
     import importlib.util
     if importlib.util.find_spec("PIL") is None:
         from etl_mark1_spark.operators.multimodal import decode_image_bytes
+        # PNG is vendored now — GIF is the representative still-gated format
         with pytest.raises(NotImplementedError, match="decoder|PIL"):
+            decode_image_bytes(b"GIF89a....")
+        # and a corrupt PNG fails loudly with the corruption, not garbage
+        with pytest.raises(ValueError, match="truncated|CRC|IHDR"):
             decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
 
 
