@@ -21,6 +21,14 @@ recorded times up to 7x over a fresh-session run of the same query
 JVM startup costs wall-clock but never lands in the timings, and the
 numbers become reproducible run-over-run. Set SPARK_GRAFT_SHARED_SESSION=1
 to get the old one-session behavior for quick local iteration.
+
+SPREAD: after the compile warmup, each query is timed SPARK_GRAFT_RUNS
+(default 2) times in its subprocess; "queries" carries the median (the
+round-over-round comparable number, same contract as before) and the
+top-level "spread" map carries every timed run, so a machine-load
+transient is visible in the artifact instead of masquerading as a
+regression (round-3 artifact: driver minhash 8.26 s vs committed isolated
+4.6/5.5 s with nothing recorded to prove which was loaded).
 """
 
 from __future__ import annotations
@@ -65,6 +73,10 @@ HEADLINE = [
     "streaming_restart_drain",
     "pagerank_parts",
     "curation_chunks",
+    # round-4 additions: AQE runtime skew-split under deliberate key skew
+    # (plan-asserted in tests/test_plans.py); windowless global packing
+    "skewed_join_aqe",
+    "pack_sequences_global",
 ]
 
 
@@ -77,10 +89,19 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.monotonic() - started
 
 
-def time_in_session(spark, name: str, sf_dir: str) -> float:
+def time_in_session(spark, name: str, sf_dir: str) -> list[float]:
+    """Warmup (compile) pass, then SPARK_GRAFT_RUNS timed steady-state
+    runs — the spread across them is the in-artifact load-noise record."""
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP"):
         run_query(spark, name, sf_dir)  # compile pass; steady-state is timed
-    return round(run_query(spark, name, sf_dir), 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
+    return [round(run_query(spark, name, sf_dir), 3) for _ in range(n_runs)]
+
+
+def _median(runs: list[float]) -> float:
+    import statistics
+
+    return round(statistics.median(runs), 3)
 
 
 def child_main(name: str, sf_dir: str) -> None:
@@ -89,11 +110,12 @@ def child_main(name: str, sf_dir: str) -> None:
 
     spark = get_spark(app_name=f"bench-{name}", driver_memory="24g")
     spark.range(1).count()  # absorb JVM startup outside the timings
-    print(json.dumps({"query": name, "sec": time_in_session(spark, name, sf_dir)}))
+    runs = time_in_session(spark, name, sf_dir)
+    print(json.dumps({"query": name, "sec": _median(runs), "runs": runs}))
     spark.stop()
 
 
-def time_isolated(name: str, sf_dir: str) -> float | None:
+def time_isolated(name: str, sf_dir: str) -> tuple[float, list[float]] | None:
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--one", name],
         capture_output=True, text=True, timeout=1800,
@@ -101,7 +123,8 @@ def time_isolated(name: str, sf_dir: str) -> float | None:
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            return json.loads(line)["sec"]
+            rec = json.loads(line)
+            return rec["sec"], rec.get("runs", [rec["sec"]])
         except (json.JSONDecodeError, KeyError):
             continue
     sys.stderr.write(f"bench error in {name}:\n{proc.stderr[-2000:]}\n")
@@ -116,6 +139,7 @@ def main() -> None:
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     timings: dict[str, float | None] = {}
+    spread: dict[str, list[float]] = {}
     if os.environ.get("SPARK_GRAFT_SHARED_SESSION"):
         from etl_mark1_spark import get_spark
 
@@ -125,21 +149,28 @@ def main() -> None:
         spark.range(1).count()
         for name in HEADLINE:
             try:
-                timings[name] = time_in_session(spark, name, sf_dir)
+                runs = time_in_session(spark, name, sf_dir)
+                timings[name] = _median(runs)
+                spread[name] = runs
             except Exception as exc:  # broken query shows as null, not a crash
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
                 timings[name] = None
         spark.stop()
     else:
         for name in HEADLINE:
-            timings[name] = time_isolated(name, sf_dir)
+            got = time_isolated(name, sf_dir)
+            if got is None:
+                timings[name] = None
+            else:
+                timings[name], spread[name] = got
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,   # name -> median sec (driver contract)
+        "spread": spread,     # name -> every timed run behind the median
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

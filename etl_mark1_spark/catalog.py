@@ -1392,6 +1392,64 @@ def salted_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, orders, "l_orderkey", num_salts=8)
 
 
+@query("skewed_join_aqe", """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END
+              AS k,
+              l_extendedprice, l_returnflag
+          FROM lineitem) s
+    JOIN orders ON o_orderkey = s.k
+    GROUP BY l_returnflag
+""")
+def skewed_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately pathological join skew handled by AQE, measured in the
+    bench rather than just configured: a third of lineitem collapses onto
+    ONE key, the join is hinted to sort-merge (no broadcast escape), and
+    AQE's runtime skew-split carves the monster partition into parallel
+    subtasks (OptimizeSkewedJoin; plan shows ``skew=true`` — asserted in
+    tests/test_plans.py). The skew thresholds are lowered because the
+    defaults (256 MB) are sized for real clusters — at 100 TB the same
+    plan triggers with stock settings — and AQE's runtime SMJ->broadcast
+    conversion is suppressed because at 100 TB the probe side wouldn't
+    fit an executor (at bench scale it would, which would silently dodge
+    the skew path being measured). Conf set is per-session and
+    semantics-preserving (skew split never changes results — the oracle
+    is the plain join; static broadcast plans elsewhere in this catalog
+    use explicit hints and are unaffected).
+    """
+    import os
+
+    from etl_mark1_spark.operators.dedup import ensure_parallelism
+
+    thr = os.environ.get("SPARK_GRAFT_SKEW_THRESHOLD", "256k")
+    adv = os.environ.get("SPARK_GRAFT_SKEW_ADVISORY", "64k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", thr)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", adv)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # skew splits happen at MAP-OUTPUT boundaries: the toy-scale parquet is
+    # one row group = ONE effective mapper, making the skewed reduce block
+    # a single unsplittable chunk. ensure_parallelism fans the narrow scan
+    # out to real mappers (no-op on any real-scale multi-split table).
+    li = ensure_parallelism(t(spark, sf_dir, "lineitem")).select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("l_orderkey")).alias("k"),
+        "l_extendedprice", "l_returnflag")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    # group on a fact-side column: grouping on a dim-side column was
+    # observed to suppress OptimizeSkewedJoin in Spark 4.1 (the skewed
+    # shuffle read stays un-split), defeating the thing being measured
+    return (li.hint("merge")
+            .join(orders, li.k == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue")))
+
+
 # ---------------------------------------------------------------------------
 # PDF extraction (reference: accepted upload format file_service.py:61 and
 # declared pdf_extract node executor/engine.py:26-27, never implemented)

@@ -328,3 +328,44 @@ def test_robust_outliers_broadcasts_group_stats(spark, sf_dir):
     plan = executed_plan(QUERIES["robust_outliers_orders"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_skewed_join_aqe_plan_splits_skew(spark):
+    """The entry's reason to exist: under deliberate key skew, AQE must
+    carve the monster partition into parallel subtasks — the executed
+    plan carries SortMergeJoin(skew=true). Runs at sf0.01 with
+    test-scale thresholds (the byte knobs are the only scale-dependent
+    part; the plan shape is identical at sf0.1 bench defaults)."""
+    import os
+
+    from etl_mark1_spark.catalog import QUERIES
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.01 testdata not present")
+    touched = ["spark.sql.adaptive.skewJoin.enabled",
+               "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+               "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+               "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+               "spark.sql.adaptive.autoBroadcastJoinThreshold"]
+    saved = {}
+    for k in touched:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    os.environ["SPARK_GRAFT_SKEW_THRESHOLD"] = "8k"
+    os.environ["SPARK_GRAFT_SKEW_ADVISORY"] = "4k"
+    try:
+        df = QUERIES["skewed_join_aqe"](spark, sf01)
+        df.collect()
+        plan = executed_plan(df)
+        assert "skew=true" in plan, plan
+    finally:
+        os.environ.pop("SPARK_GRAFT_SKEW_THRESHOLD", None)
+        os.environ.pop("SPARK_GRAFT_SKEW_ADVISORY", None)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
