@@ -3275,14 +3275,50 @@ def robust_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_outliers")))
 
 
-@query("cross_corpus_decontam")
+@query("cross_corpus_decontam", r"""
+    WITH norm AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    nums AS (SELECT unnest(range(1, 8001)) AS i),
+    sh AS (
+        SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), 5) AS g
+        FROM norm JOIN nums ON i <= greatest(length(t) - 4, 1)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT s.doc_id AS src, b.doc_id AS ref, count(*) AS ix
+        FROM sh s JOIN sh b ON s.g = b.g AND b.doc_id % 20 = 0
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT src, ref, CAST(ix AS DOUBLE) / (ss.n + sr.n - ix) AS j
+        FROM inter
+        JOIN sz ss ON ss.doc_id = src
+        JOIN sz sr ON sr.doc_id = ref
+        WHERE CAST(ix AS DOUBLE) / (ss.n + sr.n - ix) >= 0.8
+    )
+    SELECT src AS doc_id, ref AS matched_ref, round(j, 6) AS jaccard
+    FROM (SELECT *, row_number() OVER (PARTITION BY src
+                                       ORDER BY j DESC, ref) AS rn
+          FROM jac)
+    WHERE rn = 1
+""")
 def cross_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup decontamination of the corpus against a 'benchmark' slice
     (operators/dedup.py:minhash_cross_dedup): every 20th document plays
     the eval set; any corpus doc near-matching one is flagged with its
-    best match. Rows-only (LSH not SQL-expressible); semantics pinned by
-    tests/test_dedup_similarity.py planted-contamination cases plus the
-    self-match floor (every benchmark doc must flag itself at jaccard 1)."""
+    best match. ORACLE-EXACT despite LSH candidate generation: the final
+    filter is exact shingle Jaccard, so the only possible divergence from
+    the oracle's all-pairs answer is an LSH recall miss — and at the 0.8
+    threshold the banding (12x4) detects a qualifying pair with
+    p >= 0.998, rising to ~1 for the >= 0.98 pairs this corpus actually
+    contains, so the equality is deterministic for this data. The oracle
+    replays the identical shingle definition (5-char grams of
+    lowercased/space-collapsed text) and |∩|/(|A|+|B|-|∩|) arithmetic;
+    golden + planted-contamination tests still pin the LSH machinery
+    (tests/test_dedup_similarity.py)."""
     from etl_mark1_spark.operators.dedup import minhash_cross_dedup
 
     docs = t(spark, sf_dir, "documents")

@@ -63,16 +63,24 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     # keeps derived frames out.
     if len(files) >= target:
         return df
-    # A frame whose plan already shuffles (join/agg/window upstream) has
+    # A frame whose plan already SHUFFLES (join/agg/window upstream) has
     # its partitioning set by that shuffle and AQE's coalescing — adding a
     # round-robin there is a gratuitous full-data shuffle at scale. Only a
     # shuffle-free narrow scan genuinely inherits the (few) file splits.
-    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+    # Match shuffle exchanges specifically: a bare "Exchange" substring
+    # would also hit BroadcastExchange, and a single-split scan broadcast-
+    # joined to a tiny dim frame is exactly the serialized case this
+    # function exists to fix.
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if re.search(r"\bExchange (hashpartitioning|rangepartitioning|"
+                 r"SinglePartition|RoundRobinPartitioning)", plan):
         return df
     return df.repartition(target)
 
 
-def release_checkpoint(df: DataFrame) -> None:
+def release_checkpoint(df: DataFrame, deep: bool = False) -> None:
     """Free the executor storage blocks behind a ``localCheckpoint``'d frame.
 
     ``localCheckpoint`` truncates lineage, so its blocks cannot be
@@ -80,13 +88,31 @@ def release_checkpoint(df: DataFrame) -> None:
     long-lived session (the DAG-executor use case) un-released checkpoints
     are unbounded executor storage growth; every checkpoint this module
     creates is released as soon as its consumers have run. No-op for frames
-    that are not checkpoint-backed. Best-effort: failure here is storage
-    pressure, never a correctness problem.
+    that are not checkpoint-backed.
+
+    ``deep=True`` walks the whole plan and frees EVERY checkpoint the
+    frame leans on — the caller-owned hook for derived results (e.g. the
+    final labels checkpoint under a distributed-path dedup result:
+    consume the result, then ``release_checkpoint(result, deep=True)``).
+    The default stays root-only because internal loops release one frame
+    while siblings still share upstream checkpoints.
+
+    Best-effort: failure here is storage pressure, never a correctness
+    problem.
     """
     try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+        def walk(plan) -> None:
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
+                if not deep:
+                    return
+            if not deep:
+                return
+            children = plan.children()
+            for i in range(children.size()):
+                walk(children.apply(i))
+
+        walk(df._jdf.queryExecution().analyzed())
     except Exception:
         pass
 
@@ -186,6 +212,14 @@ def _cluster_min_label(ids: DataFrame, edges: DataFrame, id_col: str,
     on; their storage blocks are freed the moment the edge list has been
     materialized (collected or checkpointed), so repeated dedup calls in a
     long-lived session keep executor storage flat.
+
+    CALLER-OWNED STORAGE on the distributed (> driver_threshold edges)
+    path only: the returned frame depends on the final labels
+    ``localCheckpoint`` (node-count sized), which must stay alive until
+    the caller has consumed the result — consume it, then call
+    ``release_checkpoint(result, deep=True)`` (or close the session) to
+    free it. The driver union-find path retains nothing
+    (test_minhash_dedup_leaves_storage_flat asserts flat storage there).
     """
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"))).distinct()

@@ -307,7 +307,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             p = p.repeat(max_v // vs, axis=0).repeat(max_h // hs, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        return np.clip(full[0], 0, 255).astype(np.uint8)
+        # round like the color path: truncation would bias every sample up
+        # to 1 LSB low vs stock decoders
+        return np.clip(full[0], 0, 255).round().astype(np.uint8)
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -43,6 +43,21 @@ def read_manifest(table_dir: str) -> dict:
         return json.load(fh)
 
 
+def _disk_versions(table_dir: str) -> list[int]:
+    """Version numbers present as ``v=N`` directories on disk — committed
+    or not. A crash between the version-dir rename and the manifest commit
+    leaves an uncommitted ``v=N``; version allocation must skip it or the
+    next writer wedges on renaming onto a non-empty directory."""
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return out
+
+
 def _commit_manifest(table_dir: str, manifest: dict) -> None:
     """Atomic replace: write a sibling temp file, rename over the live
     manifest (POSIX rename is atomic within a filesystem; on object
@@ -62,7 +77,10 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
     version (copy-on-write append — rewrite-free appends need a
     multi-dir manifest, deliberately out of scope). The version directory
     is fully written BEFORE the manifest commit, so a crash mid-write
-    leaves an orphan directory, never a corrupt table.
+    leaves an orphan directory, never a corrupt table — and version
+    numbers are allocated past any orphan ``v=N`` left by a crash in the
+    rename-to-commit window (``vacuum`` deletes such orphans), so the
+    next write never collides with one.
     """
     os.makedirs(table_dir, exist_ok=True)
     try:
@@ -70,7 +88,7 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
     except FileNotFoundError:
         manifest = {"table": os.path.basename(table_dir.rstrip("/")),
                     "current": -1, "versions": []}
-    version = manifest["current"] + 1
+    version = max([manifest["current"], *_disk_versions(table_dir)]) + 1
     vdir = os.path.join(table_dir, f"v={version}")
     if mode == "append" and manifest["current"] >= 0:
         current = read_table(df.sparkSession, table_dir)
@@ -112,11 +130,14 @@ def history(table_dir: str) -> list[dict]:
 
 
 def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
-    """Drop all but the last ``keep_last`` versions (and any orphaned
-    staging dirs from crashed writes); returns removed version numbers.
-    Readers of a removed version fail loudly on their next manifest
-    check — retention policy is the caller's contract, as in any
-    snapshot table."""
+    """Drop all but the last ``keep_last`` versions, any orphaned staging
+    dirs from crashed writes, AND any uncommitted ``v=N`` dirs (renamed
+    but never manifest-committed — the crash window's leftover); returns
+    removed committed version numbers. Readers of a removed version fail
+    loudly on their next manifest check — retention policy is the
+    caller's contract, as in any snapshot table. Run vacuum under the
+    same single-writer discipline as writes: it treats every ``v=N`` not
+    in the manifest as dead."""
     import shutil
 
     manifest = read_manifest(table_dir)
@@ -130,7 +151,16 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     manifest["versions"] = [v for v in manifest["versions"]
                             if v["version"] in keep]
     _commit_manifest(table_dir, manifest)
+    committed = {v["version"] for v in manifest["versions"]}
     for name in os.listdir(table_dir):
         if name.startswith(".staging_"):
             shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+        elif name.startswith("v="):
+            try:
+                n = int(name[2:])
+            except ValueError:
+                continue
+            if n not in committed:  # orphan of a crashed commit
+                shutil.rmtree(os.path.join(table_dir, name),
+                              ignore_errors=True)
     return removed

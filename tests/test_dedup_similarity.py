@@ -220,8 +220,15 @@ def test_ensure_parallelism_passes_derived_frames_through(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     derived = docs.groupBy("lang").agg(F.count("*").alias("n"))
     assert ensure_parallelism(derived) is derived
-    joined = docs.join(docs.select("doc_id"), "doc_id")
-    assert ensure_parallelism(joined) is joined
+    # a SHUFFLE-joined frame passes through (partitioning set upstream)
+    shuffled = (docs.hint("merge")
+                .join(docs.select("doc_id").hint("merge"), "doc_id"))
+    assert ensure_parallelism(shuffled) is shuffled
+    # but a BROADCAST-joined narrow scan keeps its one split and must
+    # still fan out — a bare "Exchange" substring check used to match
+    # BroadcastExchange and skip exactly this case
+    bjoined = docs.join(F.broadcast(docs.select("doc_id")), "doc_id")
+    assert ensure_parallelism(bjoined) is not bjoined
     # explicit hint still fans an in-memory frame out
     hinted = ensure_parallelism(derived, min_partitions=4)
     assert "RoundRobinPartitioning" in \
@@ -256,6 +263,28 @@ def test_release_checkpoint_frees_storage(spark):
     assert _persistent_rdd_count(spark) == before
     # non-checkpointed frames are a safe no-op
     release_checkpoint(spark.range(5))
+
+
+def test_release_checkpoint_walks_derived_frames(spark):
+    """A frame BUILT ON a checkpoint (the distributed-path dedup result
+    shape: ids joined to checkpointed labels) must free that checkpoint
+    when the derived frame is released — the caller-owned hook for the
+    >2M-edge clustering path."""
+    from etl_mark1_spark.operators.dedup import release_checkpoint
+    from pyspark.sql import functions as F
+
+    before = _persistent_rdd_count(spark)
+    labels = spark.range(100).select(
+        F.col("id").alias("node"), (F.col("id") % 7).alias("label")
+    ).localCheckpoint()
+    ids = spark.range(100).select(F.col("id").alias("node"))
+    result = ids.join(labels, "node")
+    assert result.count() == 100
+    assert _persistent_rdd_count(spark) == before + 1
+    release_checkpoint(result)  # root-only default: derived root, no-op
+    assert _persistent_rdd_count(spark) == before + 1
+    release_checkpoint(result, deep=True)  # the caller-owned hook
+    assert _persistent_rdd_count(spark) == before
 
 
 def test_minhash_dedup_leaves_storage_flat(docs, spark):

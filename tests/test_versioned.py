@@ -67,6 +67,34 @@ def test_vacuum_drops_old_versions_loudly(spark, tmp_path):
     assert not (tmp_path / "tbl" / "v=0").exists()
 
 
+def test_crashed_commit_orphan_never_wedges_writes(spark, tmp_path):
+    """Crash window: a writer that renamed v=N into place but died before
+    the manifest commit leaves an orphan v=N. The next write must
+    allocate past it (renaming onto a non-empty dir would wedge the
+    table permanently), reads must keep serving the committed snapshot,
+    and vacuum must delete the orphan."""
+    import os
+
+    table = str(tmp_path / "tbl")
+    write_version(spark.range(10), table)           # committed v=0
+    # simulate the crash: v=1 exists on disk, manifest never updated
+    orphan = os.path.join(table, "v=1")
+    spark.range(99).write.parquet(orphan)
+    assert read_manifest(table)["current"] == 0
+
+    v = write_version(spark.range(20), table)       # must NOT collide
+    assert v == 2
+    assert read_table(spark, table).count() == 20
+    # orphan is invisible to readers and to history
+    assert [e["version"] for e in read_manifest(table)["versions"]] == [0, 2]
+    with pytest.raises(ValueError, match="version 1 not in table"):
+        read_table(spark, table, version=1)
+
+    vacuum(table, keep_last=1)
+    assert not os.path.exists(orphan)               # orphan cleaned
+    assert read_table(spark, table).count() == 20   # live snapshot intact
+
+
 def test_versioned_sink_composes_with_engine(spark, sf_dir, tmp_path):
     """A real pipeline result lands as a snapshot and reads back exactly."""
     table = str(tmp_path / "orders_big")
