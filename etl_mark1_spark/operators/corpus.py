@@ -301,22 +301,28 @@ def rebalance_mixture(df: DataFrame, strata_col: str = "source",
 
     Shape at scale: stratum statistics are a tiny aggregate (one shuffle
     of stratum cardinality rows), the probabilities broadcast back, and
-    the sample itself is a pure filter.
+    the sample itself is a pure filter. The two cross-stratum scalars
+    (stratum count, min n/p) are single-row aggregates broadcast back
+    over the tiny counts frame — not empty-partition windows, which plan
+    a single-partition WindowExec and warn on every run even though the
+    frame is metadata-sized.
     """
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
-    w = Window.partitionBy()
     if targets is None:
-        with_p = counts.withColumn(
-            "_p", F.lit(1.0) / F.count(F.lit(1)).over(w))
+        k = counts.agg(F.count(F.lit(1)).alias("_k"))
+        with_p = (counts.crossJoin(F.broadcast(k))
+                  .withColumn("_p", F.lit(1.0) / F.col("_k")).drop("_k"))
     else:
         spark = df.sparkSession
         tgt = spark.createDataFrame(
             [(k, float(v)) for k, v in targets.items()],
             [strata_col, "_p"])
         with_p = counts.join(F.broadcast(tgt), strata_col)
-    probs = with_p.withColumn(
-        "_keep",
-        F.min(F.col("_n") / F.col("_p")).over(w) * F.col("_p") / F.col("_n"))
+    c = with_p.agg(F.min(F.col("_n") / F.col("_p")).alias("_c"))
+    probs = (with_p.crossJoin(F.broadcast(c))
+             .withColumn("_keep",
+                         F.col("_c") * F.col("_p") / F.col("_n"))
+             .drop("_c"))
     return (
         df.join(F.broadcast(probs.select(strata_col, "_keep")), strata_col)
         .filter(md5_uniform(F.col(id_col)) < F.col("_keep"))

@@ -174,6 +174,13 @@ def main() -> int:
             print(f"PASS  {name} ({len(srows)} rows, {elapsed:.1f}s)")
 
     spark.stop()
+    if not only:  # full sweep: print the coverage line README quotes
+        n_total = len(queries)
+        n_band = len([n for n in APPROX_ORACLES if n in queries])
+        n_oracle = len([n for n in oracles if n not in APPROX_ORACLES])
+        print(f"\ncatalog: {n_total} entries = {n_oracle} oracle-exact + "
+              f"{n_band} error-band + {n_total - n_oracle - n_band} "
+              f"rows-only (goldens)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
