@@ -3156,6 +3156,93 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3, damping=0.85)
 
 
+@query("connected_components_parts", """
+    WITH RECURSIVE
+    edges AS (
+        SELECT DISTINCT l_partkey AS a, l_suppkey + 1000000 AS b
+        FROM lineitem WHERE l_quantity = 1 AND l_discount >= 0.09
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN sym e ON e.a = r.node
+        WHERE r.label < e.b
+    )
+    SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+""")
+def connected_components_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the (sparse) part–supplier bipartite graph
+    (supplier nodes offset by 1e6) — the dedup clustering core
+    (graph.py:connected_components → dedup._cluster_min_label)
+    differential-tested against a recursive min-label closure in DuckDB
+    instead of only golden replays. The filter keeps the graph sparse and
+    multi-component (75 components at sf0.01), so the labeling is
+    non-trivial on both sides; ids and labels are exact integers, so the
+    comparison is hash-exact."""
+    from etl_mark1_spark.operators.graph import connected_components
+
+    li = (t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_quantity") == 1) & (F.col("l_discount") >= 0.09)))
+    edges = li.select(F.col("l_partkey").alias("src"),
+                      (F.col("l_suppkey") + 1000000).alias("dst")).distinct()
+    return connected_components(edges)
+
+
+@query("funnel_view_click_purchase", """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE event_type = 'click' AND ts > t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE event_type = 'purchase' AND ts > t2
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+        SELECT 'view' AS stage,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 'view>click', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3
+    )
+""")
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel: users who viewed, then clicked after their
+    first view, then purchased after that click — the classic product
+    conversion query. Shape at scale: each stage is one filtered
+    aggregation down to user cardinality joined to the previous stage's
+    (strictly shrinking) user set — stage frames shuffle on user_id and
+    AQE broadcasts them once they fit; the event log is scanned once per
+    stage with the event-type filter pushed to the scan."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (ev.filter(F.col("event_type") == "click")
+          .join(s1, "user_id").filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id").filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+    return (stage(s1, "view")
+            .unionAll(stage(s2, "view>click"))
+            .unionAll(stage(s3, "view>click>purchase")))
+
+
 @query("unigram_lm_score", """
     WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok

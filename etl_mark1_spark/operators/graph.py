@@ -95,3 +95,25 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     for upstream in (g, deg, nodes):
         release_checkpoint(upstream)
     return out
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Connected components over an undirected edge list: returns
+    (node, cluster_id) where cluster_id is the minimum node id in the
+    component — the public face of the dedup clustering core
+    (dedup._cluster_min_label): driver union-find below the sparse-graph
+    threshold, pointer-jumping min-label propagation above it (O(log
+    diameter) rounds, loud non-convergence). Node ids must be one
+    numeric space; bipartite graphs offset one side.
+
+    Oracle-checkable: the same labeling is a recursive min-label closure
+    in ANSI SQL (see catalog.py:connected_components_parts), so the whole
+    distributed clustering machinery is differential-tested against
+    DuckDB, not just golden-replayed."""
+    from etl_mark1_spark.operators.dedup import _cluster_min_label
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ids = (e.select(F.col("src").alias("node"))
+           .union(e.select(F.col("dst").alias("node"))).distinct())
+    return _cluster_min_label(ids, e, "node")

@@ -296,6 +296,18 @@ def test_minhash_dedup_leaves_storage_flat(docs, spark):
     assert _persistent_rdd_count(spark) == before
 
 
+def test_connected_components_known_graph(spark):
+    """Hand-checkable labeling: chain, separate pair, self-loop singleton
+    — every node labeled with its component's minimum id."""
+    from etl_mark1_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["src", "dst"])
+    got = {r.node: r.cluster_id
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
 def test_pagerank_path_graph_matches_reference(spark):
     """Hand-checkable path graph 1-2-3: the middle node must outrank the
     ends, ranks must sum to ~1, and values must equal the exact recurrence
