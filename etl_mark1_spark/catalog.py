@@ -2175,6 +2175,99 @@ def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                             .over(w), 2).alias("sum_1h")))
 
 
+@query("rolling_median_price", """
+    SELECT o_orderkey,
+           round(median(o_totalprice) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS roll_med
+    FROM orders
+""")
+def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median (holistic aggregate over a sliding frame) — the
+    window shape hash/avg tricks can't fake. Spark evaluates the exact
+    percentile aggregate per frame; both engines interpolate the middle
+    pair identically for even frames, so 2dp rounding is only
+    belt-and-braces. Partitioned by status: parallel, no global sort."""
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy("o_orderstatus")
+         .orderBy("o_orderdate", "o_orderkey").rowsBetween(-6, 0))
+    return (t(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.round(F.percentile("o_totalprice", F.lit(0.5)).over(w),
+                            2).alias("roll_med")))
+
+
+@query("window_rank_family", """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6)  AS pr,
+           round(cume_dist() OVER w, 6)     AS cd,
+           nth_value(o_orderkey, 3) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+""")
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value battery over a deterministic
+    (value, key) ordering. The rank ratios are the same double divisions
+    in both engines; nth_value uses the running frame so the first two
+    rows of each partition yield NULL identically."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (t(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.round(F.percent_rank().over(w), 6).alias("pr"),
+                    F.round(F.cume_dist().over(w), 6).alias("cd"),
+                    F.nth_value("o_orderkey", 3).over(wf)
+                    .alias("third_key")))
+
+
+@query("boilerplate_ngrams", r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(regexp_replace(
+                   text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(ws[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)],
+                               ' ') AS gram
+        FROM toks JOIN (SELECT unnest(range(1, 8001)) AS i)
+            ON i <= len(ws) - 7
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+    FROM grams GROUP BY gram HAVING count(*) >= 3
+""")
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 8-word grams — the boilerplate/template
+    detector behind exact substring dedup (flag spans shared by >= 3
+    docs: headers, licenses, navigation chrome). One exploded gram scan,
+    distinct per doc, then a count-by-gram with map-side partials; the
+    HAVING bound keeps the result set tiny. Set-valued output (no top-k
+    tie boundary), so the comparison is hash-exact."""
+    from etl_mark1_spark.functions.text import normalized_text
+    from etl_mark1_spark.operators.dedup import word_ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    # docs shorter than the gram emit one truncated gram in word_ngrams
+    # (a minhash convenience); the SQL side emits none — exclude them
+    long_enough = F.size(F.split(normalized_text(F.col("text")), " ")) >= 8
+    grams = (docs.filter(long_enough)
+             .select("doc_id",
+                     F.explode(word_ngrams(F.col("text"), 8)).alias("gram"))
+             .distinct())
+    return (grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .filter(F.col("n_docs") >= 3))
+
+
 @query("histogram_prices", """
     SELECT CAST(least(floor(l_extendedprice / 10000), 9) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT)            AS n,
