@@ -3506,6 +3506,52 @@ def cross_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_cross_dedup(docs, benchmark, threshold=0.8) \
         .orderBy("doc_id")
 
+
+@query("bloom_contaminated_docs", r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, source, tk, unnest(range(1, len(tk) - 4)) AS i
+          FROM d WHERE len(tk) >= 6),
+    g AS (SELECT doc_id, source, array_to_string(tk[i:i+5], ' ') AS gram
+          FROM p),
+    ref AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+    SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams
+    FROM g
+    WHERE source <> 'src0' AND gram IN (SELECT gram FROM ref)
+    GROUP BY doc_id
+""")
+def bloom_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via Bloom prefilter
+    (operators/bloom.py:bloom_semi_filter): corpus docs sharing a word
+    6-gram with the src0 'benchmark' slice. Unlike contamination_ngram's
+    exact semi-join (which must broadcast or shuffle the full reference
+    gram set), the reference grams here are compressed into a ~1.2-bytes/
+    key Bloom filter and the corpus grams are screened MAP-SIDE — no
+    shuffle, no join for the overwhelming non-matching majority; only
+    bloom survivors reach the exact confirm join. ORACLE-EXACT because a
+    Bloom filter has no false negatives and survivors are confirmed
+    exactly — the sketch can only shrink the join, never change the
+    answer. Reference surface: decontamination as plain SQL semi-join
+    through backend/services/duckdb_engine.py:84-119."""
+    from etl_mark1_spark.functions.text import normalized_text
+    from etl_mark1_spark.operators.bloom import bloom_semi_filter
+    from etl_mark1_spark.operators.dedup import word_ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    long_enough = F.size(F.split(normalized_text(F.col("text")), " ")) >= 6
+    grams = (docs.filter(long_enough)
+             .select("doc_id", "source",
+                     F.explode(word_ngrams(F.col("text"), 6)).alias("gram")))
+    ref = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    corpus = grams.filter(F.col("source") != "src0").select("doc_id", "gram")
+    hits = bloom_semi_filter(corpus, ref, "gram")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("gram").cast("bigint").alias("n_shared_grams"))
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS
