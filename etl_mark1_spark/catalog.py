@@ -3552,6 +3552,78 @@ def bloom_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("gram").cast("bigint").alias("n_shared_grams"))
 
 
+_DUP_SPAN_CTES = r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+          FROM d WHERE len(tk) >= 8),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 array_to_string(tk[i:i+7], ' ') AS gram
+          FROM p),
+    f AS (SELECT gram FROM g GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= 2),
+    h AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gram)),
+    isl AS (SELECT doc_id, i,
+              max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM h),
+    isl2 AS (SELECT doc_id, i,
+               sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             FROM isl)
+"""
+
+
+@query("duplicate_spans_docs", _DUP_SPAN_CTES + """
+    SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
+           max(i) + 7 - min(i) + 1 AS span_tokens
+    FROM isl2 GROUP BY doc_id, island
+""")
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (operators/spans.py, after Lee et
+    al. ACL 2022): maximal merged spans of 8-token windows appearing
+    verbatim in >= 2 distinct documents. Flat-map shingling, one
+    gram-keyed shuffle with map-side partials, per-document
+    gaps-and-islands windows. Beyond the reference's row-level dedup
+    surface (duckdb_engine.py DISTINCT); oracle replays the identical
+    shingle/flag/merge arithmetic as chained CTEs."""
+    from etl_mark1_spark.operators.spans import duplicate_spans
+
+    return duplicate_spans(t(spark, sf_dir, "documents"),
+                           n=8, min_docs=2)
+
+
+@query("strip_dup_spans_docs", _DUP_SPAN_CTES + """
+    , spans AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e
+                FROM isl2 GROUP BY doc_id, island),
+    tok AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM d),
+    tok2 AS (SELECT doc_id, CAST(i AS BIGINT) AS i, tk[i] AS tok FROM tok),
+    kept AS (SELECT t.doc_id, t.i, t.tok FROM tok2 t
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = t.doc_id
+                                 AND t.i BETWEEN s.s AND s.e))
+    SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
+    FROM d LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct
+                      FROM kept GROUP BY doc_id) k USING (doc_id)
+""")
+def strip_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact substring dedup: cut every merged
+    duplicated span out of the normalized text, keeping the rest of the
+    document (operators/spans.py:strip_duplicate_spans). The rebuild is a
+    per-row array filter against that doc's spans — no Python, no extra
+    shuffle beyond the span derivation. The oracle rebuilds token-by-token
+    with an anti-span NOT EXISTS and an ordered string_agg."""
+    from etl_mark1_spark.operators.spans import strip_duplicate_spans
+
+    return strip_duplicate_spans(t(spark, sf_dir, "documents"),
+                                 n=8, min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS

@@ -1,0 +1,105 @@
+"""Span-level exact substring dedup (operators/spans.py).
+
+Planted-fixture tests pin the semantics the catalog oracle then re-checks
+at corpus scale: window flagging is cross-document (>= min_docs DISTINCT
+docs, self-repetition alone never flags), overlapping/adjacent flagged
+windows merge into maximal spans, and stripping removes exactly the
+spanned tokens.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.spans import (
+    duplicate_spans,
+    strip_duplicate_spans,
+)
+
+SHARED = "one two three four five six seven eight"          # 8 tokens
+SHARED2 = "alpha beta gamma delta epsilon zeta eta theta"    # 8 tokens
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, f"{SHARED} tail1 x y z"),
+        (2, f"head2 {SHARED} mid {SHARED2}"),
+        (3, f"{SHARED2} only"),
+        (4, "no duplicated content here at all friends today ok"),
+        (5, SHARED),                                  # fully duplicated
+        (6, "short doc"),                             # < n tokens
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_spans_planted(docs):
+    got = sorted(tuple(r) for r in duplicate_spans(docs, n=8).collect())
+    assert got == [
+        (1, 1, 8, 8),
+        (2, 2, 9, 8),    # "head2" shifts the shared block by one
+        (2, 11, 18, 8),  # two distinct shared blocks stay separate spans
+        (3, 1, 8, 8),
+        (5, 1, 8, 8),
+    ]
+
+
+def test_hash_grams_variant_agrees(docs):
+    exact = sorted(tuple(r) for r in duplicate_spans(docs, n=8).collect())
+    hashed = sorted(tuple(r) for r in
+                    duplicate_spans(docs, n=8, hash_grams=True).collect())
+    assert exact == hashed
+
+
+def test_self_repetition_does_not_flag(spark):
+    """A single doc repeating its own 8-gram is not a CROSS-document
+    duplicate; min_docs counts distinct documents."""
+    d = spark.createDataFrame(
+        [(1, f"{SHARED} {SHARED}"), (2, "totally different words here "
+                                        "nothing shared at all today")],
+        ["doc_id", "text"])
+    assert duplicate_spans(d, n=8).count() == 0
+
+
+def test_overlapping_windows_merge_to_one_span(spark):
+    """A 10-token shared block yields three overlapping 8-token windows;
+    they must merge into one maximal span of 10 tokens."""
+    block = "a b c d e f g h i j"
+    d = spark.createDataFrame(
+        [(1, f"{block} unique1 filler1"), (2, f"other2 {block} end2")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+           for r in duplicate_spans(d, n=8).collect()}
+    assert got == {1: (1, 10, 10), 2: (2, 11, 10)}
+
+
+def test_strip_removes_exactly_spanned_tokens(docs):
+    clean = {r["doc_id"]: r["clean_text"]
+             for r in strip_duplicate_spans(docs, n=8).collect()}
+    assert clean == {
+        1: "tail1 x y z",
+        2: "head2 mid",
+        3: "only",
+        4: "no duplicated content here at all friends today ok",
+        5: "",
+        6: "short doc",
+    }
+
+
+def test_strip_normalizes_whitespace_and_case(spark):
+    d = spark.createDataFrame(
+        [(1, "  No   Dups\tHere  ")], ["doc_id", "text"])
+    got = strip_duplicate_spans(d, n=8).collect()[0]["clean_text"]
+    assert got == "no dups here"
+
+
+def test_island_window_is_per_document(docs):
+    """The gaps-and-islands window must partition by doc_id — never a
+    global sort. Assert no single-partition Window in the plan."""
+    plan = (duplicate_spans(docs, n=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" in plan
+    # a global window would plan as 'Window [...], []' with empty
+    # partition spec; ours always carries the doc_id partition key
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "doc_id" in line
