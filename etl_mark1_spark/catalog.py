@@ -3624,6 +3624,69 @@ def strip_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n=8, min_docs=2)
 
 
+@query("vocab_top_tokens", """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents),
+    counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks WHERE token <> '' GROUP BY token
+        HAVING count(*) >= 5)
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+             AS token_id
+    FROM counts
+    ORDER BY token_id LIMIT 1000
+""")
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build (operators/corpus.py:build_vocab):
+    frequency-ranked token ids with deterministic (count DESC, token ASC)
+    tie-break. min_count prunes the hapax tail before any ordering and
+    the max_size cap compiles to TakeOrderedAndProject, so the ranking
+    window is bounded by the parameter, never the corpus."""
+    from etl_mark1_spark.operators.corpus import build_vocab
+
+    return build_vocab(t(spark, sf_dir, "documents"),
+                       min_count=5, max_size=1000)
+
+
+@query("encode_tokens_docs", """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents),
+    counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks WHERE token <> '' GROUP BY token
+        HAVING count(*) >= 5),
+    vocab AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+                 AS token_id
+        FROM counts ORDER BY token_id LIMIT 1000),
+    pos AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '\\s+') AS tk
+              FROM documents) d),
+    doc_toks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS token
+        FROM pos WHERE tk[i] <> '')
+    SELECT doc_id, list(token_id ORDER BY pos) AS token_ids
+    FROM doc_toks JOIN vocab USING (token)
+    GROUP BY doc_id
+""")
+def encode_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents encoded as in-vocabulary token-id sequences
+    (operators/corpus.py:encode_tokens) against the capped build_vocab
+    vocabulary — OOV tokens dropped by policy. Broadcast token->id join
+    on the exploded stream; one per-doc regroup restores order."""
+    from etl_mark1_spark.operators.corpus import build_vocab, encode_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, min_count=5, max_size=1000)
+    return encode_tokens(docs, vocab)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS

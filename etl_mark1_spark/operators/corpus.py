@@ -362,6 +362,61 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def build_vocab(df: DataFrame, text_col: str = "text", min_count: int = 2,
+                max_size: int | None = None) -> DataFrame:
+    """Frequency-ranked token vocabulary: (token, cnt, token_id) with ids
+    assigned by (count DESC, token ASC) — the deterministic tie-break makes
+    the id assignment reproducible across engines and runs.
+
+    Shape at scale: one exploded token scan -> per-token counts (map-side
+    partials collapse the Zipf head before the shuffle) -> ``min_count``
+    filter drops the hapax long tail BEFORE any ordering. With
+    ``max_size`` set, the cap compiles to TakeOrderedAndProject
+    (per-partition heaps, no global sort shuffle) and the ranking window
+    then runs over at most ``max_size`` rows — bounded by the parameter,
+    not the corpus. Without a cap the final rank is one sort of the
+    surviving vocabulary (vastly smaller than the corpus, but unbounded:
+    set ``max_size`` at 100 TB).
+    """
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = (toks.groupBy("token")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+              .filter(F.col("cnt") >= min_count))
+    ordered = counts.orderBy(F.col("cnt").desc(), "token")
+    if max_size is not None:
+        ordered = ordered.limit(max_size)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return ordered.withColumn(
+        "token_id", F.row_number().over(w).cast("bigint"))
+
+
+def encode_tokens(df: DataFrame, vocab: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  out_col: str = "token_ids") -> DataFrame:
+    """Encode each document as its in-vocabulary token-id sequence
+    (out-of-vocabulary tokens are dropped — the deterministic policy a SQL
+    oracle can replay; map OOV to a reserved id upstream if you need it).
+
+    The vocabulary is broadcast-sized by construction (build_vocab caps
+    it), so the token->id lookup is a broadcast join on the exploded
+    token stream; re-assembly is one per-document aggregation with the
+    order restored by sorting on token position — no Python, and the only
+    shuffle is the per-doc regroup."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+"))
+        .alias("_pos", "token"),
+    ).filter(F.col("token") != "")
+    joined = toks.join(F.broadcast(vocab.select("token", "token_id")),
+                       "token")
+    return (joined.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "token_id"))),
+                lambda x: x["token_id"]).alias(out_col)))
+
+
 # -- step-DSL integration ---------------------------------------------------
 # The corpus operators double as step operators, so the reference-style
 # pipeline surface ({"operator": ..., "params": ...}) can run a curation

@@ -335,3 +335,40 @@ def test_psi_drift_detects_shift(spark):
     assert stable.psi < 0.01           # identical distributions
     assert moved.psi > 0.25            # disjoint bins: hard shift
     assert stable.n_a == stable.n_b == 1000
+
+
+def test_build_vocab_ids_deterministic(spark):
+    """Ids follow (count DESC, token ASC); min_count prunes the tail."""
+    from etl_mark1_spark.operators.corpus import build_vocab
+
+    rows = [(1, "b b b a a c"), (2, "a b z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.token: (r.cnt, r.token_id)
+           for r in build_vocab(df, min_count=2).collect()}
+    # b: 4, a: 3; c and z are hapaxes and pruned
+    assert got == {"b": (4, 1), "a": (3, 2)}
+
+
+def test_build_vocab_cap_plans_take_ordered(spark):
+    """max_size must compile to TakeOrderedAndProject (per-partition
+    heaps), not a global sort shuffle."""
+    from etl_mark1_spark.operators.corpus import build_vocab
+
+    df = spark.createDataFrame([(1, "a b c d e f g a b c")],
+                               ["doc_id", "text"])
+    capped = build_vocab(df, min_count=1, max_size=3)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert capped.count() == 3
+
+
+def test_encode_tokens_order_and_oov(spark):
+    """Encoding restores token order and drops OOV tokens."""
+    from etl_mark1_spark.operators.corpus import build_vocab, encode_tokens
+
+    rows = [(1, "b a b rare b"), (2, "a a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = build_vocab(df, min_count=2)      # b -> 1 (4x), a -> 2 (3x)
+    got = {r.doc_id: list(r.token_ids)
+           for r in encode_tokens(df, vocab).collect()}
+    assert got == {1: [1, 2, 1, 1], 2: [2, 2, 1]}
