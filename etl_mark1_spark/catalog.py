@@ -3687,6 +3687,48 @@ def encode_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_tokens(docs, vocab)
 
 
+@query("ann_int8_topk", """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id = 1),
+    qq AS (SELECT list_transform(
+                    v, x -> round(x / (list_aggregate(
+                        list_transform(v, y -> abs(y)), 'max') / 127.0)))
+               AS qv
+           FROM q),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 1),
+    es AS (SELECT vec_id, v,
+                  list_aggregate(list_transform(v, y -> abs(y)), 'max')
+                    / 127.0 AS s
+           FROM e),
+    eq AS (SELECT vec_id,
+                  CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                       ELSE list_transform(v, x -> round(x / s)) END AS ev
+           FROM es)
+    SELECT vec_id,
+           round(list_dot_product(ev, qv)
+                 / NULLIF(sqrt(list_dot_product(ev, ev))
+                          * sqrt(list_dot_product(qv, qv)), 0), 6)
+               AS similarity
+    FROM eq, qq
+    ORDER BY similarity DESC, vec_id
+    LIMIT 10
+""")
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 computed entirely in int8-quantized space
+    (operators/similarity.py:int8_cosine_topk) — the memory-bound ANN
+    path: 4x smaller vectors, integer dot products (exact in doubles),
+    per-vector scales cancel in cosine. ORACLE-EXACT, not error-band:
+    quantization (divide by precomputed scale, round half away from
+    zero) and the integer-dot arithmetic are bit-reproducible between
+    Spark and DuckDB."""
+    from etl_mark1_spark.operators.similarity import int8_cosine_topk
+
+    qv = _query_vector(spark, sf_dir, 1)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 1)
+    return int8_cosine_topk(emb, qv, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS

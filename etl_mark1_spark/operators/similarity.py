@@ -192,3 +192,94 @@ def ivf_topk(assigned_df: DataFrame, centroids: list[list[float]],
     probe = sorted(np.argsort(dists)[:nprobe].tolist())
     pruned = assigned_df.filter(F.col("_centroid").isin(probe))
     return cosine_topk(pruned, query, k, vec_col, id_col)
+
+
+# -- int8 quantization ------------------------------------------------------
+
+def _int8_scale(col: Column) -> Column:
+    """Symmetric per-vector quantization scale: max|x| / 127."""
+    return F.array_max(F.transform(_as_double(col), F.abs)) / F.lit(127.0)
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  qvec_col: str = "qvec",
+                  scale_col: str = "qscale") -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i / scale)
+    with scale = max|x|/127, stored as ``array<tinyint>`` + one float —
+    a 4x memory/IO cut over float32 that makes a 100 TB embedding table
+    scan-, cache-, and shuffle-cheap. Cosine between quantized vectors
+    needs no scale at all (per-vector scales cancel); dot-product
+    reconstruction multiplies the two stored scales back on.
+
+    The arithmetic (divide by the precomputed scale, round half away
+    from zero) is engine-reproducible: Spark's ROUND and DuckDB's round
+    agree, which is what lets ann_int8_topk carry an exact SQL oracle.
+    An all-zero vector quantizes to zeros (scale would be 0/127)."""
+    scale = _int8_scale(F.col(vec_col))
+    q = F.when(
+        scale == 0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.transform(_as_double(F.col(vec_col)),
+                    lambda x: F.round(x / scale, 0).cast("tinyint")))
+    return df.withColumn(qvec_col, q) \
+             .withColumn(scale_col, scale.cast("float"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (longs; int8 x int8 x dim<=2^15 cannot
+    overflow)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _quantize_py(vec: list[float]) -> list[int]:
+    """Driver-side mirror of quantize_int8 for a constant query vector —
+    identical formula and half-away-from-zero rounding (Python's round()
+    is banker's and would diverge)."""
+    import math
+
+    max_abs = max(abs(float(x)) for x in vec)
+    if max_abs == 0:
+        return [0] * len(vec)
+    scale = max_abs / 127.0
+    out = []
+    for x in vec:
+        v = float(x) / scale
+        out.append(int(math.floor(v + 0.5)) if v >= 0
+                   else int(math.ceil(v - 0.5)))
+    return out
+
+
+def int8_cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     round_digits: int | None = 6) -> DataFrame:
+    """Top-k by cosine similarity computed entirely in int8-quantized
+    space: integer dot products and integer norms (exact in doubles up to
+    dim 2^15), one final division. Same TakeOrderedAndProject shape as
+    cosine_topk; the scan reads 1/4 the bytes once the table stores qvec.
+    Per-vector scales cancel in cosine, so none are needed here."""
+    qq = _quantize_py(query)
+    qcol = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+    # IEEE sqrt via the engine (not Python pow) so the oracle's
+    # sqrt(list_dot_product(qv, qv)) is bitwise-identical
+    qnorm = F.sqrt(F.lit(float(sum(v * v for v in qq))))
+
+    scale = _int8_scale(F.col(vec_col))
+    ev = F.when(
+        scale == 0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(_as_double(F.col(vec_col)),
+                    lambda x: F.round(x / scale, 0).cast("long")))
+    tmp = df.select(F.col(id_col), ev.alias("_ev"))
+    denom = F.sqrt(_int_dot(F.col("_ev"), F.col("_ev")).cast("double")) \
+        * qnorm
+    sim = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        _int_dot(F.col("_ev"), qcol).cast("double") / denom)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (tmp.select(F.col(id_col), sim.alias("similarity"))
+            .orderBy(F.desc("similarity"), F.col(id_col))
+            .limit(k))

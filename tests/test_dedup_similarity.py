@@ -365,3 +365,59 @@ def test_semantic_dedup_collapses_planted_duplicates(spark):
     # representatives = rows whose id is their own label
     kept = {k for k, v in out.items() if k == v}
     assert kept == {1, 4, 5, 6}
+
+
+def test_int8_quantize_roundtrip_error_bounded(spark):
+    """Dequantized values must sit within scale/2 of the originals, and
+    the stored vector must really be tinyint (the 4x memory point)."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.similarity import quantize_int8
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = quantize_int8(df)
+    assert dict(out.dtypes)["qvec"] == "array<tinyint>"
+    for r in out.collect():
+        scale = r["qscale"]
+        back = np.array(r["qvec"], dtype=float) * scale
+        assert np.max(np.abs(back - np.array(r["embedding"]))) \
+            <= scale / 2 + 1e-9
+
+
+def test_int8_quantize_zero_vector(spark):
+    from etl_mark1_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])],
+                               ["vec_id", "embedding"])
+    r = quantize_int8(df).collect()[0]
+    assert list(r["qvec"]) == [0, 0, 0] and r["qscale"] == 0.0
+
+
+def test_int8_topk_recall_against_exact(spark, sf_dir):
+    """Quantized top-10 on the real embeddings table must recover at
+    least 8 of the exact top-10 (64-dim int8 keeps cosine within ~1e-2)."""
+    from etl_mark1_spark.operators.similarity import (cosine_topk,
+                                                      int8_cosine_topk)
+    from etl_mark1_spark.sources.readers import read_parquet_compat
+
+    emb = read_parquet_compat(spark, f"{sf_dir}/embeddings.parquet")
+    query = emb.filter("vec_id = 1").first()["embedding"]
+    rest = emb.filter("vec_id != 1")
+    exact = {r["vec_id"] for r in cosine_topk(rest, query, k=10).collect()}
+    quant = {r["vec_id"] for r in
+             int8_cosine_topk(rest, query, k=10).collect()}
+    assert len(exact & quant) >= 8
+
+
+def test_int8_topk_plans_take_ordered(spark, sf_dir):
+    from etl_mark1_spark.operators.similarity import int8_cosine_topk
+    from etl_mark1_spark.sources.readers import read_parquet_compat
+
+    emb = read_parquet_compat(spark, f"{sf_dir}/embeddings.parquet")
+    query = emb.filter("vec_id = 1").first()["embedding"]
+    plan = (int8_cosine_topk(emb, query, k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
