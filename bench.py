@@ -77,6 +77,11 @@ HEADLINE = [
     # (plan-asserted in tests/test_plans.py); windowless global packing
     "skewed_join_aqe",
     "pack_sequences_global",
+    # round-4 additions (late): span-level exact substring dedup (gram
+    # shuffle + per-doc islands); bloom-prefiltered decontamination
+    # (map-side screen, exact confirm)
+    "duplicate_spans_docs",
+    "bloom_contaminated_docs",
 ]
 
 

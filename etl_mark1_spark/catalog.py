@@ -3729,6 +3729,65 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_cosine_topk(emb, qv, k=10)
 
 
+@query("gopher_quality_docs", r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '') AS lines,
+             CAST(len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+               AS n_symbols
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(coalesce(list_aggregate(
+                 list_transform(toks, t -> length(t)), 'sum'), 0)
+               AS BIGINT) AS word_chars,
+             CAST(len(list_filter(toks,
+                 t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+             n_symbols,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+                 l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines,
+                 l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT)
+               AS n_ellipsis,
+             CAST(len(list_intersect(list_distinct(toks),
+                 ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS n_stop
+      FROM s)
+    SELECT doc_id, n_words,
+           n_words >= 50 AND n_words <= 100000        AS ok_word_count,
+           word_chars >= 3 * n_words
+             AND word_chars <= 10 * n_words           AS ok_mean_word_len,
+           10 * n_symbols <= n_words                  AS ok_symbol_ratio,
+           10 * n_bullet <= 9 * n_lines               AS ok_bullet_lines,
+           10 * n_ellipsis <= 3 * n_lines             AS ok_ellipsis_lines,
+           10 * n_alpha >= 8 * n_words                AS ok_alpha_words,
+           n_stop >= 2                                AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+             AND 10 * n_symbols <= n_words
+             AND 10 * n_bullet <= 9 * n_lines
+             AND 10 * n_ellipsis <= 3 * n_lines
+             AND 10 * n_alpha >= 8 * n_words
+             AND n_stop >= 2                          AS keep
+    FROM m
+""")
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality battery (functions/text.py:
+    gopher_quality_flags, after Rae et al. 2021 A1.1): named boolean
+    rule flags + combined keep decision per document. All thresholds in
+    integer arithmetic, pure map-side projection — oracle-exact with no
+    float edge cases."""
+    from etl_mark1_spark.functions.text import gopher_quality_flags
+
+    return gopher_quality_flags(t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS

@@ -206,3 +206,69 @@ def compression_ratio(col: Column | str) -> Column:
         return pd.Series([one(t) for t in texts])
 
     return _ratio(c)
+
+
+# -- Gopher-style rule battery ----------------------------------------------
+
+#: The eight "natural language" stopwords of the Gopher quality rules
+#: (Rae et al. 2021, appendix A1.1) — a document of real prose contains
+#: at least two of them.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Per-document Gopher-rule quality battery (Rae et al. 2021, A1.1):
+    one boolean per named rule plus the combined ``keep`` decision.
+
+    Every threshold is evaluated in INTEGER arithmetic (e.g. ``>= 80%
+    words alphabetic`` as ``10 * n_alpha >= 8 * n_words``), so the
+    result is bit-reproducible in any engine — no float ratio edge
+    cases — and the catalog entry carries an exact SQL oracle. All
+    expressions are JVM-side array/regexp primitives: a pure map-side
+    projection, no shuffle, no Python.
+
+    Rules: word count in [50, 100000]; mean word length in [3, 10]
+    chars; symbol-to-word ratio (# and ...) <= 0.1; <= 90% of nonempty
+    lines bullet-started; <= 30% ellipsis-ended; >= 80% of words contain
+    a letter; >= 2 distinct Gopher stopwords present.
+    """
+    text = F.col(text_col)
+    toks = F.filter(F.split(F.lower(text), r"\s+"),
+                    lambda t: t != "")
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(F.transform(toks, F.length),
+                             F.lit(0).cast("long"),
+                             lambda acc, x: acc + x)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) \
+        .cast("long")
+    n_symbols = (F.regexp_count(text, F.lit("#"))
+                 + F.regexp_count(text, F.lit(r"\.\.\."))).cast("long")
+    lines = F.filter(F.split(text, "\n"),
+                     lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"^\s*[-*•]"))).cast("long")
+    n_ellipsis = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"\.\.\.\s*$"))).cast("long")
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))).cast("long")
+
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100000),
+        "ok_mean_word_len": (word_chars >= 3 * n_words)
+                            & (word_chars <= 10 * n_words),
+        "ok_symbol_ratio": 10 * n_symbols <= n_words,
+        "ok_bullet_lines": 10 * n_bullet <= 9 * n_lines,
+        "ok_ellipsis_lines": 10 * n_ellipsis <= 3 * n_lines,
+        "ok_alpha_words": 10 * n_alpha >= 8 * n_words,
+        "ok_stopwords": n_stop >= 2,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return df.select(
+        F.col(id_col), n_words.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"))

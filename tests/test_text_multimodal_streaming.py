@@ -658,3 +658,49 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
              df.select("doc_id",
                        compression_ratio("text").alias("ratio")).collect()}
     assert got == again
+
+
+def test_gopher_flags_planted_rules(spark):
+    """Each planted document violates exactly one named Gopher rule."""
+    from etl_mark1_spark.functions.text import gopher_quality_flags
+
+    prose = ("the cat and the dog have been to the house of a friend "
+             "that we know well and that is fine with us all today "
+             "because the weather is good and the road is short and "
+             "the time to be there is right for all of us friends "
+             "and we shall walk there again tomorrow with the cats")
+    rows = [
+        (1, prose),                                       # passes all
+        (2, "too short to pass the word count rule"),     # word count
+        (3, " ".join(["x"] * 60) + " the of"),            # mean len < 3
+        (4, prose + " " + "#" * 40),                      # symbol ratio
+        (5, "\n".join(f"- bullet {i} line of the doc to have with"
+                      for i in range(20))
+            + "\nthe of and that be to have with plain line "
+            + " ".join(f"w{i}" for i in range(30))),      # bullets > 90%? no: 20/21 lines = 95%
+        (6, prose + "..."),       # its single line ends with an ellipsis
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in
+           gopher_quality_flags(df).collect()}
+
+    assert got[1]["keep"] is True
+    assert got[2]["ok_word_count"] is False and got[2]["keep"] is False
+    assert got[3]["ok_mean_word_len"] is False
+    assert got[4]["ok_symbol_ratio"] is False
+    assert got[5]["ok_bullet_lines"] is False
+    # doc 6 is one line; that line ends with '...' -> 100% > 30%
+    assert got[6]["ok_ellipsis_lines"] is False
+
+
+def test_gopher_flags_stopword_and_alpha_rules(spark):
+    from etl_mark1_spark.functions.text import gopher_quality_flags
+
+    numbers = " ".join(str(i) for i in range(60)) + " the of"
+    no_stop = " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, numbers), (2, no_stop)], ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in
+           gopher_quality_flags(df).collect()}
+    assert got[1]["ok_alpha_words"] is False   # digits carry no letter
+    assert got[2]["ok_stopwords"] is False     # zero gopher stopwords
