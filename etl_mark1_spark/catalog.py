@@ -3788,6 +3788,64 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(t(spark, sf_dir, "documents"))
 
 
+@query("repetition_profile_docs", r"""
+    WITH lines AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, chr(10)),
+                                l -> trim(l) <> '')) AS line
+      FROM documents),
+    per_line AS (
+      SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+      FROM lines GROUP BY doc_id, line),
+    line_stats AS (
+      SELECT doc_id, CAST(sum(cnt * len) AS BIGINT) AS line_chars,
+             CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_line_chars
+      FROM per_line GROUP BY doc_id),
+    d AS (SELECT doc_id,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+          FROM documents),
+    t2 AS (SELECT doc_id, length(nt) AS chars, string_split(nt, ' ') AS tk
+           FROM d),
+    p AS (SELECT doc_id, chars, tk, unnest(range(1, len(tk))) AS i
+          FROM t2 WHERE len(tk) >= 2),
+    g AS (SELECT doc_id, chars, array_to_string(tk[i:i+1], ' ') AS gram
+          FROM p),
+    gc AS (SELECT doc_id, chars, gram, count(*) AS cnt
+           FROM g GROUP BY doc_id, chars, gram),
+    top AS (SELECT doc_id, gram AS top_bigram,
+                   CAST(cnt * length(gram) AS BIGINT) AS top_chars,
+                   CAST(chars AS BIGINT) AS chars
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+                  FROM gc) WHERE rn = 1)
+    SELECT doc.doc_id,
+           round(CASE WHEN coalesce(ls.line_chars, 0) = 0 THEN 0.0
+                      ELSE CAST(ls.dup_line_chars AS DOUBLE)
+                           / CAST(ls.line_chars AS DOUBLE) END, 6)
+             AS dup_line_ratio,
+           coalesce(top.top_bigram, '') AS top_bigram,
+           round(CASE WHEN coalesce(top.chars, 0) = 0 THEN 0.0
+                      ELSE CAST(top.top_chars AS DOUBLE)
+                           / CAST(top.chars AS DOUBLE) END, 6)
+             AS top_bigram_ratio,
+           10 * coalesce(ls.dup_line_chars, 0)
+             <= 3 * coalesce(ls.line_chars, 0) AS ok_dup_lines,
+           10 * coalesce(top.top_chars, 0)
+             <= 2 * coalesce(top.chars, 0) AS ok_top_bigram
+    FROM documents doc
+    LEFT JOIN line_stats ls USING (doc_id)
+    LEFT JOIN top USING (doc_id)
+""")
+def repetition_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition battery (functions/text.py:
+    repetition_profile, after the Gopher repetition rules): duplicated-
+    line char fraction and top-bigram coverage with integer-exact ok
+    flags. Two doc-keyed aggregations + one per-doc top-1 window."""
+    from etl_mark1_spark.functions.text import repetition_profile
+
+    return repetition_profile(t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS

@@ -272,3 +272,84 @@ def gopher_quality_flags(df, text_col: str = "text",
         F.col(id_col), n_words.alias("n_words"),
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"))
+
+
+def repetition_profile(df, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Intra-document repetition battery (the Gopher repetition rules,
+    Rae et al. 2021 A1.1, that token_repetition's distinct-ratio doesn't
+    cover): how much of a document is the same line or the same phrase
+    said again.
+
+    Returns per doc:
+    - ``dup_line_ratio``: chars in repeated line occurrences (every copy
+      after the first) / chars across all nonempty lines;
+    - ``top_bigram``/``top_bigram_ratio``: the most frequent word bigram
+      (count DESC, gram ASC tie-break) and the fraction of normalized
+      text chars its occurrences cover;
+    - ``ok_dup_lines`` (ratio <= 0.3) and ``ok_top_bigram`` (<= 0.2),
+      evaluated as integer cross-multiplications so the flags carry no
+      float edge cases.
+
+    Shape at scale: two doc-keyed aggregations (lines, bigrams) with
+    map-side partials and one per-doc top-1 window — every shuffle and
+    window is keyed by the document, never global.
+    """
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+
+    lines = (df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(text, "\n"),
+                           lambda ln: F.trim(ln) != "")).alias("line")))
+    per_line = (lines.groupBy(id_col, "line")
+                .agg(F.count(F.lit(1)).alias("_cnt"),
+                     F.length(F.col("line")).cast("long").alias("_len")))
+    line_stats = (per_line.groupBy(id_col)
+                  .agg(F.sum(F.col("_cnt") * F.col("_len"))
+                       .alias("line_chars"),
+                       F.sum((F.col("_cnt") - 1) * F.col("_len"))
+                       .alias("dup_line_chars")))
+
+    norm = normalized_text(text)
+    toks = F.split(norm, " ")
+    grams = (df.filter(F.size(toks) >= 2)
+             .select(F.col(id_col),
+                     F.length(norm).cast("long").alias("_chars"),
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.size(toks) - 1),
+                         lambda i: F.concat_ws(
+                             " ", F.slice(toks, i, 2)))).alias("gram")))
+    gram_counts = (grams.groupBy(id_col, "_chars", "gram")
+                   .agg(F.count(F.lit(1)).alias("_cnt")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cnt"), "gram")
+    top = (gram_counts.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select(id_col, F.col("gram").alias("top_bigram"),
+                   (F.col("_cnt") * F.length("gram")).cast("long")
+                   .alias("top_chars"),
+                   F.col("_chars")))
+
+    base = df.select(id_col)
+    out = (base.join(line_stats, id_col, "left")
+           .join(top, id_col, "left"))
+    dup_ratio = F.when(
+        F.coalesce(F.col("line_chars"), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(F.col("dup_line_chars").cast("double")
+                / F.col("line_chars").cast("double"))
+    top_ratio = F.when(
+        F.coalesce(F.col("_chars"), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(F.col("top_chars").cast("double")
+                / F.col("_chars").cast("double"))
+    return out.select(
+        F.col(id_col),
+        F.round(dup_ratio, 6).alias("dup_line_ratio"),
+        F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+        F.round(top_ratio, 6).alias("top_bigram_ratio"),
+        (10 * F.coalesce(F.col("dup_line_chars"), F.lit(0))
+         <= 3 * F.coalesce(F.col("line_chars"), F.lit(0)))
+        .alias("ok_dup_lines"),
+        (10 * F.coalesce(F.col("top_chars"), F.lit(0))
+         <= 2 * F.coalesce(F.col("_chars"), F.lit(0)))
+        .alias("ok_top_bigram"))

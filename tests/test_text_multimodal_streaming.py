@@ -704,3 +704,28 @@ def test_gopher_flags_stopword_and_alpha_rules(spark):
            gopher_quality_flags(df).collect()}
     assert got[1]["ok_alpha_words"] is False   # digits carry no letter
     assert got[2]["ok_stopwords"] is False     # zero gopher stopwords
+
+
+def test_repetition_profile_planted(spark):
+    from etl_mark1_spark.functions.text import repetition_profile
+
+    rows = [
+        # 3 identical lines of 10 chars + 1 unique: dup = 2*10/40 = 0.5
+        (1, "same line!\nsame line!\nsame line!\nother one!"),
+        # "very nice" said 5 times dominates the bigram mass
+        (2, "very nice " * 5 + "and something else entirely here"),
+        (3, "clean prose with no repeats at all in it today friends"),
+        (4, ""),                                   # degenerate: empty doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in repetition_profile(df).collect()}
+
+    assert got[1]["dup_line_ratio"] == 0.5
+    assert got[1]["ok_dup_lines"] is False
+    assert got[2]["top_bigram"] == "nice very" or \
+        got[2]["top_bigram"] == "very nice"
+    assert got[2]["top_bigram_ratio"] > 0.2
+    assert got[2]["ok_top_bigram"] is False
+    assert got[3]["dup_line_ratio"] == 0.0
+    assert got[3]["ok_dup_lines"] is True and got[3]["ok_top_bigram"] is True
+    assert got[4]["dup_line_ratio"] == 0.0 and got[4]["top_bigram"] == ""
