@@ -3846,6 +3846,48 @@ def repetition_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(t(spark, sf_dir, "documents"))
 
 
+@query("dsir_importance_docs", r"""
+    WITH ttk AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents WHERE source = 'src0'),
+    ttk2 AS (SELECT tok FROM ttk WHERE tok <> ''),
+    ctk AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents WHERE source <> 'src0'),
+    ctk2 AS (SELECT doc_id, tok FROM ctk WHERE tok <> ''),
+    tc AS (SELECT tok, count(*) AS ct FROM ttk2 GROUP BY tok),
+    cc AS (SELECT tok, count(*) AS ccnt FROM ctk2 GROUP BY tok),
+    vocab AS (SELECT DISTINCT tok FROM
+              (SELECT tok FROM tc UNION ALL SELECT tok FROM cc)),
+    sizes AS (SELECT (SELECT count(*) FROM vocab) AS v,
+                     (SELECT sum(ct) FROM tc) AS nt,
+                     (SELECT sum(ccnt) FROM cc) AS nc),
+    ratios AS (
+      SELECT vocab.tok,
+             ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
+                / CAST(nt + v AS DOUBLE))
+             - ln(CAST(coalesce(cc.ccnt, 0) + 1 AS DOUBLE)
+                  / CAST(nc + v AS DOUBLE)) AS lr
+      FROM vocab LEFT JOIN tc USING (tok) LEFT JOIN cc USING (tok), sizes)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lr), 6) AS dsir_score
+    FROM ctk2 JOIN ratios USING (tok)
+    GROUP BY doc_id
+""")
+def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (operators/corpus.py:dsir_importance, after
+    Xie et al. NeurIPS 2023): every non-src0 document scored by the
+    average token log-likelihood ratio between a src0-trained and a
+    corpus-trained add-1 unigram LM. Count tables broadcast onto one
+    exploded corpus scan; feed scores to weighted_sample for the
+    resampling step."""
+    from etl_mark1_spark.operators.corpus import dsir_importance
+
+    docs = t(spark, sf_dir, "documents")
+    return dsir_importance(docs.filter(F.col("source") != "src0"),
+                           docs.filter(F.col("source") == "src0"))
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS

@@ -417,6 +417,69 @@ def encode_tokens(df: DataFrame, vocab: DataFrame, text_col: str = "text",
                 lambda x: x["token_id"]).alias(out_col)))
 
 
+def dsir_importance(corpus: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    hash_buckets: int | None = None) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023), reduced to its deterministic core: score every corpus document
+    by how much more likely its tokens are under a target-domain unigram
+    LM than under the raw-corpus LM,
+
+        score(d) = avg_t [ ln p_target(t) - ln p_corpus(t) ]
+
+    with both LMs add-1-smoothed over the union vocabulary. High scores =
+    looks like the target distribution; feed the scores to
+    weighted_sample for the resampling step.
+
+    ``hash_buckets`` replaces tokens with md5 buckets (the paper's hashed
+    n-gram features): caps both count tables at the bucket count no
+    matter the vocabulary, engine-reproducible because the bucketing is
+    md5 arithmetic, not an engine hash.
+
+    Shape at scale: two vocabulary-sized (or bucket-capped) count tables
+    built with map-side partials; the per-token log-ratio table
+    BROADCASTS onto one exploded corpus scan; one per-doc average. The
+    target corpus is small by definition (it is the domain sample);
+    nothing else shuffles except the (doc, token) regroup.
+    """
+    def toks(df, *cols):
+        t = df.select(
+            *cols,
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+            .alias("tok")).filter(F.col("tok") != "")
+        if hash_buckets is not None:
+            t = t.withColumn(
+                "tok", _md5_bucket(F.col("tok"), hash_buckets)
+                .cast("string"))
+        return t
+
+    t_counts = toks(target).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_ct"))
+    c_counts = toks(corpus).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_cc"))
+    vocab = (t_counts.select("tok").unionByName(c_counts.select("tok"))
+             .distinct())
+    sizes = vocab.agg(F.count(F.lit(1)).alias("_v")).crossJoin(
+        t_counts.agg(F.sum("_ct").alias("_nt"))).crossJoin(
+        c_counts.agg(F.sum("_cc").alias("_nc")))
+    ratios = (vocab.join(t_counts, "tok", "left")
+              .join(c_counts, "tok", "left")
+              .crossJoin(F.broadcast(sizes))
+              .select(
+                  "tok",
+                  (F.log((F.coalesce(F.col("_ct"), F.lit(0)) + 1)
+                         .cast("double")
+                         / (F.col("_nt") + F.col("_v")).cast("double"))
+                   - F.log((F.coalesce(F.col("_cc"), F.lit(0)) + 1)
+                           .cast("double")
+                           / (F.col("_nc") + F.col("_v")).cast("double"))
+                   ).alias("_lr")))
+    return (toks(corpus, id_col).join(F.broadcast(ratios), "tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.round(F.avg("_lr"), 6).alias("dsir_score")))
+
+
 # -- step-DSL integration ---------------------------------------------------
 # The corpus operators double as step operators, so the reference-style
 # pipeline surface ({"operator": ..., "params": ...}) can run a curation

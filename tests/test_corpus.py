@@ -372,3 +372,39 @@ def test_encode_tokens_order_and_oov(spark):
     got = {r.doc_id: list(r.token_ids)
            for r in encode_tokens(df, vocab).collect()}
     assert got == {1: [1, 2, 1, 1], 2: [2, 2, 1]}
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    """Documents written in the target domain's vocabulary must score
+    above documents from a disjoint vocabulary."""
+    from etl_mark1_spark.operators.corpus import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100 + i, "physics energy quantum field particle wave")
+         for i in range(5)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "quantum field theory and particle physics energy"),
+         (2, "recipe butter sugar flour oven cake frosting"),
+         (3, "energy wave particle quantum physics field")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.dsir_score
+           for r in dsir_importance(corpus, target).collect()}
+    assert got[1] > got[2] and got[3] > got[2]
+
+
+def test_dsir_hashed_features_preserve_ranking(spark):
+    """The md5-bucketed feature path (the paper's hashed n-grams) keeps
+    the in-domain > off-domain ordering at reasonable bucket counts."""
+    from etl_mark1_spark.operators.corpus import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100 + i, "physics energy quantum field particle wave")
+         for i in range(5)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "quantum field theory and particle physics energy"),
+         (2, "recipe butter sugar flour oven cake frosting")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.dsir_score
+           for r in dsir_importance(corpus, target,
+                                    hash_buckets=512).collect()}
+    assert got[1] > got[2]
