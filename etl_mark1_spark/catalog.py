@@ -597,6 +597,47 @@ def streaming_enrich_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                              output_mode="complete")
 
 
+@query("streaming_bloom_filter", """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')
+    GROUP BY event_type
+""")
+def streaming_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side membership screening with the Bloom prefilter
+    (operators/bloom.py) inside Structured Streaming: events from
+    BUILDING-segment customers, counted per type. The bloom probe is a
+    stateless pure expression, so the definite-non-member majority of
+    the stream is dropped IN the micro-batch map stage — no state store,
+    no join — and only bloom survivors reach the exact stream-static
+    semi-join confirm. Complete-mode AvailableNow equals the batch
+    semi-join oracle because the filter has no false negatives."""
+    from etl_mark1_spark.operators.bloom import (bloom_maybe_contains,
+                                                 build_bloom,
+                                                 optimal_num_bits,
+                                                 optimal_num_hashes)
+    from etl_mark1_spark.streaming.events import (read_events_stream,
+                                                  run_available_now)
+
+    ref = (t(spark, sf_dir, "customer")
+           .filter(F.col("c_mktsegment") == "BUILDING")
+           .select(F.col("c_custkey").cast("long").alias("user_id")))
+    n = ref.count()
+    m = optimal_num_bits(n, fpp=0.01)
+    k = optimal_num_hashes(m, n)
+    words = build_bloom(ref, "user_id", m, k)
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    maybe = bloom_maybe_contains(F.col("user_id").cast("long"), words, m, k)
+    confirmed = (stream.filter(maybe)
+                 .join(ref, "user_id", "left_semi"))
+    counted = confirmed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return run_available_now(counted, table_name="stream_bloom_out",
+                             output_mode="complete")
+
+
 # ---------------------------------------------------------------------------
 # Profiling / pipeline (SURVEY.md §2.4 A4-A7, §2.6)
 # ---------------------------------------------------------------------------
