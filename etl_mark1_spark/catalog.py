@@ -3929,6 +3929,34 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            docs.filter(F.col("source") == "src0"))
 
 
+@query("knn_join_embeddings", """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id <= 10),
+    e AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ev
+          FROM embeddings WHERE vec_id > 10),
+    pairs AS (SELECT query_id, neighbor_id,
+                     round(list_cosine_similarity(ev, qv), 6) AS similarity
+              FROM e, q),
+    ranked AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY similarity DESC, neighbor_id) AS BIGINT) AS rank
+               FROM pairs)
+    SELECT query_id, neighbor_id, similarity, rank
+    FROM ranked WHERE rank <= 3
+""")
+def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN JOIN (operators/similarity.py:knn_join): top-3 cosine
+    neighbors for each of ten query vectors in one operation — the
+    batch-query form of similarity search. The query set broadcasts onto
+    one table scan (no shuffled cartesian); only the similarity rows
+    shuffle, on the query id."""
+    from etl_mark1_spark.operators.similarity import knn_join
+
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_join(emb.filter(F.col("vec_id") <= 10),
+                    emb.filter(F.col("vec_id") > 10), k=3)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS

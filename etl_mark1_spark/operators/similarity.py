@@ -283,3 +283,41 @@ def int8_cosine_topk(df: DataFrame, query: list[float], k: int = 10,
     return (tmp.select(F.col(id_col), sim.alias("similarity"))
             .orderBy(F.desc("similarity"), F.col(id_col))
             .limit(k))
+
+
+def knn_join(queries: DataFrame, table: DataFrame, k: int = 3,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id_col: str = "query_id",
+             round_digits: int | None = 6) -> DataFrame:
+    """k-nearest-neighbor JOIN: for every query vector, its top-k cosine
+    neighbors from ``table`` — the batch form of similarity search (one
+    query per row instead of one constant query).
+
+    Returns (query_id, neighbor_id, similarity, rank). The query set is
+    the small side by definition, so it BROADCASTS onto one scan of the
+    table (never a shuffled cartesian); ranking shuffles only the
+    (n_queries x k-bounded survivors... strictly n_queries x n_table)
+    similarity rows on the query id. At 100 TB cut that shuffle with
+    candidate pruning first — IVF-assign the table once and knn_join per
+    probed inverted list (ivf_topk's pruning generalizes per query), or
+    pre-reduce per partition with a groupBy(query).agg(collect top-k)
+    before the global window. Ties break on neighbor id.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"))
+    pairs = table.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col)) \
+        .crossJoin(F.broadcast(q))
+    sim = dot(F.col(vec_col), F.col("_qvec")) \
+        / (l2_norm(F.col(vec_col)) * l2_norm(F.col("_qvec")))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.col("neighbor_id"))
+    return (pairs.withColumn("similarity", sim)
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "neighbor_id", "similarity", "rank"))

@@ -421,3 +421,29 @@ def test_int8_topk_plans_take_ordered(spark, sf_dir):
     plan = (int8_cosine_topk(emb, query, k=10)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_join_matches_per_query_topk(spark, sf_dir):
+    """knn_join must agree with running cosine_topk once per query."""
+    from etl_mark1_spark.operators.similarity import cosine_topk, knn_join
+    from etl_mark1_spark.sources.readers import read_parquet_compat
+
+    emb = read_parquet_compat(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id <= 3")
+    table = emb.filter("vec_id > 3")
+    joined = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in knn_join(queries, table, k=3).collect()}
+    for qrow in queries.collect():
+        singles = cosine_topk(table, list(qrow["embedding"]), k=3).collect()
+        for rank, s in enumerate(singles, start=1):
+            assert joined[(qrow["vec_id"], rank)] == s["vec_id"]
+
+
+def test_knn_join_broadcasts_queries(spark, sf_dir):
+    from etl_mark1_spark.operators.similarity import knn_join
+    from etl_mark1_spark.sources.readers import read_parquet_compat
+
+    emb = read_parquet_compat(spark, f"{sf_dir}/embeddings.parquet")
+    plan = (knn_join(emb.filter("vec_id <= 3"), emb.filter("vec_id > 3"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
