@@ -46,7 +46,14 @@ def _positioned_grams(docs: DataFrame, text_col: str, id_col: str,
                       n: int) -> DataFrame:
     """(id, i, gram): the n-token window starting at 1-based token
     position i of the normalized text. Docs shorter than n tokens emit
-    nothing (they cannot contain a duplicated n-token span)."""
+    nothing (they cannot contain a duplicated n-token span).
+
+    The shingle flat-map multiplies work ~n-fold per doc, so a narrow
+    few-split scan must fan out first (ensure_parallelism is a no-op on
+    frames that already shuffled or have enough splits)."""
+    from etl_mark1_spark.operators.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     toks = F.split(normalized_text(F.col(text_col)), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
