@@ -3962,6 +3962,29 @@ def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     emb.filter(F.col("vec_id") > 10), k=3)
 
 
+@query("cms_event_counts", """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+    FROM events GROUP BY event_type
+""")
+def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event frequencies estimated through a count-min sketch
+    (operators/sketches.py:cms_build/cms_estimate) — the frequency
+    sketch completing the HLL/Bloom/CMS trio. The sketch is
+    depth x width cells regardless of stream size; partials combine
+    map-side and merge by cell-sum. The oracle is the EXACT count: CMS
+    never undercounts, and at width 2048 with single-digit key
+    cardinality every key has at least one collision-free row
+    (deterministic for this data — seeds and hash are fixed), so the
+    min-over-seeds estimate equals the true count; planted-collision
+    unit tests exercise the overcount direction."""
+    from etl_mark1_spark.operators.sketches import cms_build, cms_estimate
+
+    events = t(spark, sf_dir, "events")
+    cms = cms_build(events, "event_type")
+    keys = events.select("event_type").distinct()
+    return cms_estimate(cms, keys, "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS

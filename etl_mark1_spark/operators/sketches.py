@@ -112,3 +112,49 @@ def approx_ntile(df: DataFrame, col: str, num_buckets: int = 4,
     return (df.crossJoin(F.broadcast(cuts))
             .withColumn(out_col, bucket.cast("bigint"))
             .drop("_cuts"))
+
+
+# -- count-min sketch -------------------------------------------------------
+
+def cms_build(df: DataFrame, key_col: str, width: int = 2048,
+              depth: int = 4) -> DataFrame:
+    """Count-min sketch of a key column as a (seed, bucket, cnt) table —
+    the frequency sketch completing the trio with HLL (distinct) and the
+    Bloom filter (membership).
+
+    Decomposable like hll_rollup: each task emits at most depth*width
+    partial cells regardless of row count (map-side combine), two
+    sketches merge by summing cells, and the whole sketch is
+    depth*width*16 bytes no matter how many billions of rows it
+    summarizes. Seeded xxhash64 rows play the pairwise-independent hash
+    family."""
+    cells = df.select(F.explode(F.array(*[
+        F.struct(F.lit(s).alias("seed"),
+                 F.pmod(F.xxhash64(F.col(key_col), F.lit(s)),
+                        F.lit(width)).alias("bucket"))
+        for s in range(depth)])).alias("c"))
+    return (cells.groupBy(F.col("c.seed").alias("seed"),
+                          F.col("c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str,
+                 width: int = 2048, depth: int = 4) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a cms_build sketch:
+    min over the depth rows of the key's bucket count. Estimates never
+    undercount; overcounts come only from bucket collisions (expected
+    excess <= N/width per seed, and the min over seeds keeps the best
+    row). The sketch is depth*width cells, so it BROADCASTS onto the
+    (usually tiny) key set."""
+    probes = keys.select(key_col, F.explode(F.array(*[
+        F.struct(F.lit(s).alias("seed"),
+                 F.pmod(F.xxhash64(F.col(key_col), F.lit(s)),
+                        F.lit(width)).alias("bucket"))
+        for s in range(depth)])).alias("p"))
+    joined = probes.join(
+        F.broadcast(cms),
+        (F.col("p.seed") == F.col("seed"))
+        & (F.col("p.bucket") == F.col("bucket")), "left")
+    return (joined.groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("bigint").alias("est_count")))

@@ -115,3 +115,52 @@ def test_approx_ntile_plan_has_no_window_or_global_sort(spark):
     # The only single-partition stage is the cutoff merge, and its input
     # is per-partition sketch PARTIALS (bytes per split), not data rows.
     assert "partial_percentile_approx" in plan, plan
+
+
+def test_cms_exact_when_collision_free(spark):
+    """With width far above key cardinality the estimate is exact."""
+    from etl_mark1_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [(f"k{i % 7}",) for i in range(700)]
+    df = spark.createDataFrame(rows, ["k"])
+    cms = cms_build(df, "k", width=1024, depth=4)
+    got = {r["k"]: r["est_count"]
+           for r in cms_estimate(cms, df.select("k").distinct(), "k",
+                                 width=1024, depth=4).collect()}
+    assert got == {f"k{i}": 100 for i in range(7)}
+
+
+def test_cms_never_undercounts_under_forced_collisions(spark):
+    """width=2 forces heavy collisions: estimates must stay >= truth and
+    within the N-per-bucket worst case."""
+    from collections import Counter
+
+    from etl_mark1_spark.operators.sketches import cms_build, cms_estimate
+
+    vals = [f"key{i % 11}" for i in range(1100)]
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["k"])
+    cms = cms_build(df, "k", width=2, depth=3)
+    got = {r["k"]: r["est_count"]
+           for r in cms_estimate(cms, df.select("k").distinct(), "k",
+                                 width=2, depth=3).collect()}
+    for k, true_n in truth.items():
+        assert got[k] >= true_n
+        assert got[k] <= len(vals)
+
+
+def test_cms_merges_by_cell_sum(spark):
+    """Two half-stream sketches summed cell-wise equal the full-stream
+    sketch — the decomposability that makes CMS shardable."""
+    from pyspark.sql import functions as F
+
+    from etl_mark1_spark.operators.sketches import cms_build
+
+    rows = [(f"k{i % 5}",) for i in range(500)]
+    a = spark.createDataFrame(rows[:250], ["k"])
+    b = spark.createDataFrame(rows[250:], ["k"])
+    full = spark.createDataFrame(rows, ["k"])
+    merged = (cms_build(a, "k").unionByName(cms_build(b, "k"))
+              .groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt")))
+    diff = merged.exceptAll(cms_build(full, "k")).count()
+    assert diff == 0
