@@ -3985,6 +3985,44 @@ def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, keys, "event_type")
 
 
+@query("setsim_join_docs", r"""
+    WITH t0 AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+          FROM t0 WHERE len(tk) >= 3),
+    d AS (SELECT doc_id,
+                 list_distinct(list(array_to_string(tk[i:i+2], ' '))) AS s
+          FROM p GROUP BY doc_id),
+    tk2 AS (SELECT doc_id, unnest(s) AS tok FROM d),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM tk2 a JOIN tk2 b
+               ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    j AS (SELECT doc_a, doc_b,
+            CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / CAST(len(x.s) + len(y.s)
+                   - len(list_intersect(x.s, y.s)) AS DOUBLE) AS jac
+          FROM cand JOIN d x ON x.doc_id = cand.doc_a
+                    JOIN d y ON y.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+    FROM j WHERE jac >= 0.6
+""")
+def setsim_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (operators/dedup.py:setsim_join,
+    PPJoin-style prefix filtering): all document pairs with 3-gram
+    shingle-set Jaccard >= 0.6 — 100% recall by construction, unlike the
+    LSH families. The ORACLE proves that recall claim independently: it
+    evaluates Jaccard over EVERY co-occurring pair with no prefix
+    filter, so a single pair missed by the prefix logic fails the
+    comparison."""
+    from etl_mark1_spark.operators.dedup import setsim_join
+
+    return setsim_join(t(spark, sf_dir, "documents"),
+                       threshold=0.6, ngram=3)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS

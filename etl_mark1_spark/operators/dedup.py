@@ -671,3 +671,85 @@ def minhash_cross_dedup(
             .select(F.col("src").alias(id_col),
                     F.col("ref").alias("matched_ref"),
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def setsim_join(df: DataFrame, threshold: float = 0.6,
+                text_col: str = "text", id_col: str = "doc_id",
+                ngram: int = 1) -> DataFrame:
+    """EXACT all-pairs Jaccard set-similarity join via prefix filtering
+    (SSJoin/PPJoin family, Xiao et al., WWW 2008): every document pair
+    whose distinct-token Jaccard >= threshold, with NO recall loss — the
+    deterministic alternative to minhash_dedup's probabilistic candidate
+    generation.
+
+    The filter that makes it scale: order every document's token set by
+    ascending global frequency (rarest first; ties on the token), and
+    join only on each set's PREFIX of length |x| - ceil(t*|x|) + 1. Two
+    sets meeting the threshold must share a prefix token, so recall is
+    exactly 1; prefix tokens are the RAREST tokens, so the equi-join's
+    fan-out is tiny. A length filter (t*|a| <= |b|) prunes further, and
+    exact Jaccard on the candidate pairs is the final word — the sketch
+    layer can only shrink the join, never change the answer (same
+    contract as operators/bloom.py).
+
+    Shapes: one (doc, token) distinct aggregation, a broadcast-sized
+    token-frequency table joined back, one per-doc regroup to build the
+    ordered set, a prefix explode (~(1-t) of each set), the candidate
+    equi-join on rare tokens, and the pair verify. Returns
+    (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    ``ngram > 1`` uses word n-gram shingles as the set elements instead
+    of unigrams — the right choice when documents share a small
+    vocabulary (unigram sets saturate); docs shorter than ``ngram``
+    tokens drop out (they have no shingle set).
+    """
+    docs = ensure_parallelism(df)
+    if ngram == 1:
+        elems = (docs.select(
+            F.col(id_col),
+            F.explode(F.split(normalized_text(F.col(text_col)), " "))
+            .alias("tok"))
+            .filter(F.col("tok") != ""))
+    else:
+        arr = F.split(normalized_text(F.col(text_col)), " ")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - F.lit(ngram - 1)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, ngram)))
+        elems = (docs.filter(F.size(arr) >= ngram)
+                 .select(F.col(id_col), F.explode(grams).alias("tok")))
+    toks = elems.distinct()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_f"))
+    sets = (toks.join(F.broadcast(freq), "tok")
+            .groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_f", "tok"))),
+                lambda s: s["tok"]).alias("_set")))
+    size = F.size("_set")
+    prefix_len = size - F.ceil(size * F.lit(threshold)).cast("int") + 1
+    prefixes = sets.select(
+        F.col(id_col), size.alias("_n"),
+        F.explode(F.slice("_set", 1, prefix_len)).alias("tok"))
+
+    a = prefixes.select(F.col(id_col).alias("doc_a"),
+                        F.col("_n").alias("_na"), "tok")
+    b = prefixes.select(F.col(id_col).alias("doc_b"),
+                        F.col("_n").alias("_nb"), "tok")
+    cands = (a.join(b, "tok")
+             .filter((F.col("doc_a") < F.col("doc_b"))
+                     & (F.col("_nb") * F.lit(threshold) <= F.col("_na"))
+                     & (F.col("_na") * F.lit(threshold) <= F.col("_nb")))
+             .select("doc_a", "doc_b").distinct())
+
+    sa = sets.select(F.col(id_col).alias("doc_a"),
+                     F.col("_set").alias("_seta"))
+    sb = sets.select(F.col(id_col).alias("doc_b"),
+                     F.col("_set").alias("_setb"))
+    inter = F.size(F.array_intersect("_seta", "_setb"))
+    union = F.size("_seta") + F.size("_setb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    # threshold on the UNROUNDED value: a pair rounding up across the
+    # threshold is not covered by the prefix guarantee and the oracle
+    # applies the same unrounded cut
+    return (cands.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))

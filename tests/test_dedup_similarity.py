@@ -447,3 +447,55 @@ def test_knn_join_broadcasts_queries(spark, sf_dir):
     plan = (knn_join(emb.filter("vec_id <= 3"), emb.filter("vec_id > 3"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_setsim_join_matches_bruteforce(spark):
+    """Prefix filtering must lose nothing: compare against brute-force
+    all-pairs Jaccard on a fixture with planted near-duplicates."""
+    from itertools import combinations
+
+    from etl_mark1_spark.operators.dedup import setsim_join
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base),
+        (2, base + " today"),                      # near-dup of 1
+        (3, base.replace("dog", "cat")),           # near-dup of 1
+        (4, "completely different words about cooking pasta and sauce"),
+        (5, "completely different words about cooking pasta and soup"),
+        (6, "one more unrelated document concerning winter mountains"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in setsim_join(df, threshold=0.4).collect()}
+
+    def toks(t):
+        return set(t.lower().split())
+
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(rows, 2):
+        a, b = toks(ta), toks(tb)
+        jac = len(a & b) / len(a | b)
+        if jac >= 0.4:
+            want[(ia, ib)] = round(jac, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_setsim_prefix_prunes_candidates(spark):
+    """Documents sharing only COMMON tokens must not qualify at a high
+    threshold, while true near-dups survive; and the shingle variant
+    keeps short docs out."""
+    from etl_mark1_spark.operators.dedup import setsim_join
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),       # exact dup
+        (3, "alpha beta totally other things here now"),  # shares common
+        (4, "hi"),                                        # < ngram tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           setsim_join(df, threshold=0.9, ngram=3).collect()}
+    assert got == {(1, 2)}
