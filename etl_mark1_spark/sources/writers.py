@@ -133,3 +133,53 @@ def backfill_partitions(
     finally:
         spark.conf.set(key, before)
     return path
+
+
+def write_training_shards(df: DataFrame, path: str, num_shards: int = 64,
+                          id_col: str = "doc_id",
+                          order_col: str | None = None) -> dict:
+    """Write a curated corpus as deterministic training shards — the
+    last-mile sink of the curation pipeline (the reference's closest
+    surface is the plain file_output node, backend/executor/engine.py).
+
+    - Shard membership is md5-of-id (same rule as train_test_split):
+      a function of the ROW, so re-runs, backfills, and repartitions
+      produce byte-identical shard contents — never ``rand()`` or
+      round-robin, which reshuffle every run and break resumable
+      training.
+    - Rows sort by ``order_col`` (default: the id) WITHIN each shard
+      (sortWithinPartitions — no global sort), giving reproducible
+      within-shard sample order.
+    - One file per shard (``shard=K/`` hive dirs), written in a single
+      distributed pass: repartition on the shard key is the only
+      shuffle.
+    - A ``_manifest.json`` records per-shard row counts and the total,
+      so downstream loaders can size epochs and detect partial writes;
+      the manifest is written LAST and only after the data commits —
+      its absence marks an incomplete shard set.
+
+    Returns the manifest dict.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    shard = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("bigint") % num_shards).alias("shard")
+    tagged = df.withColumn("shard", shard)
+    (tagged.repartition(num_shards, "shard")
+     .sortWithinPartitions(order_col or id_col)
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+    counts = {int(r["shard"]): r["n"] for r in
+              tagged.groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    manifest = {
+        "num_shards": num_shards,
+        "total_rows": int(sum(counts.values())),
+        "shard_rows": {str(k): int(v) for k, v in sorted(counts.items())},
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest

@@ -289,3 +289,32 @@ def test_backfill_partitions_overwrites_only_touched(spark, tmp_path):
     # the conf didn't leak
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           "static") == "static"
+
+
+def test_training_shards_deterministic_and_manifested(spark, sf_dir,
+                                                      tmp_path):
+    """Shard membership must be a pure function of the row (two writes,
+    identical shard contents), the manifest must reconcile with the
+    data, and within-shard order must be reproducible."""
+    import json
+
+    from etl_mark1_spark.sources.writers import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "source")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_training_shards(docs, p1, num_shards=8)
+    m2 = write_training_shards(docs, p2, num_shards=8)
+    assert m1 == m2
+    assert m1["total_rows"] == docs.count()
+    assert sum(m1["shard_rows"].values()) == m1["total_rows"]
+    assert json.load(open(f"{p1}/_manifest.json")) == m1
+
+    # same rows land in the same shard across runs, in the same order
+    a = spark.read.parquet(p1).select("shard", "doc_id").collect()
+    b = spark.read.parquet(p2).select("shard", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    back = spark.read.parquet(p1)
+    assert back.count() == m1["total_rows"]
+    assert back.select("doc_id").distinct().count() == m1["total_rows"]
