@@ -97,6 +97,7 @@ class PipelineExecutor:
             "db_insert": self._exec_db_insert,
             "export": self._exec_export,
             "file_output": self._exec_file_output,
+            "shard_output": self._exec_shard_output,
             "pdf_extract": self._exec_pdf_extract,
             "split_json": self._exec_split_json,
         }
@@ -441,6 +442,28 @@ class PipelineExecutor:
                    mode=config.get("mode", "overwrite"),
                    single_file=config.get("single_file", False))
         self._node_outputs[node_id] = path
+
+    def _exec_shard_output(self, node_id: str, config: dict,
+                           inputs: list) -> None:
+        """shard_output: the curation pipeline's training-shard sink
+        (sources/writers.py:write_training_shards) as a DAG node —
+        deterministic md5-of-id shard membership, within-shard sort,
+        commit-last manifest. Config: path (required), num_shards,
+        id_col, order_col."""
+        if not inputs:
+            raise ExecutionError("Shard output node has no inputs")
+        path = config.get("path")
+        if not path:
+            raise ExecutionError("Shard output node requires a path")
+        from etl_mark1_spark.sources.writers import write_training_shards
+
+        manifest = write_training_shards(
+            inputs[0], path,
+            num_shards=int(config.get("num_shards", 64)),
+            id_col=config.get("id_col", "doc_id"),
+            order_col=config.get("order_col"))
+        self._node_outputs[node_id] = path
+        self._node_outputs[f"{node_id}__manifest"] = manifest
 
     # -- graph -----------------------------------------------------------
 

@@ -340,3 +340,34 @@ def test_file_output_versioned_snapshots(spark, sf_dir, tmp_path):
     assert [h["version"] for h in history(table)] == [0, 1]
     assert read_table(spark, table, version=0).count() == first
     assert read_table(spark, table).count() < first
+
+
+def test_shard_output_node(spark, sf_dir, tmp_path):
+    """The training-shard sink runs as a pipeline node: curate -> shard,
+    manifest reconciles with the filtered row count."""
+    import json
+
+    from etl_mark1_spark.plans.dag import PipelineExecutor
+
+    out = str(tmp_path / "shards")
+    definition = {
+        "nodes": [
+            {"id": "in", "type": "file_input",
+             "config": {"path": f"{sf_dir}/documents.parquet",
+                        "format": "parquet"}},
+            {"id": "tf", "type": "transform", "config": {"steps": [
+                {"operator": "filter_rows",
+                 "params": {"expression": "n_chars >= 100"}}]}},
+            {"id": "out", "type": "shard_output",
+             "config": {"path": out, "num_shards": 4}},
+        ],
+        "edges": [{"source": "in", "target": "tf"},
+                  {"source": "tf", "target": "out"}],
+    }
+    report = PipelineExecutor(spark).execute(definition)
+    assert report.status == "succeeded"
+    manifest = json.load(open(f"{out}/_manifest.json"))
+    expected = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter("n_chars >= 100").count())
+    assert manifest["total_rows"] == expected
+    assert spark.read.parquet(out).count() == expected
