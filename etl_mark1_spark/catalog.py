@@ -4023,6 +4023,38 @@ def setsim_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        threshold=0.6, ngram=3)
 
 
+@query("token_budget_mixture", r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    b(source, budget) AS (VALUES ('src1', 400), ('src2', 700),
+                                 ('src3', 100000)),
+    r AS (SELECT d.doc_id, d.source, d.n_tokens,
+                 sum(d.n_tokens) OVER (PARTITION BY d.source
+                   ORDER BY d.h, d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - d.n_tokens AS before_sum, b.budget
+          FROM d JOIN b USING (source))
+    SELECT doc_id, source, n_tokens FROM r WHERE before_sum < budget
+""")
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budgeted mixture sampling
+    (operators/corpus.py:sample_to_token_budget): fill src1 to 400
+    tokens, src2 to 700, keep all of src3 (budget above its size), drop
+    every other source — documents taken in md5-of-id order so the mix
+    is re-run stable. Broadcast budget table; one per-stratum
+    running-sum window."""
+    from etl_mark1_spark.operators.corpus import sample_to_token_budget
+
+    return sample_to_token_budget(
+        t(spark, sf_dir, "documents"),
+        {"src1": 400, "src2": 700, "src3": 100000})
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS

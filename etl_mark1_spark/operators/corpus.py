@@ -480,6 +480,46 @@ def dsir_importance(corpus: DataFrame, target: DataFrame,
                  F.round(F.avg("_lr"), 6).alias("dsir_score")))
 
 
+def sample_to_token_budget(df: DataFrame, budgets: dict[str, int],
+                           strata_col: str = "source",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           size_col: str | None = None) -> DataFrame:
+    """Fill each stratum to an exact TOKEN budget — the "make me a
+    1T-token mix at these proportions" step that rebalance_mixture's
+    doc-count probabilities can't express (documents vary in length).
+
+    Documents are taken in md5-of-id order (pseudo-random but re-run /
+    repartition / backfill stable) and a stratum stops accepting once
+    its running token total reaches the budget: keep while
+    running_sum_before < budget, so the final kept document may overshoot
+    by less than its own length, and a stratum whose corpus is smaller
+    than its budget keeps everything. Strata not in ``budgets`` are
+    dropped (the join doubles as the mixture filter).
+
+    Shape at scale: the budget table broadcasts; the only shuffle is the
+    per-stratum running-sum window, which packs strata in parallel —
+    shard a single huge stratum the way pack_sequences does if one
+    stratum dominates. Returns (id, stratum, n_tokens).
+    """
+    from etl_mark1_spark.functions.text import whitespace_token_count
+
+    size = (F.col(size_col) if size_col
+            else whitespace_token_count(F.col(text_col)))
+    spark = df.sparkSession
+    b = spark.createDataFrame(
+        [(k, int(v)) for k, v in budgets.items()],
+        [strata_col, "_budget"])
+    sized = (df.join(F.broadcast(b), strata_col)
+             .withColumn("_nt", size.cast("long")))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    before = F.sum("_nt").over(w) - F.col("_nt")
+    return (sized.withColumn("_before", before)
+            .filter(F.col("_before") < F.col("_budget"))
+            .select(id_col, strata_col, F.col("_nt").alias("n_tokens")))
+
+
 # -- step-DSL integration ---------------------------------------------------
 # The corpus operators double as step operators, so the reference-style
 # pipeline surface ({"operator": ..., "params": ...}) can run a curation

@@ -408,3 +408,39 @@ def test_dsir_hashed_features_preserve_ranking(spark):
            for r in dsir_importance(corpus, target,
                                     hash_buckets=512).collect()}
     assert got[1] > got[2]
+
+
+def test_token_budget_fills_then_stops(spark):
+    """Each stratum keeps docs in md5 order until the budget is reached;
+    the crossing doc is kept (overshoot < its own size), smaller corpora
+    keep everything, unbudgeted strata drop."""
+    from etl_mark1_spark.operators.corpus import sample_to_token_budget
+
+    rows = [(i, "w " * 10, "a") for i in range(10)]           # 10x10 tokens
+    rows += [(100 + i, "w " * 10, "b") for i in range(3)]     # 3x10
+    rows += [(200 + i, "w " * 10, "c") for i in range(5)]     # unbudgeted
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = sample_to_token_budget(df, {"a": 35, "b": 1000},
+                                 strata_col="source").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    # budget 35 with 10-token docs: kept docs have before-sums 0,10,20,30
+    assert len(by_src["a"]) == 4
+    assert sum(r["n_tokens"] for r in by_src["a"]) == 40   # overshoot < 10
+    assert len(by_src["b"]) == 3                           # under budget
+    assert "c" not in by_src
+
+
+def test_token_budget_rerun_stable(spark):
+    from etl_mark1_spark.operators.corpus import sample_to_token_budget
+
+    rows = [(i, f"some text with id {i} tokens here", "a")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    a = sorted(r["doc_id"] for r in
+               sample_to_token_budget(df, {"a": 100}).collect())
+    b = sorted(r["doc_id"] for r in
+               sample_to_token_budget(df.repartition(7), {"a": 100})
+               .collect())
+    assert a == b and len(a) > 0
