@@ -4055,6 +4055,51 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src1": 400, "src2": 700, "src3": 100000})
 
 
+# SimHash is md5-based precisely so fingerprints are engine-reproducible;
+# cash that in: the oracle rebuilds all 64 vote sums from the md5 hex in
+# SQL (bit j = bit j%8 of digest byte j//8, little-endian — matching
+# np.unpackbits(..., bitorder='little') in dedup.with_simhash) and
+# reassembles the signed two's-complement signature.
+_SIMHASH_VOTES = ",\n             ".join(
+    f"sum(2 * ((CAST(('0x' || substr(h, {2 * (j // 8) + 1}, 2)) AS INT)"
+    f" >> {j % 8}) & 1) - 1) AS v{j}"
+    for j in range(64))
+_SIMHASH_SIG = "\n             + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63))
+
+
+@query("simhash_docs", rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents),
+    h AS (SELECT doc_id, md5(t) AS h FROM tok),
+    v AS (SELECT doc_id,
+             {_SIMHASH_VOTES}
+          FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+             CAST({_SIMHASH_SIG}
+             + (CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END)
+               AS BIGINT) AS simhash
+            FROM v)
+    SELECT d.doc_id, coalesce(sig.simhash, 0) AS simhash
+    FROM documents d LEFT JOIN sig USING (doc_id)
+""")
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched Pandas UDF). md5-based
+    so fingerprints are process- AND engine-stable — which upgrades this
+    from a rows-only check to an EXACT oracle: DuckDB recomputes every
+    one of the 64 vote sums from the same md5 bits and must reproduce
+    the signature bit-for-bit."""
+    from etl_mark1_spark.operators.dedup import with_simhash
+
+    return with_simhash(
+        t(spark, sf_dir, "documents").select("doc_id", "text")) \
+        .select("doc_id", "simhash")
+
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extension entries (no SQL oracle by construction: LSH/ANN/KMeans/
 # media decode).  Registered LAST deliberately: the driver's CORRECTNESS
@@ -4079,15 +4124,6 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return minhash_dedup(t(spark, sf_dir, "documents"), use_word_ngrams=True,
                          threshold=0.7)
-
-
-@query("simhash_docs")
-def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (Arrow-batched Pandas UDF; md5-based so
-    values are process-stable). Rows-only check."""
-    from etl_mark1_spark.operators.dedup import with_simhash
-
-    return with_simhash(t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 @query("simhash_neardup")
