@@ -4108,27 +4108,138 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_goldens.py, tests/test_dedup_similarity.py).
 # ---------------------------------------------------------------------------
 
-@query("minhash_neardup")
+@query("minhash_neardup", r"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+          FROM documents),
+    p AS (SELECT doc_id, nt,
+                 unnest(range(1, greatest(len(nt) - 4, 1) + 1)) AS i
+          FROM d),
+    sh AS (SELECT doc_id,
+                  list_distinct(list(substr(nt, CAST(i AS INT), 5))) AS s
+           FROM p GROUP BY doc_id),
+    tk AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM tk a JOIN tk b ON a.g = b.g AND a.doc_id < b.doc_id),
+    e AS (SELECT da, db
+          FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+          WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                / CAST(len(x.s) + len(y.s)
+                       - len(list_intersect(x.s, y.s)) AS DOUBLE) >= 0.8),
+    sym AS (SELECT da AS a, db AS b FROM e UNION SELECT db, da FROM e),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s2.b, r.label FROM reach r JOIN sym s2 ON s2.a = r.node
+        WHERE r.label < s2.b
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+""")
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup clusters (doc_id -> min-id cluster label).
-    Non-SQL-expressible: rows-only check."""
+    ORACLE-EXACT despite the sketch: the LSH banding only GENERATES
+    candidates — membership is decided by exact shingle Jaccard >= 0.8 —
+    so the only possible divergence from the oracle's all-pairs answer
+    is an LSH recall miss, and at 12x4 banding a qualifying pair is
+    detected with p >= 0.998 (≈1 for the >= 0.95 pairs this corpus
+    contains; deterministic for fixed data and seeds — same argument as
+    cross_corpus_decontam). The oracle replays the identical
+    5-char-shingle sets and Jaccard arithmetic, then labels components
+    with a recursive min-label closure."""
     from etl_mark1_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(t(spark, sf_dir, "documents"))
 
 
-@query("ngram_jaccard_neardup")
+@query("ngram_jaccard_neardup", r"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                        'g'))), ' ') AS tk
+          FROM documents),
+    p AS (SELECT doc_id, tk,
+                 unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i
+          FROM d),
+    sh AS (SELECT doc_id,
+                  list_distinct(list(array_to_string(
+                      tk[CAST(i AS INT):CAST(i AS INT) + 2], ' '))) AS s
+           FROM p GROUP BY doc_id),
+    tk2 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM tk2 a JOIN tk2 b ON a.g = b.g AND a.doc_id < b.doc_id),
+    e AS (SELECT da, db
+          FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+          WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                / CAST(len(x.s) + len(y.s)
+                       - len(list_intersect(x.s, y.s)) AS DOUBLE) >= 0.7),
+    sym AS (SELECT da AS a, db AS b FROM e UNION SELECT db, da FROM e),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s2.b, r.label FROM reach r JOIN sym s2 ON s2.a = r.node
+        WHERE r.label < s2.b
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+""")
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup clusters. Rows-only check."""
+    """Word-3-gram Jaccard near-dup clusters. Oracle-exact on the same
+    argument as minhash_neardup (exact-Jaccard verify decides
+    membership; the 12x4 banding detects this corpus's >= 0.9 qualifying
+    pairs with p ≈ 1, deterministic for fixed data/seeds); the oracle
+    replays the truncating word-3-gram sets (short docs emit one
+    truncated gram, exactly like dedup.word_ngrams) and labels
+    components recursively."""
     from etl_mark1_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(t(spark, sf_dir, "documents"), use_word_ngrams=True,
                          threshold=0.7)
 
 
-@query("simhash_neardup")
+@query("simhash_neardup", rf"""
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents),
+    h AS (SELECT doc_id, md5(t) AS h FROM tok),
+    v AS (SELECT doc_id,
+             {_SIMHASH_VOTES}
+          FROM h GROUP BY doc_id),
+    sigc AS (SELECT doc_id,
+             CAST({_SIMHASH_SIG}
+             + (CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END)
+               AS BIGINT) AS simhash
+            FROM v),
+    sig AS (SELECT d.doc_id, coalesce(s.simhash, 0) AS sh
+            FROM documents d LEFT JOIN sigc s USING (doc_id)),
+    e AS (SELECT a.doc_id AS da, b.doc_id AS db
+          FROM sig a JOIN sig b
+            ON a.doc_id < b.doc_id
+           AND bit_count(xor(a.sh, b.sh)) <= 3),
+    sym AS (SELECT da AS a, db AS b FROM e UNION SELECT db, da FROM e),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s2.b, r.label FROM reach r JOIN sym s2 ON s2.a = r.node
+        WHERE r.label < s2.b
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+""")
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup clusters (hamming <= 3 via banded buckets)."""
+    """SimHash near-dup clusters (hamming <= 3 via banded buckets).
+    ORACLE-EXACT with NO probabilistic caveat: the 4x16-bit banding is a
+    pigeonhole — any pair within 3 bits shares at least one identical
+    band — so candidate recall is provably 1, and the oracle's brute
+    all-pairs hamming check over the same md5-reconstructed signatures
+    must agree exactly."""
     from etl_mark1_spark.operators.dedup import simhash_dedup
 
     return simhash_dedup(t(spark, sf_dir, "documents"))
