@@ -499,3 +499,32 @@ def test_setsim_prefix_prunes_candidates(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in
            setsim_join(df, threshold=0.9, ngram=3).collect()}
     assert got == {(1, 2)}
+
+
+def test_setsim_join_randomized_bruteforce_parity(spark):
+    """Seeded randomized corpus (shared phrase pool => plenty of borderline
+    pairs): prefix filtering must reproduce brute force exactly at several
+    thresholds."""
+    import random
+    from itertools import combinations
+
+    from etl_mark1_spark.operators.dedup import setsim_join
+
+    rng = random.Random(71)
+    pool = [f"tok{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choices(pool, k=rng.randint(5, 15))))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def toks(t):
+        return set(t.split())
+
+    for thr in (0.3, 0.5, 0.7):
+        got = {(r["doc_a"], r["doc_b"]) for r in
+               setsim_join(df, threshold=thr).collect()}
+        want = set()
+        for (ia, ta), (ib, tb) in combinations(rows, 2):
+            a, b = toks(ta), toks(tb)
+            if len(a & b) / len(a | b) >= thr:
+                want.add((ia, ib))
+        assert got == want, f"threshold {thr}"

@@ -103,3 +103,46 @@ def test_island_window_is_per_document(docs):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "doc_id" in line
+
+
+def test_spans_randomized_python_reference_parity(spark):
+    """Seeded randomized corpus with recurring phrase blocks: the Spark
+    span merge must match a direct Python reference implementation."""
+    import random
+    from collections import defaultdict
+
+    from etl_mark1_spark.operators.spans import duplicate_spans
+
+    rng = random.Random(13)
+    blocks = [" ".join(f"b{k}w{j}" for j in range(10)) for k in range(4)]
+    rows = []
+    for i in range(25):
+        parts = [f"u{i}x{j}" for j in range(rng.randint(3, 8))]
+        for _ in range(rng.randint(0, 2)):
+            parts.insert(rng.randrange(len(parts) + 1), rng.choice(blocks))
+        rows.append((i, " ".join(parts)))
+    n = 8
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in duplicate_spans(df, n=n).collect())
+
+    # reference: flag n-gram starts seen in >= 2 docs, merge islands
+    gram_docs = defaultdict(set)
+    toks = {i: t.split() for i, t in rows}
+    for i, tl in toks.items():
+        for s in range(len(tl) - n + 1):
+            gram_docs[" ".join(tl[s:s + n])].add(i)
+    want = []
+    for i, tl in toks.items():
+        starts = sorted(s + 1 for s in range(len(tl) - n + 1)
+                        if len(gram_docs[" ".join(tl[s:s + n])]) >= 2)
+        cur = None
+        for s in starts:
+            if cur and s <= cur[1] + 1:
+                cur[1] = max(cur[1], s + n - 1)
+            else:
+                if cur:
+                    want.append((i, cur[0], cur[1], cur[1] - cur[0] + 1))
+                cur = [s, s + n - 1]
+        if cur:
+            want.append((i, cur[0], cur[1], cur[1] - cur[0] + 1))
+    assert got == sorted(want)
