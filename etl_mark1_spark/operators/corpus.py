@@ -562,6 +562,40 @@ def _register_steps() -> None:
             df, strata_col=p.get("strata_column", "source"),
             targets=p.get("targets"),
             id_col=p.get("id_column", "doc_id")))
+    register_operator(
+        "token_budget_sample",
+        lambda df, p: sample_to_token_budget(
+            df, {k: int(v) for k, v in p["budgets"].items()},
+            strata_col=p.get("strata_column", "source"),
+            text_col=p.get("column", "text"),
+            id_col=p.get("id_column", "doc_id"),
+            size_col=p.get("size_column")))
+
+    def _strip_spans(df, p):
+        from etl_mark1_spark.operators.spans import strip_duplicate_spans
+
+        return strip_duplicate_spans(
+            df, text_col=p.get("column", "text"),
+            id_col=p.get("id_column", "doc_id"),
+            n=int(p.get("ngram", 8)),
+            min_docs=int(p.get("min_docs", 2)),
+            out_col=p.get("target_column", "clean_text"))
+
+    register_operator("strip_duplicate_spans", _strip_spans)
+
+    def _gopher(df, p):
+        from etl_mark1_spark.functions.text import gopher_quality_flags
+
+        flags = gopher_quality_flags(
+            df, text_col=p.get("column", "text"),
+            id_col=p.get("id_column", "doc_id"))
+        if p.get("filter", True):
+            id_col = p.get("id_column", "doc_id")
+            return df.join(flags.filter("keep").select(id_col),
+                           id_col, "left_semi")
+        return flags
+
+    register_operator("gopher_quality_filter", _gopher)
 
 
 _register_steps()

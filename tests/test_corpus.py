@@ -444,3 +444,30 @@ def test_token_budget_rerun_stable(spark):
                sample_to_token_budget(df.repartition(7), {"a": 100})
                .collect())
     assert a == b and len(a) > 0
+
+
+def test_new_step_operators_registered(spark):
+    """strip_duplicate_spans / gopher_quality_filter / token_budget_sample
+    run through the reference-style step DSL."""
+    from etl_mark1_spark.operators.steps import apply_steps
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [(1, f"{shared} tail one", "a"),
+            (2, f"head {shared} tail two", "a"),
+            (3, "fully unique text that stays intact here today", "b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    stripped = apply_steps(df, [
+        {"operator": "strip_duplicate_spans", "params": {"ngram": 8}}])
+    got = {r["doc_id"]: r["clean_text"] for r in stripped.collect()}
+    assert "one two three" not in got[1] and "one two three" not in got[2]
+    assert got[3] == "fully unique text that stays intact here today"
+
+    budgeted = apply_steps(df, [
+        {"operator": "token_budget_sample",
+         "params": {"budgets": {"a": 5}}}])
+    assert budgeted.count() == 1          # first doc in md5 order fills it
+
+    gophered = apply_steps(df, [
+        {"operator": "gopher_quality_filter", "params": {}}])
+    assert gophered.count() == 0          # all docs fail word-count rule
