@@ -4055,6 +4055,99 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src1": 400, "src2": 700, "src3": 100000})
 
 
+@query("curation_quality_chain", r"""
+    WITH gate AS (
+      SELECT doc_id, source, text,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> ''),
+                 t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+               AS n_symbols
+      FROM documents),
+    surv AS (SELECT doc_id, source, text FROM gate
+             WHERE n_words >= 50 AND n_words <= 100000
+               AND 10 * n_alpha >= 8 * n_words
+               AND 10 * n_symbols <= n_words),
+    d AS (SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                        'g'))), ' ') AS tk
+          FROM surv),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+          FROM d WHERE len(tk) >= 8),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 array_to_string(tk[i:i+7], ' ') AS gram
+          FROM p),
+    f AS (SELECT gram FROM g GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= 2),
+    h AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gram)),
+    isl AS (SELECT doc_id, i,
+              max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM h),
+    isl2 AS (SELECT doc_id, i,
+               sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             FROM isl),
+    spans AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e
+              FROM isl2 GROUP BY doc_id, island),
+    tok AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM d),
+    tok2 AS (SELECT doc_id, CAST(i AS BIGINT) AS i, tk[i] AS tok FROM tok),
+    kept AS (SELECT t2.doc_id, t2.i, t2.tok FROM tok2 t2
+             WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                               WHERE sp.doc_id = t2.doc_id
+                                 AND t2.i BETWEEN sp.s AND sp.e)),
+    clean AS (SELECT d0.doc_id, coalesce(k.ct, '') AS clean_text
+              FROM d d0 LEFT JOIN (SELECT doc_id,
+                                          string_agg(tok, ' ' ORDER BY i)
+                                            AS ct
+                                   FROM kept GROUP BY doc_id) k
+                USING (doc_id)),
+    ct AS (SELECT c.doc_id, s.source,
+             CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(clean_text), '\s+')) END
+               AS BIGINT) AS n_tokens,
+             md5(CAST(c.doc_id AS VARCHAR)) AS hsh
+           FROM clean c JOIN surv s USING (doc_id)),
+    b(source, budget) AS (VALUES ('src1', 300), ('src2', 300),
+                                 ('src3', 300)),
+    r AS (SELECT ct.doc_id, ct.source, ct.n_tokens,
+            sum(ct.n_tokens) OVER (PARTITION BY ct.source
+              ORDER BY ct.hsh, ct.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - ct.n_tokens AS before_sum, b.budget
+          FROM ct JOIN b USING (source))
+    SELECT doc_id, source, n_tokens FROM r WHERE before_sum < budget
+""")
+def curation_quality_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain in one lineage, each stage an operator
+    from this repo: Gopher gate (word-count + alphabetic + symbol rules
+    — the language-agnostic subset, since this synthetic corpus fails
+    the English-stopword rule by design) -> span-level substring strip
+    -> exact token-budget mixture over the CLEANED text. The oracle
+    replays all three stages as one chained CTE, so the composition —
+    not just each stage — is differential-tested."""
+    from etl_mark1_spark.functions.text import gopher_quality_flags
+    from etl_mark1_spark.operators.corpus import sample_to_token_budget
+    from etl_mark1_spark.operators.spans import strip_duplicate_spans
+
+    docs = t(spark, sf_dir, "documents")
+    gate = (gopher_quality_flags(docs)
+            .filter("ok_word_count AND ok_alpha_words AND ok_symbol_ratio")
+            .select("doc_id"))
+    surv = docs.join(gate, "doc_id", "left_semi")
+    cleaned = strip_duplicate_spans(surv)
+    with_src = cleaned.join(surv.select("doc_id", "source"), "doc_id")
+    return sample_to_token_budget(
+        with_src, {"src1": 300, "src2": 300, "src3": 300},
+        text_col="clean_text")
+
+
 # SimHash is md5-based precisely so fingerprints are engine-reproducible;
 # cash that in: the oracle rebuilds all 64 vote sums from the md5 hex in
 # SQL (bit j = bit j%8 of digest byte j//8, little-endian — matching
