@@ -79,9 +79,11 @@ HEADLINE = [
     "pack_sequences_global",
     # round-4 additions (late): span-level exact substring dedup (gram
     # shuffle + per-doc islands); bloom-prefiltered decontamination
-    # (map-side screen, exact confirm)
+    # (map-side screen, exact confirm); the composed gate->strip->budget
+    # curation chain
     "duplicate_spans_docs",
     "bloom_contaminated_docs",
+    "curation_quality_chain",
 ]
 
 
