@@ -4338,9 +4338,34 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(t(spark, sf_dir, "documents"))
 
 
-@query("embedding_neardup")
+@query("embedding_neardup", """
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    ed AS (SELECT a.vec_id AS da, b.vec_id AS db
+           FROM v a JOIN v b
+             ON a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.e, b.e) >= 0.95),
+    sym AS (SELECT da AS a, db AS b FROM ed UNION SELECT db, da FROM ed),
+    nodes AS (SELECT vec_id AS node FROM embeddings),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s2.b, r.label FROM reach r JOIN sym s2 ON s2.a = r.node
+        WHERE r.label < s2.b
+    )
+    SELECT node AS vec_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+""")
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup clusters via random-hyperplane LSH."""
+    """Embedding cosine near-dup clusters via random-hyperplane LSH.
+    Oracle-exact on this data: exact-cosine verification makes false
+    positives impossible, so the only possible divergence from the
+    oracle's all-pairs answer is an LSH recall miss on a qualifying
+    pair — and this corpus has NO pair at cosine >= 0.95 (checked at
+    both test SFs), so equality is deterministic. The planted-duplicate
+    tests (test_dedup_similarity) pin the positive direction; the
+    probabilistic-recall caveat would return if the corpus gained pairs
+    near the threshold."""
     from etl_mark1_spark.operators.dedup import embedding_neardup
 
     return embedding_neardup(t(spark, sf_dir, "embeddings"), threshold=0.95)
