@@ -4394,12 +4394,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, qv, k=10)
 
 
-@query("semantic_dedup_embeddings")
+@query("semantic_dedup_embeddings", """
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    ed AS (SELECT a.vec_id AS da, b.vec_id AS db
+           FROM v a JOIN v b
+             ON a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.e, b.e) >= 0.9),
+    sym AS (SELECT da AS a, db AS b FROM ed UNION SELECT db, da FROM ed),
+    nodes AS (SELECT vec_id AS node FROM embeddings),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s2.b, r.label FROM reach r JOIN sym s2 ON s2.a = r.node
+        WHERE r.label < s2.b
+    )
+    SELECT node AS vec_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+""")
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py): KMeans
     clusters, within-centroid cosine pairs >= 0.9, min-id component
-    labels. Rows-only (KMeans isn't SQL-expressible); semantics pinned by
-    planted-duplicate tests in test_dedup_similarity."""
+    labels. The oracle is the ALL-pairs closure at the same threshold —
+    an upper bound on the within-centroid edge set (KMeans can only
+    REMOVE candidate pairs, and exact-cosine verify forbids false
+    merges). This corpus has no pair at cosine >= 0.9 at either test
+    scale, so the bound is empty and equality is deterministic —
+    independent of how KMeans assigns centroids. Planted-duplicate tests
+    pin the positive (merging) direction."""
     from etl_mark1_spark.operators.similarity import semantic_dedup
 
     emb = t(spark, sf_dir, "embeddings")
