@@ -4148,6 +4148,102 @@ def curation_quality_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="clean_text")
 
 
+@query("dedup_keep_best_docs", r"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM d)
+    SELECT doc_id, n_chars FROM r WHERE rn = 1
+""")
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST duplicate (operators/dedup.py:
+    dedup_keep_best): one survivor per normalized text, chosen as the
+    longest copy (ties -> smallest doc_id) instead of dedup_exact's
+    arbitrary-but-deterministic min-id. The max_by aggregation moves only
+    (score, id) through the shuffle; the oracle replays the choice as a
+    ranked window. Reference surface: keyed dedup step
+    (backend/services/duckdb_engine.py dedup op) which keeps an arbitrary
+    row — this is the curation-grade refinement."""
+    from etl_mark1_spark.functions.text import normalized_text
+    from etl_mark1_spark.operators.dedup import dedup_keep_best
+
+    docs = (t(spark, sf_dir, "documents")
+            .withColumn("_k", normalized_text("text")))
+    return (dedup_keep_best(docs, key_col="_k", score_col="n_chars",
+                            id_col="doc_id")
+            .select("doc_id", "n_chars"))
+
+
+@query("bigram_lm_score", r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+            FROM d WHERE len(tk) >= 2)),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(tk) AS tok FROM d)),
+    p AS (SELECT w1, w2, (c2 + 1) * 1.0 / (c1 + v) AS p
+          FROM c2 JOIN c1 USING (w1), v)
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(p)), 6) AS avg_logprob
+    FROM bg b JOIN p USING (w1, w2)
+    GROUP BY b.doc_id
+""")
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average bigram log-probability per document under a corpus-trained
+    add-one-smoothed bigram LM (operators/corpus.py:bigram_logprob_score)
+    — the conditional upgrade of unigram_lm_score: scrambled or
+    concatenated text has plausible unigrams but implausible transitions.
+    Bigrams are built map-side (arrays_zip of shifted slices, no
+    self-join); the model shuffle-joins back on (w1, w2)."""
+    from etl_mark1_spark.operators.corpus import bigram_logprob_score
+
+    return bigram_logprob_score(t(spark, sf_dir, "documents"))
+
+
+@query("ks_drift_values", """
+    WITH u AS (
+      SELECT value AS v, 1 AS ia, 0 AS ib FROM events
+      WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT value, 0, 1 FROM events WHERE event_id % 2 = 1),
+    c AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM u GROUP BY v),
+    s AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+                 sum(cb) OVER (ORDER BY v) AS cum_b
+          FROM c),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)
+    SELECT round(max(abs(cum_a * 1.0 / na - cum_b * 1.0 / nb)), 6)
+             AS ks_stat,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b
+    FROM s, t
+""")
+def ks_drift_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between even/odd event slices'
+    value distributions (plans/quality.py:ks_drift) — the binning-free
+    sibling of psi_drift_chars. The Spark side computes both empirical
+    CDFs with the two-phase sharded prefix sum (no single-partition
+    window); the oracle replays them as one global SQL window, which
+    DuckDB can afford at oracle scale."""
+    from etl_mark1_spark.plans.quality import ks_drift
+
+    ev = t(spark, sf_dir, "events")
+    return ks_drift(ev.filter(F.col("event_id") % 2 == 0),
+                    ev.filter(F.col("event_id") % 2 == 1),
+                    "value")
+
+
 # SimHash is md5-based precisely so fingerprints are engine-reproducible;
 # cash that in: the oracle rebuilds all 64 vote sums from the md5 hex in
 # SQL (bit j = bit j%8 of digest byte j//8, little-endian — matching

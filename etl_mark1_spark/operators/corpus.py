@@ -362,6 +362,52 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_logprob_score(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         round_digits: int = 6) -> DataFrame:
+    """Per-document average bigram log-probability under a corpus-trained
+    add-one-smoothed bigram LM — the conditional upgrade of
+    :func:`unigram_logprob_score` (p(w2|w1) instead of p(w)): catches
+    scrambled/concatenated text that has plausible unigrams but
+    implausible transitions. Returns (id, n_bigrams, avg_logprob).
+
+    Smoothing: p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V), with c(w1,·)
+    derived from the bigram counts (tokens in left-context position) and
+    V the full corpus unigram vocabulary.
+
+    Shape at scale: bigrams are built MAP-SIDE per document
+    (``arrays_zip`` of two shifted slices — no self-join, no window),
+    counted into a model table, and the model joins back onto the bigram
+    stream on its (w1, w2) key. Unlike the unigram scorer the model is
+    vocabulary-squared in the worst case, so it shuffle-joins rather than
+    broadcasting; both sides hash-partition on the same composite key.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+    d = df.select(F.col(id_col), toks.alias("_tk"))
+    bg = (d.filter(F.size("_tk") >= 2)
+          .select(id_col,
+                  F.slice("_tk", F.lit(1), F.size("_tk") - 1).alias("_l"),
+                  F.slice("_tk", F.lit(2), F.size("_tk") - 1).alias("_r"))
+          .select(id_col, F.explode(F.arrays_zip("_l", "_r")).alias("_p"))
+          .select(id_col, F.col("_p._l").alias("w1"),
+                  F.col("_p._r").alias("w2")))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    vocab = (d.select(F.explode("_tk").alias("_w"))
+             .agg(F.count_distinct("_w").alias("_v")))
+    probs = (c2.join(c1, "w1").crossJoin(F.broadcast(vocab))
+             .select("w1", "w2",
+                     ((F.col("_c2") + 1).cast("double")
+                      / (F.col("_c1") + F.col("_v")).cast("double"))
+                     .alias("_p")))
+    return (bg.join(probs, ["w1", "w2"])
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(F.avg(F.log("_p")),
+                         round_digits).alias("avg_logprob")))
+
+
 def build_vocab(df: DataFrame, text_col: str = "text", min_count: int = 2,
                 max_size: int | None = None) -> DataFrame:
     """Frequency-ranked token vocabulary: (token, cnt, token_id) with ids

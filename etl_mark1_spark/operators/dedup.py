@@ -132,6 +132,29 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.join(keeper, [text_col, id_col], "left_semi")
 
 
+def dedup_keep_best(df: DataFrame, key_col: str = "text",
+                    score_col: str = "n_chars",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup keeping the BEST duplicate per key, not an arbitrary
+    one: within each ``key_col`` group the row with the highest
+    ``score_col`` survives (ties broken by smallest ``id_col`` —
+    deterministic). The standard curation shape when near-identical
+    documents differ in completeness — keep the longest / highest-quality
+    copy, drop the rest.
+
+    Same two-shuffle shape as :func:`dedup_exact`: a ``max_by`` aggregation
+    carries only (score, id) through the exchange — never whole rows — and
+    a semi-join on (key, id) recovers the winners. ``id_col`` must be
+    numeric (the tie-break negates it so one ``max_by`` resolves both
+    ordering levels).
+    """
+    order = F.struct(F.col(score_col).alias("s"),
+                     (-F.col(id_col)).alias("ni"))
+    keeper = df.groupBy(key_col).agg(
+        F.max_by(F.col(id_col), order).alias(id_col))
+    return df.join(keeper, [key_col, id_col], "left_semi")
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

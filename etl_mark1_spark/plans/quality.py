@@ -10,7 +10,7 @@ same numbers come from ONE aggregation pass — at 100 TB the difference is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -159,3 +159,56 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
         F.max("_k").cast("bigint").alias("n_bins"),
         F.max("_n_a").cast("bigint").alias("n_a"),
         F.max("_n_b").cast("bigint").alias("n_b"))
+
+
+def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
+             round_digits: int = 6, num_shards: int = 32) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two slices of a
+    numeric column: D = sup_x |F_a(x) - F_b(x)| over the empirical CDFs —
+    the binning-free sibling of :func:`psi_drift` (no bin-width parameter
+    to tune, sensitive to location/shape shifts anywhere in the range).
+    Returns one row (ks_stat, n_a, n_b).
+
+    For empirical CDFs the sup is attained at an observed value, so
+    evaluating both cumulative distributions at every distinct value is
+    exact. Shape at scale: one conditional aggregate collapses both sides
+    to per-distinct-value counts, and the cumulative sums run TWO-PHASE —
+    sketch-quantile shards (sketches.py:approx_ntile), per-shard windows
+    in parallel, shard totals folded into broadcast offsets — the same
+    global-prefix-sum shape as corpus.py:pack_sequences, so no
+    single-partition ORDER BY window ever materializes. Everything after
+    the first aggregate is distinct-value sized.
+    """
+    from etl_mark1_spark.operators.sketches import approx_ntile
+
+    u = df_a.select(F.col(value_col).cast("double").alias("_v"),
+                    F.lit(1).alias("_ia"), F.lit(0).alias("_ib")) \
+        .unionByName(
+            df_b.select(F.col(value_col).cast("double").alias("_v"),
+                        F.lit(0).alias("_ia"), F.lit(1).alias("_ib")))
+    counts = u.groupBy("_v").agg(F.sum("_ia").alias("_ca"),
+                                 F.sum("_ib").alias("_cb"))
+    bucketed = approx_ntile(counts, "_v", num_buckets=num_shards,
+                            out_col="_q")
+    w = (Window.partitionBy("_q").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    totals = bucketed.groupBy("_q").agg(F.sum("_ca").alias("_ta"),
+                                        F.sum("_cb").alias("_tb"))
+    offsets = (totals.alias("a")
+               .join(F.broadcast(totals.alias("b")),
+                     F.col("b._q") < F.col("a._q"), "left")
+               .groupBy(F.col("a._q").alias("_q"))
+               .agg(F.coalesce(F.sum("b._ta"), F.lit(0)).alias("_offa"),
+                    F.coalesce(F.sum("b._tb"), F.lit(0)).alias("_offb")))
+    grand = totals.agg(F.sum("_ta").alias("_na"), F.sum("_tb").alias("_nb"))
+    cum = (bucketed
+           .withColumn("_wa", F.sum("_ca").over(w))
+           .withColumn("_wb", F.sum("_cb").over(w))
+           .join(F.broadcast(offsets), "_q")
+           .crossJoin(F.broadcast(grand)))
+    gap = F.abs((F.col("_wa") + F.col("_offa")) / F.col("_na")
+                - (F.col("_wb") + F.col("_offb")) / F.col("_nb"))
+    return cum.agg(
+        F.round(F.max(gap), round_digits).alias("ks_stat"),
+        F.max("_na").cast("bigint").alias("n_a"),
+        F.max("_nb").cast("bigint").alias("n_b"))

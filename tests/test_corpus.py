@@ -471,3 +471,64 @@ def test_new_step_operators_registered(spark):
     gophered = apply_steps(df, [
         {"operator": "gopher_quality_filter", "params": {}}])
     assert gophered.count() == 0          # all docs fail word-count rule
+
+
+def test_bigram_lm_hand_computed(spark):
+    """One tiny corpus checked against the closed-form smoothed model.
+
+    Corpus: doc1 "a b a b", doc2 "a b". Bigrams: (a,b)x3, (b,a)x1.
+    c1: a->3, b->1; V = 2. p(b|a) = (3+1)/(3+2) = 0.8;
+    p(a|b) = (1+1)/(1+2) = 2/3.
+    doc1 avg = (ln.8 + ln(2/3) + ln.8)/3, doc2 avg = ln.8.
+    """
+    import math
+
+    from etl_mark1_spark.operators.corpus import bigram_logprob_score
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b")],
+                               ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 1
+    exp1 = (2 * math.log(0.8) + math.log(2 / 3)) / 3
+    assert abs(got[1].avg_logprob - round(exp1, 6)) < 1e-9
+    assert abs(got[2].avg_logprob - round(math.log(0.8), 6)) < 1e-9
+
+
+def test_bigram_lm_penalizes_scrambled_transitions(spark):
+    """Same unigram bag, different transitions: the document that repeats
+    the corpus-dominant bigram outscores the one with rare transitions;
+    single-token docs produce no bigram rows."""
+    from etl_mark1_spark.operators.corpus import bigram_logprob_score
+
+    rows = [(1, "x y x y x y x y"), (2, "y y x x y x x y"), (3, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+    assert got[1].avg_logprob > got[2].avg_logprob
+    assert 3 not in got
+
+
+def test_ks_drift_identical_and_shifted(spark):
+    from etl_mark1_spark.plans.quality import ks_drift
+
+    a = spark.createDataFrame([(float(i % 100),) for i in range(1000)],
+                              ["v"])
+    b = spark.createDataFrame([(float(i % 100),) for i in range(1000)],
+                              ["v"])
+    c = spark.createDataFrame([(float(50 + i % 100),) for i in range(1000)],
+                              ["v"])
+    same = ks_drift(a, b, "v").first()
+    assert same.ks_stat == 0.0 and same.n_a == same.n_b == 1000
+    # half-range shift: CDFs disagree by exactly 0.5 at v=50-epsilon
+    moved = ks_drift(a, c, "v").first()
+    assert abs(moved.ks_stat - 0.5) < 1e-9
+
+
+def test_ks_drift_hand_computed_small(spark):
+    """a={1,2}, b={2,3}: D is attained at x=1 (1/2 vs 0) and x=2
+    (1 vs 1/2) -> 0.5. Exercises ties across sides and both tails."""
+    from etl_mark1_spark.plans.quality import ks_drift
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], ["v"])
+    b = spark.createDataFrame([(2.0,), (3.0,)], ["v"])
+    got = ks_drift(a, b, "v").first()
+    assert got.ks_stat == 0.5

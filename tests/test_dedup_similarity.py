@@ -528,3 +528,17 @@ def test_setsim_join_randomized_bruteforce_parity(spark):
             if len(a & b) / len(a | b) >= thr:
                 want.add((ia, ib))
         assert got == want, f"threshold {thr}"
+
+
+def test_dedup_keep_best_prefers_score_then_min_id(spark):
+    from etl_mark1_spark.operators.dedup import dedup_keep_best
+
+    rows = [(1, "k1", 10), (2, "k1", 30), (3, "k1", 30),   # tie at 30
+            (4, "k2", 5),
+            (5, "k3", 7), (6, "k3", 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "key", "score"])
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_best(df, key_col="key", score_col="score",
+                                  id_col="doc_id").collect())
+    # k1: score tie 30/30 -> min id 2; k2: only row; k3: max score id 5
+    assert kept == [2, 4, 5]
