@@ -1250,6 +1250,58 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(t(spark, sf_dir, "events"))
 
 
+@query("resample_interpolate_events", """
+    WITH actual AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               round(sum(value), 2) AS _actual
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+               FROM actual GROUP BY 1),
+    grid AS (
+        SELECT b.user_id,
+               UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds b
+    ),
+    j AS (
+        SELECT g.user_id, g.bucket, a._actual,
+               last_value(a._actual IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS UNBOUNDED PRECEDING) AS pv,
+               last_value(CASE WHEN a._actual IS NOT NULL THEN g.bucket END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS UNBOUNDED PRECEDING) AS pb,
+               first_value(a._actual IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN a._actual IS NOT NULL THEN g.bucket END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM grid g LEFT JOIN actual a
+          ON g.user_id = a.user_id AND g.bucket = a.bucket
+    )
+    SELECT user_id, bucket,
+           floor(CASE
+             WHEN _actual IS NOT NULL THEN _actual
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (date_diff('second', pb, bucket) * 1.0
+                                 / date_diff('second', pb, nb))
+             ELSE coalesce(pv, nv) END * 1e6 + 0.5) / 1e6 AS val
+    FROM j
+""")
+def resample_interpolate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid with gaps LINEARLY interpolated between the
+    nearest observed buckets (operators/timeseries.py:
+    resample_interpolate) — time-weighted, edge buckets nearest-filled.
+    The smooth counterpart of resample_ffill_events for continuous
+    signals."""
+    from etl_mark1_spark.operators.timeseries import resample_interpolate
+
+    return resample_interpolate(t(spark, sf_dir, "events"))
+
+
 @query("expectations_customer", """
     SELECT 'min_rows' AS rule, count(*) >= 1000 AS passed,
            round(CAST(count(*) AS DOUBLE), 6) AS actual FROM customer
@@ -1358,6 +1410,36 @@ def quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.round(F.min("o_totalprice"), 2).alias("lo"),
                  F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+@query("quantile_digest_merge")
+def quantile_digest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile member of the mergeable-sketch family (HLL = distinct,
+    count-min = frequency, Bloom = membership): per-month equi-depth
+    digests of o_totalprice built with ONE decomposable aggregate
+    (operators/sketches.py:quantile_digest_rollup), then global
+    p25/p50/p75/p90 answered by MERGING the digests — the raw rows are
+    never rescanned, the property that makes "p95 over any date range"
+    affordable at 100 TB.
+
+    Output is (q, n_below): the estimates' exact ranks, computed by one
+    extra validation pass so the error-band oracle
+    (scripts/check_oracle.py APPROX_ORACLES) can hold each estimate's
+    true rank within 4% of target — covering the documented N/k + N/
+    accuracy rank-error bound. The validation pass is harness glue, not
+    part of the operator."""
+    from etl_mark1_spark.operators.sketches import (
+        quantile_digest_quantiles, quantile_digest_rollup)
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "_y", F.year("o_orderdate")).withColumn(
+        "_m", F.month("o_orderdate"))
+    rollup = quantile_digest_rollup(orders, ["_y", "_m"], "o_totalprice")
+    est = quantile_digest_quantiles(rollup, [0.25, 0.5, 0.75, 0.9])
+    return (orders.crossJoin(F.broadcast(est))
+            .filter(F.col("o_totalprice") <= F.col("value"))
+            .groupBy("q")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_below")))
 
 
 _Q7_SQL = """

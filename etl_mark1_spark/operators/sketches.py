@@ -21,11 +21,12 @@ answer must be exact — both oracle-checked against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hll_rollup", "hll_estimate_over", "exact_distinct_rollup",
-           "heavy_hitters", "approx_ntile"]
+           "heavy_hitters", "approx_ntile", "cms_build", "cms_estimate",
+           "quantile_digest_rollup", "quantile_digest_quantiles"]
 
 
 def hll_rollup(df: DataFrame, keys: list[str], col: str,
@@ -158,3 +159,62 @@ def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str,
     return (joined.groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("bigint").alias("est_count")))
+
+
+# -- mergeable quantile digest ----------------------------------------------
+
+def quantile_digest_rollup(df: DataFrame, keys: list[str], col: str,
+                           k: int = 128,
+                           accuracy: int = 10000) -> DataFrame:
+    """Per-group mergeable quantile digest: ``k + 1`` equi-depth centroid
+    values (the group's 0/k, 1/k, ..., k/k quantiles) plus the group row
+    count — the quantile member of the sketch family (HLL = distinct,
+    count-min = frequency, Bloom = membership).
+
+    One decomposable aggregate builds every digest (``percentile_approx``
+    is a KLL-style sketch whose partials merge map-side), each digest is
+    ~8(k+1) bytes regardless of group size, and any coarser grouping is
+    answered by :func:`quantile_digest_quantiles` over digests alone —
+    the raw rows are never touched again, the hypertable-rollup property
+    that makes "p95 over any date range" affordable at 100 TB.
+    """
+    probs = [i / k for i in range(k + 1)]
+    return df.groupBy(*keys).agg(
+        F.percentile_approx(col, F.array(*[F.lit(p) for p in probs]),
+                            F.lit(accuracy)).alias("centroids"),
+        F.count(col).alias("n"))
+
+
+def quantile_digest_quantiles(rollup: DataFrame, probs: list[float],
+                              k: int = 128) -> DataFrame:
+    """Merge a :func:`quantile_digest_rollup` into global quantile
+    estimates: each group's interior centroid ``i`` carries mass ``n/k``
+    at its value (the right endpoint of equi-depth bin ``i``), and the
+    merged estimate for ``p`` is the smallest centroid whose cumulative
+    mass reaches ``p * N``. Returns (q, value) with q = 'p25'-style
+    labels.
+
+    Rank error: the sketch contributes <= n_g/accuracy per group and the
+    equi-depth discretization <= n_g/k, so the merged estimate's true
+    rank is within ~N/k + N/accuracy of target — with the defaults under
+    1% of N. The merge itself runs over DIGESTS ONLY (groups x k rows,
+    metadata-sized): the ORDER BY window below sorts that summary table,
+    never the data, so a single-partition window is the right plan.
+    """
+    cent = (rollup.select("n", F.posexplode("centroids")
+                          .alias("_i", "value"))
+            .filter(F.col("_i") >= 1)
+            .select("value",
+                    (F.col("n").cast("double") / F.lit(k)).alias("_w")))
+    total = cent.agg(F.sum("_w").alias("_total"))
+    w = Window.orderBy("value", "_w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = (cent.withColumn("_cum", F.sum("_w").over(w))
+           .crossJoin(F.broadcast(total)))
+    targets = F.array(*[F.struct(F.lit(f"p{round(p * 100)}").alias("q"),
+                                 F.lit(p).alias("_p")) for p in probs])
+    probed = (cum.select("value", "_cum", "_total",
+                         F.explode(targets).alias("t"))
+              .filter(F.col("_cum") >= F.col("t._p") * F.col("_total")))
+    return (probed.groupBy(F.col("t.q").alias("q"))
+            .agg(F.min("value").alias("value")))

@@ -62,3 +62,59 @@ def resample_ffill(df: DataFrame, unit: str = "hour",
     return (grid.join(actual, [key_col, "bucket"], "left")
             .select(key_col, "bucket",
                     F.last("_actual", ignorenulls=True).over(w).alias("val")))
+
+
+def resample_interpolate(df: DataFrame, unit: str = "hour",
+                         step: str = "1 hour", key_col: str = "user_id",
+                         ts_col: str = "ts", value_col: str = "value",
+                         round_digits: int = 6) -> DataFrame:
+    """Per-key regular time grid with LINEAR interpolation across gaps —
+    the smooth sibling of :func:`resample_ffill` for continuous signals
+    (sensor readings, account balances) where a step function misstates
+    the between-sample trajectory.
+
+    Gap buckets get ``prev + (next - prev) * elapsed/gap`` between their
+    nearest observed neighbors (time-weighted, so it is correct for any
+    grid ``step``); leading/trailing edges fall back to nearest-value
+    (back-/forward-fill). Same shape at scale as the ffill variant — grid
+    size bounded by span/step per key, two frames over one per-key window
+    ordering instead of one — everything partitions by key.
+    """
+    bucket = truncate_ntz(ts_col, unit).alias("bucket")
+    actual = (df.groupBy(key_col, bucket)
+              .agg(F.round(F.sum(value_col), 2).alias("_actual")))
+    bounds = actual.groupBy(key_col).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
+                  ).alias("bucket"))
+    back = (Window.partitionBy(key_col).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy(key_col).orderBy("bucket")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_bucket = F.when(F.col("_actual").isNotNull(), F.col("bucket"))
+    joined = (grid.join(actual, [key_col, "bucket"], "left")
+              .select(key_col, "bucket", "_actual",
+                      F.last("_actual", ignorenulls=True).over(back)
+                      .alias("_pv"),
+                      F.last(obs_bucket, ignorenulls=True).over(back)
+                      .alias("_pb"),
+                      F.first("_actual", ignorenulls=True).over(fwd)
+                      .alias("_nv"),
+                      F.first(obs_bucket, ignorenulls=True).over(fwd)
+                      .alias("_nb")))
+    frac = (F.expr("timestampdiff(SECOND, _pb, bucket)")
+            / F.expr("timestampdiff(SECOND, _pb, _nb)"))
+    val = (F.when(F.col("_actual").isNotNull(), F.col("_actual"))
+           .when(F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+                 F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac)
+           .otherwise(F.coalesce("_pv", "_nv")))
+    # interpolating 2-decimal sums by dyadic fractions (1/2, 1/4, ...)
+    # lands on exact representable halves constantly, where engines split
+    # (Spark rounds half-up, DuckDB half-even) — so round tie-DETERMINISTIC:
+    # floor(v * 10^d + 0.5) is the same IEEE arithmetic everywhere
+    scale = F.lit(float(10 ** round_digits))
+    return joined.select(key_col, "bucket",
+                         (F.floor(val * scale + F.lit(0.5)) / scale)
+                         .alias("val"))

@@ -75,6 +75,20 @@ _EXACT_NTILE_COUNTS = """
                  AS BIGINT) AS q
         FROM orders) GROUP BY q
 """
+#: quantile_digest_merge outputs each merged estimate's EXACT rank
+#: (n_below); the band holds it within 4% of the target rank — covering
+#: the documented N/k + N/accuracy rank-error bound (<1% of N at k=128)
+#: relative to the smallest target (0.25 N).
+_EXACT_QUANTILE_RANKS = """
+    SELECT 'p25' AS q, CAST(round(0.25 * count(*)) AS BIGINT) AS r
+    FROM orders
+    UNION ALL
+    SELECT 'p50', CAST(round(0.50 * count(*)) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'p75', CAST(round(0.75 * count(*)) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'p90', CAST(round(0.90 * count(*)) AS BIGINT) FROM orders
+"""
 APPROX_ORACLES = {
     "approx_distinct_users":
         (_EXACT_DISTINCT_USERS, "event_type", "approx_distinct", 0.065),
@@ -82,6 +96,8 @@ APPROX_ORACLES = {
         (_EXACT_DISTINCT_USERS, "event_type", "approx_distinct", 0.065),
     "quartiles_approx":
         (_EXACT_NTILE_COUNTS, "q", "n", 0.01),
+    "quantile_digest_merge":
+        (_EXACT_QUANTILE_RANKS, "q", "n_below", 0.04),
 }
 
 
@@ -134,8 +150,8 @@ def main() -> int:
             else:
                 worst = max((abs(got[g] - n) / n for g, n in exact.items()
                              if n), default=0.0)
-                print(f"PASS  {name}: within {rel_tol:.1%} of exact "
-                      f"COUNT(DISTINCT) (worst err {worst:.2%}, "
+                print(f"PASS  {name}: within {rel_tol:.1%} of the exact "
+                      f"oracle (worst err {worst:.2%}, "
                       f"{len(srows)} rows, {elapsed:.1f}s)")
             continue
 
@@ -163,8 +179,9 @@ def main() -> int:
         if not problems:
             sset, dset = row_set(scols, srows), row_set(dcols, drows)
             if sset != dset:
-                diff_a = [r for r in sset if r not in set(dset)][:3]
-                diff_b = [r for r in dset if r not in set(sset)][:3]
+                dlookup, slookup = set(dset), set(sset)
+                diff_a = [r for r in sset if r not in dlookup][:3]
+                diff_b = [r for r in dset if r not in slookup][:3]
                 problems.append(f"values differ; spark-only={diff_a} "
                                 f"duckdb-only={diff_b}")
         if problems:

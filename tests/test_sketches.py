@@ -164,3 +164,45 @@ def test_cms_merges_by_cell_sum(spark):
               .groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt")))
     diff = merged.exceptAll(cms_build(full, "k")).count()
     assert diff == 0
+
+
+def test_quantile_digest_merge_within_rank_bound(spark):
+    """Digests built per shard, merged globally: every estimated quantile's
+    true rank must sit within the documented N/k + N/accuracy bound."""
+    from etl_mark1_spark.operators.sketches import (
+        quantile_digest_quantiles, quantile_digest_rollup)
+
+    n, k = 4000, 64
+    vals = [((i * 7919) % n, float((i * 104729) % 10000)) for i in range(n)]
+    df = spark.createDataFrame([(i % 5, v) for i, v in vals], ["g", "v"])
+    rollup = quantile_digest_rollup(df, ["g"], "v", k=k)
+    est = {r.q: r.value
+           for r in quantile_digest_quantiles(
+               rollup, [0.25, 0.5, 0.9], k=k).collect()}
+    ordered = sorted(v for _, v in vals)
+    bound = n / k + n / 10000 + 1
+    for label, p in (("p25", 0.25), ("p50", 0.5), ("p90", 0.9)):
+        rank = sum(1 for v in ordered if v <= est[label])
+        assert abs(rank - p * n) <= bound, (label, rank, p * n)
+
+
+def test_quantile_digest_merge_is_sharding_invariant_within_bound(spark):
+    """One digest over everything vs four shard digests merged: both
+    estimates must land within the rank bound of the same target — the
+    mergeability property that lets rollups answer coarser ranges."""
+    from etl_mark1_spark.operators.sketches import (
+        quantile_digest_quantiles, quantile_digest_rollup)
+
+    n, k = 2000, 64
+    rows = [(i % 4, float((i * 31) % 997)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["shard", "v"])
+    whole = quantile_digest_rollup(df.withColumn("shard", df.shard * 0),
+                                   ["shard"], "v", k=k)
+    sharded = quantile_digest_rollup(df, ["shard"], "v", k=k)
+    ordered = sorted(v for _, v in rows)
+    bound = n / k + n / 10000 + 1
+    for rollup in (whole, sharded):
+        got = {r.q: r.value for r in
+               quantile_digest_quantiles(rollup, [0.5], k=k).collect()}
+        rank = sum(1 for v in ordered if v <= got["p50"])
+        assert abs(rank - 0.5 * n) <= bound

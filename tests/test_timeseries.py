@@ -54,3 +54,24 @@ def test_truncate_ntz_is_timezone_proof(spark):
 
     with pytest.raises(ValueError, match="unit"):
         truncate_ntz("ts", "fortnight")
+
+
+def test_resample_interpolate_hand_computed(spark):
+    """Grid 10:00-14:00 with observations at 10:00 (1.0) and 14:00 (9.0):
+    the three gap hours interpolate to 3, 5, 7; a leading-edge-only key
+    nearest-fills."""
+    import datetime as dt
+
+    from etl_mark1_spark.operators.timeseries import resample_interpolate
+
+    rows = [(1, dt.datetime(2024, 1, 1, 10, 5), 1.0),
+            (1, dt.datetime(2024, 1, 1, 14, 20), 9.0),
+            (2, dt.datetime(2024, 1, 1, 8, 0), 4.0),
+            (2, dt.datetime(2024, 1, 1, 10, 0), 2.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {(r.user_id, r.bucket.hour): r.val
+           for r in resample_interpolate(df).collect()}
+    assert got[(1, 10)] == 1.0 and got[(1, 14)] == 9.0
+    assert got[(1, 11)] == 3.0 and got[(1, 12)] == 5.0 and got[(1, 13)] == 7.0
+    # key 2: gap hour 9 interpolates between 8:00 (4.0) and 10:00 (2.0)
+    assert got[(2, 9)] == 3.0
