@@ -3406,6 +3406,45 @@ def connected_components_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+@query("triangle_count_parts", """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.a = e1.b
+        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node
+""")
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-order part graph
+    (operators/graph.py:triangle_count) — local clustering density, the
+    third graph workhorse beside pagerank_parts and
+    connected_components_parts. The Spark side runs the degree-ordered
+    orientation (out-degree bounded by O(sqrt(m)), skew-proof); the
+    oracle counts the same triangles orientation-free via id-ordered
+    edges — the counts agree exactly because triangle identity is
+    orientation-invariant."""
+    from etl_mark1_spark.operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 @query("funnel_view_click_purchase", """
     WITH s1 AS (
         SELECT user_id, min(ts) AS t1 FROM events

@@ -117,3 +117,46 @@ def connected_components(edges: DataFrame, src: str = "src",
     ids = (e.select(F.col("src").alias("node"))
            .union(e.select(F.col("dst").alias("node"))).distinct())
     return _cluster_min_label(ids, e, "node")
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts: (node, n_triangles) for every node in at
+    least one triangle — the local clustering signal (community density,
+    link-spam detection) next to PageRank's authority and connected
+    components' identity.
+
+    Degree-ordered orientation, the classic distributed formulation: each
+    undirected edge is kept once, pointing from its lower-(degree, id)
+    endpoint, which bounds every node's out-degree by O(sqrt(m)) — so the
+    wedge self-join (the quadratic step) is quadratic only in that bound,
+    never in a hub's raw degree. Wedges close against the oriented edge
+    set keyed by the unordered pair, so each triangle is found exactly
+    once, at its unique min-(degree, id) apex. Three shuffles total:
+    degree agg, wedge join, closing semi-join.
+    """
+    e = symmetrize(edges, src, dst)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    o = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+         .join(deg.select(F.col("src").alias("u"),
+                          F.col("deg").alias("du")), "u")
+         .join(deg.select(F.col("src").alias("v"),
+                          F.col("deg").alias("dv")), "v")
+         .filter((F.col("du") < F.col("dv"))
+                 | ((F.col("du") == F.col("dv"))
+                    & (F.col("u") < F.col("v"))))
+         .select("u", "v"))
+    wedges = (o.alias("x")
+              .join(o.alias("y"), (F.col("x.u") == F.col("y.u"))
+                    & (F.col("x.v") < F.col("y.v")))
+              .select(F.col("x.u").alias("a"), F.col("x.v").alias("b"),
+                      F.col("y.v").alias("c")))
+    pairs = o.select(F.least("u", "v").alias("p"),
+                     F.greatest("u", "v").alias("q"))
+    tri = wedges.join(
+        pairs,
+        (F.least("b", "c") == F.col("p"))
+        & (F.greatest("b", "c") == F.col("q")), "left_semi")
+    return (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))

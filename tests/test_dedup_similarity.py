@@ -542,3 +542,28 @@ def test_dedup_keep_best_prefers_score_then_min_id(spark):
                                   id_col="doc_id").collect())
     # k1: score tie 30/30 -> min id 2; k2: only row; k3: max score id 5
     assert kept == [2, 4, 5]
+
+
+def test_triangle_count_k4_plus_path(spark):
+    """K4 on {1,2,3,4}: every node sits in C(3,2)=3 triangles. The
+    appended path 4-5-6 adds no triangle and its pure-path nodes must not
+    appear in the output."""
+    from etl_mark1_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 6)], ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_orientation_invariance(spark):
+    """Reversed/duplicated input edges must not change counts: the
+    symmetrize+orient front end canonicalizes direction and multiplicity."""
+    from etl_mark1_spark.operators.graph import triangle_count
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    messy = tri + [(b, a) for a, b in tri] + tri
+    got = {r.node: r.n_triangles
+           for r in triangle_count(
+               spark.createDataFrame(messy, ["src", "dst"])).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
