@@ -4269,6 +4269,57 @@ def curation_quality_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="clean_text")
 
 
+@query("bm25_search_docs", r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q AS (SELECT * FROM toks WHERE tok IN ('hash', 'join', 'vector')),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1)
+    SELECT doc_id,
+           round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                 6) AS bm25
+    FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+""")
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {hash, join, vector}
+    (operators/corpus.py:bm25_topk) — lexical ranked retrieval: the token
+    stream filters to query terms before anything shuffles, corpus stats
+    and per-term document frequencies broadcast, and the top-k is an
+    ordered limit, never a global sort."""
+    from etl_mark1_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(t(spark, sf_dir, "documents"),
+                     ["hash", "join", "vector"])
+
+
+@query("quality_percentile_rank", """
+    SELECT doc_id, n_chars,
+           round(cume_dist() OVER (ORDER BY n_chars), 6) AS pct_rank
+    FROM documents
+""")
+def quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative percentile rank of document length
+    (operators/corpus.py:percentile_rank) — normalizes a raw quality
+    signal into [0, 1] so 'keep the top 30%' transfers across sources.
+    The oracle's cume_dist window is a single-partition sort; the Spark
+    side computes the identical number as per-distinct-value counts +
+    the shared two-phase prefix sum + a value-keyed join back."""
+    from etl_mark1_spark.operators.corpus import percentile_rank
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return percentile_rank(docs, "n_chars")
+
+
 @query("dedup_keep_best_docs", r"""
     WITH d AS (
       SELECT doc_id, n_chars,

@@ -143,15 +143,14 @@ def pack_sequences(df: DataFrame, budget: int, size_col: str = "n_tokens",
     partitions by shard and each shard packs independently IN PARALLEL.
 
     Without ``shard_col`` the result is still the EXACT global running
-    sum, but never through a single-partition window: ``num_shards``
-    contiguous ``id_col`` ranges are derived from sketch quantile cutoffs
-    (sketches.py:approx_ntile — one decomposable aggregate), each range
-    computes its prefix sums in parallel, and range totals fold into
-    broadcast cumulative offsets (a triangular join over ``num_shards``
-    rows — metadata-sized). Identical output to the naive global window;
-    plan-asserted window-parallel in tests/test_corpus.py. The unsharded
-    path needs an orderable numeric/date ``id_col`` (sketch cutoffs);
-    for string ids pass a ``shard_col``.
+    sum, but never through a single-partition window: it runs on the
+    shared two-phase prefix-sum primitive (sketches.py:
+    two_phase_prefix_sum — sketch-derived contiguous shards, parallel
+    within-shard windows, broadcast cumulative offsets). Identical output
+    to the naive global window; plan-asserted window-parallel in
+    tests/test_corpus.py. The unsharded path needs an orderable
+    numeric/date ``id_col`` (sketch cutoffs); for string ids pass a
+    ``shard_col``.
     """
     if shard_col is not None:
         w = (Window.partitionBy(shard_col).orderBy(id_col)
@@ -160,25 +159,14 @@ def pack_sequences(df: DataFrame, budget: int, size_col: str = "n_tokens",
         return df.withColumn(
             out_col, F.floor(before / F.lit(budget)).cast("bigint"))
 
-    from etl_mark1_spark.operators.sketches import approx_ntile
+    from etl_mark1_spark.operators.sketches import two_phase_prefix_sum
 
-    bucketed = approx_ntile(df, id_col, num_buckets=num_shards,
-                            out_col="_pack_q")
-    w = (Window.partitionBy("_pack_q").orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    within_before = F.sum(size_col).over(w) - F.col(size_col)
-    totals = bucketed.groupBy("_pack_q").agg(F.sum(size_col).alias("_tot"))
-    offsets = (totals.alias("a")
-               .join(F.broadcast(totals.alias("b")),
-                     F.col("b._pack_q") < F.col("a._pack_q"), "left")
-               .groupBy(F.col("a._pack_q").alias("_pack_q"))
-               .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off")))
-    return (bucketed.withColumn("_before", within_before)
-            .join(F.broadcast(offsets), "_pack_q")
-            .withColumn(out_col,
-                        F.floor((F.col("_before") + F.col("_off"))
-                                / F.lit(budget)).cast("bigint"))
-            .drop("_pack_q", "_before", "_off"))
+    cum = two_phase_prefix_sum(df, id_col, [size_col],
+                               num_shards=num_shards)
+    return (cum.withColumn(
+        out_col, F.floor((F.col(f"{size_col}_cum") - F.col(size_col))
+                         / F.lit(budget)).cast("bigint"))
+        .drop(f"{size_col}_cum"))
 
 
 #: simple, engine-portable PII patterns (emails; international-ish phones)
@@ -406,6 +394,82 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
                  F.round(F.avg(F.log("_p")),
                          round_digits).alias("avg_logprob")))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], top_k: int = 10,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """BM25 ranked retrieval: top-``top_k`` documents for a bag-of-words
+    query — the lexical-search workhorse between tf-idf term weighting
+    (:func:`tfidf_top_terms`) and embedding ANN (operators/similarity):
+    score(d) = sum over query terms of
+    ``idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`` with the
+    Robertson-Sparck Jones ``idf = ln(1 + (N - df + .5)/(df + .5))``.
+
+    Shape at scale: the token stream filters to query terms FIRST (a
+    broadcast hash probe against a literal array), so everything
+    downstream — term frequencies, document frequencies, the scoring
+    join — is sized by documents-matching-query, not the corpus. Corpus
+    stats (N, avgdl) and per-term df are one-row / query-sized broadcast
+    frames; document length joins on the id key; the final top-k is an
+    ordered limit (TakeOrderedAndProject, no global sort). Scores round
+    to 6dp and tie-break on id so the ranking is engine-reproducible.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                           lambda x: x != "")).alias("tok"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("_n"),
+                   F.avg("_dl").alias("_avgdl"))
+    qtoks = toks.filter(F.array_contains(terms, F.col("tok")))
+    tf = qtoks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("_tf"))
+    dft = (qtoks.select(id_col, "tok").distinct()
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("_df")))
+    scored = (tf.join(dl, id_col)
+              .join(F.broadcast(dft), "tok")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5))
+    norm = (F.col("_tf") * (k1 + 1)
+            / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl")
+                                    / F.col("_avgdl"))))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col(id_col))
+            .limit(top_k))
+
+
+def percentile_rank(df: DataFrame, value_col: str,
+                    out_col: str = "pct_rank",
+                    round_digits: int = 6,
+                    num_shards: int = 32) -> DataFrame:
+    """EXACT percentile rank (``cume_dist``: fraction of rows with value
+    <= this row's value) of ``value_col`` for every row — the standard
+    normalization that turns a raw quality signal into a corpus-relative
+    [0, 1] score ("keep the top 30%" works across heterogeneous sources
+    where absolute thresholds don't transfer).
+
+    ``cume_dist() OVER (ORDER BY v)`` is a single-partition global sort.
+    Here instead: aggregate to per-distinct-value counts, run the shared
+    two-phase prefix sum (sketches.py:two_phase_prefix_sum) over the
+    distinct values, and join the value -> rank map back on the value key
+    — exact, and every stage is parallel. The map is distinct-value
+    sized; Spark/AQE broadcasts it when small.
+    """
+    from etl_mark1_spark.operators.sketches import two_phase_prefix_sum
+
+    counts = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_n"))
+    ranks = (two_phase_prefix_sum(counts, "_v", ["_c"],
+                                  num_shards=num_shards)
+             .crossJoin(F.broadcast(total))
+             .select(F.col("_v"),
+                     F.round(F.col("_c_cum") / F.col("_n"),
+                             round_digits).alias(out_col)))
+    return df.join(ranks, df[value_col] == ranks["_v"]).drop("_v")
 
 
 def build_vocab(df: DataFrame, text_col: str = "text", min_count: int = 2,

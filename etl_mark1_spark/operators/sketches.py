@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["hll_rollup", "hll_estimate_over", "exact_distinct_rollup",
            "heavy_hitters", "approx_ntile", "cms_build", "cms_estimate",
-           "quantile_digest_rollup", "quantile_digest_quantiles"]
+           "quantile_digest_rollup", "quantile_digest_quantiles",
+           "two_phase_prefix_sum"]
 
 
 def hll_rollup(df: DataFrame, keys: list[str], col: str,
@@ -218,3 +219,50 @@ def quantile_digest_quantiles(rollup: DataFrame, probs: list[float],
               .filter(F.col("_cum") >= F.col("t._p") * F.col("_total")))
     return (probed.groupBy(F.col("t.q").alias("q"))
             .agg(F.min("value").alias("value")))
+
+
+def two_phase_prefix_sum(df: DataFrame, order_col: str,
+                         sum_cols: list[str],
+                         num_shards: int = 32) -> DataFrame:
+    """EXACT global running sums (inclusive, in ``order_col`` order) of
+    each column in ``sum_cols``, without a single-partition window: the
+    shared scale primitive behind global packing (corpus.py:
+    pack_sequences), CDF construction (quality.py:ks_drift), and
+    percentile ranks.
+
+    Phase 1 shards rows into ``num_shards`` contiguous ``order_col``
+    ranges via sketch quantile cutoffs (:func:`approx_ntile` — one
+    decomposable aggregate; equal values always share a shard, so shard
+    boundaries never split a tie group mid-sum); phase 2 computes
+    within-shard prefix sums in parallel windows and folds shard totals
+    into broadcast cumulative offsets (a triangular join over
+    ``num_shards`` rows — metadata-sized). Output: ``df`` plus a
+    ``{col}_cum`` BIGINT-or-original-typed column per requested column.
+
+    Ties: all rows sharing an ``order_col`` value get DIFFERENT running
+    sums (row order within ties follows the within-shard window, which is
+    deterministic only up to tie order) — callers needing tie-collapsed
+    semantics (CDFs) should pre-aggregate to distinct ``order_col`` rows
+    first, as ks_drift does.
+    """
+    bucketed = approx_ntile(df, order_col, num_buckets=num_shards,
+                            out_col="_tps_q")
+    w = (Window.partitionBy("_tps_q").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    totals = bucketed.groupBy("_tps_q").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in sum_cols])
+    offsets = (totals.alias("a")
+               .join(F.broadcast(totals.alias("b")),
+                     F.col("b._tps_q") < F.col("a._tps_q"), "left")
+               .groupBy(F.col("a._tps_q").alias("_tps_q"))
+               .agg(*[F.coalesce(F.sum(f"b._tot_{c}"), F.lit(0))
+                      .alias(f"_off_{c}") for c in sum_cols]))
+    out = bucketed
+    for c in sum_cols:
+        out = out.withColumn(f"_w_{c}", F.sum(c).over(w))
+    out = out.join(F.broadcast(offsets), "_tps_q")
+    for c in sum_cols:
+        out = (out.withColumn(f"{c}_cum",
+                              F.col(f"_w_{c}") + F.col(f"_off_{c}"))
+               .drop(f"_w_{c}", f"_off_{c}"))
+    return out.drop("_tps_q")

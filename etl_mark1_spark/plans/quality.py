@@ -172,14 +172,13 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
     For empirical CDFs the sup is attained at an observed value, so
     evaluating both cumulative distributions at every distinct value is
     exact. Shape at scale: one conditional aggregate collapses both sides
-    to per-distinct-value counts, and the cumulative sums run TWO-PHASE —
-    sketch-quantile shards (sketches.py:approx_ntile), per-shard windows
-    in parallel, shard totals folded into broadcast offsets — the same
-    global-prefix-sum shape as corpus.py:pack_sequences, so no
-    single-partition ORDER BY window ever materializes. Everything after
-    the first aggregate is distinct-value sized.
+    to per-distinct-value counts, and the cumulative sums run on the
+    shared two-phase prefix-sum primitive (sketches.py:
+    two_phase_prefix_sum), so no single-partition ORDER BY window ever
+    materializes. Everything after the first aggregate is
+    distinct-value sized.
     """
-    from etl_mark1_spark.operators.sketches import approx_ntile
+    from etl_mark1_spark.operators.sketches import two_phase_prefix_sum
 
     u = df_a.select(F.col(value_col).cast("double").alias("_v"),
                     F.lit(1).alias("_ia"), F.lit(0).alias("_ib")) \
@@ -188,26 +187,12 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
                         F.lit(0).alias("_ia"), F.lit(1).alias("_ib")))
     counts = u.groupBy("_v").agg(F.sum("_ia").alias("_ca"),
                                  F.sum("_ib").alias("_cb"))
-    bucketed = approx_ntile(counts, "_v", num_buckets=num_shards,
-                            out_col="_q")
-    w = (Window.partitionBy("_q").orderBy("_v")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    totals = bucketed.groupBy("_q").agg(F.sum("_ca").alias("_ta"),
-                                        F.sum("_cb").alias("_tb"))
-    offsets = (totals.alias("a")
-               .join(F.broadcast(totals.alias("b")),
-                     F.col("b._q") < F.col("a._q"), "left")
-               .groupBy(F.col("a._q").alias("_q"))
-               .agg(F.coalesce(F.sum("b._ta"), F.lit(0)).alias("_offa"),
-                    F.coalesce(F.sum("b._tb"), F.lit(0)).alias("_offb")))
-    grand = totals.agg(F.sum("_ta").alias("_na"), F.sum("_tb").alias("_nb"))
-    cum = (bucketed
-           .withColumn("_wa", F.sum("_ca").over(w))
-           .withColumn("_wb", F.sum("_cb").over(w))
-           .join(F.broadcast(offsets), "_q")
+    grand = counts.agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+    cum = (two_phase_prefix_sum(counts, "_v", ["_ca", "_cb"],
+                                num_shards=num_shards)
            .crossJoin(F.broadcast(grand)))
-    gap = F.abs((F.col("_wa") + F.col("_offa")) / F.col("_na")
-                - (F.col("_wb") + F.col("_offb")) / F.col("_nb"))
+    gap = F.abs(F.col("_ca_cum") / F.col("_na")
+                - F.col("_cb_cum") / F.col("_nb"))
     return cum.agg(
         F.round(F.max(gap), round_digits).alias("ks_stat"),
         F.max("_na").cast("bigint").alias("n_a"),

@@ -146,7 +146,7 @@ def test_pack_sequences_unsharded_plan_is_window_parallel(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
     assert specs, plan  # the per-bucket prefix sum is a window
-    assert all("_pack_q" in s for s in specs), specs
+    assert all("_tps_q" in s for s in specs), specs
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -532,3 +532,58 @@ def test_ks_drift_hand_computed_small(spark):
     b = spark.createDataFrame([(2.0,), (3.0,)], ["v"])
     got = ks_drift(a, b, "v").first()
     assert got.ks_stat == 0.5
+
+
+def test_two_phase_prefix_sum_matches_global_window(spark):
+    """Sharded prefix sums must equal the naive single-partition running
+    sum for unique order keys, for any shard count."""
+    from pyspark.sql import Window
+
+    from etl_mark1_spark.operators.sketches import two_phase_prefix_sum
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 100 + 1).alias("x"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    want = {r.k: r.cum
+            for r in df.withColumn("cum", F.sum("x").over(w)).collect()}
+    for shards in (1, 7, 32):
+        got = {r.k: r.x_cum
+               for r in two_phase_prefix_sum(df, "k", ["x"],
+                                             num_shards=shards).collect()}
+        assert got == want, f"shards={shards}"
+
+
+def test_bm25_hand_computed_single_term(spark):
+    """Two docs, query {'cat'}: doc1 has tf=2/dl=4, doc2 tf=1/dl=2,
+    df=2, N=3, avgdl=10/3. Scores follow the closed form; the cat-less
+    doc is absent."""
+    import math
+
+    from etl_mark1_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "cat dog cat bird"), (2, "cat fish"), (3, "dog cow pig emu")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.bm25 for r in bm25_topk(df, ["cat"]).collect()}
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    avgdl = 10 / 3
+
+    def score(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert 3 not in got
+    assert abs(got[1] - round(score(2, 4), 6)) < 1e-9
+    assert abs(got[2] - round(score(1, 2), 6)) < 1e-9
+    assert got[1] > got[2]  # tf=2 beats the shorter doc's length bonus here
+
+
+def test_percentile_rank_exact_with_ties(spark):
+    """Values [10, 20, 20, 40]: cume_dist = .25, .75, .75, 1.0."""
+    from etl_mark1_spark.operators.corpus import percentile_rank
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 40)], ["doc_id", "v"])
+    got = {r.doc_id: r.pct_rank
+           for r in percentile_rank(df, "v").collect()}
+    assert got == {1: 0.25, 2: 0.75, 3: 0.75, 4: 1.0}
