@@ -84,6 +84,13 @@ HEADLINE = [
     "duplicate_spans_docs",
     "bloom_contaminated_docs",
     "curation_quality_chain",
+    # round-4 additions (later): mergeable quantile-digest rollup+merge
+    # (the sketch-family percentile member); BM25 ranked retrieval
+    # (query-term filter before any shuffle); triangle counting via
+    # degree-ordered orientation + adjacency intersection
+    "quantile_digest_merge",
+    "bm25_search_docs",
+    "triangle_count_parts",
 ]
 
 
