@@ -4269,6 +4269,83 @@ def curation_quality_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="clean_text")
 
 
+@query("temperature_mixture_sources", """
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 < 7 THEN 'web'
+                    WHEN doc_id % 10 < 9 THEN 'books'
+                    ELSE 'code' END AS stratum
+        FROM documents),
+    c AS (SELECT stratum, count(*) AS n FROM d GROUP BY 1),
+    m AS (SELECT min(pow(n, 0.3)) AS mn FROM c),
+    p AS (SELECT stratum, mn / pow(n, 0.3) AS keep FROM c, m)
+    SELECT d.doc_id, d.stratum
+    FROM d JOIN p USING (stratum)
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < keep
+""")
+def temperature_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature flattening at alpha=0.7 over a deliberately skewed
+    70/20/10 stratum split (the synthetic sources are uniform, which
+    would make the filter inert): keep probability (n_min/n_s)^0.3 per
+    stratum (operators/corpus.py:temperature_mixture) — the
+    multilingual-sampling standard, as a broadcast-probability map-side
+    md5 filter. The smallest stratum survives whole; the differential
+    check covers the probability arithmetic AND the md5 membership."""
+    from etl_mark1_spark.operators.corpus import temperature_mixture
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "stratum",
+        F.when(F.col("doc_id") % 10 < 7, "web")
+        .when(F.col("doc_id") % 10 < 9, "books")
+        .otherwise("code"))
+    return (temperature_mixture(docs, alpha=0.7, strata_col="stratum")
+            .select("doc_id", "stratum"))
+
+
+@query("sample_per_group_lang", """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 20
+""")
+def sample_per_group_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 documents per language, chosen by md5-of-id rank
+    (operators/corpus.py:sample_per_group) — the deterministic
+    fixed-quota sampler (eval-set quotas), stable under re-runs and
+    repartitioning; ranking windows partition by group, so languages
+    sample in parallel."""
+    from etl_mark1_spark.operators.corpus import sample_per_group
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_per_group(docs, "lang", 20)
+
+
+@query("winsorize_prices", """
+    WITH cuts AS (
+        SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+               quantile_cont(o_totalprice, 0.99) AS hi
+        FROM orders)
+    SELECT o_orderkey,
+           round(least(greatest(o_totalprice, lo), hi), 2) AS clipped
+    FROM orders, cuts
+""")
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize order prices to the [p1, p99] range
+    (plans/quality.py:winsorize, exact mode for oracle parity; the
+    approx sketch mode is the 100 TB default) — cutoffs are a one-row
+    broadcast, the clip a map-side expression."""
+    from etl_mark1_spark.plans.quality import winsorize
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (winsorize(orders, "o_totalprice", 0.01, 0.99,
+                      out_col="clipped")
+            .select("o_orderkey", F.round("clipped", 2).alias("clipped")))
+
+
 @query("bm25_search_docs", r"""
     WITH toks AS (
         SELECT doc_id,

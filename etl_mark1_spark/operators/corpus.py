@@ -318,6 +318,51 @@ def rebalance_mixture(df: DataFrame, strata_col: str = "source",
     )
 
 
+def temperature_mixture(df: DataFrame, alpha: float = 0.7,
+                        strata_col: str = "source",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based mixture flattening: downsample strata toward
+    proportions ∝ n^alpha — the standard multilingual/multi-source
+    rebalance (alpha < 1 boosts small sources' relative share without
+    upsampling anyone; alpha=1 keeps everything, alpha=0 equalizes).
+
+    Closed form of :func:`rebalance_mixture` with targets ∝ n^alpha:
+    keep_prob_s = (n_min / n_s)^(1-alpha) — the smallest stratum keeps
+    every row, larger strata shed mass smoothly. Same scale shape:
+    stratum counts are a tiny aggregate, keep-probabilities broadcast
+    back, membership is the map-side md5-of-id filter (re-run and
+    repartition stable).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    m = counts.agg(F.min(F.pow("_n", 1.0 - alpha)).alias("_m"))
+    probs = (counts.crossJoin(F.broadcast(m))
+             .select(strata_col,
+                     (F.col("_m") / F.pow("_n", 1.0 - alpha))
+                     .alias("_keep")))
+    return (df.join(F.broadcast(probs), strata_col)
+            .filter(md5_uniform(F.col(id_col)) < F.col("_keep"))
+            .drop("_keep"))
+
+
+def sample_per_group(df: DataFrame, group_col: str, k: int,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fixed-size sample: exactly ``min(k, n_g)`` rows per
+    group, chosen by md5-of-id rank — the exact-count sibling of the
+    probabilistic samplers (binomial counts) for quotas that must be
+    met ("500 eval docs per language"). Membership is a pure function
+    of (id, k), so re-runs, backfills, and repartitioning cannot move
+    the sample.
+
+    One ranking window PER GROUP (partitioned — parallel across groups);
+    groups so large that even a single group's rows swamp a partition
+    would rank via the two-phase prefix-sum primitive instead.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 def unigram_logprob_score(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Per-document average token log-probability under a corpus-trained

@@ -161,6 +161,31 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
         F.max("_n_b").cast("bigint").alias("n_b"))
 
 
+def winsorize(df: DataFrame, value_col: str, lo: float = 0.01,
+              hi: float = 0.99, out_col: str | None = None,
+              exact: bool = True, accuracy: int = 10000) -> DataFrame:
+    """Clip ``value_col`` to its [lo, hi] percentile range — the standard
+    outlier-taming normalization before scaling/featurization (gentler
+    than dropping rows: tails are pinned to the cutoffs, bulk unchanged).
+
+    ``exact=True`` computes interpolated percentiles with one
+    ``percentile`` aggregate (sort-based — fine up to memory-per-group);
+    ``exact=False`` swaps in the ``percentile_approx`` sketch (rank error
+    <= rows/accuracy), the 100 TB default. Either way the two cutoffs are
+    a one-row broadcast and the clip itself is a pure map-side
+    expression.
+    """
+    out = out_col or value_col
+    pcts = F.array(F.lit(float(lo)), F.lit(float(hi)))
+    agg = (F.percentile(value_col, pcts) if exact
+           else F.percentile_approx(value_col, pcts, F.lit(accuracy)))
+    cuts = df.agg(agg.alias("_cuts"))
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_cuts")[0]),
+                      F.col("_cuts")[1])
+    return (df.crossJoin(F.broadcast(cuts))
+            .withColumn(out, clipped).drop("_cuts"))
+
+
 def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
              round_digits: int = 6, num_shards: int = 32) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between two slices of a

@@ -587,3 +587,51 @@ def test_percentile_rank_exact_with_ties(spark):
     got = {r.doc_id: r.pct_rank
            for r in percentile_rank(df, "v").collect()}
     assert got == {1: 0.25, 2: 0.75, 3: 0.75, 4: 1.0}
+
+
+def test_temperature_mixture_keep_probabilities(spark):
+    """alpha=0: every stratum downsampled toward the smallest (keep
+    n_min/n_s); alpha=1: keep everything; smallest stratum always keeps
+    all rows at any alpha."""
+    from etl_mark1_spark.operators.corpus import temperature_mixture
+
+    rows = [(i, "big") for i in range(900)] + \
+        [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    all_kept = temperature_mixture(df, alpha=1.0)
+    assert all_kept.count() == 1000
+    flat = temperature_mixture(df, alpha=0.0)
+    kept = {r[0]: r[1] for r in flat.groupBy("source").count().collect()}
+    assert kept["small"] == 100          # keep prob exactly 1.0
+    assert 60 <= kept["big"] <= 140      # binomial around 100
+
+
+def test_sample_per_group_exact_quota_and_stability(spark):
+    from etl_mark1_spark.operators.corpus import sample_per_group
+
+    rows = [(i, "a" if i < 50 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    out = sample_per_group(df, "g", 10)
+    counts = {r[0]: r[1] for r in out.groupBy("g").count().collect()}
+    assert counts == {"a": 10, "b": 10}
+    # group smaller than k keeps everything; membership is repartition-proof
+    small = sample_per_group(df.filter("g = 'b'"), "g", 100)
+    assert small.count() == 10
+    again = {r.doc_id for r in
+             sample_per_group(df.repartition(7), "g", 10).collect()}
+    assert again == {r.doc_id for r in out.collect()}
+
+
+def test_winsorize_clips_only_tails(spark):
+    from etl_mark1_spark.plans.quality import winsorize
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(101)],
+                               ["k", "v"])
+    got = {r.k: r.v for r in
+           winsorize(df, "v", 0.05, 0.95).collect()}
+    assert got[0] == 5.0 and got[2] == 5.0 and got[100] == 95.0
+    assert got[50] == 50.0 and got[5] == 5.0 and got[95] == 95.0
+    # approx mode agrees on this small frame (rank error < 1 row)
+    approx = {r.k: r.v for r in
+              winsorize(df, "v", 0.05, 0.95, exact=False).collect()}
+    assert approx[0] in (4.0, 5.0, 6.0) and approx[50] == 50.0
