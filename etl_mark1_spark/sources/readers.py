@@ -16,7 +16,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 #: Formats the reference accepts at upload (backend/services/file_service.py:61).
-KNOWN_FORMATS = ("csv", "json", "xlsx", "parquet", "xml", "txt", "pdf")
+KNOWN_FORMATS = ("csv", "json", "xlsx", "parquet", "orc", "xml", "txt",
+                 "pdf")
 
 
 def detect_format(file_path: str) -> str:
@@ -40,6 +41,8 @@ def read_file(
     - json     -> line-delimited by default; ``multiline=True`` for document
       JSON (S2; ``read_json_auto`` handles both).
     - parquet  -> self-describing (S3).
+    - orc      -> self-describing columnar sibling (Spark built-in; same
+      pushdown/pruning machinery as parquet).
     - xlsx/xls -> driver-side read then parallelize (S4): pandas+openpyxl
       when installed, else the built-in stdlib zip+XML codec
       (sources/excel.py). Spreadsheets are small by nature.
@@ -75,6 +78,8 @@ def read_file(
         return reader.json(path)
     if fmt == "parquet":
         return read_parquet_compat(spark, path, **options)
+    if fmt == "orc":
+        return spark.read.options(**options).orc(path)
     if fmt in ("xlsx", "xls"):
         return _read_excel(spark, path, schema=schema, **options)
     if fmt == "pdf":

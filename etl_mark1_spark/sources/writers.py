@@ -17,7 +17,8 @@ import tempfile
 
 from pyspark.sql import DataFrame
 
-_EXT = {"csv": "csv", "json": "json", "parquet": "parquet"}
+_EXT = {"csv": "csv", "json": "json", "parquet": "parquet",
+        "orc": "orc"}
 
 
 def write_file(

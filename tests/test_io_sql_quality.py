@@ -4,6 +4,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from etl_mark1_spark.dtypes import schema_to_dicts, to_spark_type_name
 from etl_mark1_spark.plans.quality import quality_report
@@ -318,3 +319,22 @@ def test_training_shards_deterministic_and_manifested(spark, sf_dir,
     back = spark.read.parquet(p1)
     assert back.count() == m1["total_rows"]
     assert back.select("doc_id").distinct().count() == m1["total_rows"]
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC is a first-class self-describing format: write/read round-trips
+    values, and filters reach the ORC scan as pushed predicates."""
+    from etl_mark1_spark.sources.readers import read_file
+    from etl_mark1_spark.sources.writers import write_file
+
+    df = read_file(spark, f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation.orc")
+    write_file(df, path, "orc")
+    back = read_file(spark, path)
+    assert sorted(back.columns) == sorted(df.columns)
+    assert back.count() == df.count()
+    want = {(r.n_nationkey, r.n_name) for r in df.collect()}
+    assert {(r.n_nationkey, r.n_name) for r in back.collect()} == want
+    plan = (back.filter(F.col("n_nationkey") == 3).select("n_name")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "pushed" in plan.lower() and "n_nationkey" in plan
