@@ -369,3 +369,47 @@ def test_skewed_join_aqe_plan_splits_skew(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_topk_is_ordered_limit(spark, sf_dir):
+    """The top-k must compile to TakeOrderedAndProject — an ordered limit
+    with per-partition pruning — never a global sort of all scores."""
+    plan = executed_plan(QUERIES["bm25_search_docs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_percentile_rank_has_no_empty_partition_window(spark, sf_dir):
+    """Exact cume_dist without the single-partition sort: every window in
+    the executed plan must partition by the prefix-sum shard column."""
+    import re
+
+    plan = executed_plan(QUERIES["quality_percentile_rank"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, plan
+    assert all("_tps_q" in s for s in specs), specs
+
+
+def test_ks_drift_has_no_empty_partition_window(spark, sf_dir):
+    """Both CDF running sums ride the sharded prefix-sum windows."""
+    import re
+
+    plan = executed_plan(QUERIES["ks_drift_values"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, plan
+    assert all("_tps_q" in s for s in specs), specs
+
+
+def test_winsorize_broadcasts_cutoffs(spark, sf_dir):
+    """The two percentile cutoffs are one broadcast row; the clip must
+    not shuffle the fact table."""
+    plan = executed_plan(QUERIES["winsorize_prices"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantile_digest_rollup_is_one_decomposable_aggregate(spark, sf_dir):
+    """Digest construction must partial-aggregate map-side (the sketch
+    merges in the exchange); the merge stage touches digests only."""
+    plan = executed_plan(QUERIES["quantile_digest_merge"](spark, sf_dir))
+    assert "partial_percentile_approx" in plan
