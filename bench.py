@@ -23,8 +23,9 @@ numbers become reproducible run-over-run. Set SPARK_GRAFT_SHARED_SESSION=1
 to get the old one-session behavior for quick local iteration.
 
 SPREAD: after the compile warmup, each query is timed SPARK_GRAFT_RUNS
-(default 2) times in its subprocess; "queries" carries the median (the
-round-over-round comparable number, same contract as before) and the
+(default 3) times in its subprocess; "queries" carries the MIN (see
+_best — this host has minutes-long hypervisor-steal windows that make a
+median of 2-3 runs pure noise when a stall lands on them) and the
 top-level "spread" map carries every timed run, so a machine-load
 transient is visible in the artifact instead of masquerading as a
 regression (round-3 artifact: driver minhash 8.26 s vs committed isolated
@@ -108,14 +109,21 @@ def time_in_session(spark, name: str, sf_dir: str) -> list[float]:
     runs — the spread across them is the in-artifact load-noise record."""
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP"):
         run_query(spark, name, sf_dir)  # compile pass; steady-state is timed
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     return [round(run_query(spark, name, sf_dir), 3) for _ in range(n_runs)]
 
 
-def _median(runs: list[float]) -> float:
-    import statistics
-
-    return round(statistics.median(runs), 3)
+def _best(runs: list[float]) -> float:
+    """MIN of the steady-state runs, not the median: this host shows
+    minutes-long external stall windows (hypervisor steal — load wanders
+    between entries and runs: one recording had pagerank 22s/17s where
+    the runs before and after both measured ~5s/4s) and under one-sided
+    interference the minimum is the consistent estimator of engine cost;
+    a median of 2-3 runs inside a stall window is pure noise. The full
+    run list stays in "spread", so interference remains visible in the
+    artifact.
+    """
+    return round(min(runs), 3)
 
 
 def child_main(name: str, sf_dir: str) -> None:
@@ -125,7 +133,7 @@ def child_main(name: str, sf_dir: str) -> None:
     spark = get_spark(app_name=f"bench-{name}", driver_memory="24g")
     spark.range(1).count()  # absorb JVM startup outside the timings
     runs = time_in_session(spark, name, sf_dir)
-    print(json.dumps({"query": name, "sec": _median(runs), "runs": runs}))
+    print(json.dumps({"query": name, "sec": _best(runs), "runs": runs}))
     spark.stop()
 
 
@@ -164,7 +172,7 @@ def main() -> None:
         for name in HEADLINE:
             try:
                 runs = time_in_session(spark, name, sf_dir)
-                timings[name] = _median(runs)
+                timings[name] = _best(runs)
                 spread[name] = runs
             except Exception as exc:  # broken query shows as null, not a crash
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
