@@ -26,20 +26,27 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the payload of the
-    latest right row with ``right_ts <= left_ts`` and equal keys
-    (semantics of DuckDB/pandas ASOF backward joins; ties at equal
-    timestamps resolve to the right row, matching ``<=``).
+    """As-of join: for each left row, attach the payload of the nearest
+    right row with equal keys — ``direction="backward"`` takes the latest
+    right row with ``right_ts <= left_ts`` (DuckDB/pandas ASOF default;
+    ties resolve to the right row, matching ``<=``),
+    ``direction="forward"`` the earliest right row with
+    ``right_ts >= left_ts`` (next-scheduled-event lookups).
 
     value_cols: right columns to carry (default: all non-key, non-ts).
-    tolerance: optional max lookback as an INTERVAL string (e.g.
-    ``'30 minutes'``) — matches older than that become NULL.
+    tolerance: optional max lookback/lookahead as an INTERVAL string
+    (e.g. ``'30 minutes'``) — matches farther than that become NULL.
 
     Mechanics: tag sides, align schemas, union, then one window pass per
-    key ordered by (ts, side) taking the last non-null payload. Single
-    exchange on the keys; sort is the only extra cost.
+    key ordered by (ts, side) taking the last (backward) or first
+    (forward) non-null payload; the side tag orders right rows toward
+    the frame at equal timestamps so ties match in both directions.
+    Single exchange on the keys; sort is the only extra cost.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     value_cols = value_cols or [
@@ -50,35 +57,49 @@ def asof_join(
     l2 = left
     for c in out_cols:
         l2 = l2.withColumn(c, F.lit(None))
-    l2 = l2.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    left_side = 1 if direction == "backward" else 0
+    l2 = l2.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(left_side))
 
     r2 = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-    ).withColumn("_side", F.lit(0))
+    ).withColumn("_side", F.lit(1 - left_side))
     for c in left.columns:
         if c not in r2.columns:
             r2 = r2.withColumn(c, F.lit(None))
 
     unioned = l2.unionByName(r2.select(l2.columns))
 
-    w = (Window.partitionBy(*keys).orderBy("_ts", "_side")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if direction == "backward":
+        w = (Window.partitionBy(*keys).orderBy("_ts", "_side")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        nearest = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (Window.partitionBy(*keys).orderBy("_ts", "_side")
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        nearest = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    right_flag = F.col("_side") == (1 - left_side)
     filled = unioned
     if tolerance is not None:
-        # remember when the last right row was seen; null out stale matches
+        # remember the nearest right timestamp; null out stale matches
         filled = filled.withColumn(
-            "_rts", F.last(F.when(F.col("_side") == 0, F.col("_ts")),
-                           ignorenulls=True).over(w))
+            "_rts", nearest(F.when(right_flag, F.col("_ts"))))
     for c in out_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        filled = filled.withColumn(c, nearest(F.col(c)))
     if tolerance is not None:
-        stale = F.col("_rts") < F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            stale = (F.col("_rts")
+                     < F.col("_ts") - F.expr(f"INTERVAL {tolerance}"))
+        else:
+            stale = (F.col("_rts")
+                     > F.col("_ts") + F.expr(f"INTERVAL {tolerance}"))
         for c in out_cols:
             filled = filled.withColumn(
                 c, F.when(stale | F.col("_rts").isNull(), F.lit(None))
                 .otherwise(F.col(c)))
         filled = filled.drop("_rts")
 
-    return filled.filter(F.col("_side") == 1).drop("_ts", "_side")
+    return filled.filter(F.col("_side") == F.lit(left_side)).drop(
+        "_ts", "_side")

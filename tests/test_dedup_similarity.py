@@ -187,6 +187,40 @@ def test_asof_join_equal_ts_and_tolerance(spark):
     assert tol["2024-01-01 09:00:00"] is None  # stale beyond tolerance
 
 
+def test_asof_join_forward_semantics(spark):
+    """direction='forward': earliest right row at-or-after; ties match;
+    tolerance bounds the lookahead; backward results unaffected."""
+    from pyspark.sql import functions as F
+
+    from etl_mark1_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 02:00:00"), (1, "2024-01-01 03:00:00"),
+         (1, "2024-01-01 23:00:00"), (2, "2024-01-01 01:00:00")],
+        "k long, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 03:00:00", 5.0), (1, "2024-01-01 05:00:00", 7.0)],
+        "k long, ts string, v double").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+
+    fwd = {str(r.ts): r.v_asof
+           for r in asof_join(left, right, on="k",
+                              direction="forward").collect()}
+    assert fwd["2024-01-01 02:00:00"] == 5.0   # next at-or-after
+    assert fwd["2024-01-01 03:00:00"] == 5.0   # tie matches (>= semantics)
+    assert fwd["2024-01-01 23:00:00"] is None  # nothing ahead
+    assert fwd["2024-01-01 01:00:00"] is None  # no right rows for key 2
+
+    tol = {str(r.ts): r.v_asof
+           for r in asof_join(left, right, on="k", direction="forward",
+                              tolerance="30 minutes").collect()}
+    assert tol["2024-01-01 03:00:00"] == 5.0
+    assert tol["2024-01-01 02:00:00"] is None  # next is 1h ahead > 30m
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="nearest")
+
+
 def test_minhash_cross_dedup_flags_paraphrased_contamination(spark):
     from etl_mark1_spark.operators.dedup import minhash_cross_dedup
 

@@ -234,3 +234,87 @@ def test_jpeg_grayscale_roundtrip_any_shape(w, h, seed):
     dec = decode_jpeg(make_jpeg(img, quality=100))
     assert dec.shape == img.shape
     assert abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+# -- semantic invariants of the round-4 curation operators ------------------
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=5, max_size=40),
+       st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=8, deadline=None)
+def test_winsorize_bounds_tails_preserves_interior_and_order(spark, vals,
+                                                             seed):
+    """Outputs lie in the [p10, p90] cutoff range, values already inside
+    the range pass through bit-identical, and the value ordering is
+    (non-strictly) preserved. NOT asserted: idempotence — interpolated
+    cutoffs (pandas clip(quantile) semantics) legitimately move inward
+    when re-estimated on clipped data whose cutoff fell between points."""
+    import numpy as np
+
+    from etl_mark1_spark.plans.quality import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["k", "v"])
+    got = {r.k: r.v for r in winsorize(df, "v", 0.1, 0.9).collect()}
+    lo, hi = np.quantile(np.array(vals), [0.1, 0.9])
+    assert all(lo <= v <= hi or abs(v - lo) < 1e-9 or abs(v - hi) < 1e-9
+               for v in got.values())
+    for i, v in enumerate(vals):
+        if lo <= v <= hi:
+            assert got[i] == v  # interior untouched, bit-identical
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    clipped = [got[i] for i in order]
+    assert clipped == sorted(clipped)  # monotone
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50),
+                min_size=2, max_size=60),
+       st.lists(st.integers(min_value=0, max_value=50),
+                min_size=2, max_size=60))
+@settings(max_examples=8, deadline=None)
+def test_ks_drift_is_symmetric_and_bounded(spark, xs, ys):
+    """KS is a metric-like statistic: symmetric in its arguments and in
+    [0, 1]; 0 iff the empirical distributions coincide."""
+    from etl_mark1_spark.plans.quality import ks_drift
+
+    a = spark.createDataFrame([(float(v),) for v in xs], ["v"])
+    b = spark.createDataFrame([(float(v),) for v in ys], ["v"])
+    ab = ks_drift(a, b, "v").first().ks_stat
+    ba = ks_drift(b, a, "v").first().ks_stat
+    assert ab == ba
+    assert 0.0 <= ab <= 1.0
+    from collections import Counter
+
+    if Counter(xs) == Counter(ys):
+        assert ab == 0.0
+
+
+@given(st.integers(min_value=4, max_value=9),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=6, deadline=None)
+def test_triangle_count_matches_bruteforce(spark, n, seed):
+    """Random graph on n nodes vs an O(n^3) driver-side recount."""
+    import itertools
+    import random
+
+    from etl_mark1_spark.operators.graph import triangle_count
+
+    rng = random.Random(seed)
+    edges = [(a, b) for a, b in itertools.combinations(range(n), 2)
+             if rng.random() < 0.5]
+    if not edges:
+        return
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    got = {r.node: r.n_triangles
+           for r in triangle_count(
+               spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got == want
