@@ -1381,15 +1381,24 @@ _NTILE_SQL = """
 
 @query("ntile_quartiles", _NTILE_SQL)
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile assignment via ntile + per-bucket bounds. The global-ORDER
-    window is a single-partition sort — kept for exact DSL parity at this
-    size; ``quartiles_approx`` below is the 100 TB formulation (sketch
-    cutoffs + map-side bucketing, no window)."""
-    from etl_mark1_spark.plans.sql import execute_sql
+    """EXACT quartile assignment + per-bucket bounds, WITHOUT the
+    single-partition global sort the ntile window plans: two-phase exact
+    ranking (operators/sketches.py:exact_ntile — sketch-cutoff shards,
+    parallel within-shard row_number, broadcast offsets, closed-form
+    ntile bucket from (rank, n)). The oracle runs the real window in
+    DuckDB, so the formulation is proven bucket-for-bucket identical —
+    including the first-buckets-get-the-remainder size rule and the
+    (price, orderkey) tie order. ``quartiles_approx`` below stays as the
+    cheaper sketch-only variant (no exact ranks, 1%-band buckets)."""
+    from etl_mark1_spark.operators.sketches import exact_ntile
 
-    return execute_sql(spark, _NTILE_SQL,
-                       sources={"orders": t(spark, sf_dir, "orders")},
-                       limit=None)
+    orders = t(spark, sf_dir, "orders")
+    return (exact_ntile(orders, "o_totalprice", ["o_orderkey"], 4)
+            .groupBy("q")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi"))
+            .select("q", "n", "lo", "hi"))
 
 
 @query("quartiles_approx")

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 __all__ = ["hll_rollup", "hll_estimate_over", "exact_distinct_rollup",
            "heavy_hitters", "approx_ntile", "cms_build", "cms_estimate",
            "quantile_digest_rollup", "quantile_digest_quantiles",
-           "two_phase_prefix_sum"]
+           "two_phase_prefix_sum", "exact_ntile"]
 
 
 def hll_rollup(df: DataFrame, keys: list[str], col: str,
@@ -266,3 +266,45 @@ def two_phase_prefix_sum(df: DataFrame, order_col: str,
                               F.col(f"_w_{c}") + F.col(f"_off_{c}"))
                .drop(f"_w_{c}", f"_off_{c}"))
     return out.drop("_tps_q")
+
+
+def exact_ntile(df: DataFrame, value_col: str,
+                tiebreak_cols: list[str], num_buckets: int,
+                out_col: str = "q", num_shards: int = 32) -> DataFrame:
+    """EXACT ``ntile(num_buckets) OVER (ORDER BY value, tiebreaks)`` —
+    identical bucket assignment to the SQL window, including the
+    first-buckets-get-the-remainder size rule — without the
+    single-partition global sort that window plans.
+
+    Two-phase, like :func:`two_phase_prefix_sum`: sketch-cutoff shards of
+    ``value_col`` (equal values never split across shards), exact
+    within-shard ``row_number`` over (value, tiebreaks) in parallel
+    windows, broadcast shard-count offsets to make the global rank, then
+    the closed-form ntile bucket from (rank, n): the first ``n mod k``
+    buckets hold ``n//k + 1`` rows, the rest ``n//k``.
+    """
+    bucketed = approx_ntile(df, value_col, num_buckets=num_shards,
+                            out_col="_xnq")
+    w = Window.partitionBy("_xnq").orderBy(value_col, *tiebreak_cols)
+    counts = bucketed.groupBy("_xnq").agg(F.count(F.lit(1)).alias("_c"))
+    offsets = (counts.alias("a")
+               .join(F.broadcast(counts.alias("b")),
+                     F.col("b._xnq") < F.col("a._xnq"), "left")
+               .groupBy(F.col("a._xnq").alias("_xnq"))
+               .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off")))
+    total = counts.agg(F.sum("_c").alias("_n"))
+    ranked = (bucketed
+              .withColumn("_rn", F.row_number().over(w))
+              .join(F.broadcast(offsets), "_xnq")
+              .crossJoin(F.broadcast(total))
+              .withColumn("_rank", F.col("_rn") + F.col("_off")))
+    k = F.lit(num_buckets)
+    qsize = F.floor(F.col("_n") / k)            # small-bucket size
+    rem = F.col("_n") % k                       # buckets holding qsize+1
+    big_span = rem * (qsize + 1)                # ranks in the big buckets
+    bucket = (F.when(F.col("_rank") <= big_span,
+                     F.floor((F.col("_rank") - 1) / (qsize + 1)) + 1)
+              .otherwise(rem + F.floor((F.col("_rank") - 1 - big_span)
+                                       / F.greatest(qsize, F.lit(1))) + 1))
+    return (ranked.withColumn(out_col, bucket.cast("bigint"))
+            .drop("_xnq", "_rn", "_off", "_n", "_rank"))

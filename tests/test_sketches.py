@@ -206,3 +206,38 @@ def test_quantile_digest_merge_is_sharding_invariant_within_bound(spark):
                quantile_digest_quantiles(rollup, [0.5], k=k).collect()}
         rank = sum(1 for v in ordered if v <= got["p50"])
         assert abs(rank - 0.5 * n) <= bound
+
+
+def test_exact_ntile_matches_window_ntile_with_ties(spark):
+    """Bucket-for-bucket equal to ntile() OVER (ORDER BY v, id) on data
+    full of ties, for bucket counts that do and don't divide n."""
+    from pyspark.sql import Window
+
+    from etl_mark1_spark.operators.sketches import exact_ntile
+
+    rows = [(i, float((i * 13) % 7)) for i in range(101)]  # heavy ties
+    df = spark.createDataFrame(rows, ["id", "v"])
+    for k in (2, 4, 7, 10):
+        got = {r.id: r.q
+               for r in exact_ntile(df, "v", ["id"], k,
+                                    num_shards=8).collect()}
+        w = Window.orderBy("v", "id")
+        want = {r.id: r.q for r in
+                df.withColumn("q", F.ntile(k).over(w).cast("bigint"))
+                .collect()}
+        assert got == want, f"k={k}"
+
+
+def test_exact_ntile_plan_has_no_empty_partition_window(spark):
+    import re
+
+    from etl_mark1_spark.operators.sketches import exact_ntile
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v"))
+    out = exact_ntile(df, "v", ["id"], 4, num_shards=8)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, plan
+    assert all("_xnq" in s for s in specs), specs
