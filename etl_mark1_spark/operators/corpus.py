@@ -751,6 +751,42 @@ def _register_steps() -> None:
         return flags
 
     register_operator("gopher_quality_filter", _gopher)
+    register_operator(
+        "temperature_mixture",
+        lambda df, p: temperature_mixture(
+            df, alpha=float(p.get("alpha", 0.7)),
+            strata_col=p.get("strata_column", "source"),
+            id_col=p.get("id_column", "doc_id")))
+    register_operator(
+        "sample_per_group",
+        lambda df, p: sample_per_group(
+            df, p["group_column"], int(p["k"]),
+            id_col=p.get("id_column", "doc_id")))
+    def _keep_best(df, p):
+        from etl_mark1_spark.operators.dedup import dedup_keep_best
+
+        return dedup_keep_best(
+            df, key_col=p.get("key_column", "text"),
+            score_col=p.get("score_column", "n_chars"),
+            id_col=p.get("id_column", "doc_id"))
+
+    register_operator("dedup_keep_best", _keep_best)
+    register_operator(
+        "percentile_rank",
+        lambda df, p: percentile_rank(
+            df, p["column"],
+            out_col=p.get("target_column", "pct_rank")))
+
+    def _winsorize(df, p):
+        from etl_mark1_spark.plans.quality import winsorize
+
+        return winsorize(
+            df, p["column"], lo=float(p.get("lo", 0.01)),
+            hi=float(p.get("hi", 0.99)),
+            out_col=p.get("target_column"),
+            exact=bool(p.get("exact", False)))
+
+    register_operator("winsorize", _winsorize)
 
 
 _register_steps()

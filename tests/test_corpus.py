@@ -635,3 +635,33 @@ def test_winsorize_clips_only_tails(spark):
     approx = {r.k: r.v for r in
               winsorize(df, "v", 0.05, 0.95, exact=False).collect()}
     assert approx[0] in (4.0, 5.0, 6.0) and approx[50] == 50.0
+
+
+def test_round4_late_step_operators_registered(spark):
+    """The late-round curation ops are reachable through the step DSL."""
+    from etl_mark1_spark.operators.steps import apply_steps
+
+    rows = [(i, "src%d" % (i % 3), "text %d" % i, 100 + i)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text", "n_chars"])
+    sampled = apply_steps(df, [
+        {"operator": "sample_per_group",
+         "params": {"group_column": "source", "k": 5}}])
+    assert sampled.groupBy("source").count().agg(
+        F.max("count")).first()[0] == 5
+    ranked = apply_steps(df, [
+        {"operator": "percentile_rank", "params": {"column": "n_chars"}}])
+    assert "pct_rank" in ranked.columns
+    clipped = apply_steps(df, [
+        {"operator": "winsorize",
+         "params": {"column": "n_chars", "lo": 0.1, "hi": 0.9}}])
+    vals = [r.n_chars for r in clipped.collect()]
+    assert min(vals) > 100 and max(vals) < 159
+    tempered = apply_steps(df, [
+        {"operator": "temperature_mixture",
+         "params": {"strata_column": "source", "alpha": 1.0}}])
+    assert tempered.count() == 60  # alpha=1 keeps everything
+    deduped = apply_steps(
+        df.withColumn("text", F.lit("same")), [
+            {"operator": "dedup_keep_best", "params": {}}])
+    assert deduped.count() == 1
