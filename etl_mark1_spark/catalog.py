@@ -1421,6 +1421,32 @@ def quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("o_totalprice"), 2).alias("hi")))
 
 
+@query("streaming_hll_distinct")
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming + sketch composition: distinct users per tumbling hour
+    estimated with DataSketches HLL INSIDE the streaming aggregation —
+    per-window state is one ~4 KB sketch regardless of user cardinality,
+    the shape that keeps streaming distinct-count state bounded at
+    firehose scale (exact streaming dropDuplicates state grows with the
+    horizon's key count). Watermark evicts finalized windows; checked
+    against exact per-hour COUNT(DISTINCT) within the sketch band
+    (scripts/check_oracle.py APPROX_ORACLES)."""
+    from etl_mark1_spark.streaming.events import (
+        read_events_stream, run_available_now)
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("window"))
+           .agg(F.hll_sketch_estimate(
+               F.hll_sketch_agg("user_id", F.lit(12)))
+               .cast("bigint").alias("approx_distinct"))
+           .select(F.col("window").start.cast("timestamp_ntz")
+                   .alias("window_start"),
+                   "approx_distinct"))
+    return run_available_now(agg, table_name="stream_hll_out",
+                             output_mode="complete")
+
+
 @query("quantile_digest_merge")
 def quantile_digest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile member of the mergeable-sketch family (HLL = distinct,

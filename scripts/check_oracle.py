@@ -98,6 +98,10 @@ APPROX_ORACLES = {
         (_EXACT_NTILE_COUNTS, "q", "n", 0.01),
     "quantile_digest_merge":
         (_EXACT_QUANTILE_RANKS, "q", "n_below", 0.04),
+    "streaming_hll_distinct":
+        ("""SELECT date_trunc('hour', ts), count(DISTINCT user_id)
+            FROM events GROUP BY 1""",
+         "window_start", "approx_distinct", 0.065),
 }
 
 
