@@ -2521,6 +2521,79 @@ def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("discount_sd")))
 
 
+@query("spearman_qty_price", """
+    WITH r AS (
+        SELECT (rank() OVER (ORDER BY l_quantity)
+                + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0)
+                   AS ra,
+               (rank() OVER (ORDER BY l_extendedprice)
+                + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0)
+                   AS rb
+        FROM lineitem)
+    SELECT round(corr(ra, rb), 6) AS spearman,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r
+""")
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price
+    (plans/quality.py:spearman_corr) — monotonic association, tie-average
+    ranks. The oracle ranks with global SQL windows; the Spark side
+    derives identical average ranks from per-distinct-value counts + the
+    two-phase prefix sum, no global sort anywhere."""
+    from etl_mark1_spark.plans.quality import spearman_corr
+
+    return spearman_corr(t(spark, sf_dir, "lineitem"),
+                         "l_quantity", "l_extendedprice")
+
+
+@query("mi_status_priority", """
+    WITH j AS (
+        SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS nab
+        FROM orders GROUP BY 1, 2),
+    ma AS (SELECT a, sum(nab) AS na FROM j GROUP BY 1),
+    mb AS (SELECT b, sum(nab) AS nb FROM j GROUP BY 1),
+    t AS (SELECT sum(nab) AS n FROM j)
+    SELECT round(sum((nab * 1.0 / n) * ln(nab * 1.0 * n / (na * nb))), 6)
+             AS mi,
+           CAST(max(n) AS BIGINT) AS n
+    FROM j JOIN ma USING (a) JOIN mb USING (b), t
+""")
+def mi_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order status and priority
+    (plans/quality.py:mutual_information) — the categorical redundancy
+    screen; everything after the joint-count aggregate is
+    contingency-sized."""
+    from etl_mark1_spark.plans.quality import mutual_information
+
+    return mutual_information(t(spark, sf_dir, "orders"),
+                              "o_orderstatus", "o_orderpriority")
+
+
+@query("chi2_status_priority", """
+    WITH j AS (
+        SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS nab
+        FROM orders GROUP BY 1, 2),
+    ma AS (SELECT a, sum(nab) AS na FROM j GROUP BY 1),
+    mb AS (SELECT b, sum(nab) AS nb FROM j GROUP BY 1),
+    t AS (SELECT sum(nab) AS n, count(DISTINCT a) AS ka,
+                 count(DISTINCT b) AS kb FROM j)
+    SELECT round(max(n) * sum(nab * nab * 1.0 / (na * nb)) - max(n), 4)
+             AS chi2,
+           CAST((max(ka) - 1) * (max(kb) - 1) AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT) AS n
+    FROM j JOIN ma USING (a) JOIN mb USING (b), t
+""")
+def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence statistic for order status vs
+    priority (plans/quality.py:chi_squared), via the observed-cells-only
+    identity n * sum(o^2/(ra*cb)) - n — unobserved cells of the marginal
+    product fold into the -n term algebraically."""
+    from etl_mark1_spark.plans.quality import chi_squared
+
+    return chi_squared(t(spark, sf_dir, "orders"),
+                       "o_orderstatus", "o_orderpriority")
+
+
 @query("weighted_sample_quality", """
     SELECT doc_id, lang, source
     FROM documents

@@ -222,3 +222,95 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
         F.round(F.max(gap), round_digits).alias("ks_stat"),
         F.max("_na").cast("bigint").alias("n_a"),
         F.max("_nb").cast("bigint").alias("n_b"))
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str,
+                  round_digits: int = 6, num_shards: int = 32) -> DataFrame:
+    """Spearman rank correlation: Pearson correlation of average ranks
+    (standard tie handling) — the robust, monotonic-association sibling
+    of ``corr`` for quality-signal screening (does doc length track
+    quality score anywhere, not just linearly?). Returns one row
+    (spearman, n).
+
+    Ranking never sorts globally: each column's average ranks come from
+    per-distinct-value counts + the shared two-phase prefix sum
+    (avg rank of value v = rows_before_v + (ties_v + 1)/2), joined back
+    on the value key; the correlation itself is one co-moment aggregate.
+    """
+    from etl_mark1_spark.operators.sketches import two_phase_prefix_sum
+
+    def avg_ranks(col: str, out: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c"))
+        cum = two_phase_prefix_sum(counts, "_v", ["_c"],
+                                   num_shards=num_shards)
+        return cum.select(
+            F.col("_v"),
+            (F.col("_c_cum") - F.col("_c")
+             + (F.col("_c") + 1) / F.lit(2.0)).alias(out))
+
+    ra, rb = avg_ranks(col_a, "_ra"), avg_ranks(col_b, "_rb")
+    pairs = df.select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    joined = (pairs.join(ra, pairs["_a"] == ra["_v"]).drop("_v")
+              .join(rb, F.col("_b") == rb["_v"]).drop("_v"))
+    return joined.agg(
+        F.round(F.corr("_ra", "_rb"), round_digits).alias("spearman"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+def _contingency(df: DataFrame, col_a: str, col_b: str):
+    joint = df.groupBy(F.col(col_a).alias("_a"),
+                       F.col(col_b).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_nab"))
+    ma = joint.groupBy("_a").agg(F.sum("_nab").alias("_na"))
+    mb = joint.groupBy("_b").agg(F.sum("_nab").alias("_nb"))
+    tot = joint.agg(F.sum("_nab").alias("_n"),
+                    F.count_distinct("_a").alias("_ka"),
+                    F.count_distinct("_b").alias("_kb"))
+    return (joint.join(F.broadcast(ma), "_a")
+            .join(F.broadcast(mb), "_b")
+            .crossJoin(F.broadcast(tot)))
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str,
+                       round_digits: int = 6) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the feature-selection / redundancy screen (is `source` just `lang`
+    in disguise?): MI = sum p(a,b) ln(p(a,b) / (p(a) p(b))). Returns one
+    row (mi, n).
+
+    Everything after the joint-count aggregate is contingency-sized:
+    marginals re-aggregate the joint counts (never the raw rows) and
+    broadcast back onto them. Zero-count cells contribute zero, so
+    summing observed cells is exact.
+    """
+    j = _contingency(df, col_a, col_b)
+    term = ((F.col("_nab") / F.col("_n"))
+            * F.log((F.col("_nab") * F.col("_n"))
+                    / (F.col("_na") * F.col("_nb"))))
+    return j.agg(F.round(F.sum(term), round_digits).alias("mi"),
+                 F.max("_n").cast("bigint").alias("n"))
+
+
+def chi_squared(df: DataFrame, col_a: str, col_b: str,
+                round_digits: int = 4) -> DataFrame:
+    """Pearson chi-squared statistic of independence between two
+    categorical columns, plus degrees of freedom — the classical
+    association test beside :func:`mutual_information`. Returns one row
+    (chi2, dof, n).
+
+    Uses the identity sum_all (o-e)^2/e = n * sum_observed o^2/(ra*cb)
+    - n, which needs OBSERVED cells only — unobserved cells of the
+    marginal product (whose expected counts a naive formulation must
+    materialize) are algebraically folded into the -n term. Same
+    contingency-sized shape as MI.
+    """
+    j = _contingency(df, col_a, col_b)
+    term = ((F.col("_nab") * F.col("_nab")).cast("double")
+            / (F.col("_na") * F.col("_nb")))
+    return j.agg(
+        F.round(F.max("_n") * F.sum(term) - F.max("_n"),
+                round_digits).alias("chi2"),
+        ((F.max("_ka") - 1) * (F.max("_kb") - 1))
+        .cast("bigint").alias("dof"),
+        F.max("_n").cast("bigint").alias("n"))

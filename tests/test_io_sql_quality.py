@@ -338,3 +338,42 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     plan = (back.filter(F.col("n_nationkey") == 3).select("n_name")
             ._jdf.queryExecution().executedPlan().toString())
     assert "pushed" in plan.lower() and "n_nationkey" in plan
+
+
+def test_spearman_known_values(spark):
+    """Perfectly monotone (nonlinear) -> 1.0; reversed -> -1.0;
+    independent-ish small case matches the scipy-style hand value."""
+    from etl_mark1_spark.plans.quality import spearman_corr
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i ** 3)) for i in range(1, 20)], ["a", "b"])
+    assert spearman_corr(mono, "a", "b").first().spearman == 1.0
+    rev = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 20)], ["a", "b"])
+    assert spearman_corr(rev, "a", "b").first().spearman == -1.0
+    # ties on both sides: [1,1,2] vs [3,4,4] -> ranks [1.5,1.5,3],[1,2.5,2.5]
+    # corr = 0.5 (hand-computed)
+    ties = spark.createDataFrame(
+        [(1.0, 3.0), (1.0, 4.0), (2.0, 4.0)], ["a", "b"])
+    assert abs(spearman_corr(ties, "a", "b").first().spearman - 0.5) < 1e-9
+
+
+def test_mutual_information_and_chi2_known_values(spark):
+    """Independent uniform 2x2 -> MI 0, chi2 0; perfectly dependent 2x2
+    -> MI = ln 2, chi2 = n; dof = 1 for both."""
+    import math
+
+    from etl_mark1_spark.plans.quality import chi_squared, mutual_information
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(5)],
+        ["a", "b"])
+    assert mutual_information(indep, "a", "b").first().mi == 0.0
+    c = chi_squared(indep, "a", "b").first()
+    assert c.chi2 == 0.0 and c.dof == 1 and c.n == 20
+    dep = spark.createDataFrame(
+        [("x", "u")] * 10 + [("y", "v")] * 10, ["a", "b"])
+    got = mutual_information(dep, "a", "b").first()
+    assert abs(got.mi - round(math.log(2), 6)) < 1e-9
+    c = chi_squared(dep, "a", "b").first()
+    assert c.chi2 == 20.0 and c.dof == 1
