@@ -130,7 +130,8 @@ def history(table_dir: str) -> list[dict]:
 
 
 def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
-    """Drop all but the last ``keep_last`` versions, any orphaned staging
+    """Drop all but the last ``keep_last`` versions (tagged versions are
+    always kept — see :func:`tag_version`), any orphaned staging
     dirs from crashed writes, AND any uncommitted ``v=N`` dirs (renamed
     but never manifest-committed — the crash window's leftover); returns
     removed committed version numbers. Readers of a removed version fail
@@ -141,7 +142,8 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     import shutil
 
     manifest = read_manifest(table_dir)
-    keep = [v["version"] for v in manifest["versions"]][-keep_last:]
+    keep = set([v["version"] for v in manifest["versions"]][-keep_last:])
+    keep |= set(manifest.get("tags", {}).values())  # tags pin snapshots
     removed = []
     for entry in manifest["versions"]:
         if entry["version"] not in keep:
@@ -164,3 +166,44 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
                 shutil.rmtree(os.path.join(table_dir, name),
                               ignore_errors=True)
     return removed
+
+
+def tag_version(table_dir: str, name: str,
+                version: int | None = None) -> int:
+    """Name a snapshot ("train-v1", "baseline") so consumers pin data by
+    MEANING instead of a raw version number — the reproducibility handle
+    a training run records in its config. Tags default to the current
+    version, re-tagging moves the name, and the mapping rides the same
+    atomically-committed manifest as everything else (a tag is one map
+    entry, not a copy). Returns the tagged version number.
+
+    Tagged versions are PROTECTED from vacuum: retention drops only
+    untagged, non-kept versions, so "keep the last 2 plus whatever a tag
+    still names" is the emergent policy.
+    """
+    manifest = read_manifest(table_dir)
+    if version is None:
+        version = manifest["current"]
+    known = {v["version"] for v in manifest["versions"]}
+    if version not in known:
+        raise ValueError(
+            f"cannot tag version {version}: not in {sorted(known)}")
+    manifest.setdefault("tags", {})[name] = version
+    _commit_manifest(table_dir, manifest)
+    return version
+
+
+def read_tag(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """Time travel by tag name."""
+    tags = read_manifest(table_dir).get("tags", {})
+    if name not in tags:
+        raise ValueError(f"no tag {name!r} in {table_dir} "
+                         f"(have {sorted(tags)})")
+    return read_table(spark, table_dir, version=tags[name])
+
+
+def delete_tag(table_dir: str, name: str) -> None:
+    """Remove a tag (the underlying version stays until vacuum)."""
+    manifest = read_manifest(table_dir)
+    manifest.get("tags", {}).pop(name, None)
+    _commit_manifest(table_dir, manifest)

@@ -104,3 +104,33 @@ def test_versioned_sink_composes_with_engine(spark, sf_dir, tmp_path):
     back = read_table(spark, table)
     assert back.count() == df.count()
     assert set(back.columns) == set(df.columns)
+
+
+def test_tags_pin_snapshots_and_survive_vacuum(spark, tmp_path):
+    """A tag names a version, read_tag travels to it, vacuum keeps tagged
+    versions while dropping untagged ones, and delete_tag releases the
+    pin for the next vacuum."""
+    import pytest as _pytest
+
+    from etl_mark1_spark.sources.versioned import (
+        delete_tag, read_tag, tag_version, vacuum, write_version)
+
+    table = str(tmp_path / "tagged")
+    for i in range(4):
+        write_version(spark.range(i, i + 3).toDF("id"), table)
+    assert tag_version(table, "baseline", version=1) == 1
+    assert tag_version(table, "latest") == 3          # defaults to current
+    assert sorted(r.id for r in read_tag(spark, table, "baseline").collect()) \
+        == [1, 2, 3]
+
+    removed = vacuum(table, keep_last=1)
+    assert removed == [0, 2]                          # 1 pinned, 3 kept
+    assert sorted(r.id for r in read_tag(spark, table, "baseline").collect()) \
+        == [1, 2, 3]
+
+    delete_tag(table, "baseline")
+    assert vacuum(table, keep_last=1) == [1]
+    with _pytest.raises(ValueError, match="baseline"):
+        read_tag(spark, table, "baseline")
+    with _pytest.raises(ValueError, match="cannot tag"):
+        tag_version(table, "gone", version=0)
