@@ -4974,3 +4974,20 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return decode_images(attach_png_media(docs), codec="real")
+
+
+@query("multimodal_gif_decode")
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end with NO image library: each row carries
+    an actual GIF (id-seeded palette pattern; palette sizes cycle
+    4/16/97/256 so LZW code widths grow from every starting size, every
+    third id is INTERLACED), decoded by the vendored pure-Python codec
+    (operators/gif.py — GIF-variant LZW, dictionary resets, four-pass
+    de-interlace) into true dimensions, mean pixel, and a genuine 64-bit
+    average-hash. Golden-replay check + exact round-trip property fuzz in
+    tests/test_property.py (GIF is lossless for palettized content)."""
+    from etl_mark1_spark.operators.multimodal import (attach_gif_media,
+                                                      decode_images)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_gif_media(docs), codec="real")

@@ -114,10 +114,11 @@ def decode_image_bytes(payload: bytes):
     mean_pixel, phash) where phash is a genuine 64-bit average-hash
     (8x8 block-sampled grayscale thresholded at its mean).
 
-    BMP (24-bit) and binary PPM/PGM parse with numpy alone; baseline JPEG
-    and 8-bit PNG (all filters, gray/RGB/palette/alpha) decode through the
-    vendored pure-Python codecs (operators/jpeg.py, operators/png.py) —
-    no image library needed for the dominant real-world formats. Remaining
+    BMP (24-bit) and binary PPM/PGM parse with numpy alone; baseline JPEG,
+    8-bit PNG (all filters, gray/RGB/palette/alpha), and GIF (LZW,
+    interlace) decode through the vendored pure-Python codecs
+    (operators/jpeg.py, operators/png.py, operators/gif.py) — no image
+    library needed for the dominant real-world formats. Remaining
     formats (progressive jpeg, 16-bit/interlaced png, ...) fall through to
     PIL when installed, else raise NotImplementedError naming the format.
     Alpha/gray+alpha planes are dropped for the stats (mean and ahash are
@@ -136,6 +137,10 @@ def decode_image_bytes(payload: bytes):
             img = img[:, :, :3]
         elif img.ndim == 3 and img.shape[2] == 2:  # gray+alpha -> gray
             img = img[:, :, 0]
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from etl_mark1_spark.operators.gif import decode_gif
+
+        img = decode_gif(payload)
     elif payload[:2] == b"BM":
         w = int.from_bytes(payload[18:22], "little")
         h = int.from_bytes(payload[22:26], "little")
@@ -333,6 +338,55 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     flat = df.select(id_col).mapInPandas(gen, schema=out_schema)
     meta = F.struct(
         F.lit("image").alias("modality"), F.lit("png").alias("format"),
+        F.col("width"), F.col("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("channels"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    return flat.withColumn("media_meta", meta).drop("width", "height")
+
+
+def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL GIF per row (id-seeded palette pattern via the
+    vendored encoder, operators/gif.py) — executor-side in mapInPandas
+    like attach_png_media. Palette size cycles 4/16/97/256 and every
+    third id encodes INTERLACED, so the LZW width growth, dictionary
+    resets, and the four-pass row order all stay exercised at corpus
+    scale."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_mark1_spark.operators.gif import make_gif
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 12 + i % 21, 12 + (i // 3) % 17
+                n_colors = (4, 16, 97, 256)[i % 4]
+                yy, xx = np.mgrid[0:h, 0:w]
+                idx = ((xx * 7 + yy * 3 + i) % n_colors).astype(np.uint8)
+                pal = np.stack([
+                    (np.arange(n_colors) * 5 + i) % 256,
+                    (np.arange(n_colors) * 11) % 256,
+                    (np.arange(n_colors) * 29 + 2 * i) % 256,
+                ], axis=1).astype(np.uint8)
+                blob = make_gif(idx, pal, interlace=(i % 3 == 0))
+                rows.append((i, blob, w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "content",
+                                              "width", "height"])
+
+    flat = df.select(id_col).mapInPandas(gen, schema=out_schema)
+    meta = F.struct(
+        F.lit("image").alias("modality"), F.lit("gif").alias("format"),
         F.col("width"), F.col("height"),
         F.lit(None).cast("int").alias("sample_rate"),
         F.lit(None).cast("int").alias("channels"),

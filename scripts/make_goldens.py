@@ -29,6 +29,7 @@ GOLDEN_ENTRIES = (
     "multimodal_bmp_decode",
     "multimodal_jpeg_decode",
     "multimodal_png_decode",
+    "multimodal_gif_decode",
     "multimodal_wav_decode",
     "cross_corpus_decontam",
     "text_compression_ratio",

@@ -318,3 +318,49 @@ def test_triangle_count_matches_bruteforce(spark, n, seed):
            for r in triangle_count(
                spark.createDataFrame(edges, ["src", "dst"])).collect()}
     assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([2, 5, 16, 97, 256]),
+    st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_is_exact(w, h, seed, n_colors, interlace):
+    """GIF is lossless for palettized content: encode -> decode must be
+    bit-exact for any shape, palette size (covering every LZW starting
+    code width), and the interlace flag."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.gif import decode_gif, make_gif
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n_colors, size=(h, w)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(n_colors, 3)).astype(np.uint8)
+    out = decode_gif(make_gif(idx, pal, interlace=interlace))
+    assert out.shape == (h, w, 3)
+    assert (out == pal[idx]).all()
+
+
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=10, deadline=None)
+def test_gif_dictionary_reset_and_degenerate_shapes(seed):
+    """Highly repetitive large images force the 4096-entry LZW dictionary
+    reset mid-stream; 1xN and Nx1 shapes exercise interlace passes that
+    skip rows entirely."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.gif import decode_gif, make_gif
+
+    rng = np.random.default_rng(seed)
+    big = np.tile(rng.integers(0, 4, size=(4, 256)).astype(np.uint8),
+                  (64, 1))
+    pal = rng.integers(0, 256, size=(4, 3)).astype(np.uint8)
+    assert (decode_gif(make_gif(big, pal)) == pal[big]).all()
+    for shape in ((1, 37), (37, 1), (1, 1)):
+        idx = rng.integers(0, 4, size=shape).astype(np.uint8)
+        for inter in (False, True):
+            assert (decode_gif(make_gif(idx, pal, interlace=inter))
+                    == pal[idx]).all()
