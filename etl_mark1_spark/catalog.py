@@ -4991,3 +4991,21 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return decode_images(attach_gif_media(docs), codec="real")
+
+
+@query("multimodal_video_frames")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling with NO media library: each row carries
+    an actual MJPEG AVI (id-seeded JPEG frames in the vendored RIFF
+    container, operators/avi.py; frame counts and rates vary per id), and
+    the frame nearest each 1000ms timestamp decodes through the vendored
+    JPEG codec into true dimensions, mean pixel, and average-hash — the
+    video-modality curation path (scene thumbnails, near-dup keys) made
+    real end-to-end. Golden-replayed; container round-trip + sampling
+    math in tests."""
+    from etl_mark1_spark.operators.multimodal import (attach_avi_media,
+                                                      sample_video_frames)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return sample_video_frames(attach_avi_media(docs), every_ms=1000,
+                               codec="real")

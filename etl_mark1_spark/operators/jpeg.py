@@ -522,3 +522,23 @@ def make_jpeg(pixels, quality: int = 95, subsample: bool = False,
     out.extend(writer.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def _sof_dims(payload: bytes) -> tuple[int, int]:
+    """(height, width) from the first SOF0/1/2 marker — a header peek for
+    container writers (operators/avi.py) that must not decode pixels."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
+            h = int.from_bytes(payload[pos + 5:pos + 7], "big")
+            w = int.from_bytes(payload[pos + 7:pos + 9], "big")
+            return h, w
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        pos += 2 + int.from_bytes(payload[pos + 2:pos + 4], "big")
+    raise ValueError("JPEG: no SOF marker")

@@ -561,12 +561,102 @@ def resize_images(df: DataFrame, width: int, height: int,
     return df.withColumn("media_meta", new_meta).withColumn("content", resized)
 
 
+VIDEO_FRAME_FEATURES = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_ms", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mean_pixel", T.DoubleType(), True),
+    T.StructField("phash", T.StringType(), True),
+])
+
+
+def attach_avi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL MJPEG AVI per row (id-seeded JPEG frames packed
+    by the vendored container writer, operators/avi.py) — executor-side
+    in mapInPandas like the other attach_* generators. Frame counts and
+    rates vary per id so the sampler's index math stays exercised."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_mark1_spark.operators.avi import make_avi
+        from etl_mark1_spark.operators.jpeg import make_jpeg
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + (i % 4) * 8, 16 + ((i // 2) % 3) * 8
+                n_frames, fps = 3 + i % 4, 2 + i % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = []
+                for f in range(n_frames):
+                    px = np.stack([
+                        (xx * 8 + f * 40 + i) % 256,
+                        (yy * 8 + f * 23) % 256,
+                        np.full((h, w), (i * 7 + f * 11) % 256),
+                    ], axis=-1).astype(np.uint8)
+                    frames.append(make_jpeg(px, quality=90))
+                rows.append((i, make_avi(frames, fps=fps), n_frames, fps))
+            yield pd.DataFrame(rows, columns=["doc_id", "content",
+                                              "n_frames", "fps"])
+
+    flat = df.select(id_col).mapInPandas(gen, schema=out_schema)
+    meta = F.struct(
+        F.lit("video").alias("modality"), F.lit("avi").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("channels"),
+        (F.col("n_frames") * 1000 / F.col("fps")).cast("long")
+        .alias("duration_ms"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    return flat.withColumn("media_meta", meta).drop("n_frames", "fps")
+
+
 def sample_video_frames(df: DataFrame, every_ms: int = 1000,
                         id_col: str = "doc_id", codec: str = "fake") -> DataFrame:
-    """Frame-sampling stub: one output row per sampled timestamp — the
-    explode shape a real ffmpeg-backed sampler would produce."""
+    """Frame sampling: one output row per sampled timestamp.
+
+    ``codec="real"`` is a genuine decode path for MJPEG AVI — the
+    container parses with operators/avi.py, the frame nearest each
+    sampled timestamp decodes through the vendored JPEG codec, and each
+    row carries true dimensions, mean pixel, and average-hash. Other
+    containers (mp4/h264...) raise NotImplementedError from the parser —
+    the ffmpeg wiring point. ``codec="fake"`` keeps the deterministic
+    hash stand-in for environments exercising only the explode shape.
+    Both run partition-preserving mapInPandas / map-side expressions —
+    a million clips parallelize by row.
+    """
     if codec == "real":
-        raise NotImplementedError("real frame sampling requires ffmpeg")
+        def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from etl_mark1_spark.operators.avi import decode_avi
+
+            for pdf in batches:
+                rows = []
+                for i, payload in zip(pdf[id_col], pdf["content"]):
+                    fps, frames = decode_avi(bytes(payload))
+                    dur_ms = len(frames) * 1000 // fps
+                    t = 0
+                    while t == 0 or t < dur_ms:
+                        fi = min(t * fps // 1000, len(frames) - 1)
+                        w, h, mean, ph = decode_image_bytes(frames[fi])
+                        rows.append((int(i), t, w, h, mean, ph))
+                        t += every_ms
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "frame_ms", "width", "height",
+                    "mean_pixel", "phash"])
+
+        return (df.select(F.col(id_col), "content")
+                .mapInPandas(sample, schema=VIDEO_FRAME_FEATURES))
     ts = F.explode(
         F.sequence(F.lit(0),
                    F.greatest(F.col("media_meta")["duration_ms"] - 1, F.lit(0)),

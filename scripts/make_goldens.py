@@ -30,6 +30,7 @@ GOLDEN_ENTRIES = (
     "multimodal_jpeg_decode",
     "multimodal_png_decode",
     "multimodal_gif_decode",
+    "multimodal_video_frames",
     "multimodal_wav_decode",
     "cross_corpus_decontam",
     "text_compression_ratio",

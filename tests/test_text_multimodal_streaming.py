@@ -729,3 +729,41 @@ def test_repetition_profile_planted(spark):
     assert got[3]["dup_line_ratio"] == 0.0
     assert got[3]["ok_dup_lines"] is True and got[3]["ok_top_bigram"] is True
     assert got[4]["dup_line_ratio"] == 0.0 and got[4]["top_bigram"] == ""
+
+
+def test_avi_container_roundtrip_and_frame_sampling(spark):
+    """Container packs/parses frames byte-exact (odd sizes force chunk
+    padding); real sampling picks the frame nearest each timestamp and
+    decodes true stats; non-MJPEG streams refuse with the fourcc named."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_mark1_spark.operators.avi import decode_avi, make_avi
+    from etl_mark1_spark.operators.jpeg import make_jpeg
+    from etl_mark1_spark.operators.multimodal import (attach_avi_media,
+                                                      sample_video_frames)
+
+    rng = np.random.default_rng(7)
+    frames = [make_jpeg(rng.integers(0, 256, (17, 23, 3), dtype=np.uint8),
+                        quality=85) for _ in range(5)]
+    fps, out = decode_avi(make_avi(frames, fps=3))
+    assert fps == 3 and out == frames
+
+    bad = make_avi(frames, fps=3).replace(b"vidsMJPG", b"vidsH264")
+    with _pytest.raises(NotImplementedError, match="H264"):
+        decode_avi(bad)
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    got = sample_video_frames(attach_avi_media(docs), every_ms=500,
+                              codec="real").collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i in range(6):
+        n_frames, fps_i = 3 + i % 4, 2 + i % 3
+        dur = n_frames * 1000 // fps_i
+        want_ts = list(range(0, max(dur, 1), 500)) or [0]
+        assert sorted(r.frame_ms for r in by_doc[i]) == want_ts
+        w, h = 16 + (i % 4) * 8, 16 + ((i // 2) % 3) * 8
+        assert all(r.width == w and r.height == h for r in by_doc[i])
+        assert all(len(r.phash) == 16 for r in by_doc[i])
