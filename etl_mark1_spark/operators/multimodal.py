@@ -448,6 +448,66 @@ def make_wav(samples, sample_rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+
+
+def _wav_fmt_code(payload: bytes) -> int:
+    """Audio format code from the fmt chunk (1=PCM, 6=A-law, 7=mu-law)."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if tag == b"fmt ":
+            return int.from_bytes(payload[pos + 8:pos + 10], "little")
+        pos += 8 + size + (size % 2)
+    raise NotImplementedError("WAV: no fmt chunk")
+
+
+def _wav_fmt_data(payload: bytes):
+    """(rate, channels, data_bytes) parsed straight from RIFF chunks —
+    stdlib wave refuses non-PCM formats, so companded G.711 streams are
+    walked manually."""
+    rate = channels = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise NotImplementedError("WAV: missing fmt/data chunk")
+    return rate, channels, data
+
+
+def _build_g711_tables():
+    """Exact 256-entry G.711 expand tables (public ITU-T formulas)."""
+    import numpy as np
+
+    ulaw = np.empty(256, dtype=np.int16)
+    for i in range(256):
+        b = ~i & 0xFF
+        exp = (b >> 4) & 7
+        mant = b & 0x0F
+        x = (((mant << 3) + 0x84) << exp) - 0x84
+        ulaw[i] = -x if b & 0x80 else x
+    alaw = np.empty(256, dtype=np.int16)
+    for i in range(256):
+        b = i ^ 0x55
+        exp = (b >> 4) & 7
+        mant = b & 0x0F
+        x = ((mant << 4) + 0x108) << (exp - 1) if exp else (mant << 4) + 8
+        alaw[i] = x if b & 0x80 else -x     # A-law: set sign bit = positive
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _build_g711_tables()
+
+
 def decode_audio_bytes(payload: bytes):
     """REAL audio decode for PCM WAV: (sample_rate, channels, duration_ms,
     rms) with rms normalized to [0, 1] over full-scale int16. Compressed
@@ -461,7 +521,17 @@ def decode_audio_bytes(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             f"no built-in decoder for audio format {payload[:4]!r}; "
-            "PCM WAV only (install an audio library for compressed formats)")
+            "WAV only (install an audio library for mp3/ogg/flac)")
+    fmt_code = _wav_fmt_code(payload)
+    if fmt_code in (6, 7):                      # G.711 A-law / mu-law
+        rate, channels, raw = _wav_fmt_data(payload)
+        table = _ALAW_TABLE if fmt_code == 6 else _ULAW_TABLE
+        pcm = table[np.frombuffer(raw, dtype=np.uint8)]
+        n = len(pcm) // max(channels, 1)
+        x = pcm.astype(np.float64) / 32768.0
+        duration_ms = int(n * 1000 / rate)
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        return rate, channels, duration_ms, round(rms, 6)
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate, channels, width = w.getframerate(), w.getnchannels(), \
             w.getsampwidth()

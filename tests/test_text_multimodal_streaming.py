@@ -767,3 +767,38 @@ def test_avi_container_roundtrip_and_frame_sampling(spark):
         w, h = 16 + (i % 4) * 8, 16 + ((i // 2) % 3) * 8
         assert all(r.width == w and r.height == h for r in by_doc[i])
         assert all(len(r.phash) == 16 for r in by_doc[i])
+
+
+def test_g711_companded_wav_decodes():
+    """mu-law and A-law WAVs (format codes 7/6) decode through the exact
+    G.711 expand tables — bit-identical to the stdlib audioop reference —
+    and produce sane rate/duration/rms; stdlib wave can't open these, so
+    the RIFF walk is the only path."""
+    import struct
+
+    import numpy as np
+
+    from etl_mark1_spark.operators.multimodal import (_ALAW_TABLE,
+                                                      _ULAW_TABLE,
+                                                      decode_audio_bytes)
+
+    import audioop  # 3.11 stdlib reference implementation
+
+    raw = bytes(range(256)) * 4
+    assert (np.asarray(_ULAW_TABLE)[np.frombuffer(raw, np.uint8)]
+            == np.frombuffer(audioop.ulaw2lin(raw, 2), np.int16)).all()
+    assert (np.asarray(_ALAW_TABLE)[np.frombuffer(raw, np.uint8)]
+            == np.frombuffer(audioop.alaw2lin(raw, 2), np.int16)).all()
+
+    def companded_wav(fmt_code: int, rate: int, data: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for code in (6, 7):
+        rate, channels, duration_ms, rms = decode_audio_bytes(
+            companded_wav(code, 8000, raw))
+        assert (rate, channels) == (8000, 1)
+        assert duration_ms == len(raw) * 1000 // 8000
+        assert 0.0 < rms <= 1.0
