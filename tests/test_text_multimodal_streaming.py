@@ -401,9 +401,9 @@ def test_real_decode_distributed(spark):
     import importlib.util
     if importlib.util.find_spec("PIL") is None:
         from etl_mark1_spark.operators.multimodal import decode_image_bytes
-        # PNG is vendored now — GIF is the representative still-gated format
+        # PNG/GIF are vendored now — TIFF is the representative gated format
         with pytest.raises(NotImplementedError, match="decoder|PIL"):
-            decode_image_bytes(b"GIF89a....")
+            decode_image_bytes(b"II*\x00....")
         # and a corrupt PNG fails loudly with the corruption, not garbage
         with pytest.raises(ValueError, match="truncated|CRC|IHDR"):
             decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
