@@ -5009,3 +5009,39 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return sample_video_frames(attach_avi_media(docs), every_ms=1000,
                                codec="real")
+
+
+@query("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN a BPE subword vocabulary from the corpus
+    (operators/bpe.py:bpe_train — the classic word-frequency algorithm
+    behind GPT-2-style tokenizers): 30 ranked merges as (rank, left,
+    right). Training touches the corpus once (the word-count aggregate);
+    every iteration is a pair-explode + count over the unique-word table
+    with a single-row top-pair collect. Deterministic (lexicographic tie
+    break), so golden-replayed — and differential-tested against an
+    independent pure-Python reference implementation in
+    tests/test_corpus.py, which is a stronger check than any SQL
+    oracle."""
+    from etl_mark1_spark.operators.bpe import bpe_train, merges_df
+
+    merges = bpe_train(t(spark, sf_dir, "documents"), num_merges=30)
+    return merges_df(spark, merges)
+
+
+@query("bpe_segment_docs")
+def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment every document under the corpus-learned BPE merges
+    (operators/bpe.py:bpe_segment): (doc_id, n_bpe_tokens, first_tokens).
+    The merge chain applies as ranked map-side regexp passes — the same
+    order as training, so segmentation is reproducible anywhere the
+    merge list travels."""
+    from etl_mark1_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=30)
+    seg = bpe_segment(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.slice("bpe_tokens", 1, 8).alias("first_tokens"))

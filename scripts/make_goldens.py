@@ -31,6 +31,8 @@ GOLDEN_ENTRIES = (
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "multimodal_video_frames",
+    "bpe_train_merges",
+    "bpe_segment_docs",
     "multimodal_wav_decode",
     "cross_corpus_decontam",
     "text_compression_ratio",

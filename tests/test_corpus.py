@@ -665,3 +665,68 @@ def test_round4_late_step_operators_registered(spark):
         df.withColumn("text", F.lit("same")), [
             {"operator": "dedup_keep_best", "params": {}}])
     assert deduped.count() == 1
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed trainer must produce the EXACT merge list of an
+    independent in-memory implementation of the classic word-frequency
+    BPE (count adjacent pairs weighted by word count, merge the most
+    frequent, lexicographic tie break)."""
+    import re
+    from collections import Counter
+
+    from etl_mark1_spark.operators.bpe import bpe_train
+
+    corpus = [(1, "low lower lowest low low"),
+              (2, "new newer newest new"),
+              (3, "wide wider widest low new"),
+              (4, "lowlands renewed widening")]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = bpe_train(df, num_merges=12)
+
+    wc = Counter()
+    for _, t in corpus:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                wc[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    ref = []
+    for _ in range(12):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref.append(best)
+        nxt = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        vocab = nxt
+    assert got == ref
+
+
+def test_bpe_segment_leftmost_first_and_invertible(spark):
+    """Runs of a merged pair apply leftmost-first (aaaa -> aa aa, never
+    a aa a), and dropping the end-of-word markers reconstructs the
+    normalized words exactly."""
+    from etl_mark1_spark.operators.bpe import bpe_segment
+
+    df = spark.createDataFrame(
+        [(1, "aaaa aaa"), (2, "Banana, band!")], ["doc_id", "text"])
+    got = {r.doc_id: r.bpe_tokens
+           for r in bpe_segment(df, [("a", "a"), ("a", "</w>"),
+                                     ("n", "a")]).collect()}
+    assert got[1] == ["aa", "aa", "</w>", "aa", "a</w>"]
+    for doc_id, text in ((1, "aaaa aaa"), (2, "banana band")):
+        joined = "".join(got[doc_id]).replace("</w>", " ").strip()
+        assert joined == text.lower().replace(",", "").replace("!", "")
