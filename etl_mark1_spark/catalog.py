@@ -3496,16 +3496,10 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence as chained CTEs."""
     from etl_mark1_spark.operators.graph import pagerank
 
+    from etl_mark1_spark.operators.graph import coorder_edges
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
-    return pagerank(edges, iterations=3, damping=0.85)
+    return pagerank(coorder_edges(li), iterations=3, damping=0.85)
 
 
 @query("connected_components_parts", """
@@ -3569,16 +3563,10 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-invariant."""
     from etl_mark1_spark.operators.graph import triangle_count
 
+    from etl_mark1_spark.operators.graph import coorder_edges
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
-    return triangle_count(edges)
+    return triangle_count(coorder_edges(li))
 
 
 @query("funnel_view_click_purchase", """

@@ -601,3 +601,24 @@ def test_triangle_count_orientation_invariance(spark):
            for r in triangle_count(
                spark.createDataFrame(messy, ["src", "dst"])).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_coorder_edges_matches_self_join(spark):
+    """The grouped pair-explode build must produce exactly the edge set
+    of the equi-self-join formulation, including duplicate collapsing."""
+    from etl_mark1_spark.operators.graph import coorder_edges
+
+    rows = [(1, 10), (1, 11), (1, 12), (1, 10),   # dup item in group
+            (2, 11), (2, 12),
+            (3, 20),                               # singleton: no edges
+            (4, 12, ), (4, 11)]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    got = {(r.src, r.dst) for r in
+           coorder_edges(df, "g", "item").collect()}
+    a, b = df.alias("a"), df.alias("b")
+    want = {(r[0], r[1]) for r in
+            a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.item") < F.col("b.item")))
+            .select(F.col("a.item"), F.col("b.item")).distinct().collect()}
+    # group 4's (11, 12) collapses into group 2's: 3 distinct edges
+    assert got == want and (10, 11) in got and len(got) == 3
