@@ -2652,6 +2652,111 @@ def upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert(orders, repriced.unionByName(fresh), ["o_orderkey"])
 
 
+@query("pii_scan_docs", r"""
+    WITH d AS (
+        SELECT CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact: user' || doc_id
+                         || '@example.com'
+                    WHEN doc_id % 11 = 0
+                    THEN text || ' call +1 (555) 010-' || doc_id
+                    ELSE text END AS text,
+               source
+        FROM documents),
+    t AS (SELECT count(*) AS n FROM d)
+    SELECT scanned_col, pattern, n_hits,
+           round(n_hits * 1.0 / greatest(n, 1), 6) AS hit_rate
+    FROM (
+        SELECT 'text' AS scanned_col, 'EMAIL' AS pattern,
+               count(CASE WHEN regexp_matches(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                 THEN 1 END) AS n_hits FROM d
+        UNION ALL
+        SELECT 'text', 'PHONE',
+               count(CASE WHEN regexp_matches(text,
+                 '\+?[0-9][0-9()\- ]{7,}[0-9]') THEN 1 END) FROM d
+        UNION ALL
+        SELECT 'source', 'EMAIL',
+               count(CASE WHEN regexp_matches(source,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                 THEN 1 END) FROM d
+        UNION ALL
+        SELECT 'source', 'PHONE',
+               count(CASE WHEN regexp_matches(source,
+                 '\+?[0-9][0-9()\- ]{7,}[0-9]') THEN 1 END) FROM d
+    ), t
+""")
+def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure audit (plans/quality.py:pii_scan) over a corpus with
+    deliberately planted emails/phones (the synthetic text contains
+    none, which would make the scan inert): per (column, pattern) hit
+    counts and rates from ONE aggregation pass — the audit that decides
+    where redact_pii must run."""
+    from etl_mark1_spark.plans.quality import pii_scan
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" contact: user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com")))
+        .when(F.col("doc_id") % 11 == 0,
+              F.concat(F.col("text"), F.lit(" call +1 (555) 010-"),
+                       F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")).alias("text"),
+        "source")
+    return (pii_scan(docs, columns=["text", "source"])
+            .select(F.col("column").alias("scanned_col"), "pattern",
+                    "n_hits", "hit_rate"))
+
+
+@query("pit_scd2_orders", """
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN TIMESTAMP '1995-06-01 00:00:00' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'PROMO',
+               TIMESTAMP '1995-06-01 00:00:00', NULL
+        FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT o_orderkey, o_custkey, segment
+    FROM orders LEFT JOIN dim
+      ON o_custkey = c_custkey
+     AND o_orderdate >= valid_from
+     AND (valid_to IS NULL OR o_orderdate < valid_to)
+""")
+def pit_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension
+    (operators/cdc.py:pit_lookup): every order joins the customer-segment
+    VERSION valid at its order date (promo segments only after their
+    effective date) — the query side of SCD2, planned as an equality
+    join with the validity window as a residual predicate, never a
+    range-only cross product."""
+    from etl_mark1_spark.operators.cdc import pit_lookup
+
+    cust = t(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(F.col("c_custkey") % 5 == 0,
+               F.lit("1995-06-01 00:00:00").cast("timestamp"))
+        .alias("valid_to"))
+    v2 = (cust.filter(F.col("c_custkey") % 5 == 0)
+          .select("c_custkey", F.lit("PROMO").alias("segment"),
+                  F.lit("1995-06-01 00:00:00").cast("timestamp")
+                  .alias("valid_from"),
+                  F.lit(None).cast("timestamp").alias("valid_to")))
+    dim = v1.unionByName(v2)
+    orders = (t(spark, sf_dir, "orders")
+              .select("o_orderkey",
+                      F.col("o_custkey").alias("c_custkey"),
+                      "o_orderdate"))
+    out = pit_lookup(orders, dim, ["c_custkey"], fact_ts="o_orderdate")
+    return out.select("o_orderkey", F.col("c_custkey").alias("o_custkey"),
+                      "segment")
+
+
 @query("scd2_customers", """
     SELECT c_custkey, c_name, c_mktsegment,
            TIMESTAMP '2020-01-01 00:00:00' AS valid_from,

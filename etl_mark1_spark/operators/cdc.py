@@ -230,3 +230,33 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     return (joined.withColumn("change_type", change_type)
             .filter(F.col("change_type").isNotNull())
             .select(*keys, F.col("change_type"), *news, *olds))
+
+
+def pit_lookup(facts: DataFrame, dim: DataFrame, key_cols: list[str],
+               fact_ts: str = "ts", valid_from_col: str = "valid_from",
+               valid_to_col: str = "valid_to",
+               how: str = "left") -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension: each fact row
+    joins the dimension VERSION that was valid at its timestamp
+    (``valid_from <= ts < valid_to``; open rows have NULL ``valid_to``)
+    — the query side of :func:`scd2_apply`, and the thing that makes
+    slowly-changing dimensions worth keeping (training labels and
+    reports reproduce as-of the event, not as-of today).
+
+    Shape at scale: the join keys stay the EQUALITY keys, so this plans
+    as an ordinary hash/sort-merge join with the validity window as a
+    residual predicate — never a range-only cross product; each key's
+    versions are few, so the residual filter touches a handful of rows
+    per fact.
+    """
+    cond = None
+    for k in key_cols:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else cond & c
+    cond = cond & (facts[fact_ts] >= dim[valid_from_col]) \
+        & (dim[valid_to_col].isNull() | (facts[fact_ts] < dim[valid_to_col]))
+    joined = facts.join(dim, cond, how)
+    drop = [dim[k] for k in key_cols]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined

@@ -314,3 +314,40 @@ def chi_squared(df: DataFrame, col_a: str, col_b: str,
         ((F.max("_ka") - 1) * (F.max("_kb") - 1))
         .cast("bigint").alias("dof"),
         F.max("_n").cast("bigint").alias("n"))
+
+
+def pii_scan(df: DataFrame, columns: list[str] | None = None,
+             patterns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """PII exposure profile: for every (string column, pattern) pair, the
+    count and rate of rows containing a match — the audit that decides
+    where redact_pii (operators/corpus.py) must run before data leaves a
+    boundary. Returns rows (column, pattern, n_hits, hit_rate).
+
+    ONE aggregation pass over the table regardless of how many
+    column x pattern cells are scanned (the check_expectations shape:
+    conditional counts stacked from a single wide row) — at 100 TB the
+    difference vs a query-per-cell audit is cells-many full scans.
+    """
+    from etl_mark1_spark.operators.corpus import PII_PATTERNS
+
+    pats = patterns or [(token.strip("<>"), rx)
+                        for rx, token in PII_PATTERNS]
+    cols = columns or [c for c, t in df.dtypes if t == "string"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    cells = []
+    for c in cols:
+        for pname, rx in pats:
+            key = f"_h_{len(cells)}"
+            aggs.append(F.count(F.when(F.col(c).rlike(rx), 1)).alias(key))
+            cells.append((c, pname, key))
+    wide = df.agg(*aggs)
+    stacked = wide.select("_n", F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"), F.lit(p).alias("pattern"),
+                 F.col(k).alias("n_hits"))
+        for c, p, k in cells])).alias("r"))
+    return stacked.select(
+        F.col("r.column").alias("column"),
+        F.col("r.pattern").alias("pattern"),
+        F.col("r.n_hits").cast("bigint").alias("n_hits"),
+        F.round(F.col("r.n_hits") / F.greatest(F.col("_n"), F.lit(1)), 6)
+        .alias("hit_rate"))

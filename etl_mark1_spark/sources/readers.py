@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 #: Formats the reference accepts at upload (backend/services/file_service.py:61).
 KNOWN_FORMATS = ("csv", "json", "xlsx", "parquet", "orc", "xml", "txt",
@@ -55,6 +56,12 @@ def read_file(
       (sources/pdf.py), one row per (path, page, text).
     """
     fmt = (file_format or detect_format(path)).lower()
+    corrupt_col = options.pop("corrupt_col", None)
+    if corrupt_col:
+        if fmt not in ("csv", "json", "txt"):
+            raise ValueError("corrupt_col applies to csv/json sources")
+        return _read_with_corrupt_column(spark, path, fmt, corrupt_col,
+                                         schema=schema, **options)
     if fmt == "xml" and options.pop("compat", None) != "reference":
         reader = (spark.read.format("xml")
                   .option("rowTag", options.pop("rowTag", "row"))
@@ -87,6 +94,70 @@ def read_file(
 
         return read_pdf(spark, path)
     raise ValueError(f"unsupported format: {fmt}")
+
+
+def _narrow_string_schema(df):
+    """Narrow an all-string frame's schema by try_cast success: a column
+    becomes bigint/double/timestamp iff every non-null value casts; else
+    it stays string. One aggregation pass for all columns."""
+    from pyspark.sql import functions as F
+
+    kinds = ("bigint", "double", "timestamp")
+    aggs = []
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"_n_{c}"))
+        for k in kinds:
+            aggs.append(F.count(F.col(c).try_cast(k)).alias(f"_{k}_{c}"))
+    row = df.agg(*aggs).first()
+    fields = []
+    for c in df.columns:
+        chosen = "string"
+        if row[f"_n_{c}"]:
+            for k in kinds:
+                if row[f"_{k}_{c}"] == row[f"_n_{c}"]:
+                    chosen = k
+                    break
+        fields.append(T.StructField(c, {
+            "bigint": T.LongType(), "double": T.DoubleType(),
+            "timestamp": T.TimestampType(),
+            "string": T.StringType()}[chosen]))
+    return T.StructType(fields)
+
+
+def _read_with_corrupt_column(spark: SparkSession, path: str, fmt: str,
+                              corrupt_col: str, schema=None, **options):
+    """Permissive read that captures unparseable rows instead of failing
+    the job or silently nulling them: malformed lines land intact in
+    ``corrupt_col`` (the dead-letter column), clean rows parse normally.
+    A 100 TB crawl ALWAYS contains garbage lines; the pipeline decision
+    — quarantine, count against a quality gate, or drop — belongs to a
+    filter on this column, not to a crashed scan. Costs one extra
+    inference pass when no explicit ``schema`` is given (same caveat as
+    any inferSchema read)."""
+    if schema is None and fmt in ("csv", "txt"):
+        # built-in CSV inference types from RAW tokens, so one junk row
+        # would demote every column to string: parse all-string with
+        # DROPMALFORMED (wrong-arity lines vanish), then narrow each
+        # column by try_cast success over the clean rows — one agg pass
+        header = (spark.read.option("header", True).csv(path)).columns
+        str_schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in header])
+        clean = (spark.read.schema(str_schema)
+                 .option("header", True).option("mode", "DROPMALFORMED")
+                 .options(**options).csv(path))
+        schema = _narrow_string_schema(clean)
+    elif schema is None:
+        clean = read_file(spark, path, fmt, mode="DROPMALFORMED", **options)
+        schema = clean.schema
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, T.StringType())
+    reader = (spark.read.schema(schema)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", corrupt_col)
+              .options(**options))
+    if fmt in ("csv", "txt"):
+        return reader.option("header", options.get("header", True)).csv(path)
+    return reader.json(path)
 
 
 def _read_excel(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:

@@ -69,13 +69,18 @@ def _commit_manifest(table_dir: str, manifest: dict) -> None:
 
 
 def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
-                  note: str = "") -> int:
+                  note: str = "", evolve: bool = False) -> int:
     """Commit ``df`` as the next version of the table; returns the version.
 
     ``mode="overwrite"`` makes the new version the full table;
     ``mode="append"`` unions the current snapshot with ``df`` into the new
     version (copy-on-write append — rewrite-free appends need a
-    multi-dir manifest, deliberately out of scope). The version directory
+    multi-dir manifest, deliberately out of scope). Appends require an
+    identical schema unless ``evolve=True``, which widens by name: new
+    columns appear with NULLs backfilled for history, dropped columns
+    stay with NULLs for the new rows — the additive half of lakehouse
+    schema evolution (type CHANGES still refuse; silently coercing
+    history is how tables rot). The version directory
     is fully written BEFORE the manifest commit, so a crash mid-write
     leaves an orphan directory, never a corrupt table — and version
     numbers are allocated past any orphan ``v=N`` left by a crash in the
@@ -92,7 +97,15 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
     vdir = os.path.join(table_dir, f"v={version}")
     if mode == "append" and manifest["current"] >= 0:
         current = read_table(df.sparkSession, table_dir)
-        df = current.unionByName(df, allowMissingColumns=False)
+        if evolve:
+            shared = set(current.columns) & set(df.columns)
+            cur_types = dict(current.dtypes)
+            for c, t in df.dtypes:
+                if c in shared and cur_types[c] != t:
+                    raise ValueError(
+                        f"schema evolution cannot change column {c!r} "
+                        f"({cur_types[c]} -> {t}); add a new column")
+        df = current.unionByName(df, allowMissingColumns=evolve)
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
     # stage under a temp name, then rename: a concurrent reader listing

@@ -377,3 +377,23 @@ def test_mutual_information_and_chi2_known_values(spark):
     assert abs(got.mi - round(math.log(2), 6)) < 1e-9
     c = chi_squared(dep, "a", "b").first()
     assert c.chi2 == 20.0 and c.dof == 1
+
+
+def test_corrupt_col_captures_bad_rows(spark, tmp_path):
+    """corrupt_col= turns malformed lines into dead-letter rows instead
+    of crashed or silently-nulled scans, for both csv and json."""
+    csv = tmp_path / "messy.csv"
+    csv.write_text("id,score\n1,10.5\nnot_an_id,oops,extra\n3,7.25\n")
+    from etl_mark1_spark.sources.readers import read_file
+
+    out = read_file(spark, str(csv), corrupt_col="_bad").cache()
+    good = {r.id: r.score for r in out.filter("_bad IS NULL").collect()}
+    assert good == {1: 10.5, 3: 7.25}
+    bad = [r._bad for r in out.filter("_bad IS NOT NULL").collect()]
+    assert bad == ["not_an_id,oops,extra"]
+
+    js = tmp_path / "messy.json"
+    js.write_text('{"k": 1}\n{oops not json\n{"k": 3}\n')
+    out = read_file(spark, str(js), corrupt_col="_bad").cache()
+    assert {r.k for r in out.filter("_bad IS NULL").collect()} == {1, 3}
+    assert out.filter("_bad IS NOT NULL").count() == 1

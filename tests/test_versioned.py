@@ -134,3 +134,28 @@ def test_tags_pin_snapshots_and_survive_vacuum(spark, tmp_path):
         read_tag(spark, table, "baseline")
     with _pytest.raises(ValueError, match="cannot tag"):
         tag_version(table, "gone", version=0)
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    """evolve=True widens by name: new columns backfill history with
+    NULLs; shared-column type changes refuse loudly; without evolve a
+    schema mismatch still fails."""
+    import pytest as _pytest
+
+    from etl_mark1_spark.sources.versioned import read_table, write_version
+
+    table = str(tmp_path / "evolving")
+    write_version(spark.createDataFrame([(1, "a")], ["id", "name"]), table)
+    with _pytest.raises(Exception):
+        write_version(spark.createDataFrame([(2, "b", 9.5)],
+                                            ["id", "name", "score"]),
+                      table, mode="append")
+    write_version(spark.createDataFrame([(2, "b", 9.5)],
+                                        ["id", "name", "score"]),
+                  table, mode="append", evolve=True)
+    got = {r.id: (r.name, r.score) for r in read_table(spark, table).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    with _pytest.raises(ValueError, match="cannot change column"):
+        write_version(spark.createDataFrame([(3, "c", "high")],
+                                            ["id", "name", "score"]),
+                      table, mode="append", evolve=True)
