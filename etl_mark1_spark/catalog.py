@@ -1250,6 +1250,78 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(t(spark, sf_dir, "events"))
 
 
+@query("seasonal_decompose_events", """
+    WITH actual AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               round(sum(value), 2) AS _actual
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+               FROM actual GROUP BY 1),
+    grid AS (
+        SELECT b.user_id,
+               UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds b
+    ),
+    series AS (
+        SELECT g.user_id, g.bucket,
+               last_value(a._actual IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS UNBOUNDED PRECEDING) AS val
+        FROM grid g LEFT JOIN actual a
+          ON g.user_id = a.user_id AND g.bucket = a.bucket
+    ),
+    ints AS (
+        SELECT user_id, bucket, val,
+               CAST(epoch(bucket) / 3600 AS BIGINT) % 24 AS phase,
+               CAST(round(val * 100) AS BIGINT) AS iv
+        FROM series
+    ),
+    tr AS (
+        SELECT user_id, bucket, val, phase, iv,
+               CASE WHEN count(iv) OVER w1 = 24
+                     AND count(iv) OVER w2 = 24
+                    THEN sum(iv) OVER w1 + sum(iv) OVER w2 END AS ts,
+               CASE WHEN count(iv) OVER w1 = 24
+                     AND count(iv) OVER w2 = 24
+                    THEN iv * 48 - (sum(iv) OVER w1 + sum(iv) OVER w2)
+               END AS det
+        FROM ints
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+               w2 AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+    ),
+    seas AS (
+        SELECT user_id, phase, sum(det) AS gs, count(*) AS gn
+        FROM tr WHERE det IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT t.user_id, t.bucket, t.val,
+           floor((t.ts / 4800.0) * 1e6 + 0.5) / 1e6 AS trend,
+           CASE WHEN t.ts IS NOT NULL
+                THEN floor((s.gs / s.gn / 4800.0) * 1e6 + 0.5) / 1e6
+           END AS seasonal,
+           CASE WHEN t.ts IS NOT NULL
+                THEN floor((t.det / 4800.0 - s.gs / s.gn / 4800.0)
+                           * 1e6 + 0.5) / 1e6
+           END AS resid
+    FROM tr t LEFT JOIN seas s
+      ON t.user_id = s.user_id AND t.phase = s.phase
+""")
+def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of each user's hourly value series
+    (operators/timeseries.py:seasonal_decompose, period 24 via the
+    classical 2xMA centered trend): value = trend + seasonal + resid,
+    incomplete-window edges NULL. The oracle replays the exact window
+    arithmetic; phases use epoch hours, identical under the pinned UTC
+    session."""
+    from etl_mark1_spark.operators.timeseries import (resample_ffill,
+                                                      seasonal_decompose)
+
+    series = resample_ffill(t(spark, sf_dir, "events"))
+    return seasonal_decompose(series, period=24)
+
+
 @query("resample_interpolate_events", """
     WITH actual AS (
         SELECT user_id, date_trunc('hour', ts) AS bucket,

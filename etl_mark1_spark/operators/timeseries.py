@@ -118,3 +118,80 @@ def resample_interpolate(df: DataFrame, unit: str = "hour",
     return joined.select(key_col, "bucket",
                          (F.floor(val * scale + F.lit(0.5)) / scale)
                          .alias("val"))
+
+
+def seasonal_decompose(df: DataFrame, period: int = 24,
+                       key_col: str = "user_id", ts_col: str = "bucket",
+                       value_col: str = "val",
+                       round_digits: int = 6) -> DataFrame:
+    """Classical additive decomposition of a REGULAR series (run
+    :func:`resample_ffill` / :func:`resample_interpolate` first):
+    ``value = trend + seasonal + resid`` with a centered moving-average
+    trend (odd periods: one centered window; even periods: the classical
+    2 x MA, two off-center windows averaged so end rows get half
+    weight), per-phase seasonal means of the detrended values, and the
+    leftover residual — the anomaly-detection prep that separates "3am
+    is always quiet" from "this 3am is wrong".
+
+    Edge rows whose centered window is incomplete carry NULL trend (and
+    NULL seasonal/resid) rather than a biased partial average. Shape at
+    scale: one per-key window pass for the trend, a (key x period)-sized
+    aggregate for the seasonal profile joined back on (key, phase) —
+    keys decompose in parallel, nothing global.
+
+    Cross-engine determinism: frame AVERAGES of a 2-decimal series land
+    on exact decimal rounding boundaries by construction (denominators
+    divide the quantum), and engines accumulate frames in different
+    orders (DuckDB's windowed sums use segment trees), so two
+    1e-13-apart doubles straddle the boundary and round() diverges. The
+    windows therefore SUM exact scaled integers (value*100 as BIGINT) —
+    identical in any engine — and every double derives from those
+    integers by one literal division, making the pre-rounding doubles
+    bit-identical before tie-deterministic rounding applies.
+    """
+    half = period // 2
+    scale_den = float((period if period % 2 else 2 * period) * 100)
+    phase = F.pmod(
+        (F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+         / 3600).cast("bigint"), F.lit(period)).alias("_phase")
+    iv = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(key_col, ts_col, value_col, phase, iv.alias("_iv"))
+    if period % 2:
+        w = (Window.partitionBy(key_col).orderBy(ts_col)
+             .rowsBetween(-half, half))
+        full = F.count("_iv").over(w) == period
+        ssum = F.sum("_iv").over(w)
+        mult = period
+    else:
+        w1 = (Window.partitionBy(key_col).orderBy(ts_col)
+              .rowsBetween(-half, half - 1))
+        w2 = (Window.partitionBy(key_col).orderBy(ts_col)
+              .rowsBetween(-half + 1, half))
+        full = (F.count("_iv").over(w1) == period) \
+            & (F.count("_iv").over(w2) == period)
+        ssum = F.sum("_iv").over(w1) + F.sum("_iv").over(w2)
+        mult = 2 * period
+    with_trend = base.select(
+        key_col, ts_col, value_col, "_phase", "_iv",
+        F.when(full, ssum).alias("_ts"),
+        F.when(full, F.col("_iv") * mult - ssum).alias("_det"))
+    seasonal = (with_trend.filter(F.col("_det").isNotNull())
+                .groupBy(key_col, "_phase")
+                .agg(F.sum("_det").alias("_gs"),
+                     F.count(F.lit(1)).alias("_gn")))
+    out = with_trend.join(seasonal, [key_col, "_phase"], "left")
+    rscale = F.lit(float(10 ** round_digits))
+
+    def rnd(c):
+        return F.floor(c * rscale + F.lit(0.5)) / rscale
+
+    trend_d = F.col("_ts") / F.lit(scale_den)
+    seasonal_d = F.col("_gs") / F.col("_gn") / F.lit(scale_den)
+    resid_d = F.col("_det") / F.lit(scale_den) - seasonal_d
+    return out.select(
+        key_col, ts_col, F.col(value_col),
+        rnd(trend_d).alias("trend"),
+        F.when(F.col("_ts").isNotNull(),
+               rnd(seasonal_d)).alias("seasonal"),
+        F.when(F.col("_ts").isNotNull(),
+               rnd(resid_d)).alias("resid"))

@@ -75,3 +75,40 @@ def test_resample_interpolate_hand_computed(spark):
     assert got[(1, 11)] == 3.0 and got[(1, 12)] == 5.0 and got[(1, 13)] == 7.0
     # key 2: gap hour 9 interpolates between 8:00 (4.0) and 10:00 (2.0)
     assert got[(2, 9)] == 3.0
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    """A pure 'level + periodic pattern' series must decompose into a
+    flat trend at the level, seasonal means matching the zero-centered
+    pattern, and ~zero residuals; edges carry NULLs. Covers both the odd
+    (single centered window) and even (2xMA) trend paths."""
+    import datetime as dt
+
+    from etl_mark1_spark.operators.timeseries import seasonal_decompose
+
+    pattern = [4.0, -1.0, -2.0, -1.0]          # mean zero, period 4
+    rows = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+             10.0 + pattern[h % 4]) for h in range(48)]
+    df = spark.createDataFrame(rows, ["user_id", "bucket", "val"])
+    out = seasonal_decompose(df, period=4).collect()
+    mid = [r for r in out if r.trend is not None]
+    assert len(mid) == 48 - 4                  # 2 edge rows lost each side
+    assert all(abs(r.trend - 10.0) < 1e-9 for r in mid)
+    for r in mid:
+        phase = int((r.bucket - dt.datetime(2024, 1, 1)).total_seconds()
+                    // 3600) % 4
+        assert abs(r.seasonal - pattern[phase]) < 1e-9
+        assert abs(r.resid) < 1e-9
+    edges = [r for r in out if r.trend is None]
+    assert all(r.seasonal is None and r.resid is None for r in edges)
+
+    pattern5 = [5.0, 0.0, -1.0, -2.0, -2.0]    # mean zero, period 5
+    rows5 = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+              20.0 + pattern5[h % 5]) for h in range(50)]
+    out5 = seasonal_decompose(
+        spark.createDataFrame(rows5, ["user_id", "bucket", "val"]),
+        period=5).collect()
+    mid5 = [r for r in out5 if r.trend is not None]
+    assert len(mid5) == 50 - 4                 # 2 lost each side (half=2)
+    assert all(abs(r.trend - 20.0) < 1e-9 and abs(r.resid) < 1e-9
+               for r in mid5)
