@@ -371,3 +371,26 @@ def test_shard_output_node(spark, sf_dir, tmp_path):
                 .filter("n_chars >= 100").count())
     assert manifest["total_rows"] == expected
     assert spark.read.parquet(out).count() == expected
+
+
+def test_curation_demo_end_to_end(spark, sf_dir, tmp_path):
+    """The showcase pipeline (scripts/curation_demo.py) must run every
+    stage against the real corpus, keep rows at every stage, write and
+    tag a versioned shard table, and leak zero PII."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from curation_demo import run
+
+    report = run(spark, sf_dir, str(tmp_path))
+    assert report["ok"], report
+    s = report["stages"]
+    assert s["raw"] >= s["quality_gate"] >= s["exact_dedup"] \
+        >= s["near_dedup"] >= s["decontaminated"] >= s["mixture"] > 0
+    assert report["bpe_merges"] == 30
+    assert report["pii_hits_after_redaction"] == 0
+    from etl_mark1_spark.sources.versioned import read_tag
+
+    shards = read_tag(spark, str(tmp_path / "train_shards"), "demo")
+    assert shards.count() == s["mixture"]
+    assert "bpe_tokens" in shards.columns
