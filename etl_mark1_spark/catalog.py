@@ -5210,3 +5210,36 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
         F.slice("bpe_tokens", 1, 8).alias("first_tokens"))
+
+
+@query("pca_embeddings")
+def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding table
+    (operators/similarity.py:pca_fit/pca_project): per component, the
+    covariance eigenvalue, the EMPIRICAL variance of the data projected
+    onto that component (must match the eigenvalue — the defining
+    property of principal axes, so the entry validates the whole
+    fit+project path), and the cumulative explained-variance ratio.
+    Vectors are read once as numpy Gram partials (one d^2-sized row per
+    Arrow batch) and never collected; the d x d eigendecomposition runs
+    on the driver. Differential-tested against numpy's full in-memory
+    PCA in tests/test_dedup_similarity.py."""
+    from etl_mark1_spark.operators.similarity import pca_fit, pca_project
+
+    emb = t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=8)
+    proj = pca_project(emb, model, out_col="pca")
+    emp = (proj.select(F.posexplode("pca").alias("i", "v"))
+           .groupBy("i").agg((F.sum(F.col("v") * F.col("v"))
+                              / F.lit(model["n"])).alias("emp_var")))
+    total = sum(model["eigvals"])
+    rows = spark.createDataFrame(
+        [(i, float(model["eigvals"][i]),
+          float(sum(model["eigvals"][:i + 1]) / total))
+         for i in range(8)],
+        "i int, eigval double, evr_cum double")
+    return (rows.join(emp, "i")
+            .select(F.col("i").cast("bigint").alias("component"),
+                    F.round("eigval", 8).alias("eigval"),
+                    F.round("emp_var", 8).alias("empirical_var"),
+                    F.round("evr_cum", 6).alias("evr_cum")))

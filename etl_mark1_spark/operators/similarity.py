@@ -321,3 +321,87 @@ def knn_join(queries: DataFrame, table: DataFrame, k: int = 3,
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= k)
             .select(query_id_col, "neighbor_id", "similarity", "rank"))
+
+
+# -- PCA: embedding whitening / dimensionality reduction --------------------
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding",
+            k: int = 8) -> dict:
+    """Fit a PCA model over an embedding column: mean vector + top-``k``
+    principal components + eigenvalues — the standard embedding
+    post-processing (decorrelate, compress, or whiten before clustering
+    / ANN / dedup; "all-but-the-top" cleanup drops the first component).
+
+    Scale shape: each Arrow batch accumulates its d x d Gram partial and
+    d-vector sum IN NUMPY (one row of d^2 + d doubles out per batch —
+    never the data), the driver sums those metadata-sized partials and
+    eigendecomposes the d x d covariance (d = embedding width, tiny).
+    The vectors themselves are read once and never shuffled or
+    collected. Component signs are canonicalized (largest-magnitude
+    coordinate positive) so the model is reproducible across runs.
+
+    Returns {"mean", "components" (k x d), "eigvals" (descending, full
+    spectrum), "n"} with plain lists — broadcast-friendly and
+    JSON-serializable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "n": [x.shape[0]],
+                "s": [x.sum(axis=0).tolist()],
+                "g": [(x.T @ x).reshape(-1).tolist()],
+            })
+
+    rows = (df.select(vec_col)
+            .mapInPandas(partials, schema="n long, s array<double>, "
+                                          "g array<double>")
+            .collect())
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r.n for r in rows)
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    g = np.sum([np.asarray(r.g) for r in rows], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(eigvals)[::-1]
+    eigvals, eigvecs = eigvals[order], eigvecs[:, order]
+    comps = eigvecs[:, :k].T
+    # canonical sign: the largest-|coordinate| of each component positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {"mean": mean.tolist(), "components": comps.tolist(),
+            "eigvals": eigvals.tolist(), "n": int(n)}
+
+
+def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Project vectors onto the fitted components:
+    ``out = components @ (vec - mean)`` — a numpy matmul per Arrow batch
+    (the model rides the closure; Spark broadcasts it with the task),
+    partition-preserving, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    mean = np.asarray(model["mean"])
+    comps = np.asarray(model["components"])
+    other = [c for c in df.columns if c != vec_col]
+
+    def proj(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = (x - mean) @ comps.T
+            res = pdf[other].copy()
+            res[out_col] = list(out)
+            yield res
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields if f.name != vec_col)
+    return df.mapInPandas(proj, schema=f"{schema}, {out_col} array<double>")

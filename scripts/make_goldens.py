@@ -33,6 +33,7 @@ GOLDEN_ENTRIES = (
     "multimodal_video_frames",
     "bpe_train_merges",
     "bpe_segment_docs",
+    "pca_embeddings",
     "multimodal_wav_decode",
     "cross_corpus_decontam",
     "text_compression_ratio",

@@ -622,3 +622,51 @@ def test_coorder_edges_matches_self_join(spark):
             .select(F.col("a.item"), F.col("b.item")).distinct().collect()}
     # group 4's (11, 12) collapses into group 2's: 3 distinct edges
     assert got == want and (10, 11) in got and len(got) == 3
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    """The distributed fit (Gram partials + driver eigh) must agree with
+    an in-memory numpy PCA on the same vectors: identical eigenvalues,
+    same span per component (|cos| = 1 up to sign), and projections that
+    reproduce numpy's up to the canonical sign."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.similarity import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, k=5)
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                  for r in emb.select("embedding").collect()])
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / x.shape[0]
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    assert np.allclose(model["eigvals"], w, atol=1e-9)
+    comps = np.asarray(model["components"])
+    for i in range(5):
+        assert abs(abs(comps[i] @ v[:, i]) - 1.0) < 1e-7, i
+    got = {r.vec_id: np.asarray(r.pca)
+           for r in pca_project(emb, model).collect()}
+    want = (x - mean) @ comps.T
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    for rid, row in zip(ids, want):
+        assert np.allclose(got[rid], row, atol=1e-9)
+
+
+def test_pca_projection_decorrelates(spark, sf_dir):
+    """Projected coordinates must be uncorrelated (diagonal covariance)
+    with per-axis variance equal to the eigenvalues — the property that
+    makes PCA whitening work."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.similarity import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, k=4)
+    p = np.stack([np.asarray(r.pca) for r in
+                  pca_project(emb, model).collect()])
+    cov = np.cov(p, rowvar=False, bias=True)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-9
+    assert np.allclose(np.diag(cov), model["eigvals"][:4], atol=1e-9)
