@@ -4647,6 +4647,40 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", F.round("clipped", 2).alias("clipped")))
 
 
+@query("collocations_pmi_docs", r"""
+    WITH d AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    bg AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+            FROM d WHERE len(tk) >= 2)),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    uni AS (SELECT tok AS w, count(*) AS c
+            FROM (SELECT unnest(tk) AS tok FROM d) GROUP BY 1),
+    n2 AS (SELECT sum(c2) AS n2 FROM c2),
+    n1 AS (SELECT sum(c) AS n1 FROM uni)
+    SELECT w1, w2, CAST(c2 AS BIGINT) AS n,
+           round(ln((c2 * 1.0 / n2)
+                    / ((ua.c * 1.0 / n1) * (ub.c * 1.0 / n1))), 6) AS pmi
+    FROM c2
+    JOIN uni ua ON ua.w = w1
+    JOIN uni ub ON ub.w = w2, n2, n1
+    WHERE c2 >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+""")
+def collocations_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information
+    (operators/corpus.py:collocations_pmi) — adjacent pairs co-occurring
+    far above chance, min count 5; map-side bigrams, exact integer
+    probabilities, ordered-limit top-k."""
+    from etl_mark1_spark.operators.corpus import collocations_pmi
+
+    return collocations_pmi(t(spark, sf_dir, "documents"))
+
+
 @query("bm25_search_docs", r"""
     WITH toks AS (
         SELECT doc_id,

@@ -517,6 +517,48 @@ def percentile_rank(df: DataFrame, value_col: str,
     return df.join(ranks, df[value_col] == ranks["_v"]).drop("_v")
 
 
+def collocations_pmi(df: DataFrame, text_col: str = "text",
+                     min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information: adjacent
+    word pairs that co-occur far more than their unigram frequencies
+    predict (``pmi = ln(p(w1,w2) / (p(w1) p(w2)))``) — the classic
+    phrase detector ("new york", "machine learning") feeding tokenizer
+    phrase-merging and n-gram feature selection. ``min_count`` drops the
+    unstable rare-pair tail, the standard practice.
+
+    Same map-side bigram construction as :func:`bigram_logprob_score`
+    (arrays_zip of shifted slices — no self-join); probabilities come
+    from exact integer counts, so the scores are engine-reproducible,
+    and the top-k is an ordered limit with a (pmi, w1, w2) tie-break.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+    d = df.select(toks.alias("_tk"))
+    bg = (d.filter(F.size("_tk") >= 2)
+          .select(F.slice("_tk", F.lit(1), F.size("_tk") - 1).alias("_l"),
+                  F.slice("_tk", F.lit(2), F.size("_tk") - 1).alias("_r"))
+          .select(F.explode(F.arrays_zip("_l", "_r")).alias("_p"))
+          .select(F.col("_p._l").alias("w1"), F.col("_p._r").alias("w2")))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    uni = (d.select(F.explode("_tk").alias("_w"))
+           .groupBy("_w").agg(F.count(F.lit(1)).alias("_c")))
+    n2 = c2.agg(F.sum("_c2").alias("_n2"))
+    n1 = uni.agg(F.sum("_c").alias("_n1"))
+    pmi = F.log((F.col("_c2").cast("double") / F.col("_n2"))
+                / ((F.col("_ca").cast("double") / F.col("_n1"))
+                   * (F.col("_cb").cast("double") / F.col("_n1"))))
+    return (c2.filter(F.col("_c2") >= min_count)
+            .join(uni.select(F.col("_w").alias("w1"),
+                             F.col("_c").alias("_ca")), "w1")
+            .join(uni.select(F.col("_w").alias("w2"),
+                             F.col("_c").alias("_cb")), "w2")
+            .crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n1))
+            .select("w1", "w2", F.col("_c2").cast("bigint").alias("n"),
+                    F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(k))
+
+
 def build_vocab(df: DataFrame, text_col: str = "text", min_count: int = 2,
                 max_size: int | None = None) -> DataFrame:
     """Frequency-ranked token vocabulary: (token, cnt, token_id) with ids

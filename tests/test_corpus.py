@@ -730,3 +730,19 @@ def test_bpe_segment_leftmost_first_and_invertible(spark):
     for doc_id, text in ((1, "aaaa aaa"), (2, "banana band")):
         joined = "".join(got[doc_id]).replace("</w>", " ").strip()
         assert joined == text.lower().replace(",", "").replace("!", "")
+
+
+def test_collocations_pmi_finds_planted_phrase(spark):
+    """A phrase whose words only ever appear together must out-PMI pairs
+    of independently common words; min_count prunes rare pairs."""
+    rows = [(i, "san francisco is great and the the the the weather is "
+                "nice in san francisco today") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from etl_mark1_spark.operators.corpus import collocations_pmi
+
+    got = collocations_pmi(df, min_count=5, k=5).collect()
+    assert (got[0].w1, got[0].w2) == ("san", "francisco")
+    # 'the the' co-occurs a lot but 'the' is everywhere: low PMI
+    pmis = {(r.w1, r.w2): r.pmi for r in got}
+    assert pmis[("san", "francisco")] > pmis.get(("the", "the"),
+                                                 float("-inf"))
