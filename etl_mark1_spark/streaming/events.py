@@ -409,3 +409,41 @@ def correlate_streams(left: DataFrame, right: DataFrame,
                     "right_id", "right_ts",
                     (F.unix_timestamp("right_ts")
                      - F.unix_timestamp("left_ts")).alias("lag_s")))
+
+
+def versioned_sink(stream_df: DataFrame, table_dir: str,
+                   checkpoint: str | None = None,
+                   note_prefix: str = "stream_epoch") -> None:
+    """Stream into a VERSIONED table (sources/versioned.py): every
+    micro-batch commits as a new snapshot version via the atomic
+    manifest, so downstream consumers time-travel / tag / diff the
+    stream's history exactly like a batch table — the lakehouse
+    ingestion shape without Delta jars.
+
+    Exactly-once by construction: the epoch id rides the commit note, so
+    a replayed batch (restart between version-commit and checkpoint
+    advance) is detectable and skipped rather than double-appended —
+    the standard foreachBatch idempotence discipline. Drains everything
+    currently available (AvailableNow) and returns.
+    """
+    import os
+
+    from etl_mark1_spark.sources.versioned import history, write_version
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="etl_mark1_ckpt_")
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        note = f"{note_prefix}:{epoch_id}"
+        if os.path.exists(os.path.join(table_dir, "_MANIFEST.json")):
+            if any(v.get("note") == note for v in history(table_dir)):
+                return                        # replayed epoch: skip
+            mode = "append"
+        else:
+            mode = "overwrite"
+        write_version(batch, table_dir, mode=mode, note=note)
+
+    query = (stream_df.writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()

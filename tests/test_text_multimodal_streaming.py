@@ -802,3 +802,42 @@ def test_g711_companded_wav_decodes():
         assert (rate, channels) == (8000, 1)
         assert duration_ms == len(raw) * 1000 // 8000
         assert 0.0 < rms <= 1.0
+
+
+def test_versioned_sink_streams_snapshots_idempotently(spark, sf_dir,
+                                                       tmp_path):
+    """Each drained micro-batch commits a table version; a restart drain
+    over newly-arrived files appends the next version; replaying with no
+    new data adds nothing; the final snapshot equals the batch union and
+    the stream's history stays time-travelable."""
+    import shutil
+
+    from etl_mark1_spark.sources.versioned import history, read_table
+    from etl_mark1_spark.streaming.events import (read_events_stream,
+                                                  staged_time_halves,
+                                                  versioned_sink)
+
+    halves = staged_time_halves(spark, f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "arriving")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "events_table")
+    shutil.copytree(halves[0], src)
+
+    stream = read_events_stream(spark, src).select("event_id", "user_id")
+    versioned_sink(stream, table, checkpoint=ckpt)
+    v0 = read_table(spark, table, version=0).count()
+    assert v0 > 0
+
+    for f in __import__("os").listdir(halves[1]):
+        shutil.copy(f"{halves[1]}/{f}", f"{src}/{f}")
+    stream = read_events_stream(spark, src).select("event_id", "user_id")
+    versioned_sink(stream, table, checkpoint=ckpt)
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert read_table(spark, table).count() == total
+
+    # replay with nothing new: no extra version appears
+    n_before = len(history(table))
+    stream = read_events_stream(spark, src).select("event_id", "user_id")
+    versioned_sink(stream, table, checkpoint=ckpt)
+    assert len(history(table)) == n_before
+    assert read_table(spark, table, version=0).count() == v0  # time travel
