@@ -92,6 +92,10 @@ HEADLINE = [
     "quantile_digest_merge",
     "bm25_search_docs",
     "triangle_count_parts",
+    # round-4 additions (final): seasonal decomposition — the heaviest
+    # window workload in the catalog (grid build + two off-center frames
+    # per key + phase join), representing the timeseries family
+    "seasonal_decompose_events",
 ]
 
 
