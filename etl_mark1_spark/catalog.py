@@ -1500,8 +1500,12 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-window state is one ~4 KB sketch regardless of user cardinality,
     the shape that keeps streaming distinct-count state bounded at
     firehose scale (exact streaming dropDuplicates state grows with the
-    horizon's key count). Watermark evicts finalized windows; checked
-    against exact per-hour COUNT(DISTINCT) within the sketch band
+    horizon's key count). Runs in complete mode for the batch-parity
+    drain, where Spark IGNORES the watermark and retains every window's
+    state for the horizon — the bounded-state property here is per-window
+    (one sketch each), not window eviction; in a live append/update-mode
+    deployment the same watermark would also evict finalized windows.
+    Checked against exact per-hour COUNT(DISTINCT) within the sketch band
     (scripts/check_oracle.py APPROX_ORACLES)."""
     from etl_mark1_spark.streaming.events import (
         read_events_stream, run_available_now)

@@ -332,7 +332,17 @@ def temperature_mixture(df: DataFrame, alpha: float = 0.7,
     stratum counts are a tiny aggregate, keep-probabilities broadcast
     back, membership is the map-side md5-of-id filter (re-run and
     repartition stable).
+
+    ``alpha`` must lie in [0, 1]: for alpha > 1 the pow in the keep
+    formula is DECREASING in n, so the min would come from the LARGEST
+    stratum and the semantics silently invert (smallest strata
+    downsampled hardest) — rejected loudly instead.
     """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(
+            f"temperature_mixture: alpha must be in [0, 1], got {alpha} "
+            "(alpha > 1 would invert the flattening: the keep formula's "
+            "min would come from the largest stratum)")
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
     m = counts.agg(F.min(F.pow("_n", 1.0 - alpha)).alias("_m"))
     probs = (counts.crossJoin(F.broadcast(m))

@@ -325,6 +325,69 @@ def knn_join(queries: DataFrame, table: DataFrame, k: int = 3,
 
 # -- PCA: embedding whitening / dimensionality reduction --------------------
 
+_PCA_PARTIAL_SCHEMA = "n long, s array<double>, g array<double>"
+
+
+def _pca_partials(df: DataFrame, vec_col: str = "embedding",
+                  fanin: int = 32) -> DataFrame:
+    """Distributed (n, sum, Gram) accumulation for :func:`pca_fit`,
+    reduced IN-CLUSTER to a single row before anything reaches the
+    driver:
+
+    - stage 1 (``mapInPandas`` over the data): each input partition
+      streams its Arrow batches through a numpy accumulator and yields
+      ONE ``(n, s[d], g[d*d])`` row — one row per partition, never one
+      per batch, and never the vectors themselves;
+    - stage 2: those rows shuffle into ``fanin`` merge tasks, each
+      stream-summing its share into one row (memory O(d^2) per task
+      regardless of row count — mapInPandas iterates Arrow batches, it
+      does not materialize the group);
+    - stage 3: the <= ``fanin`` survivors merge into the final single
+      row the same way.
+
+    The driver therefore collects exactly ONE O(d^2) row however many
+    partitions the scan had (the round-4 version collected one row per
+    Arrow batch — 8*d^2 bytes x rows/batch_size at the driver, a real
+    bottleneck at 100 TB with d=768-class embeddings).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            bs, bg = x.sum(axis=0), x.T @ x
+            s = bs if s is None else s + bs
+            g = bg if g is None else g + bg
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "g": [g.reshape(-1).tolist()]})
+
+    def merge(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            for i in range(len(pdf)):
+                n += int(pdf["n"].iloc[i])
+                rs = np.asarray(pdf["s"].iloc[i], dtype=np.float64)
+                rg = np.asarray(pdf["g"].iloc[i], dtype=np.float64)
+                s = rs if s is None else s + rs
+                g = rg if g is None else g + rg
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "g": [g.tolist()]})
+
+    part = df.select(vec_col).mapInPandas(partials,
+                                          schema=_PCA_PARTIAL_SCHEMA)
+    return (part.repartition(fanin)
+            .mapInPandas(merge, schema=_PCA_PARTIAL_SCHEMA)
+            .repartition(1)
+            .mapInPandas(merge, schema=_PCA_PARTIAL_SCHEMA))
+
+
 def pca_fit(df: DataFrame, vec_col: str = "embedding",
             k: int = 8) -> dict:
     """Fit a PCA model over an embedding column: mean vector + top-``k``
@@ -332,39 +395,28 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding",
     post-processing (decorrelate, compress, or whiten before clustering
     / ANN / dedup; "all-but-the-top" cleanup drops the first component).
 
-    Scale shape: each Arrow batch accumulates its d x d Gram partial and
-    d-vector sum IN NUMPY (one row of d^2 + d doubles out per batch —
-    never the data), the driver sums those metadata-sized partials and
-    eigendecomposes the d x d covariance (d = embedding width, tiny).
-    The vectors themselves are read once and never shuffled or
-    collected. Component signs are canonicalized (largest-magnitude
-    coordinate positive) so the model is reproducible across runs.
+    Scale shape: per-partition numpy accumulation of the d x d Gram
+    partial and d-vector sum, then an in-cluster two-level tree merge
+    (:func:`_pca_partials`) — the driver receives exactly ONE row of
+    d^2 + d doubles and eigendecomposes the d x d covariance
+    (d = embedding width, tiny). The vectors themselves are read once
+    and never shuffled or collected. Component signs are canonicalized
+    (largest-magnitude coordinate positive) so the model is
+    reproducible across runs.
 
     Returns {"mean", "components" (k x d), "eigvals" (descending, full
     spectrum), "n"} with plain lists — broadcast-friendly and
     JSON-serializable.
     """
     import numpy as np
-    import pandas as pd
 
-    def partials(batches):
-        for pdf in batches:
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            yield pd.DataFrame({
-                "n": [x.shape[0]],
-                "s": [x.sum(axis=0).tolist()],
-                "g": [(x.T @ x).reshape(-1).tolist()],
-            })
-
-    rows = (df.select(vec_col)
-            .mapInPandas(partials, schema="n long, s array<double>, "
-                                          "g array<double>")
-            .collect())
+    rows = _pca_partials(df, vec_col).collect()
     if not rows:
         raise ValueError("pca_fit: empty input")
-    n = sum(r.n for r in rows)
-    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
-    g = np.sum([np.asarray(r.g) for r in rows], axis=0)
+    assert len(rows) == 1, f"tree merge must yield one row, got {len(rows)}"
+    n = rows[0].n
+    s = np.asarray(rows[0].s)
+    g = np.asarray(rows[0].g)
     d = s.shape[0]
     mean = s / n
     cov = g.reshape(d, d) / n - np.outer(mean, mean)

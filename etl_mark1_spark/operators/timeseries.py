@@ -123,7 +123,8 @@ def resample_interpolate(df: DataFrame, unit: str = "hour",
 def seasonal_decompose(df: DataFrame, period: int = 24,
                        key_col: str = "user_id", ts_col: str = "bucket",
                        value_col: str = "val",
-                       round_digits: int = 6) -> DataFrame:
+                       round_digits: int = 6,
+                       value_scale: int = 100) -> DataFrame:
     """Classical additive decomposition of a REGULAR series (run
     :func:`resample_ffill` / :func:`resample_interpolate` first):
     ``value = trend + seasonal + resid`` with a centered moving-average
@@ -148,13 +149,21 @@ def seasonal_decompose(df: DataFrame, period: int = 24,
     identical in any engine — and every double derives from those
     integers by one literal division, making the pre-rounding doubles
     bit-identical before tie-deterministic rounding applies.
+
+    ``value_scale`` is that integer quantum: inputs are treated as exact
+    multiples of ``1/value_scale``, so values carrying MORE precision
+    than the scale are truncated before decomposition and
+    trend+seasonal+resid reconstructs the quantized series, not the
+    input. The default 100 matches :func:`resample_ffill`'s 2-decimal
+    sums; :func:`resample_interpolate` emits 6 decimals — pass
+    ``value_scale=10**6`` for lossless decomposition of its output.
     """
     half = period // 2
-    scale_den = float((period if period % 2 else 2 * period) * 100)
+    scale_den = float((period if period % 2 else 2 * period) * value_scale)
     phase = F.pmod(
         (F.unix_timestamp(F.col(ts_col).cast("timestamp"))
          / 3600).cast("bigint"), F.lit(period)).alias("_phase")
-    iv = F.round(F.col(value_col) * 100).cast("bigint")
+    iv = F.round(F.col(value_col) * value_scale).cast("bigint")
     base = df.select(key_col, ts_col, value_col, phase, iv.alias("_iv"))
     if period % 2:
         w = (Window.partitionBy(key_col).orderBy(ts_col)

@@ -420,20 +420,31 @@ def versioned_sink(stream_df: DataFrame, table_dir: str,
     stream's history exactly like a batch table — the lakehouse
     ingestion shape without Delta jars.
 
-    Exactly-once by construction: the epoch id rides the commit note, so
-    a replayed batch (restart between version-commit and checkpoint
+    Exactly-once by construction: the commit note carries BOTH the epoch
+    id and a hash of the checkpoint path, so a replayed batch (restart
+    from the SAME checkpoint between version-commit and checkpoint
     advance) is detectable and skipped rather than double-appended —
-    the standard foreachBatch idempotence discipline. Drains everything
-    currently available (AvailableNow) and returns.
+    the standard foreachBatch idempotence discipline. Epoch ids are only
+    meaningful within one checkpoint's lineage: a drain with a fresh
+    (e.g. default temp-dir) checkpoint restarts them at 0, and a note
+    keyed on the epoch alone would match the previous drain's
+    ``stream_epoch:0`` and silently DROP the new batch; the checkpoint
+    tag makes distinct lineages (and two different streams sharing one
+    table) non-colliding while keeping true same-checkpoint replays
+    idempotent. Drains everything currently available (AvailableNow)
+    and returns.
     """
+    import hashlib
     import os
 
     from etl_mark1_spark.sources.versioned import history, write_version
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="etl_mark1_ckpt_")
+    ckpt_tag = hashlib.sha256(
+        os.path.abspath(checkpoint).encode()).hexdigest()[:12]
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        note = f"{note_prefix}:{epoch_id}"
+        note = f"{note_prefix}:{ckpt_tag}:{epoch_id}"
         if os.path.exists(os.path.join(table_dir, "_MANIFEST.json")):
             if any(v.get("note") == note for v in history(table_dir)):
                 return                        # replayed epoch: skip

@@ -104,6 +104,29 @@ APPROX_ORACLES = {
          "window_start", "approx_distinct", 0.065),
 }
 
+#: ANN entries checked as RECALL vs the exact top-k (the scheme the pytest
+#: recall floors used before this sweep covered them): the exact SQL is
+#: brute-force cosine top-10 in DuckDB; PASS iff |approx ∩ exact| / k meets
+#: the floor AND every recovered id's similarity matches the exact score to
+#: 1e-6 (approximation may MISS neighbors, never mis-score one). Floors
+#: mirror tests/test_goldens.py: LSH 0.6 (this corpus's nearest neighbors
+#: are only ~0.37 cosine — the hard case for hyperplane LSH), IVF 0.7.
+_EXACT_COSINE_TOPK = """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6)
+               AS similarity
+    FROM embeddings e, q
+    WHERE e.vec_id <> 1
+    ORDER BY similarity DESC, e.vec_id
+    LIMIT 10
+"""
+RECALL_ORACLES = {
+    "ann_lsh_topk": (_EXACT_COSINE_TOPK, "vec_id", "similarity", 0.6),
+    "ann_ivf_topk": (_EXACT_COSINE_TOPK, "vec_id", "similarity", 0.7),
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
@@ -159,6 +182,29 @@ def main() -> int:
                       f"{len(srows)} rows, {elapsed:.1f}s)")
             continue
 
+        if name in RECALL_ORACLES:
+            exact_sql, id_col, score_col, floor = RECALL_ORACLES[name]
+            exact = dict(con.execute(exact_sql).fetchall())
+            got = {r[id_col]: r[score_col] for r in
+                   (dict(zip(scols, row)) for row in srows)}
+            bad = []
+            hits = set(got) & set(exact)
+            recall = len(hits) / len(exact) if exact else 0.0
+            if recall < floor:
+                bad.append(f"recall@{len(exact)} = {recall:.2f} "
+                           f"< floor {floor:.2f}")
+            for i in sorted(hits):
+                if abs(got[i] - exact[i]) > 1e-6:
+                    bad.append(f"id {i}: score {got[i]} != exact {exact[i]}")
+            if bad:
+                print(f"FAIL  {name}: {'; '.join(bad)}")
+                failures.append(name)
+            else:
+                print(f"PASS  {name}: recall@{len(exact)} = {recall:.2f} "
+                      f">= {floor:.2f}, recovered scores exact "
+                      f"({len(srows)} rows, {elapsed:.1f}s)")
+            continue
+
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows, "
                   f"{elapsed:.1f}s)")
@@ -198,9 +244,12 @@ def main() -> int:
     if not only:  # full sweep: print the coverage line README quotes
         n_total = len(queries)
         n_band = len([n for n in APPROX_ORACLES if n in queries])
-        n_oracle = len([n for n in oracles if n not in APPROX_ORACLES])
+        n_recall = len([n for n in RECALL_ORACLES if n in queries])
+        n_oracle = len([n for n in oracles if n not in APPROX_ORACLES
+                        and n not in RECALL_ORACLES])
         print(f"\ncatalog: {n_total} entries = {n_oracle} oracle-exact + "
-              f"{n_band} error-band + {n_total - n_oracle - n_band} "
+              f"{n_band} error-band + {n_recall} recall-band + "
+              f"{n_total - n_oracle - n_band - n_recall} "
               f"rows-only (goldens)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0

@@ -604,6 +604,12 @@ def test_temperature_mixture_keep_probabilities(spark):
     kept = {r[0]: r[1] for r in flat.groupBy("source").count().collect()}
     assert kept["small"] == 100          # keep prob exactly 1.0
     assert 60 <= kept["big"] <= 140      # binomial around 100
+    # alpha outside [0, 1] inverts the flattening formula (the min comes
+    # from the LARGEST stratum) — must be rejected loudly, not inverted
+    import pytest
+    for bad in (1.5, -0.1):
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mixture(df, alpha=bad)
 
 
 def test_sample_per_group_exact_quota_and_stability(spark):

@@ -330,6 +330,34 @@ def test_minhash_dedup_leaves_storage_flat(docs, spark):
     assert _persistent_rdd_count(spark) == before
 
 
+def test_distributed_cluster_path_storage_released(spark):
+    """The >threshold (distributed min-label) clustering path retains ONE
+    caller-owned checkpoint — the final labels — and nothing else; after
+    the caller consumes the result and calls
+    release_checkpoint(result, deep=True), executor storage must return
+    to baseline. Forced down the distributed path by a tiny
+    driver_threshold on a synthetic graph (the flat-storage twin of the
+    driver union-find test above)."""
+    from pyspark.sql import functions as F
+
+    from etl_mark1_spark.operators.dedup import (_cluster_min_label,
+                                                 release_checkpoint)
+
+    before = _persistent_rdd_count(spark)
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+    # two chains (0..29, 30..59): diameter 30, converges via pointer jumps
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)]
+        + [(30 + i, 31 + i) for i in range(29)], ["src", "dst"])
+    result = _cluster_min_label(ids, edges, "doc_id", driver_threshold=10)
+    got = {r.doc_id: r.cluster_id for r in result.collect()}
+    assert got == {i: (0 if i < 30 else 30) for i in range(60)}
+    # while the result is live, exactly the final-labels checkpoint remains
+    assert _persistent_rdd_count(spark) == before + 1
+    release_checkpoint(result, deep=True)
+    assert _persistent_rdd_count(spark) == before
+
+
 def test_connected_components_known_graph(spark):
     """Hand-checkable labeling: chain, separate pair, self-loop singleton
     — every node labeled with its component's minimum id."""
@@ -652,6 +680,27 @@ def test_pca_matches_numpy_reference(spark, sf_dir):
     ids = [r.vec_id for r in emb.select("vec_id").collect()]
     for rid, row in zip(ids, want):
         assert np.allclose(got[rid], row, atol=1e-9)
+
+
+def test_pca_partials_merge_in_cluster(spark, sf_dir):
+    """The driver must collect exactly ONE O(d^2) partial row however
+    many partitions (and Arrow batches) the scan has — the in-cluster
+    tree merge, not a per-batch collect (the round-4 shape collected one
+    row per Arrow batch: 8*d^2 bytes x rows/batch_size at the driver)."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.similarity import _pca_partials, pca_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(16)
+    rows = _pca_partials(emb).collect()
+    assert len(rows) == 1
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                  for r in emb.select("embedding").collect()])
+    assert rows[0].n == x.shape[0]
+    assert np.allclose(np.asarray(rows[0].s), x.sum(axis=0))
+    assert np.allclose(np.asarray(rows[0].g), (x.T @ x).reshape(-1))
+    model = pca_fit(emb, k=3)
+    assert model["n"] == x.shape[0]
 
 
 def test_pca_projection_decorrelates(spark, sf_dir):

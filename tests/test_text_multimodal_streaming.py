@@ -841,3 +841,32 @@ def test_versioned_sink_streams_snapshots_idempotently(spark, sf_dir,
     versioned_sink(stream, table, checkpoint=ckpt)
     assert len(history(table)) == n_before
     assert read_table(spark, table, version=0).count() == v0  # time travel
+
+
+def test_versioned_sink_fresh_checkpoint_does_not_drop_batches(
+        spark, sf_dir, tmp_path):
+    """Two drains of the same table with INDEPENDENT (default-style,
+    throwaway) checkpoints both restart epoch ids at 0; replay detection
+    keyed on the epoch alone would match the first drain's epoch-0 note
+    and silently drop the second drain's data. The checkpoint-tagged
+    note must keep the lineages distinct so the second drain appends."""
+    from etl_mark1_spark.sources.versioned import history, read_table
+    from etl_mark1_spark.streaming.events import (read_events_stream,
+                                                  staged_time_halves,
+                                                  versioned_sink)
+
+    halves = staged_time_halves(spark, f"{sf_dir}/events.parquet")
+    table = str(tmp_path / "events_table")
+
+    first = read_events_stream(spark, halves[0]).select("event_id")
+    versioned_sink(first, table, checkpoint=str(tmp_path / "ckpt_a"))
+    n_first = read_table(spark, table).count()
+    assert n_first > 0
+
+    second = read_events_stream(spark, halves[1]).select("event_id")
+    versioned_sink(second, table, checkpoint=str(tmp_path / "ckpt_b"))
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert read_table(spark, table).count() == total    # nothing dropped
+    # and both lineages' epoch-0 commits coexist in the history
+    notes = [v.get("note") for v in history(table)]
+    assert len([x for x in notes if x and x.endswith(":0")]) == 2

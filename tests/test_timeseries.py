@@ -112,3 +112,29 @@ def test_seasonal_decompose_recovers_planted_pattern(spark):
     assert len(mid5) == 50 - 4                 # 2 lost each side (half=2)
     assert all(abs(r.trend - 20.0) < 1e-9 and abs(r.resid) < 1e-9
                for r in mid5)
+
+
+def test_seasonal_decompose_value_scale_keeps_6dp_inputs(spark):
+    """The default value_scale=100 quantizes inputs to 2 decimals — exact
+    for resample_ffill's sums, lossy for resample_interpolate's
+    6-decimal output. With value_scale=10**6 a 6-decimal series must
+    reconstruct exactly: value == trend + seasonal + resid on every
+    full-window row."""
+    import datetime as dt
+
+    from etl_mark1_spark.operators.timeseries import seasonal_decompose
+
+    pattern = [0.123456, -0.041152, -0.041152, -0.041152]  # ~zero mean
+    rows = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+             2.5 + pattern[h % 4]) for h in range(48)]
+    df = spark.createDataFrame(rows, ["user_id", "bucket", "val"])
+    fine = seasonal_decompose(df, period=4, value_scale=10**6).collect()
+    mid = [r for r in fine if r.trend is not None]
+    assert len(mid) == 48 - 4
+    for r in mid:
+        assert abs(r.val - (r.trend + r.seasonal + r.resid)) < 2e-6, r
+    # the default scale on the same input visibly truncates (documented)
+    coarse = seasonal_decompose(df, period=4).collect()
+    worst = max(abs(r.val - (r.trend + r.seasonal + r.resid))
+                for r in coarse if r.trend is not None)
+    assert worst > 2e-6
