@@ -16,9 +16,17 @@ their jars can guarantee:
 
 At 100 TB the same layout holds: version dirs are written by the cluster
 (parallel parquet), only the KB-sized manifest commit is serialized.
-Concurrent WRITERS are last-commit-wins (single-writer discipline or an
-external lock; a real multi-writer table needs a log, i.e. Delta/Iceberg
-— use them when the deploy ships their jars).
+Concurrent OVERWRITE writers both succeed and serialize naturally: the
+atomic ``os.rename`` of the staged directory onto ``v=N`` is the claim
+on the version number (it fails on collision, and the loser re-allocates
+past the winner), and the manifest commit re-reads and MERGES under an
+advisory ``flock`` so no writer's history entry is lost. Concurrent
+APPEND writers fail loudly on collision instead of retrying — an
+append's content embeds the pre-race snapshot, so retrying would
+silently drop the other writer's rows (copy-on-write append is
+single-writer; a rewrite-free multi-writer append needs a log, i.e.
+Delta/Iceberg — use them when the deploy ships their jars). On object
+stores without rename/flock, the equivalent claims are conditional PUTs.
 """
 
 from __future__ import annotations
@@ -68,6 +76,33 @@ def _commit_manifest(table_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(table_dir))
 
 
+class _manifest_lock:
+    """Advisory exclusive lock serializing manifest read-merge-commit
+    sections across processes/threads on the same filesystem. Readers
+    never take it (they see the old or new manifest atomically via the
+    rename); without fcntl (non-POSIX) it degrades to a no-op and the
+    commit falls back to the pre-lock last-merge-wins behavior."""
+
+    def __init__(self, table_dir: str):
+        self._path = os.path.join(table_dir, "._manifest_lock")
+        self._fh = None
+
+    def __enter__(self):
+        try:
+            import fcntl
+
+            self._fh = open(self._path, "a")
+            fcntl.flock(self._fh, fcntl.LOCK_EX)
+        except ImportError:
+            self._fh = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._fh is not None:
+            self._fh.close()  # closing drops the flock
+        return False
+
+
 def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
                   note: str = "", evolve: bool = False) -> int:
     """Commit ``df`` as the next version of the table; returns the version.
@@ -93,8 +128,6 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
     except FileNotFoundError:
         manifest = {"table": os.path.basename(table_dir.rstrip("/")),
                     "current": -1, "versions": []}
-    version = max([manifest["current"], *_disk_versions(table_dir)]) + 1
-    vdir = os.path.join(table_dir, f"v={version}")
     if mode == "append" and manifest["current"] >= 0:
         current = read_table(df.sparkSession, table_dir)
         if evolve:
@@ -112,14 +145,51 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
     # the table dir never sees a half-written v=N
     staging = os.path.join(table_dir, f".staging_{uuid.uuid4().hex[:8]}")
     df.write.parquet(staging)
-    os.rename(staging, vdir)
-    manifest["current"] = version
-    manifest["versions"].append({
-        "version": version, "dir": f"v={version}",
-        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "note": note,
-    })
-    _commit_manifest(table_dir, manifest)
+    # Claim a version number: the atomic rename onto v=N fails when a
+    # concurrent writer took N first (the target exists, non-empty), so
+    # the rename IS the claim. Overwrite mode re-allocates past the
+    # winner and retries; append mode fails loudly instead — its union
+    # embeds the pre-race snapshot, and retrying would silently drop the
+    # other writer's rows.
+    for _ in range(64):
+        version = max([manifest["current"], *_disk_versions(table_dir)]) + 1
+        vdir = os.path.join(table_dir, f"v={version}")
+        try:
+            os.rename(staging, vdir)
+            break
+        except OSError:
+            if mode == "append":
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
+                raise RuntimeError(
+                    f"concurrent writer committed v={version} during an "
+                    f"append to {table_dir}; re-run the append against "
+                    "the new snapshot")
+            continue
+    else:
+        raise RuntimeError(f"could not claim a version in {table_dir} "
+                           "after 64 attempts")
+    # Commit under the advisory lock, MERGING a fresh manifest read so a
+    # concurrent writer's entry committed since our first read survives
+    # (committing the stale in-memory manifest would clobber its history
+    # entry, stranding a live version dir).
+    with _manifest_lock(table_dir):
+        try:
+            fresh = read_manifest(table_dir)
+        except FileNotFoundError:
+            fresh = manifest
+        entry = {
+            "version": version, "dir": f"v={version}",
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+            "note": note,
+        }
+        fresh["versions"] = sorted(
+            [v for v in fresh["versions"] if v["version"] != version]
+            + [entry], key=lambda v: v["version"])
+        fresh["current"] = max(fresh["current"], version)
+        _commit_manifest(table_dir, fresh)
     return version
 
 

@@ -150,8 +150,9 @@ def test_png_decodes_system_pngs():
 
 
 def test_png_palette_and_gates():
-    """Palette images expand through PLTE; 16-bit / interlaced raise the
-    honest NotImplementedError gate rather than mis-decoding."""
+    """Palette images expand through PLTE; sub-byte depths raise the
+    honest NotImplementedError gate rather than mis-decoding; 16-bit
+    palette (invalid per spec) raises ValueError."""
     import struct
     import zlib
 
@@ -164,16 +165,45 @@ def test_png_palette_and_gates():
     pal = np.arange(15, dtype=np.uint8).reshape(5, 3) * 7
     assert (decode_png(make_png_palette(idx, pal)) == pal[idx]).all()
 
-    def header_only(depth, interlace):
-        ihdr = struct.pack(">IIBBBBB", 4, 3, depth, 0, 0, 0, interlace)
+    def header_only(depth, color=0, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 4, 3, depth, color, 0, 0, interlace)
         scan = zlib.compress(bytes([0, 1, 2, 3, 4]) * 3)
         return (PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", scan)
                 + _chunk(b"IEND", b""))
 
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(header_only(16, 0))
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_png(header_only(8, 1))
+    for sub_byte in (1, 2, 4):
+        with pytest.raises(NotImplementedError, match="bit depth"):
+            decode_png(header_only(sub_byte))
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(header_only(16, color=3))
+    # truncated rasters fail loudly on both newly-supported paths
+    with pytest.raises(ValueError, match="raster"):
+        decode_png(header_only(16, interlace=0))
+    with pytest.raises(ValueError, match="raster"):
+        decode_png(header_only(8, interlace=1))
+
+
+def test_png_16bit_and_adam7_roundtrip():
+    """16-bit samples survive encode->decode as uint16 (big-endian byte
+    order exercised by values > 255), and Adam7 interlacing round-trips
+    for every channel count at sizes that leave some passes empty."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.png import decode_png, make_png
+
+    rng = np.random.default_rng(7)
+    img16 = rng.integers(0, 65536, (9, 11, 3), dtype=np.uint16)
+    dec = decode_png(make_png(img16))
+    assert dec.dtype == np.uint16 and (dec == img16).all()
+
+    for shape in [(1, 1), (7, 5), (9, 3, 4), (16, 16, 2), (3, 9, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = decode_png(make_png(img, interlace=True))
+        assert dec.shape == img.shape and (dec == img).all(), shape
+    # interlaced 16-bit: both new paths composed
+    img = rng.integers(0, 65536, (10, 13), dtype=np.uint16)
+    dec = decode_png(make_png(img, interlace=True))
+    assert dec.dtype == np.uint16 and (dec == img).all()
 
 
 def test_multimodal_resize_and_frames(spark):

@@ -51,7 +51,8 @@ def test_no_partial_version_visible(spark, tmp_path):
     table = str(tmp_path / "tbl")
     write_version(spark.range(10), table)
     names = set(os.listdir(table))
-    assert names == {"_MANIFEST.json", "v=0"}
+    # the commit-serializing advisory lock file is the one legal sibling
+    assert names == {"_MANIFEST.json", "v=0", "._manifest_lock"}
     assert read_manifest(table)["current"] == 0
 
 
@@ -159,3 +160,100 @@ def test_append_schema_evolution(spark, tmp_path):
         write_version(spark.createDataFrame([(3, "c", "high")],
                                             ["id", "name", "score"]),
                       table, mode="append", evolve=True)
+
+
+def test_concurrent_overwrite_writers_both_commit(spark, tmp_path):
+    """Two overwrite writers racing the same table must BOTH commit:
+    distinct version numbers (the v=N rename is the claim), a merged
+    manifest that records both histories (neither commit clobbers the
+    other's entry), current = the max committed version, and every
+    manifest version fully readable throughout."""
+    import threading
+
+    table = str(tmp_path / "race")
+    write_version(spark.range(5), table, note="seed")
+
+    errors, got = [], {}
+    barrier = threading.Barrier(2)
+
+    def writer(tag, n):
+        try:
+            barrier.wait()
+            got[tag] = write_version(spark.range(n), table,
+                                     note=f"writer-{tag}")
+        except Exception as exc:  # surfaced below
+            errors.append((tag, repr(exc)))
+
+    threads = [threading.Thread(target=writer, args=(t, n))
+               for t, n in [("a", 11), ("b", 22)]]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    assert len(set(got.values())) == 2          # distinct claimed versions
+    hist = {h["version"]: h["note"] for h in history(table)}
+    assert set(got.values()) <= set(hist)       # neither entry lost
+    assert hist[got["a"]] == "writer-a" and hist[got["b"]] == "writer-b"
+    man = read_manifest(table)
+    assert man["current"] == max(hist)
+    counts = {read_table(spark, table, version=v).count() for v in hist}
+    assert counts == {5, 11, 22}                # no half-written version
+
+
+def test_version_claim_retries_past_collision(spark, tmp_path, monkeypatch):
+    """When allocation races (another writer takes v=N between our
+    allocation and rename), an overwrite writer must re-allocate and
+    succeed — simulated deterministically by hiding the disk versions
+    for exactly one allocation round."""
+    from etl_mark1_spark.sources import versioned
+
+    table = str(tmp_path / "retry")
+    write_version(spark.range(3), table)
+    write_version(spark.range(4), table)        # v=1 exists
+
+    real_dv, calls = versioned._disk_versions, {"n": 0}
+
+    def stale_once(d):
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else real_dv(d)
+
+    monkeypatch.setattr(versioned, "_disk_versions", stale_once)
+    real_read = versioned.read_manifest
+
+    def stale_manifest(d):
+        m = real_read(d)
+        m["current"] = 0                        # as read before v=1 landed
+        return m
+
+    monkeypatch.setattr(versioned, "read_manifest", stale_manifest)
+    v = versioned.write_version(spark.range(9), table, note="late")
+    assert v == 2 and calls["n"] >= 2           # collided once, then claimed
+    assert read_table(spark, table, version=2).count() == 9
+
+
+def test_append_collision_fails_loudly(spark, tmp_path, monkeypatch):
+    """An APPEND whose version claim collides must raise (its union was
+    computed from the pre-race snapshot; retrying would silently drop
+    the concurrent writer's rows) and leave no staging litter behind."""
+    from etl_mark1_spark.sources import versioned
+
+    table = str(tmp_path / "appendrace")
+    write_version(spark.range(3), table)
+    write_version(spark.range(4), table)        # v=1: the "winner"
+
+    monkeypatch.setattr(versioned, "_disk_versions", lambda d: [])
+    real_read = versioned.read_manifest
+
+    def stale_manifest(d):
+        m = real_read(d)
+        m["current"] = 0
+        return m
+
+    monkeypatch.setattr(versioned, "read_manifest", stale_manifest)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        versioned.write_version(spark.range(5), table, mode="append")
+    assert not [n for n in os.listdir(table) if n.startswith(".staging_")]
+    # the winner's data is untouched
+    assert read_table(spark, table, version=1).count() == 4
