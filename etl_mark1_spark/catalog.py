@@ -5258,9 +5258,9 @@ def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto that component (must match the eigenvalue — the defining
     property of principal axes, so the entry validates the whole
     fit+project path), and the cumulative explained-variance ratio.
-    Vectors are read once as numpy Gram partials (one d^2-sized row per
-    Arrow batch) and never collected; the d x d eigendecomposition runs
-    on the driver. Differential-tested against numpy's full in-memory
+    Vectors are read once as per-partition numpy Gram partials that
+    tree-merge in-cluster to a single d^2-sized row; only that one row
+    reaches the driver, where the d x d eigendecomposition runs. Differential-tested against numpy's full in-memory
     PCA in tests/test_dedup_similarity.py."""
     from etl_mark1_spark.operators.similarity import pca_fit, pca_project
 
@@ -5281,3 +5281,83 @@ def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("eigval", 8).alias("eigval"),
                     F.round("emp_var", 8).alias("empirical_var"),
                     F.round("evr_cum", 6).alias("evr_cum")))
+
+
+# ---------------------------------------------------------------------------
+# Behavioral event analytics (operators/funnel.py) + fixed-budget sampling
+# ---------------------------------------------------------------------------
+
+@query("funnel_conversion_events", """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t
+           GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+           CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+""")
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view -> click -> purchase
+    (operators/funnel.py:funnel_counts): a user reaches a stage only
+    with an event strictly after their earliest completion of the
+    previous stage. The reference answers this only via hand-written
+    SQL passthrough (backend/services/duckdb_engine.py:84-119); here it
+    is an operator — a chain of per-user min-aggregates and user-keyed
+    equi-joins, no windows, no per-user event arrays."""
+    from etl_mark1_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(t(spark, sf_dir, "events"),
+                         ["view", "click", "purchase"])
+
+
+@query("cohort_retention_events", """
+    WITH act AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+                 FROM events),
+    cohorts AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id)
+    SELECT c.cohort,
+           CAST(datediff('day', c.cohort, a.p) / 7 AS BIGINT)
+               AS period_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM act a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+""")
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle
+    (operators/funnel.py:cohort_retention): users bucketed by first-
+    activity ISO week, distinct-counted per (cohort, weeks-elapsed)
+    cell. Two user-keyed aggregates + one join; offsets are exact
+    7-day multiples in both engines (both truncate to Monday), so the
+    day-diff division is integer-exact."""
+    from etl_mark1_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(t(spark, sf_dir, "events"))
+
+
+@query("weighted_sample_docs", """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             floor(pow(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT)
+                       / 4294967296.0, 1.0 / n_chars) * 1e12 + 0.5) / 1e12
+                 AS wkey
+      FROM documents WHERE n_chars > 0)
+    ORDER BY wkey DESC, doc_id LIMIT 50
+""")
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 length-weighted sample without replacement
+    (operators/corpus.py:weighted_sample_exact_k, Efraimidis-Spirakis
+    A-ES keys u^(1/w) on md5-uniform u): the fixed-budget counterpart
+    of the Bernoulli weighted_sample. TakeOrderedAndProject selection
+    (per-partition heaps, k-row driver merge); keys rounded
+    tie-deterministically to 12 decimals so both engines' libm pow
+    agree on the boundary row."""
+    from etl_mark1_spark.operators.corpus import weighted_sample_exact_k
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_exact_k(docs, F.col("n_chars"), 50)

@@ -232,6 +232,37 @@ def weighted_sample(df: DataFrame, weight: Column,
     return df.filter(md5_uniform(F.col(id_col)) < p)
 
 
+def weighted_sample_exact_k(df: DataFrame, weight: Column, k: int,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exactly-``k`` weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row gets key ``u ** (1/w)`` with
+    ``u`` = md5-uniform(id) and ``w`` its (positive) weight; the k
+    largest keys are the sample — provably equivalent to drawing k rows
+    sequentially with probability proportional to remaining weight.
+    The Bernoulli :func:`weighted_sample` has binomial size jitter;
+    this is the fixed-budget variant ("give me exactly 50k docs, biased
+    toward quality").
+
+    Deterministic (u is a hash, not rand()), so membership survives
+    re-runs and re-partitioning, and the selection shape is
+    ``orderBy(key desc).limit(k)`` — TakeOrderedAndProject: per-partition
+    k-row heaps and a k-row driver merge, no full sort, no full shuffle.
+    Keys are rounded tie-deterministically to 12 decimals so the DuckDB
+    oracle's libm pow (vs the JVM's) cannot flip a boundary row; ties
+    break on id. Non-positive weights exclude the row outright (their
+    sequential-draw probability is zero).
+    """
+    u = md5_uniform(F.col(id_col))
+    w = weight.cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    key = F.floor(key * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    return (df.filter(w > 0)
+            .withColumn("_wkey", key)
+            .orderBy(F.desc("_wkey"), F.col(id_col))
+            .limit(k)
+            .drop("_wkey"))
+
+
 def chunk_documents(df: DataFrame, chunk_chars: int = 400,
                     overlap: int = 80, text_col: str = "text",
                     id_col: str = "doc_id",
