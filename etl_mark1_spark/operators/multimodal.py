@@ -114,14 +114,16 @@ def decode_image_bytes(payload: bytes):
     mean_pixel, phash) where phash is a genuine 64-bit average-hash
     (8x8 block-sampled grayscale thresholded at its mean).
 
-    BMP (24-bit) and binary PPM/PGM parse with numpy alone; baseline JPEG,
-    8/16-bit PNG (all filters, gray/RGB/palette/alpha, Adam7 interlace),
-    and GIF (LZW, interlace) decode through the vendored pure-Python
-    codecs (operators/jpeg.py, operators/png.py, operators/gif.py) — no
-    image library needed for the dominant real-world formats. Remaining
-    formats (progressive jpeg, sub-byte-depth png, ...) fall through to
-    PIL when installed, else raise NotImplementedError naming the format.
-    16-bit PNG stats stay on the native 0-65535 scale.
+    BMP (24-bit) and binary PPM/PGM parse with numpy alone; baseline
+    JPEG, PNG at every legal IHDR combination (depths 1/2/4/8/16, all
+    filters, gray/RGB/palette/alpha, Adam7 interlace), and GIF (LZW,
+    interlace) decode through the vendored pure-Python codecs
+    (operators/jpeg.py, operators/png.py, operators/gif.py) — no image
+    library needed for the dominant real-world formats. Remaining
+    formats (progressive jpeg, ...) fall through to PIL when installed,
+    else raise NotImplementedError naming the format. 16-bit PNG stats
+    stay on the native 0-65535 scale; sub-byte grayscale scales to
+    0-255 per the spec.
     Alpha/gray+alpha planes are dropped for the stats (mean and ahash are
     over color channels, matching PIL's convert("RGB") path)."""
     import numpy as np

@@ -6,13 +6,12 @@ vendored in operators/jpeg.py) the other dominant real-world image format
 — so the multimodal decode path decodes it for real instead of gating it
 behind PIL:
 
-- :func:`decode_png` — decoder for bit depths 8 and 16 (16-bit returns
-  uint16), color types 0 (grayscale), 2 (RGB), 3 (palette), 4
-  (gray+alpha), 6 (RGBA); all five row filters (None/Sub/Up/Average/
-  Paeth); Adam7 interlace; multi-IDAT streams; every chunk
-  CRC-validated. Sub-byte depths (1/2/4) raise ``NotImplementedError``
-  — the existing PIL wiring point in multimodal.py:decode_image_bytes
-  keeps covering those when installed.
+- :func:`decode_png` — decoder for EVERY legal IHDR combination: bit
+  depths 1/2/4/8/16 (16-bit returns uint16; sub-byte grayscale scales
+  to the full 8-bit range per spec §12.5), color types 0 (grayscale),
+  2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five row filters
+  (None/Sub/Up/Average/Paeth); Adam7 interlace; multi-IDAT streams;
+  every chunk CRC-validated.
 - :func:`make_png` — fixture encoder (the ``make_bmp``/``make_jpeg``
   pattern): 1-4 channels, uint8 or uint16 input (depth follows dtype),
   per-row filter forced or cycled through all five so each unfilter path
@@ -147,44 +146,89 @@ def _pass_dims(w: int, h: int, y0: int, x0: int, dy: int, dx: int):
     return pw, ph
 
 
-def _to_byte_rows(arr: np.ndarray) -> np.ndarray:
-    """(h, w, ch) samples -> (h, w*ch*bytes_per_sample) big-endian bytes."""
-    h = arr.shape[0]
-    if arr.dtype == np.uint16:
+def _row_stride(w: int, ch: int, depth: int) -> int:
+    """Bytes per scanline (sub-byte rows pad the last byte, spec §7.2)."""
+    return (w * ch * depth + 7) // 8
+
+
+def _to_byte_rows(arr: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, ch) samples -> (h, stride) scanline bytes (big-endian for
+    16-bit, MSB-first bit packing for sub-byte depths)."""
+    h, w, ch = arr.shape
+    if depth == 16:
         return np.ascontiguousarray(arr.astype(">u2")) \
             .view(np.uint8).reshape(h, -1)
-    return arr.reshape(h, -1)
+    if depth == 8:
+        return arr.reshape(h, -1)
+    # sub-byte: each sample contributes its low `depth` bits, MSB first
+    bits = np.unpackbits(arr.reshape(h, w * ch, 1).astype(np.uint8),
+                         axis=2)[:, :, 8 - depth:]
+    return np.packbits(bits.reshape(h, -1), axis=1)
 
 
-def make_png(pixels, filter_type: int | None = None,
-             idat_chunk_size: int | None = None,
-             interlace: bool = False) -> bytes:
-    """Encode an (h, w[, ch]) uint8 or uint16 array as a PNG; bit depth
-    follows the dtype (uint16 -> 16-bit big-endian samples). ``ch``
-    1/2/3/4 maps to color type 0/4/2/6. ``filter_type`` forces one row
-    filter; None cycles row % 5 so fixtures exercise every unfilter path.
-    ``interlace`` emits Adam7 passes (filter state resets per pass).
-    ``idat_chunk_size`` splits the compressed stream across multiple IDAT
-    chunks (real-world encoders emit ~8 KB chunks; decoders must
-    concatenate)."""
-    arr = np.asarray(pixels)
-    if arr.dtype not in (np.uint8, np.uint16):
-        raise ValueError(f"pixels must be uint8 or uint16, got {arr.dtype}")
-    depth = 16 if arr.dtype == np.uint16 else 8
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
+def _bytes_to_samples(rows: np.ndarray, w: int, ch: int,
+                      depth: int) -> np.ndarray:
+    """(n, stride) scanline bytes -> (n, w, ch) samples (uint16 for
+    16-bit, uint8 otherwise; sub-byte row padding bits discarded)."""
+    n = rows.shape[0]
+    if depth == 16:
+        return np.ascontiguousarray(rows).view(">u2") \
+            .astype(np.uint16).reshape(n, w, ch)
+    if depth == 8:
+        return rows.reshape(n, w, ch)
+    bits = np.unpackbits(rows, axis=1)
+    samples = bits[:, :bits.shape[1] // depth * depth] \
+        .reshape(n, -1, depth) \
+        .dot(1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return samples[:, :w * ch].reshape(n, w, ch)
+
+
+def _encode_raster(arr: np.ndarray, depth: int, filter_type,
+                   interlace: bool) -> bytearray:
     h, w, ch = arr.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    bpp = ch * depth // 8
+    bpp = max(1, ch * depth // 8)
     scan = bytearray()
     if interlace:
         for y0, x0, dy, dx in _ADAM7:
             pw, ph = _pass_dims(w, h, y0, x0, dy, dx)
             if pw and ph:
                 scan += _filter_scanlines(
-                    _to_byte_rows(arr[y0::dy, x0::dx]), bpp, filter_type)
+                    _to_byte_rows(np.ascontiguousarray(arr[y0::dy, x0::dx]),
+                                  depth), bpp, filter_type)
     else:
-        scan += _filter_scanlines(_to_byte_rows(arr), bpp, filter_type)
+        scan += _filter_scanlines(_to_byte_rows(arr, depth),
+                                  bpp, filter_type)
+    return scan
+
+
+def make_png(pixels, filter_type: int | None = None,
+             idat_chunk_size: int | None = None,
+             interlace: bool = False, depth: int | None = None) -> bytes:
+    """Encode an (h, w[, ch]) uint8 or uint16 array as a PNG; bit depth
+    follows the dtype (uint16 -> 16-bit big-endian samples) unless
+    ``depth`` forces a sub-byte depth (1/2/4 — grayscale only, sample
+    values must fit the depth). ``ch`` 1/2/3/4 maps to color type
+    0/4/2/6. ``filter_type`` forces one row filter; None cycles row % 5
+    so fixtures exercise every unfilter path. ``interlace`` emits Adam7
+    passes (filter state resets per pass). ``idat_chunk_size`` splits
+    the compressed stream across multiple IDAT chunks (real-world
+    encoders emit ~8 KB chunks; decoders must concatenate)."""
+    arr = np.asarray(pixels)
+    if arr.dtype not in (np.uint8, np.uint16):
+        raise ValueError(f"pixels must be uint8 or uint16, got {arr.dtype}")
+    if depth is None:
+        depth = 16 if arr.dtype == np.uint16 else 8
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if depth in (1, 2, 4):
+        if ch != 1:
+            raise ValueError("sub-byte depth is grayscale-only (color "
+                             "types 2/4/6 require depth 8 or 16)")
+        if int(arr.max(initial=0)) >= 1 << depth:
+            raise ValueError(f"sample values exceed {depth}-bit range")
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    scan = _encode_raster(arr, depth, filter_type, interlace)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
                        1 if interlace else 0)
     comp = zlib.compress(bytes(scan), 6)
@@ -196,17 +240,20 @@ def make_png(pixels, filter_type: int | None = None,
     return PNG_SIG + _chunk(b"IHDR", ihdr) + idats + _chunk(b"IEND", b"")
 
 
-def make_png_palette(indices, palette) -> bytes:
-    """Encode an (h, w) uint8 index array + (n, 3) palette as a
-    color-type-3 PNG (filter 0 rows)."""
+def make_png_palette(indices, palette, depth: int = 8,
+                     interlace: bool = False) -> bytes:
+    """Encode an (h, w) index array + (n, 3) palette as a color-type-3
+    PNG (filter-0 rows; ``depth`` 1/2/4/8 packs indices sub-byte)."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette depth must be 1/2/4/8")
+    if int(idx.max(initial=0)) >= 1 << depth:
+        raise ValueError(f"palette indices exceed {depth}-bit range")
     h, w = idx.shape
-    scan = bytearray()
-    for y in range(h):
-        scan.append(0)
-        scan += idx[y].tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    scan = _encode_raster(idx[:, :, None], depth, 0, interlace)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0,
+                       1 if interlace else 0)
     return (PNG_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"PLTE", pal.tobytes())
             + _chunk(b"IDAT", zlib.compress(bytes(scan), 6))
@@ -216,9 +263,10 @@ def make_png_palette(indices, palette) -> bytes:
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG to pixels: (h, w) for grayscale, (h, w, ch) for
     RGB/palette/gray+alpha/RGBA (palette expands to RGB); uint8 for
-    8-bit images, uint16 for 16-bit. Handles Adam7 interlace. Raises
-    ValueError on corruption (bad signature, CRC mismatch, truncated
-    raster) and NotImplementedError on sub-byte (1/2/4) depths."""
+    depths <= 8 (sub-byte grayscale scaled to 0-255), uint16 for
+    16-bit. Handles Adam7 interlace at every depth. Raises ValueError
+    on corruption (bad signature, CRC mismatch, truncated raster) or
+    spec-illegal depth/color combinations."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -247,40 +295,41 @@ def decode_png(payload: bytes) -> np.ndarray:
     if header is None:
         raise ValueError("missing IHDR")
     w, h, depth, color, comp_m, filt_m, interlace = header
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"bit depth {depth} not supported (8/16 only; install PIL)")
     if comp_m or filt_m or color not in _COLOR_CHANNELS \
             or interlace not in (0, 1):
         raise ValueError(f"bad IHDR (compression={comp_m}, filter={filt_m}, "
                          f"color={color}, interlace={interlace})")
-    if color == 3 and depth == 16:
-        raise ValueError("16-bit palette images are invalid (spec table 11.1)")
+    # legal depths per color type (spec table 11.1)
+    legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color, (8, 16))
+    if depth not in legal:
+        raise ValueError(f"depth {depth} invalid for color type {color} "
+                         f"(legal: {legal})")
     ch = _COLOR_CHANNELS[color]
-    bpp = ch * depth // 8
+    bpp = max(1, ch * depth // 8)
     raw = zlib.decompress(bytes(idat))
     if interlace:
-        flat = np.zeros((h, w, bpp), dtype=np.uint8)
+        img = np.zeros((h, w, ch),
+                       dtype=np.uint16 if depth == 16 else np.uint8)
         off = 0
         for y0, x0, dy, dx in _ADAM7:
             pw, ph = _pass_dims(w, h, y0, x0, dy, dx)
             if pw and ph:
-                sub, off = _unfilter_scanlines(raw, off, ph, pw * bpp, bpp)
-                flat[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+                sub, off = _unfilter_scanlines(
+                    raw, off, ph, _row_stride(pw, ch, depth), bpp)
+                img[y0::dy, x0::dx] = _bytes_to_samples(sub, pw, ch, depth)
         if off != len(raw):
             raise ValueError(f"raster size {len(raw)} != {off} "
                              "(trailing bytes after last Adam7 pass)")
-        byte_rows = flat.reshape(h, w * bpp)
     else:
-        if len(raw) != (w * bpp + 1) * h:
+        stride = _row_stride(w, ch, depth)
+        if len(raw) != (stride + 1) * h:
             raise ValueError(
-                f"raster size {len(raw)} != {(w * bpp + 1) * h}")
-        byte_rows, _ = _unfilter_scanlines(raw, 0, h, w * bpp, bpp)
-    if depth == 16:
-        img = np.ascontiguousarray(byte_rows).view(">u2") \
-            .astype(np.uint16).reshape(h, w, ch)
-    else:
-        img = byte_rows.reshape(h, w, ch)
+                f"raster size {len(raw)} != {(stride + 1) * h}")
+        byte_rows, _ = _unfilter_scanlines(raw, 0, h, stride, bpp)
+        img = _bytes_to_samples(byte_rows, w, ch, depth)
+    if color == 0 and depth in (1, 2, 4):
+        # sample scaling to full 8-bit range (spec §12.5: exact factors)
+        img = img * np.uint8(255 // ((1 << depth) - 1))
     if color == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")

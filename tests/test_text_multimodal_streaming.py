@@ -150,9 +150,9 @@ def test_png_decodes_system_pngs():
 
 
 def test_png_palette_and_gates():
-    """Palette images expand through PLTE; sub-byte depths raise the
-    honest NotImplementedError gate rather than mis-decoding; 16-bit
-    palette (invalid per spec) raises ValueError."""
+    """Palette images expand through PLTE; spec-illegal depth/color
+    combinations (table 11.1) raise ValueError rather than mis-decoding;
+    truncated rasters fail loudly on every depth/interlace path."""
     import struct
     import zlib
 
@@ -171,16 +171,48 @@ def test_png_palette_and_gates():
         return (PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", scan)
                 + _chunk(b"IEND", b""))
 
-    for sub_byte in (1, 2, 4):
-        with pytest.raises(NotImplementedError, match="bit depth"):
-            decode_png(header_only(sub_byte))
-    with pytest.raises(ValueError, match="palette"):
-        decode_png(header_only(16, color=3))
-    # truncated rasters fail loudly on both newly-supported paths
-    with pytest.raises(ValueError, match="raster"):
-        decode_png(header_only(16, interlace=0))
-    with pytest.raises(ValueError, match="raster"):
-        decode_png(header_only(8, interlace=1))
+    for depth, color in [(16, 3), (4, 2), (2, 6), (1, 4)]:
+        with pytest.raises(ValueError, match="invalid for color type"):
+            decode_png(header_only(depth, color=color))
+    for depth, interlace in [(16, 0), (8, 1), (4, 0), (1, 1)]:
+        with pytest.raises(ValueError, match="raster"):
+            decode_png(header_only(depth, interlace=interlace))
+
+
+def test_png_sub_byte_depths_roundtrip():
+    """1/2/4-bit grayscale round-trips through the spec's exact scale
+    factors (255/15/85-style), palette indices pack sub-byte losslessly
+    (incl. interlaced), and widths that leave padding bits in the last
+    scanline byte decode cleanly."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.png import (decode_png, make_png,
+                                               make_png_palette)
+
+    rng = np.random.default_rng(11)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for shape in [(5, 7), (3, 9), (1, 1), (4, 8)]:  # odd widths pad
+            img = rng.integers(0, 1 << depth, shape, dtype=np.uint8)
+            dec = decode_png(make_png(img, depth=depth))
+            assert dec.shape == img.shape and (dec == img * scale).all(), \
+                (depth, shape)
+        # interlaced sub-byte: per-pass strides + bit padding composed
+        img = rng.integers(0, 1 << depth, (10, 13), dtype=np.uint8)
+        dec = decode_png(make_png(img, depth=depth, interlace=True))
+        assert (dec == img * scale).all(), depth
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for depth in (1, 2, 4):
+        idx = rng.integers(0, 1 << depth, (6, 11), dtype=np.uint8)
+        assert (decode_png(make_png_palette(idx, pal, depth=depth))
+                == pal[idx]).all(), depth
+        assert (decode_png(make_png_palette(idx, pal, depth=depth,
+                                            interlace=True))
+                == pal[idx]).all(), depth
+    with pytest.raises(ValueError, match="grayscale-only"):
+        make_png(rng.integers(0, 2, (4, 4, 3), dtype=np.uint8), depth=2)
+    with pytest.raises(ValueError, match="exceed"):
+        make_png(np.full((4, 4), 9, dtype=np.uint8), depth=2)
 
 
 def test_png_16bit_and_adam7_roundtrip():
