@@ -5361,3 +5361,97 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample_exact_k(docs, F.col("n_chars"), 50)
+
+
+@query("seasonal_decompose_interp_events", """
+    WITH actual AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               round(sum(value), 2) AS _actual
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+               FROM actual GROUP BY 1),
+    grid AS (
+        SELECT b.user_id,
+               UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds b
+    ),
+    j AS (
+        SELECT g.user_id, g.bucket, a._actual,
+               last_value(a._actual IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS UNBOUNDED PRECEDING) AS pv,
+               last_value(CASE WHEN a._actual IS NOT NULL THEN g.bucket END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS UNBOUNDED PRECEDING) AS pb,
+               first_value(a._actual IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN a._actual IS NOT NULL THEN g.bucket END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM grid g LEFT JOIN actual a
+          ON g.user_id = a.user_id AND g.bucket = a.bucket
+    ),
+    series AS (
+        SELECT user_id, bucket,
+               floor(CASE
+                 WHEN _actual IS NOT NULL THEN _actual
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (nv - pv) * (date_diff('second', pb, bucket) * 1.0
+                                     / date_diff('second', pb, nb))
+                 ELSE coalesce(pv, nv) END * 1e6 + 0.5) / 1e6 AS val
+        FROM j
+    ),
+    ints AS (
+        SELECT user_id, bucket, val,
+               CAST(epoch(bucket) / 3600 AS BIGINT) % 24 AS phase,
+               CAST(round(val * 1000000) AS BIGINT) AS iv
+        FROM series
+    ),
+    tr AS (
+        SELECT user_id, bucket, val, phase, iv,
+               CASE WHEN count(iv) OVER w1 = 24
+                     AND count(iv) OVER w2 = 24
+                    THEN sum(iv) OVER w1 + sum(iv) OVER w2 END AS ts,
+               CASE WHEN count(iv) OVER w1 = 24
+                     AND count(iv) OVER w2 = 24
+                    THEN iv * 48 - (sum(iv) OVER w1 + sum(iv) OVER w2)
+               END AS det
+        FROM ints
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+               w2 AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+    ),
+    seas AS (
+        SELECT user_id, phase, sum(det) AS gs, count(*) AS gn
+        FROM tr WHERE det IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT t.user_id, t.bucket, t.val,
+           floor((t.ts / 48000000.0) * 1e6 + 0.5) / 1e6 AS trend,
+           CASE WHEN t.ts IS NOT NULL
+                THEN floor((s.gs / s.gn / 48000000.0) * 1e6 + 0.5) / 1e6
+           END AS seasonal,
+           CASE WHEN t.ts IS NOT NULL
+                THEN floor((t.det / 48000000.0
+                            - s.gs / s.gn / 48000000.0) * 1e6 + 0.5) / 1e6
+           END AS resid
+    FROM tr t LEFT JOIN seas s
+      ON t.user_id = s.user_id AND t.phase = s.phase
+""")
+def seasonal_decompose_interp_events(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Seasonal decomposition over the INTERPOLATED (6-decimal) series
+    with ``value_scale=10**6`` (operators/timeseries.py): the lossless
+    pairing the default 2-decimal quantum cannot give interpolated
+    input. The oracle chains the interpolation CTEs into the exact
+    scaled-integer window arithmetic at the 1e6 quantum — proving the
+    scale parameter is engine-exact, not just documented."""
+    from etl_mark1_spark.operators.timeseries import (resample_interpolate,
+                                                      seasonal_decompose)
+
+    series = resample_interpolate(t(spark, sf_dir, "events"))
+    return seasonal_decompose(series, period=24, value_scale=10**6)
