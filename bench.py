@@ -96,6 +96,11 @@ HEADLINE = [
     # window workload in the catalog (grid build + two off-center frames
     # per key + phase join), representing the timeseries family
     "seasonal_decompose_events",
+    # round-5 addition: strict-order conversion funnel — a chain of
+    # user-keyed min-aggregates + equi-joins (the multi-stage same-key
+    # join shape AQE should co-partition), representing the behavioral
+    # analytics family
+    "funnel_conversion_events",
 ]
 
 

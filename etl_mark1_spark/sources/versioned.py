@@ -212,6 +212,24 @@ def history(table_dir: str) -> list[dict]:
     return list(read_manifest(table_dir)["versions"])
 
 
+def table_changes(spark: SparkSession, table_dir: str, key_cols: list[str],
+                  from_version: int,
+                  to_version: int | None = None) -> DataFrame:
+    """Change data feed between two committed versions: the keyed
+    insert/update/delete rows that turn snapshot ``from_version`` into
+    ``to_version`` (default: current) — the lakehouse CDF shape
+    (Delta's ``table_changes``), computed as one full-outer keyed diff
+    (operators/cdc.py:snapshot_diff) since every version is a full
+    snapshot. Feed size is proportional to churn, not table size;
+    downstream it drives incremental aggregate maintenance or
+    replication without rescanning either snapshot."""
+    from etl_mark1_spark.operators.cdc import snapshot_diff
+
+    return snapshot_diff(read_table(spark, table_dir, version=from_version),
+                         read_table(spark, table_dir, version=to_version),
+                         key_cols)
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     """Drop all but the last ``keep_last`` versions (tagged versions are
     always kept — see :func:`tag_version`), any orphaned staging

@@ -257,3 +257,27 @@ def test_append_collision_fails_loudly(spark, tmp_path, monkeypatch):
     assert not [n for n in os.listdir(table) if n.startswith(".staging_")]
     # the winner's data is untouched
     assert read_table(spark, table, version=1).count() == 4
+
+
+def test_table_changes_feed_between_versions(spark, tmp_path):
+    """The CDF helper diffs any two committed versions keyed: inserts,
+    updates, and deletes all surface, unchanged keys don't, and diffing
+    non-adjacent versions composes the intermediate history."""
+    from etl_mark1_spark.sources.versioned import table_changes
+
+    table = str(tmp_path / "cdf")
+    write_version(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]), table)
+    write_version(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["id", "v"]), table)   # v1
+    write_version(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "D"), (5, "e")], ["id", "v"]), table)
+
+    feed = {r.id: (r.change_type, r.new_v, r.old_v) for r in
+            table_changes(spark, table, ["id"], 0, 1).collect()}
+    assert feed == {2: ("update", "B", "b"), 3: ("delete", None, "c"),
+                    4: ("insert", "d", None)}
+    # v0 -> current (v2): key 4's two-step history collapses to one insert
+    full = {r.id: r.change_type for r in
+            table_changes(spark, table, ["id"], 0).collect()}
+    assert full == {2: "update", 3: "delete", 4: "insert", 5: "insert"}
