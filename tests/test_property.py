@@ -177,22 +177,33 @@ def test_jpeg_roundtrip_any_shape(w, h, seed, variant):
     st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
     st.sampled_from([1, 2, 3, 4]),            # channels
     st.sampled_from([None, 0, 1, 2, 3, 4]),   # row filter (None = cycle)
+    st.sampled_from([8, 16, 1, 2, 4]),        # bit depth
+    st.booleans(),                            # Adam7 interlace
 )
-@settings(max_examples=60, deadline=None)
-def test_png_roundtrip_is_lossless(w, h, seed, ch, filt):
-    """PNG is lossless: any shape x any channel count x any row filter
-    must round-trip encode->decode bit-exactly — including 1xN strips
-    where the left/up predecessors are all edge cases."""
+@settings(max_examples=80, deadline=None)
+def test_png_roundtrip_is_lossless(w, h, seed, ch, filt, depth, interlace):
+    """PNG is lossless: any shape x channel count x row filter x legal
+    bit depth x interlacing must round-trip encode->decode bit-exactly —
+    including 1xN strips where the left/up predecessors are all edge
+    cases, sub-byte rows with padding bits, and Adam7 passes a pixel
+    wide. Sub-byte depths are grayscale-only per spec; grayscale scales
+    by the spec's exact factor on decode."""
     import numpy as np
 
     from etl_mark1_spark.operators.png import decode_png, make_png
 
+    if depth in (1, 2, 4) and ch != 1:
+        depth = 8                              # spec-illegal: nearest legal
     rng = np.random.default_rng(seed)
     shape = (h, w) if ch == 1 else (h, w, ch)
-    img = rng.integers(0, 256, shape, dtype=np.uint8)
-    dec = decode_png(make_png(img, filter_type=filt))
+    hi = 1 << min(depth, 16)
+    img = rng.integers(0, hi, shape,
+                       dtype=np.uint16 if depth == 16 else np.uint8)
+    dec = decode_png(make_png(img, filter_type=filt, interlace=interlace,
+                              depth=depth if depth != 16 else None))
     assert dec.shape == img.shape
-    assert (dec == img).all()
+    scale = 255 // (hi - 1) if depth in (1, 2, 4) else 1
+    assert (dec == img * scale).all()
 
 
 @given(st.integers(min_value=0, max_value=2**32 - 1),
