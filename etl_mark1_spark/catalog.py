@@ -5455,3 +5455,27 @@ def seasonal_decompose_interp_events(spark: SparkSession,
 
     series = resample_interpolate(t(spark, sf_dir, "events"))
     return seasonal_decompose(series, period=24, value_scale=10**6)
+
+
+@query("epoch_shuffle_docs", """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':3'),
+                                     1, 8)) AS BIGINT) AS hv
+      FROM documents)
+    SELECT doc_id, CAST(hv % 16 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+""")
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-3 deterministic global shuffle of the corpus
+    (operators/corpus.py:epoch_shuffle): shard + within-shard position
+    as pure functions of (doc_id, epoch) — a different pseudo-random
+    order per epoch, bit-identical on re-run. No global sort: the only
+    exchange is the per-shard ranking window over
+    corpus/num_shards-sized partitions."""
+    from etl_mark1_spark.operators.corpus import epoch_shuffle
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, num_shards=16, epoch=3)

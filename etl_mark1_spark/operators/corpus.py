@@ -263,6 +263,33 @@ def weighted_sample_exact_k(df: DataFrame, weight: Column, k: int,
             .drop("_wkey"))
 
 
+def epoch_shuffle(df: DataFrame, num_shards: int = 64, epoch: int = 0,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic epoch-varying global shuffle for multi-epoch
+    training: shard assignment AND within-shard order are pure functions
+    of (id, epoch) via an md5 hash, so every epoch presents a different
+    pseudo-random order of the corpus while any re-run of the same epoch
+    reproduces it exactly (the property rand() and ORDER BY random()
+    cannot give a restartable trainer). Adds (shard, pos): shard =
+    hash % num_shards, pos = 1-based rank within the shard by (hash,
+    id).
+
+    Scale shape: the hash is map-side; the only shuffle is the implicit
+    exchange under the per-shard ranking window, whose partitions are
+    corpus/num_shards-sized by construction — no global sort ever
+    materializes a total order (the total order is the concatenation
+    shard 0..N-1, which downstream loaders read shard-by-shard)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(str(epoch)))), 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (df.withColumn("_h", h)
+            .withColumn("shard",
+                        F.pmod(F.col("_h"), F.lit(num_shards)).cast("int"))
+            .withColumn("pos", F.row_number().over(w).cast("bigint"))
+            .drop("_h"))
+
+
 def chunk_documents(df: DataFrame, chunk_chars: int = 400,
                     overlap: int = 80, text_col: str = "text",
                     id_col: str = "doc_id",

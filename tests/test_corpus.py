@@ -755,3 +755,29 @@ def test_collocations_pmi_finds_planted_phrase(spark):
     assert pmis[("san", "francisco")] > 0
     assert pmis[("san", "francisco")] > pmis.get(("the", "the"),
                                                  float("-inf"))
+
+
+def test_epoch_shuffle_varies_by_epoch_and_reproduces(spark):
+    """Different epochs produce different orders; the same epoch
+    reproduces exactly (incl. across physical layouts); every shard's
+    positions are contiguous 1..n and the full corpus is covered."""
+    from etl_mark1_spark.operators.corpus import epoch_shuffle
+
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    e0 = epoch_shuffle(df, num_shards=8, epoch=0)
+    rows0 = {(r.doc_id): (r.shard, r.pos) for r in e0.collect()}
+    assert len(rows0) == 300
+    again = {(r.doc_id): (r.shard, r.pos) for r in
+             epoch_shuffle(df.repartition(7), num_shards=8, epoch=0)
+             .collect()}
+    assert again == rows0                         # re-run + layout stable
+    e1 = {(r.doc_id): (r.shard, r.pos) for r in
+          epoch_shuffle(df, num_shards=8, epoch=1).collect()}
+    assert e1 != rows0                            # epochs differ
+    # positions are a 1..n ranking per shard
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for doc, (s, p) in rows0.items():
+        by_shard[s].append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
