@@ -138,7 +138,8 @@ def backfill_partitions(
 
 def write_training_shards(df: DataFrame, path: str, num_shards: int = 64,
                           id_col: str = "doc_id",
-                          order_col: str | None = None) -> dict:
+                          order_col: str | None = None,
+                          epoch: int | None = None) -> dict:
     """Write a curated corpus as deterministic training shards — the
     last-mile sink of the curation pipeline (the reference's closest
     surface is the plain file_output node, backend/executor/engine.py).
@@ -158,19 +159,32 @@ def write_training_shards(df: DataFrame, path: str, num_shards: int = 64,
       so downstream loaders can size epochs and detect partial writes;
       the manifest is written LAST and only after the data commits —
       its absence marks an incomplete shard set.
+    - ``epoch`` switches both the shard rule and the within-shard order
+      to md5 functions of (id, epoch) — operators/corpus.py:
+      epoch_shuffle's layout as files: each epoch gets a different
+      deterministic global order, each re-run of an epoch the identical
+      one. ``order_col`` still wins the within-shard sort if given.
 
-    Returns the manifest dict.
+    Returns the manifest dict (including the epoch when set).
     """
     import json
     import os
 
     from pyspark.sql import functions as F
 
-    shard = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                    16, 10).cast("bigint") % num_shards).alias("shard")
-    tagged = df.withColumn("shard", shard)
+    hash_input = F.col(id_col).cast("string") if epoch is None else \
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(epoch)))
+    hcol = F.conv(F.substring(F.md5(hash_input), 1, 8), 16, 10) \
+        .cast("bigint")
+    tagged = df.withColumn("shard", (hcol % num_shards).alias("shard"))
+    order = [order_col] if order_col else (
+        [id_col] if epoch is None else [hcol, F.col(id_col)])
+    # sort leads with the partition column: FileFormatWriter requires
+    # rows sorted by partition cols and INSERTS its own (order-scrambling)
+    # sort when they are not — leading with shard satisfies it, so the
+    # within-shard order actually reaches the files
     (tagged.repartition(num_shards, "shard")
-     .sortWithinPartitions(order_col or id_col)
+     .sortWithinPartitions("shard", *order)
      .write.mode("overwrite").partitionBy("shard").parquet(path))
 
     counts = {int(r["shard"]): r["n"] for r in
@@ -181,6 +195,8 @@ def write_training_shards(df: DataFrame, path: str, num_shards: int = 64,
         "total_rows": int(sum(counts.values())),
         "shard_rows": {str(k): int(v) for k, v in sorted(counts.items())},
     }
+    if epoch is not None:
+        manifest["epoch"] = int(epoch)
     with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest

@@ -321,6 +321,35 @@ def test_training_shards_deterministic_and_manifested(spark, sf_dir,
     assert back.select("doc_id").distinct().count() == m1["total_rows"]
 
 
+def test_training_shards_epoch_layout(spark, sf_dir, tmp_path):
+    """epoch=N lays shards out as epoch_shuffle's (shard, pos): the
+    shard map differs between epochs, re-runs of the same epoch are
+    byte-stable, and each shard file's row order equals the operator's
+    within-shard ranking."""
+    from etl_mark1_spark.operators.corpus import epoch_shuffle
+    from etl_mark1_spark.sources.writers import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    e1, e1b, e2 = (str(tmp_path / n) for n in ("e1", "e1b", "e2"))
+    m1 = write_training_shards(docs, e1, num_shards=8, epoch=1)
+    assert m1["epoch"] == 1
+    assert write_training_shards(docs, e1b, num_shards=8, epoch=1) == m1
+    m2 = write_training_shards(docs, e2, num_shards=8, epoch=2)
+    shards1 = {(r.shard, r.doc_id)
+               for r in spark.read.parquet(e1).collect()}
+    shards2 = {(r.shard, r.doc_id)
+               for r in spark.read.parquet(e2).collect()}
+    assert shards1 != shards2                   # epochs re-deal the corpus
+    assert m1["total_rows"] == m2["total_rows"] == docs.count()
+    # within one shard file, row order == epoch_shuffle's pos order
+    want = (epoch_shuffle(docs, num_shards=8, epoch=1)
+            .filter(F.col("shard") == 3).orderBy("pos")
+            .select("doc_id").collect())
+    got = spark.read.parquet(f"{e1}/shard=3").select("doc_id").collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+
+
 def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     """ORC is a first-class self-describing format: write/read round-trips
     values, and filters reach the ORC scan as pushed predicates."""
