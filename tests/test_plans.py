@@ -413,3 +413,47 @@ def test_quantile_digest_rollup_is_one_decomposable_aggregate(spark, sf_dir):
     merges in the exchange); the merge stage touches digests only."""
     plan = executed_plan(QUERIES["quantile_digest_merge"](spark, sf_dir))
     assert "partial_percentile_approx" in plan
+
+
+def test_weighted_exact_k_uses_take_ordered(spark, sf_dir):
+    """A-ES exact-k selection must compile to TakeOrderedAndProject
+    (per-partition heaps + k-row merge), never a global sort."""
+    df = QUERIES["weighted_sample_docs"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no sort shuffle
+
+
+def test_edit_distance_join_has_no_cartesian(spark, sf_dir):
+    """FastSS candidates are a hash equi-join on the variant signature —
+    the plan must contain a hash join and no cartesian/NL product."""
+    df = QUERIES["edit_distance_join_customers"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_funnel_stages_share_user_partitioning(spark, sf_dir):
+    """Every shuffle in the funnel hashes the user key (stage joins and
+    aggregates co-partition); no window, no cartesian."""
+    import re
+
+    df = QUERIES["funnel_conversion_events"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges and all(c.startswith("user_id") for c in exchanges), \
+        exchanges
+
+
+def test_epoch_shuffle_windows_partition_by_shard(spark, sf_dir):
+    """The per-shard ranking is the ONLY window and it partitions by the
+    shard column — no single-partition global sort materializes."""
+    import re
+
+    df = QUERIES["epoch_shuffle_docs"](spark, sf_dir)
+    plan = executed_plan(df)
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs and all("shard" in s for s in specs), specs
+    assert "Exchange rangepartitioning" not in plan
