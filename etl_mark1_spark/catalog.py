@@ -5502,3 +5502,52 @@ def edit_distance_join_customers(spark: SparkSession,
     return edit_distance_join(cust, cust, text_col="c_name",
                               id_col="c_custkey", max_dist=1,
                               self_join=True)
+
+
+@query("streaming_session_window", """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS seq
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM numbered GROUP BY user_id, seq
+""")
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session-window streaming aggregation
+    (streaming/events.py:session_window_agg): the engine merges per-user
+    gap-30min sessions and evicts state by watermark — no custom state
+    code. Drained append-mode via the flush-punctuation idiom
+    (punctuated_events_dir): one sentinel row past every real event
+    pushes the final watermark over all real session ends, so the drain
+    equals the batch gaps-and-islands answer exactly (the oracle uses
+    ``>=`` on the gap to mirror session_window's half-open end).
+    session_end reports the LAST EVENT time (window.end minus the gap)
+    for direct SQL comparability."""
+    from etl_mark1_spark.streaming.events import (
+        punctuated_events_dir, read_events_stream, run_available_now,
+        session_window_agg)
+
+    src = punctuated_events_dir(spark, f"{sf_dir}/events.parquet")
+    agg = session_window_agg(read_events_stream(spark, src))
+    out = run_available_now(agg, table_name="stream_sessions",
+                            output_mode="append")
+    return (out.filter(F.col("user_id") >= 0)
+            .select("user_id",
+                    F.col("session_window.start").cast("timestamp_ntz")
+                    .alias("session_start"),
+                    (F.col("session_window.end")
+                     - F.expr("INTERVAL 30 MINUTES")).cast("timestamp_ntz")
+                    .alias("session_end"),
+                    "n_events", "value_sum"))

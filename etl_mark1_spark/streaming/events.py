@@ -236,6 +236,81 @@ def run_available_now(result: DataFrame, table_name: str = "stream_out",
     return result.sparkSession.table(table_name)
 
 
+def session_window_agg(events: DataFrame, gap: str = "30 minutes",
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       value_col: str = "value",
+                       watermark_delay: str = "0 seconds") -> DataFrame:
+    """NATIVE session windows (``F.session_window``): per-user gap-based
+    sessions as a built-in streaming aggregation — the engine merges
+    windows whose events fall within ``gap`` of each other and manages
+    the state store, watermark eviction, and restart recovery that the
+    ``applyInPandasWithState`` sessionizer (:func:`sessionize`) does by
+    hand. Use this form when plain per-session aggregates suffice; the
+    stateful form remains for custom per-session logic.
+
+    Emits (user, session_window, n_events, value_sum) in APPEND mode
+    once the watermark passes a session's end. Window semantics:
+    ``start`` = first event ts, ``end`` = last event ts + gap
+    (half-open, so a successor exactly ``gap`` later starts a NEW
+    session — mirror with ``>=`` in gaps-and-islands SQL)."""
+    return (events.withWatermark(ts_col, watermark_delay)
+            .groupBy(F.col(user_col),
+                     F.session_window(F.col(ts_col), gap))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.round(F.sum(value_col), 2).alias("value_sum")))
+
+
+def punctuated_events_dir(spark: SparkSession, events_path: str,
+                          pad: str = "61 minutes") -> str:
+    """Stage an events parquet next to one FLUSH-PUNCTUATION file: a
+    single sentinel row stamped ``pad`` past the last real event.
+
+    Append-mode session aggregation only emits a session once the
+    watermark passes its END (last event + gap) — but a static drain's
+    watermark stops at the last real event's time, which would withhold
+    every session whose last event lies within one gap of the global
+    maximum — silently missing rows vs the batch answer. The punctuation
+    row
+    pushes the final watermark past every real session end without
+    touching any real session: it is further than the gap from every
+    real event so it can't merge, and its own still-open session is
+    precisely the one the watermark never passes, so it never emits.
+    This is the standard flush-marker idiom for draining session state
+    in tests, backfills, and end-of-day batch closes. Cached by
+    (path, mtime, pad); built atomically (tmp dir + rename)."""
+    import shutil
+    import uuid
+
+    real = os.path.realpath(events_path)
+    mtime = os.stat(real).st_mtime_ns
+    key = hashlib.md5(f"punct:{real}:{mtime}:{pad}".encode()).hexdigest()[:16]
+    staged = os.path.join(tempfile.gettempdir(), f"etl_mark1_punct_{key}")
+    if os.path.isdir(staged):
+        return staged
+    batch = spark.read.parquet(events_path)
+    sentinel = batch.agg(F.max("ts").alias("_mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("_mx") + F.expr(f"INTERVAL {pad}")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"))
+    tmp = f"{staged}.tmp_{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    sdir = f"{tmp}_sentinel"
+    sentinel.coalesce(1).write.parquet(sdir)
+    part = next(n for n in os.listdir(sdir) if n.endswith(".parquet"))
+    shutil.copy(os.path.join(sdir, part),
+                os.path.join(tmp, "zz_flush_sentinel.parquet"))
+    shutil.rmtree(sdir, ignore_errors=True)
+    os.symlink(real, os.path.join(tmp, os.path.basename(events_path)))
+    try:
+        os.rename(tmp, staged)
+    except OSError:            # concurrent caller won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return staged
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30,
                watermark: str = "2 hours") -> DataFrame:
     """Custom stateful operator: gap-based sessions per user via

@@ -932,3 +932,46 @@ def test_versioned_sink_fresh_checkpoint_does_not_drop_batches(
     # and both lineages' epoch-0 commits coexist in the history
     notes = [v.get("note") for v in history(table)]
     assert len([x for x in notes if x and x.endswith(":0")]) == 2
+
+
+def test_session_window_punctuation_flushes_all_sessions(spark, sf_dir):
+    """Native session windows in append mode withhold every session
+    whose last event lies within one gap of the stream's maximum event
+    time (the watermark never passes their ends) — the punctuation
+    sentinel exists to push the final watermark past them. Assert both
+    halves: without punctuation the drain is missing sessions; with it,
+    the drain equals the batch gaps-and-islands answer exactly and no
+    sentinel row leaks into the output."""
+    from pyspark.sql import Window
+
+    from etl_mark1_spark.streaming.events import (punctuated_events_dir,
+                                                  read_events_stream,
+                                                  run_available_now,
+                                                  session_window_agg)
+
+    path = f"{sf_dir}/events.parquet"
+    bare = run_available_now(
+        session_window_agg(read_events_stream(spark, path)),
+        table_name="sess_bare", output_mode="append")
+    punct = run_available_now(
+        session_window_agg(
+            read_events_stream(spark, punctuated_events_dir(spark, path))),
+        table_name="sess_punct", output_mode="append")
+    n_bare = bare.count()
+    real = punct.filter(F.col("user_id") >= 0)
+    assert punct.filter(F.col("user_id") < 0).count() == 0  # sentinel held
+    n_all = real.count()
+    assert n_bare < n_all                  # withheld tail is real and big
+
+    # batch truth: gaps-and-islands with >= (session_window's half-open end)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = spark.read.parquet(path)
+    secs = F.col("ts").cast("timestamp").cast("long")  # ntz -> epoch (UTC)
+    sess = (ev.withColumn(
+        "_new", F.when(F.lag(secs).over(w).isNull()
+                       | (secs - F.lag(secs).over(w) >= 1800), 1)
+        .otherwise(0))
+        .withColumn("_seq", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    n_batch = sess.select("user_id", "_seq").distinct().count()
+    assert n_all == n_batch
