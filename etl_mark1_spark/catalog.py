@@ -5551,3 +5551,27 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - F.expr("INTERVAL 30 MINUTES")).cast("timestamp_ntz")
                     .alias("session_end"),
                     "n_events", "value_sum"))
+
+
+@query("weighted_sample_per_lang", """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY floor(pow(CAST(('0x' || substring(
+                              md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                              / 4294967296.0, 1.0 / n_chars)
+                          * 1e12 + 0.5) / 1e12 DESC, doc_id) AS rk
+      FROM documents WHERE n_chars > 0)
+    WHERE rk <= 30
+""")
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-30-per-language length-weighted sample
+    (operators/corpus.py:weighted_sample_per_group): grouped A-ES —
+    fixed per-stratum budgets with quality/length bias, groups sampled
+    in parallel under a per-group ranking window."""
+    from etl_mark1_spark.operators.corpus import weighted_sample_per_group
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_per_group(docs, F.col("n_chars"), 30,
+                                     group_col="lang")

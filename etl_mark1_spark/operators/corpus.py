@@ -263,6 +263,29 @@ def weighted_sample_exact_k(df: DataFrame, weight: Column, k: int,
             .drop("_wkey"))
 
 
+def weighted_sample_per_group(df: DataFrame, weight: Column, k: int,
+                              group_col: str = "source",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Exactly-``min(k, n_g)`` weighted sampling without replacement PER
+    GROUP: the grouped form of :func:`weighted_sample_exact_k` ("50k
+    docs per language, biased toward quality"). Same A-ES keys
+    (``u ** (1/w)`` on md5-uniform u, 12-decimal tie-deterministic
+    rounding, id tie-break); selection is a rank <= k over a window
+    PARTITIONED BY the group — groups sample in parallel, nothing
+    global. Non-positive weights are excluded outright."""
+    u = md5_uniform(F.col(id_col))
+    w = weight.cast("double")
+    key = F.floor(F.pow(u, F.lit(1.0) / w) * F.lit(1e12) + F.lit(0.5)) \
+        / F.lit(1e12)
+    win = Window.partitionBy(group_col).orderBy(F.desc("_wkey"),
+                                                F.col(id_col))
+    return (df.filter(w > 0)
+            .withColumn("_wkey", key)
+            .withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= k)
+            .drop("_wkey", "_rk"))
+
+
 def epoch_shuffle(df: DataFrame, num_shards: int = 64, epoch: int = 0,
                   id_col: str = "doc_id") -> DataFrame:
     """Deterministic epoch-varying global shuffle for multi-epoch

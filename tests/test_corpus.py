@@ -781,3 +781,25 @@ def test_epoch_shuffle_varies_by_epoch_and_reproduces(spark):
         by_shard[s].append(p)
     for s, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), s
+
+
+def test_weighted_sample_per_group_quota_and_bias(spark):
+    """Grouped A-ES: exactly min(k, n_g) rows per group, deterministic
+    across layouts, heavy weights dominate within each group, and small
+    groups keep everything."""
+    from etl_mark1_spark.operators.corpus import weighted_sample_per_group
+
+    rows = [(i, "big", 1000.0 if i < 50 else 1.0) for i in range(150)] + \
+           [(200 + i, "tiny", 1.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "g", "w"])
+    out = weighted_sample_per_group(df, F.col("w"), 20, group_col="g")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.g, set()).add(r.doc_id)
+    assert len(got["big"]) == 20
+    assert got["tiny"] == {200, 201, 202, 203}   # n_g < k keeps all
+    assert sum(1 for i in got["big"] if i < 50) >= 17  # 1000:1 bias
+    again = weighted_sample_per_group(df.repartition(11), F.col("w"), 20,
+                                      group_col="g")
+    assert {(r.g, r.doc_id) for r in again.collect()} == \
+        {(g, i) for g, ids in got.items() for i in ids}
