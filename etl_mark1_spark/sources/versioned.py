@@ -15,18 +15,18 @@ their jars can guarantee:
   ``vacuum`` removes them.
 
 At 100 TB the same layout holds: version dirs are written by the cluster
-(parallel parquet), only the KB-sized manifest commit is serialized.
-Concurrent OVERWRITE writers both succeed and serialize naturally: the
-atomic ``os.rename`` of the staged directory onto ``v=N`` is the claim
-on the version number (it fails on collision, and the loser re-allocates
-past the winner), and the manifest commit re-reads and MERGES under an
-advisory ``flock`` so no writer's history entry is lost. Concurrent
-APPEND writers fail loudly on collision instead of retrying — an
-append's content embeds the pre-race snapshot, so retrying would
-silently drop the other writer's rows (copy-on-write append is
-single-writer; a rewrite-free multi-writer append needs a log, i.e.
-Delta/Iceberg — use them when the deploy ships their jars). On object
-stores without rename/flock, the equivalent claims are conditional PUTs.
+(parallel parquet), only the KB-sized claim+commit step is serialized.
+Appends are REWRITE-FREE: a delta writes only its own ``v=N`` directory
+and the manifest entry lists the full directory set composing the
+snapshot (``dirs``) — append cost is O(delta), never O(table), and
+``vacuum`` frees shared directories by reference count. Concurrent
+writers — overwrite or append — all commit: the expensive parquet write
+runs unserialized, then the atomic ``os.rename`` of the staged
+directory onto ``v=N`` (the claim on the version number) and the
+read-merge manifest commit run under an advisory ``flock``, so no
+writer's history entry is lost and an append chains onto whatever
+snapshot is current at commit time. On object stores without
+rename/flock, the equivalent claims are conditional PUTs.
 """
 
 from __future__ import annotations
@@ -103,24 +103,41 @@ class _manifest_lock:
         return False
 
 
+def _entry_dirs(entry: dict) -> list[str]:
+    """Directories composing a version's snapshot (multi-dir for
+    rewrite-free appends; single-dir entries predate the field)."""
+    return list(entry.get("dirs", [entry["dir"]]))
+
+
 def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
                   note: str = "", evolve: bool = False) -> int:
     """Commit ``df`` as the next version of the table; returns the version.
 
     ``mode="overwrite"`` makes the new version the full table;
-    ``mode="append"`` unions the current snapshot with ``df`` into the new
-    version (copy-on-write append — rewrite-free appends need a
-    multi-dir manifest, deliberately out of scope). Appends require an
-    identical schema unless ``evolve=True``, which widens by name: new
-    columns appear with NULLs backfilled for history, dropped columns
-    stay with NULLs for the new rows — the additive half of lakehouse
-    schema evolution (type CHANGES still refuse; silently coercing
-    history is how tables rot). The version directory
+    ``mode="append"`` is REWRITE-FREE: only the delta is written as the
+    new ``v=N`` directory and the manifest entry lists the full set of
+    directories composing the snapshot (``dirs``) — append cost is
+    O(delta), never O(table), which is what an append-heavy 100 TB
+    table needs. Readers union the listed dirs, so time travel and
+    snapshot isolation are unchanged. Appends require an identical
+    schema (names and types) unless ``evolve=True``, which widens by
+    name: new columns appear with NULLs backfilled for history, dropped
+    columns stay with NULLs for the new rows — the additive half of
+    lakehouse schema evolution (type CHANGES still refuse; silently
+    coercing history is how tables rot). The version directory
     is fully written BEFORE the manifest commit, so a crash mid-write
     leaves an orphan directory, never a corrupt table — and version
     numbers are allocated past any orphan ``v=N`` left by a crash in the
     rename-to-commit window (``vacuum`` deletes such orphans), so the
     next write never collides with one.
+
+    Concurrency: the expensive parquet write happens OUTSIDE the lock;
+    the version-number claim (atomic rename onto ``v=N``) and the
+    read-merge manifest commit run UNDER the advisory lock, so racing
+    writers — overwrite or append — all commit, with appends correctly
+    chaining onto whatever snapshot is current at commit time (a delta
+    embeds no other writer's data, so serializing only the cheap claim
+    step is sufficient).
     """
     os.makedirs(table_dir, exist_ok=True)
     try:
@@ -130,61 +147,59 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
                     "current": -1, "versions": []}
     if mode == "append" and manifest["current"] >= 0:
         current = read_table(df.sparkSession, table_dir)
+        cur_types = dict(current.dtypes)
+        new_types = dict(df.dtypes)
         if evolve:
-            shared = set(current.columns) & set(df.columns)
-            cur_types = dict(current.dtypes)
-            for c, t in df.dtypes:
-                if c in shared and cur_types[c] != t:
+            for c, t in new_types.items():
+                if c in cur_types and cur_types[c] != t:
                     raise ValueError(
                         f"schema evolution cannot change column {c!r} "
                         f"({cur_types[c]} -> {t}); add a new column")
-        df = current.unionByName(df, allowMissingColumns=evolve)
+        elif cur_types != new_types:
+            raise ValueError(
+                f"append schema mismatch: table has {sorted(cur_types)}, "
+                f"delta has {sorted(new_types)}; pass evolve=True to widen")
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
     # stage under a temp name, then rename: a concurrent reader listing
     # the table dir never sees a half-written v=N
     staging = os.path.join(table_dir, f".staging_{uuid.uuid4().hex[:8]}")
     df.write.parquet(staging)
-    # Claim a version number: the atomic rename onto v=N fails when a
-    # concurrent writer took N first (the target exists, non-empty), so
-    # the rename IS the claim. Overwrite mode re-allocates past the
-    # winner and retries; append mode fails loudly instead — its union
-    # embeds the pre-race snapshot, and retrying would silently drop the
-    # other writer's rows.
-    for _ in range(64):
-        version = max([manifest["current"], *_disk_versions(table_dir)]) + 1
-        vdir = os.path.join(table_dir, f"v={version}")
-        try:
-            os.rename(staging, vdir)
-            break
-        except OSError:
-            if mode == "append":
-                import shutil
-
-                shutil.rmtree(staging, ignore_errors=True)
-                raise RuntimeError(
-                    f"concurrent writer committed v={version} during an "
-                    f"append to {table_dir}; re-run the append against "
-                    "the new snapshot")
-            continue
-    else:
-        raise RuntimeError(f"could not claim a version in {table_dir} "
-                           "after 64 attempts")
-    # Commit under the advisory lock, MERGING a fresh manifest read so a
-    # concurrent writer's entry committed since our first read survives
-    # (committing the stale in-memory manifest would clobber its history
-    # entry, stranding a live version dir).
     with _manifest_lock(table_dir):
         try:
             fresh = read_manifest(table_dir)
         except FileNotFoundError:
             fresh = manifest
+        # Claim a version number under the lock: the atomic rename onto
+        # v=N fails when an (unlocked legacy / crashed) writer's dir
+        # occupies N — re-allocate past it and retry.
+        for _ in range(64):
+            version = max([fresh["current"],
+                           *_disk_versions(table_dir)]) + 1
+            vdir = os.path.join(table_dir, f"v={version}")
+            try:
+                os.rename(staging, vdir)
+                break
+            except OSError:
+                continue
+        else:
+            raise RuntimeError(f"could not claim a version in {table_dir} "
+                               "after 64 attempts")
+        if mode == "append" and fresh["current"] >= 0:
+            base = next(v for v in fresh["versions"]
+                        if v["version"] == fresh["current"])
+            dirs = _entry_dirs(base) + [f"v={version}"]
+        else:
+            dirs = [f"v={version}"]
         entry = {
-            "version": version, "dir": f"v={version}",
+            "version": version, "dir": f"v={version}", "dirs": dirs,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime()),
             "note": note,
         }
+        # read-merge commit: a concurrent writer's entry committed since
+        # our first read survives (committing a stale manifest would
+        # clobber its history entry, stranding a live version dir)
         fresh["versions"] = sorted(
             [v for v in fresh["versions"] if v["version"] != version]
             + [entry], key=lambda v: v["version"])
@@ -195,16 +210,25 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
 
 def read_table(spark: SparkSession, table_dir: str,
                version: int | None = None) -> DataFrame:
-    """Read the current snapshot, or ``version=N`` for time travel."""
+    """Read the current snapshot, or ``version=N`` for time travel.
+    A snapshot is the union of its manifest entry's directories (one for
+    overwrites, base + deltas for rewrite-free appends); multi-dir reads
+    merge schemas so evolved columns backfill with NULLs."""
     manifest = read_manifest(table_dir)
     if version is None:
         version = manifest["current"]
-    known = {v["version"] for v in manifest["versions"]}
-    if version not in known:
+    entry = next((v for v in manifest["versions"]
+                  if v["version"] == version), None)
+    if entry is None:
         raise ValueError(
             f"version {version} not in table {table_dir} "
-            f"(have {sorted(known)})")
-    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+            f"(have {sorted(v['version'] for v in manifest['versions'])})")
+    dirs = _entry_dirs(entry)
+    paths = [os.path.join(table_dir, d) for d in dirs]
+    reader = spark.read
+    if len(paths) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def history(table_dir: str) -> list[dict]:
@@ -239,33 +263,32 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     loudly on their next manifest check — retention policy is the
     caller's contract, as in any snapshot table. Run vacuum under the
     same single-writer discipline as writes: it treats every ``v=N`` not
-    in the manifest as dead."""
+    referenced by a kept version as dead.
+
+    Rewrite-free appends SHARE directories across versions (a delta's
+    base dirs belong to older versions too), so deletion is by
+    REFERENCE COUNT: a directory is removed only when no kept version's
+    ``dirs`` list names it — dropping an old version of an append chain
+    frees nothing until every snapshot built on its dirs is dropped
+    too, exactly like Delta/Iceberg data-file retention."""
     import shutil
 
     manifest = read_manifest(table_dir)
     keep = set([v["version"] for v in manifest["versions"]][-keep_last:])
     keep |= set(manifest.get("tags", {}).values())  # tags pin snapshots
-    removed = []
-    for entry in manifest["versions"]:
-        if entry["version"] not in keep:
-            shutil.rmtree(os.path.join(table_dir, entry["dir"]),
-                          ignore_errors=True)
-            removed.append(entry["version"])
+    removed = [v["version"] for v in manifest["versions"]
+               if v["version"] not in keep]
     manifest["versions"] = [v for v in manifest["versions"]
                             if v["version"] in keep]
     _commit_manifest(table_dir, manifest)
-    committed = {v["version"] for v in manifest["versions"]}
+    # disk cleanup by refcount: anything not named by a kept entry goes —
+    # including orphans of crashed commits and dropped append bases
+    keep_dirs = {d for v in manifest["versions"] for d in _entry_dirs(v)}
     for name in os.listdir(table_dir):
         if name.startswith(".staging_"):
             shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
-        elif name.startswith("v="):
-            try:
-                n = int(name[2:])
-            except ValueError:
-                continue
-            if n not in committed:  # orphan of a crashed commit
-                shutil.rmtree(os.path.join(table_dir, name),
-                              ignore_errors=True)
+        elif name.startswith("v=") and name not in keep_dirs:
+            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
     return removed
 
 

@@ -233,30 +233,77 @@ def test_version_claim_retries_past_collision(spark, tmp_path, monkeypatch):
     assert read_table(spark, table, version=2).count() == 9
 
 
-def test_append_collision_fails_loudly(spark, tmp_path, monkeypatch):
-    """An APPEND whose version claim collides must raise (its union was
-    computed from the pre-race snapshot; retrying would silently drop
-    the concurrent writer's rows) and leave no staging litter behind."""
-    from etl_mark1_spark.sources import versioned
+def test_concurrent_appends_both_commit_no_rows_lost(spark, tmp_path):
+    """Rewrite-free appends embed no other writer's data, so two racing
+    appends must BOTH commit: distinct versions, a final current
+    snapshot containing the seed and both deltas, and append chains that
+    each include the seed dir (whichever writer committed second chained
+    onto the first's snapshot)."""
+    import threading
+
+    from etl_mark1_spark.sources.versioned import table_changes
 
     table = str(tmp_path / "appendrace")
-    write_version(spark.range(3), table)
-    write_version(spark.range(4), table)        # v=1: the "winner"
+    write_version(spark.range(100).toDF("id"), table, note="seed")
 
-    monkeypatch.setattr(versioned, "_disk_versions", lambda d: [])
-    real_read = versioned.read_manifest
+    errors, got = [], {}
+    barrier = threading.Barrier(2)
 
-    def stale_manifest(d):
-        m = real_read(d)
-        m["current"] = 0
-        return m
+    def appender(tag, lo, hi):
+        try:
+            barrier.wait()
+            got[tag] = write_version(
+                spark.range(lo, hi).toDF("id"), table,
+                mode="append", note=f"delta-{tag}")
+        except Exception as exc:
+            errors.append((tag, repr(exc)))
 
-    monkeypatch.setattr(versioned, "read_manifest", stale_manifest)
-    with pytest.raises(RuntimeError, match="concurrent writer"):
-        versioned.write_version(spark.range(5), table, mode="append")
+    threads = [threading.Thread(target=appender, args=a)
+               for a in [("a", 100, 160), ("b", 200, 250)]]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    assert sorted(got.values()) == [1, 2]
+    ids = sorted(r.id for r in read_table(spark, table).collect())
+    assert ids == sorted(list(range(100)) + list(range(100, 160))
+                         + list(range(200, 250)))      # nothing lost
+    # the second append chained onto the first: its dirs include all three
+    man = read_manifest(table)
+    last = next(v for v in man["versions"] if v["version"] == 2)
+    assert set(last["dirs"]) == {"v=0", "v=1", "v=2"}
     assert not [n for n in os.listdir(table) if n.startswith(".staging_")]
-    # the winner's data is untouched
-    assert read_table(spark, table, version=1).count() == 4
+
+
+def test_append_is_rewrite_free_and_vacuum_refcounts(spark, tmp_path):
+    """An append's v=N directory holds ONLY the delta rows (O(delta)
+    write, never O(table)); vacuum frees shared base dirs by refcount —
+    dropping an old version of an append chain keeps every dir a kept
+    snapshot still references."""
+    table = str(tmp_path / "deltas")
+    write_version(spark.range(1000).toDF("id"), table)          # v0 base
+    write_version(spark.range(1000, 1010).toDF("id"), table,
+                  mode="append")                                # v1 delta
+    write_version(spark.range(2000, 2005).toDF("id"), table,
+                  mode="append")                                # v2 delta
+    # the delta dir contains only its own rows
+    delta_rows = spark.read.parquet(f"{table}/v=1").count()
+    assert delta_rows == 10
+    assert read_table(spark, table).count() == 1015
+    assert read_table(spark, table, version=1).count() == 1010  # time travel
+    # vacuum to the last version: v0/v1 entries drop but their DIRS stay
+    # (v2's snapshot references them); only truly-unreferenced dirs go
+    removed = vacuum(table, keep_last=1)
+    assert removed == [0, 1]
+    assert os.path.isdir(f"{table}/v=0") and os.path.isdir(f"{table}/v=1")
+    assert read_table(spark, table).count() == 1015             # intact
+    # an overwrite then orphans the whole old chain for the next vacuum
+    write_version(spark.range(7).toDF("id"), table)
+    assert vacuum(table, keep_last=1) == [2]
+    assert not os.path.isdir(f"{table}/v=0")
+    assert read_table(spark, table).count() == 7
 
 
 def test_table_changes_feed_between_versions(spark, tmp_path):
