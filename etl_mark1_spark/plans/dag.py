@@ -423,8 +423,8 @@ class PipelineExecutor:
         """file_output (engine.py:235-242): distributed write to the target.
         ``versioned: true`` commits an atomic snapshot version instead of
         overwriting in place (sources/versioned.py) — concurrent readers
-        keep the old snapshot; ``mode: append`` becomes a copy-on-write
-        versioned append."""
+        keep the old snapshot; ``mode: append`` becomes a rewrite-free
+        O(delta) versioned append."""
         if not inputs:
             raise ExecutionError("File output node has no inputs")
         path = config.get("path") or config.get("filename", "output.csv")
