@@ -975,3 +975,73 @@ def test_session_window_punctuation_flushes_all_sessions(spark, sf_dir):
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     n_batch = sess.select("user_id", "_seq").distinct().count()
     assert n_all == n_batch
+
+
+def test_session_window_restart_merges_straddling_sessions(spark, sf_dir,
+                                                           tmp_path):
+    """Checkpointed restart for NATIVE session windows through an
+    exactly-once file sink: drain the first time-half, then restart from
+    the same checkpoint over the second half plus the flush sentinel.
+    A session emitted in drain 1 can never be continued by a
+    second-half event (its end precedes the restored watermark, so any
+    later event is >= one gap away and starts a new session), and a
+    straddling session merges from restored state — so every batch
+    session emits EXACTLY once across the two drains: counts and event
+    totals must equal the batch gaps-and-islands answer."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from etl_mark1_spark.streaming.events import (punctuated_events_dir,
+                                                  read_events_stream,
+                                                  session_window_agg,
+                                                  staged_time_halves)
+
+    halves = staged_time_halves(spark, f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "arriving")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "sessions_out")
+    shutil.copytree(halves[0], src)
+
+    def drain():
+        q = (session_window_agg(read_events_stream(spark, src))
+             .select("user_id",
+                     F.col("session_window.start").alias("s_start"),
+                     F.col("session_window.end").alias("s_end"),
+                     "n_events")
+             .writeStream.format("parquet").option("path", outdir)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    n_first = spark.read.parquet(outdir).count()
+
+    # second half arrives, plus the punctuation file from the staged
+    # full-table dir (its sentinel is past the whole table's max ts)
+    for f in os.listdir(halves[1]):
+        shutil.copy(f"{halves[1]}/{f}", f"{src}/{f}")
+    punct = punctuated_events_dir(spark, f"{sf_dir}/events.parquet")
+    sent = next(n for n in os.listdir(punct) if n.startswith("zz_flush"))
+    shutil.copy(f"{punct}/{sent}", f"{src}/{sent}")
+    drain()
+
+    drained = spark.read.parquet(outdir).filter(F.col("user_id") >= 0)
+    assert 0 < n_first < drained.count()        # both drains contributed
+    # exactly-once: no (user, start) appears twice across the drains
+    assert drained.groupBy("user_id", "s_start").count() \
+        .filter(F.col("count") > 1).isEmpty()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    sess = (ev.withColumn(
+        "_new", F.when(F.lag(secs).over(w).isNull()
+                       | (secs - F.lag(secs).over(w) >= 1800), 1)
+        .otherwise(0))
+        .withColumn("_seq", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    n_batch = sess.select("user_id", "_seq").distinct().count()
+    assert drained.count() == n_batch
+    assert int(drained.agg(F.sum("n_events")).first()[0]) == ev.count()
