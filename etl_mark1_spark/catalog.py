@@ -5575,3 +5575,60 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return weighted_sample_per_group(docs, F.col("n_chars"), 30,
                                      group_col="lang")
+
+
+@query("nb_lang_classifier", r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(trim(regexp_replace(
+                 text, '\s+', ' ', 'g'))), ' ')) AS token
+      FROM documents),
+    tk AS (SELECT * FROM toks WHERE token <> ''),
+    word AS (SELECT token, lang AS label, count(*) AS cnt
+             FROM tk GROUP BY 1, 2),
+    cls AS (SELECT lang AS label, count(*) AS n_tokens FROM tk GROUP BY 1),
+    pri AS (SELECT lang AS label, CAST(count(*) AS DOUBLE) AS n_docs
+            FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    voc AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM word),
+    dlen AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+    seen AS (SELECT t.doc_id, w.label, sum(ln(w.cnt + 1.0)) AS s
+             FROM tk t JOIN word w ON t.token = w.token GROUP BY 1, 2),
+    scores AS (
+      SELECT d.doc_id, c.label,
+             floor((ln(p.n_docs / tot.n)
+                    - d.n * ln(c.n_tokens + voc.v)
+                    + coalesce(se.s, 0.0)) * 1e6 + 0.5) / 1e6 AS score
+      FROM dlen d
+      CROSS JOIN cls c
+      CROSS JOIN tot
+      CROSS JOIN voc
+      JOIN pri p ON p.label = c.label
+      LEFT JOIN seen se ON se.doc_id = d.doc_id AND se.label = c.label),
+    ranked AS (
+      SELECT doc_id, label, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label) AS rk,
+             lead(score) OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, label) AS nxt
+      FROM scores)
+    SELECT doc_id, label AS predicted_lang, round(score - nxt, 6) AS margin
+    FROM ranked WHERE rk = 1
+""")
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRAINED MODEL with an exact oracle: multinomial Naive Bayes
+    language classification (operators/nbayes.py) trained on the corpus
+    and applied back to it — training is two aggregations over the
+    token stream, inference one broadcast join + per-(doc, label) sum,
+    and because every ln() input is an exact integer count, DuckDB
+    replays the whole train-plus-predict pipeline value-for-value
+    (scores quantized tie-deterministically at 1e-6 before the argmax
+    so float summation order cannot flip a prediction). NB: this
+    corpus's lang labels share one vocabulary, so the entry checks
+    ENGINE PARITY of the trained model; classification semantics are
+    pinned by tests/test_nbayes.py's planted separable corpus."""
+    from etl_mark1_spark.operators.nbayes import nb_predict, nb_train
+
+    docs = t(spark, sf_dir, "documents")
+    model = nb_train(docs)
+    return nb_predict(docs, model, out_col="predicted_lang")

@@ -1,0 +1,74 @@
+"""Aggregation-native Naive Bayes: hand-checkable math, accuracy on the
+synthetic corpus, and scale-shape sanity. Cross-engine value parity is
+the nb_lang_classifier catalog oracle's job."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.nbayes import nb_predict, nb_score, nb_train
+
+
+def test_nb_two_class_hand_computed(spark):
+    """Tiny corpus where the posterior is computable by hand: the word
+    likelihoods, priors, and smoothing must match the closed form."""
+    rows = [(1, "spam", "buy pills buy"), (2, "spam", "buy now"),
+            (3, "ham", "meeting notes today"), (4, "ham", "notes now")]
+    df = spark.createDataFrame(rows, ["doc_id", "label", "text"])
+    model = nb_train(df, label_col="label")
+    assert model["vocab"] == 6          # buy pills now meeting notes today
+    cls = {r._label: (r.n_tokens, r.log_prior)
+           for r in model["classes"].collect()}
+    assert cls["spam"][0] == 5 and cls["ham"][0] == 5
+    assert abs(cls["spam"][1] - math.log(0.5)) < 1e-12
+
+    test = spark.createDataFrame([(9, "buy pills")], ["doc_id", "text"])
+    scores = {r._label: r.score for r in nb_score(test, model).collect()}
+    # closed form: ln(1/2) + ln(cnt+1) terms - n*ln(n_tokens + V)
+    want_spam = math.log(0.5) + math.log(3 + 1) + math.log(1 + 1) \
+        - 2 * math.log(5 + 6)
+    want_ham = math.log(0.5) + 0.0 + 0.0 - 2 * math.log(5 + 6)
+    assert abs(scores["spam"] - round(want_spam, 6)) < 2e-6
+    assert abs(scores["ham"] - round(want_ham, 6)) < 2e-6
+    pred = nb_predict(test, model).first()
+    assert pred.predicted == "spam" and pred.margin > 0
+
+
+def test_nb_planted_separable_corpus_accuracy(spark):
+    """On a corpus whose labels genuinely correlate with vocabulary
+    (three word pools with a shared-noise overlap), resubstitution
+    accuracy must be essentially perfect and margins non-negative.
+    (The synthetic documents table is NOT such a corpus — its lang
+    labels share one vocabulary, which is why the catalog entry checks
+    engine parity while this test pins semantics.)"""
+    import random
+
+    pools = {"aa": [f"alpha{i}" for i in range(30)],
+             "bb": [f"beta{i}" for i in range(30)],
+             "cc": [f"gamma{i}" for i in range(30)]}
+    noise = [f"common{i}" for i in range(10)]
+    rng = random.Random(7)
+    rows = []
+    for d in range(300):
+        label = ["aa", "bb", "cc"][d % 3]
+        words = [rng.choice(pools[label]) for _ in range(25)] +             [rng.choice(noise) for _ in range(8)]
+        rng.shuffle(words)
+        rows.append((d, label, " ".join(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "label", "text"])
+    model = nb_train(df, label_col="label")
+    pred = nb_predict(df, model)
+    joined = pred.join(df.select("doc_id", "label"), "doc_id")
+    hits = joined.filter(F.col("predicted") == F.col("label")).count()
+    assert hits == 300, hits
+    assert joined.filter(F.col("margin") < 0).isEmpty()
+
+
+def test_nb_score_plan_broadcasts_model(spark, sf_dir):
+    """The word-likelihood table must reach scoring as a broadcast join
+    — the model rides to the data, never a shuffled join of the token
+    stream."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = nb_train(docs)
+    plan = nb_score(docs, model)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
