@@ -375,3 +375,46 @@ def test_gif_dictionary_reset_and_degenerate_shapes(seed):
         for inter in (False, True):
             assert (decode_gif(make_gif(idx, pal, interlace=inter))
                     == pal[idx]).all()
+
+
+@given(seed=st.integers(min_value=0, max_value=2**32 - 1),
+       n_nodes=st.integers(min_value=1, max_value=12),
+       edge_p=st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=40, deadline=None)
+def test_dag_random_graphs_terminate_or_fail_loudly(spark, seed, n_nodes,
+                                                    edge_p):
+    """Property fuzz of the executor's GRAPH handling: any random digraph
+    of pass-through nodes (incl. self-loops, parallel edges, dangling
+    references, dense meshes) must either run to success in a valid
+    topological order or raise ExecutionError for a cycle/bad reference
+    — never hang, crash with a non-ExecutionError graph error, or visit
+    a node before one of its parents."""
+    import random
+
+    from etl_mark1_spark.plans.dag import ExecutionError, PipelineExecutor
+
+    rng = random.Random(seed)
+    nodes = [{"id": f"n{i}", "type": "no_such_op_passthrough",
+              "config": {}} for i in range(n_nodes)]
+    edges = []
+    for a in range(n_nodes):
+        for b in range(n_nodes):
+            if rng.random() < edge_p:
+                edges.append({"source": f"n{a}", "target": f"n{b}"})
+    if rng.random() < 0.3 and edges:            # sprinkle a dangling ref
+        edges.append({"source": f"n{rng.randrange(n_nodes)}",
+                      "target": "ghost"})
+    definition = {"nodes": nodes, "edges": edges}
+
+    ex = PipelineExecutor(spark)
+    try:
+        report = ex.execute(definition)
+    except ExecutionError:
+        return                                   # loud, typed failure: fine
+    assert report.status in ("succeeded", "failed")
+    if report.status == "succeeded":
+        order = [log.node_id for log in report.node_logs]
+        pos = {nid: i for i, nid in enumerate(order)}
+        for e in edges:
+            if e["source"] in pos and e["target"] in pos:
+                assert pos[e["source"]] < pos[e["target"]], e
