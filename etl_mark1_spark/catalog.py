@@ -5632,3 +5632,40 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     model = nb_train(docs)
     return nb_predict(docs, model, out_col="predicted_lang")
+
+
+@query("fuzzy_dedup_customers", """
+    WITH RECURSIVE
+    ed AS (SELECT a.c_custkey AS da, b.c_custkey AS db
+           FROM customer a JOIN customer b
+             ON a.c_custkey < b.c_custkey
+            AND levenshtein(a.c_name, b.c_name) <= 1),
+    sym AS (SELECT da AS a, db AS b FROM ed UNION SELECT db, da FROM ed),
+    nodes AS (SELECT c_custkey AS node FROM customer),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+        WHERE r.label < s.b
+    )
+    SELECT node AS c_custkey, min(label) AS cluster_id
+    FROM reach GROUP BY node
+""")
+def fuzzy_dedup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity dedup: connected components over the edit-distance-1
+    name graph (edit_distance_join candidates -> exact levenshtein edges
+    -> min-label clustering), each customer labeled with its component's
+    minimum key — the dedup-family composition for near-identical NAMES
+    where shingle similarity is meaningless. Oracle-exact: the edge set
+    is exact (FastSS has full recall, verify is exact), so the
+    clustering must equal the recursive min-label closure over the
+    all-pairs cross join."""
+    from etl_mark1_spark.operators.dedup import (_cluster_min_label,
+                                                 edit_distance_join)
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    edges = edit_distance_join(cust, cust, text_col="c_name",
+                               id_col="c_custkey", max_dist=1,
+                               self_join=True) \
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return _cluster_min_label(cust.select("c_custkey"), edges, "c_custkey")
