@@ -1,0 +1,184 @@
+"""Multimodal plumbing + BPE + PCA (rows-only; deterministic decode).
+
+Split out of the original single-module catalog (round 6); registration
+order is preserved by the import order in ``catalog/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.catalog._registry import query, t
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (extension; decode is a deterministic fake)
+# ---------------------------------------------------------------------------
+
+@query("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns end-to-end: synthesize payload+metadata, decode
+    via mapInPandas (fake codec), emit typed features. Golden-replay check."""
+    from etl_mark1_spark.operators.multimodal import attach_fake_media, decode_images
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_fake_media(docs))
+
+
+@query("multimodal_wav_decode")
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: id-seeded PCM WAV sines generated
+    executor-side, decoded (stdlib wave + numpy) into sample rate,
+    duration, and normalized RMS. Golden-replay check."""
+    from etl_mark1_spark.operators.multimodal import attach_wav_media, decode_audio
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio(attach_wav_media(docs))
+
+
+@query("multimodal_bmp_decode")
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each row carries an actual 24-bit BMP
+    (id-seeded gradient, generated executor-side), decoded by the built-in
+    numpy parser into true dimensions, mean pixel, and a genuine 64-bit
+    average-hash. No image library involved; golden-replay check."""
+    from etl_mark1_spark.operators.multimodal import attach_bmp_media, decode_images
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_bmp_media(docs), codec="real")
+
+
+@query("multimodal_jpeg_decode")
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode end-to-end with NO image library: each row carries
+    an actual baseline JPEG (id-seeded gradient; ids cycle 4:4:4 / 4:2:0 /
+    restart-marker variants), decoded by the vendored pure-Python codec
+    (operators/jpeg.py) into true dimensions, mean pixel, and a genuine
+    64-bit average-hash. Golden-replay check."""
+    from etl_mark1_spark.operators.multimodal import (attach_jpeg_media,
+                                                      decode_images)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_jpeg_media(docs), codec="real")
+
+
+@query("multimodal_png_decode")
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end with NO image library: each row carries
+    an actual PNG (id-seeded gradient; ids cycle RGB / grayscale / RGBA
+    color types, rows cycle all five filters, every third id splits IDAT),
+    decoded by the vendored pure-Python codec (operators/png.py, stdlib
+    zlib inflate + numpy unfilter) into true dimensions, mean pixel, and a
+    genuine 64-bit average-hash. Golden-replay check + lossless
+    round-trip property fuzz in tests/test_property.py."""
+    from etl_mark1_spark.operators.multimodal import (attach_png_media,
+                                                      decode_images)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_png_media(docs), codec="real")
+
+
+@query("multimodal_gif_decode")
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end with NO image library: each row carries
+    an actual GIF (id-seeded palette pattern; palette sizes cycle
+    4/16/97/256 so LZW code widths grow from every starting size, every
+    third id is INTERLACED), decoded by the vendored pure-Python codec
+    (operators/gif.py — GIF-variant LZW, dictionary resets, four-pass
+    de-interlace) into true dimensions, mean pixel, and a genuine 64-bit
+    average-hash. Golden-replay check + exact round-trip property fuzz in
+    tests/test_property.py (GIF is lossless for palettized content)."""
+    from etl_mark1_spark.operators.multimodal import (attach_gif_media,
+                                                      decode_images)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_gif_media(docs), codec="real")
+
+
+@query("multimodal_video_frames")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling with NO media library: each row carries
+    an actual MJPEG AVI (id-seeded JPEG frames in the vendored RIFF
+    container, operators/avi.py; frame counts and rates vary per id), and
+    the frame nearest each 1000ms timestamp decodes through the vendored
+    JPEG codec into true dimensions, mean pixel, and average-hash — the
+    video-modality curation path (scene thumbnails, near-dup keys) made
+    real end-to-end. Golden-replayed; container round-trip + sampling
+    math in tests."""
+    from etl_mark1_spark.operators.multimodal import (attach_avi_media,
+                                                      sample_video_frames)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return sample_video_frames(attach_avi_media(docs), every_ms=1000,
+                               codec="real")
+
+
+@query("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN a BPE subword vocabulary from the corpus
+    (operators/bpe.py:bpe_train — the classic word-frequency algorithm
+    behind GPT-2-style tokenizers): 30 ranked merges as (rank, left,
+    right). Training touches the corpus once (the word-count aggregate);
+    every iteration is a pair-explode + count over the unique-word table
+    with a single-row top-pair collect. Deterministic (lexicographic tie
+    break), so golden-replayed — and differential-tested against an
+    independent pure-Python reference implementation in
+    tests/test_corpus.py, which is a stronger check than any SQL
+    oracle."""
+    from etl_mark1_spark.operators.bpe import bpe_train, merges_df
+
+    merges = bpe_train(t(spark, sf_dir, "documents"), num_merges=30)
+    return merges_df(spark, merges)
+
+
+@query("bpe_segment_docs")
+def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment every document under the corpus-learned BPE merges
+    (operators/bpe.py:bpe_segment): (doc_id, n_bpe_tokens, first_tokens).
+    The merge chain applies as ranked map-side regexp passes — the same
+    order as training, so segmentation is reproducible anywhere the
+    merge list travels."""
+    from etl_mark1_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=30)
+    seg = bpe_segment(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.slice("bpe_tokens", 1, 8).alias("first_tokens"))
+
+
+@query("pca_embeddings")
+def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding table
+    (operators/similarity.py:pca_fit/pca_project): per component, the
+    covariance eigenvalue, the EMPIRICAL variance of the data projected
+    onto that component (must match the eigenvalue — the defining
+    property of principal axes, so the entry validates the whole
+    fit+project path), and the cumulative explained-variance ratio.
+    Vectors are read once as per-partition numpy Gram partials that
+    tree-merge in-cluster to a single d^2-sized row; only that one row
+    reaches the driver, where the d x d eigendecomposition runs. Differential-tested against numpy's full in-memory
+    PCA in tests/test_dedup_similarity.py."""
+    from etl_mark1_spark.operators.similarity import pca_fit, pca_project
+
+    emb = t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=8)
+    proj = pca_project(emb, model, out_col="pca")
+    emp = (proj.select(F.posexplode("pca").alias("i", "v"))
+           .groupBy("i").agg((F.sum(F.col("v") * F.col("v"))
+                              / F.lit(model["n"])).alias("emp_var")))
+    total = sum(model["eigvals"])
+    rows = spark.createDataFrame(
+        [(i, float(model["eigvals"][i]),
+          float(sum(model["eigvals"][:i + 1]) / total))
+         for i in range(8)],
+        "i int, eigval double, evr_cum double")
+    return (rows.join(emp, "i")
+            .select(F.col("i").cast("bigint").alias("component"),
+                    F.round("eigval", 8).alias("eigval"),
+                    F.round("emp_var", 8).alias("empirical_var"),
+                    F.round("evr_cum", 6).alias("evr_cum")))
+
+

@@ -38,6 +38,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST.json"
 
@@ -109,6 +110,34 @@ def _entry_dirs(entry: dict) -> list[str]:
     return list(entry.get("dirs", [entry["dir"]]))
 
 
+def _snapshot_types(spark: SparkSession, table_dir: str,
+                    entry: dict) -> dict[str, str]:
+    """Column -> dtype map of a committed snapshot. New manifest entries
+    record it (``schema``) so appends can validate without touching data;
+    legacy entries fall back to the parquet footers (metadata-only)."""
+    if "schema" in entry:
+        return dict(entry["schema"])
+    paths = [os.path.join(table_dir, d) for d in _entry_dirs(entry)]
+    reader = spark.read
+    if len(paths) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return dict(reader.parquet(*paths).dtypes)
+
+
+def _validate_append(cur_types: dict[str, str], new_types: dict[str, str],
+                     evolve: bool) -> None:
+    if evolve:
+        for c, t in new_types.items():
+            if c in cur_types and cur_types[c] != t:
+                raise ValueError(
+                    f"schema evolution cannot change column {c!r} "
+                    f"({cur_types[c]} -> {t}); add a new column")
+    elif cur_types != new_types:
+        raise ValueError(
+            f"append schema mismatch: table has {sorted(cur_types)}, "
+            f"delta has {sorted(new_types)}; pass evolve=True to widen")
+
+
 def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
                   note: str = "", evolve: bool = False) -> int:
     """Commit ``df`` as the next version of the table; returns the version.
@@ -145,20 +174,14 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
     except FileNotFoundError:
         manifest = {"table": os.path.basename(table_dir.rstrip("/")),
                     "current": -1, "versions": []}
+    new_types = dict(df.dtypes)
     if mode == "append" and manifest["current"] >= 0:
-        current = read_table(df.sparkSession, table_dir)
-        cur_types = dict(current.dtypes)
-        new_types = dict(df.dtypes)
-        if evolve:
-            for c, t in new_types.items():
-                if c in cur_types and cur_types[c] != t:
-                    raise ValueError(
-                        f"schema evolution cannot change column {c!r} "
-                        f"({cur_types[c]} -> {t}); add a new column")
-        elif cur_types != new_types:
-            raise ValueError(
-                f"append schema mismatch: table has {sorted(cur_types)}, "
-                f"delta has {sorted(new_types)}; pass evolve=True to widen")
+        # fail fast BEFORE the expensive parquet write; re-validated under
+        # the lock if a concurrent writer moved the base in the meantime
+        base = next(v for v in manifest["versions"]
+                    if v["version"] == manifest["current"])
+        _validate_append(_snapshot_types(df.sparkSession, table_dir, base),
+                         new_types, evolve)
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
     # stage under a temp name, then rename: a concurrent reader listing
@@ -170,6 +193,29 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
             fresh = read_manifest(table_dir)
         except FileNotFoundError:
             fresh = manifest
+        snap_types = dict(new_types)
+        if mode == "append" and fresh["current"] >= 0:
+            base = next(v for v in fresh["versions"]
+                        if v["version"] == fresh["current"])
+            # Re-validate against the ACTUAL base under the lock: the delta
+            # chains onto whatever snapshot is current at commit time, and a
+            # concurrent writer may have moved it (with a different schema)
+            # since the pre-lock fail-fast check — without this, a racing
+            # overwrite slips a mixed-schema chain past evolve=False.
+            base_types = _snapshot_types(df.sparkSession, table_dir, base)
+            try:
+                _validate_append(base_types, new_types, evolve)
+            except ValueError:
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            # the committed snapshot's schema is the merge: base columns
+            # keep their types (dropped ones backfill NULL), new evolved
+            # columns join at the end
+            snap_types = dict(base_types)
+            snap_types.update({c: t for c, t in new_types.items()
+                               if c not in base_types})
         # Claim a version number under the lock: the atomic rename onto
         # v=N fails when an (unlocked legacy / crashed) writer's dir
         # occupies N — re-allocate past it and retry.
@@ -186,13 +232,12 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "overwrite",
             raise RuntimeError(f"could not claim a version in {table_dir} "
                                "after 64 attempts")
         if mode == "append" and fresh["current"] >= 0:
-            base = next(v for v in fresh["versions"]
-                        if v["version"] == fresh["current"])
             dirs = _entry_dirs(base) + [f"v={version}"]
         else:
             dirs = [f"v={version}"]
         entry = {
             "version": version, "dir": f"v={version}", "dirs": dirs,
+            "schema": snap_types,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime()),
             "note": note,
@@ -242,28 +287,91 @@ def table_changes(spark: SparkSession, table_dir: str, key_cols: list[str],
     """Change data feed between two committed versions: the keyed
     insert/update/delete rows that turn snapshot ``from_version`` into
     ``to_version`` (default: current) — the lakehouse CDF shape
-    (Delta's ``table_changes``), computed as one full-outer keyed diff
-    (operators/cdc.py:snapshot_diff) since every version is a full
-    snapshot. Feed size is proportional to churn, not table size;
-    downstream it drives incremental aggregate maintenance or
-    replication without rescanning either snapshot."""
+    (Delta's ``table_changes``).
+
+    APPEND-ONLY FAST PATH: when ``from_version``'s directory set is a
+    subset of ``to_version``'s (i.e. every intervening commit was a
+    rewrite-free append — the manifest records exactly which ``v=N``
+    dirs compose each snapshot), the changes are precisely the rows of
+    the delta directories, all inserts. Those dirs are read DIRECTLY:
+    no join, no scan of either snapshot — O(delta) compute for an
+    O(delta) feed, which is what incremental aggregate maintenance on
+    an append-heavy 100 TB table needs. (Keys are assumed not re-appended
+    within the range; a keyed diff is ill-defined under duplicate keys.)
+
+    Across an overwrite boundary the dirs diverge and the feed falls
+    back to one full-outer keyed diff of the two snapshots
+    (operators/cdc.py:snapshot_diff) — feed size is still proportional
+    to churn, but compute is O(table), unavoidable when the writer
+    rewrote the table."""
     from etl_mark1_spark.operators.cdc import snapshot_diff
+
+    manifest = read_manifest(table_dir)
+    if to_version is None:
+        to_version = manifest["current"]
+
+    def _entry(v: int) -> dict:
+        e = next((x for x in manifest["versions"] if x["version"] == v),
+                 None)
+        if e is None:
+            raise ValueError(
+                f"version {v} not in table {table_dir} (have "
+                f"{sorted(x['version'] for x in manifest['versions'])})")
+        return e
+
+    from_dirs = set(_entry_dirs(_entry(from_version)))
+    to_dirs = set(_entry_dirs(_entry(to_version)))
+    if from_dirs <= to_dirs:
+        to_snap = read_table(spark, table_dir, version=to_version)
+        payload = [c for c in to_snap.columns if c not in key_cols]
+        delta = sorted(to_dirs - from_dirs)
+        if delta:
+            reader = spark.read
+            if len(to_dirs) > 1:
+                reader = reader.option("mergeSchema", "true")
+            rows = reader.parquet(
+                *[os.path.join(table_dir, d) for d in delta])
+        else:
+            rows = to_snap.limit(0)
+        # align to the to-snapshot schema: evolved columns the delta dirs
+        # predate backfill as NULL, exactly as the snapshot read merges them
+        aligned = [
+            (F.col(c) if c in rows.columns
+             else F.lit(None)).cast(to_snap.schema[c].dataType).alias(c)
+            for c in to_snap.columns]
+        rows = rows.select(*aligned)
+        return rows.select(
+            *key_cols,
+            F.lit("insert").alias("change_type"),
+            *[F.col(c).alias(f"new_{c}") for c in payload],
+            *[F.lit(None).cast(to_snap.schema[c].dataType)
+              .alias(f"old_{c}") for c in payload])
 
     return snapshot_diff(read_table(spark, table_dir, version=from_version),
                          read_table(spark, table_dir, version=to_version),
                          key_cols)
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
+def vacuum(table_dir: str, keep_last: int = 1,
+           staging_grace_sec: float = 3600.0) -> list[int]:
     """Drop all but the last ``keep_last`` versions (tagged versions are
-    always kept — see :func:`tag_version`), any orphaned staging
+    always kept — see :func:`tag_version`), stale orphaned staging
     dirs from crashed writes, AND any uncommitted ``v=N`` dirs (renamed
     but never manifest-committed — the crash window's leftover); returns
     removed committed version numbers. Readers of a removed version fail
     loudly on their next manifest check — retention policy is the
-    caller's contract, as in any snapshot table. Run vacuum under the
-    same single-writer discipline as writes: it treats every ``v=N`` not
-    referenced by a kept version as dead.
+    caller's contract, as in any snapshot table.
+
+    Concurrency: the manifest read-modify-write AND the directory sweep
+    run under the same advisory lock as write commits, so a vacuum racing
+    a writer can neither clobber a freshly committed manifest entry nor
+    delete a just-claimed ``v=N`` (claims happen under the lock).
+    Writers stage parquet OUTSIDE the lock, so an in-flight
+    ``.staging_`` dir is indistinguishable from a crashed one by name —
+    only staging dirs idle for ``staging_grace_sec`` are swept (a live
+    write touches its directory as part files land). Where ``fcntl``
+    is unavailable the lock degrades to a no-op and vacuum requires
+    externally-guaranteed exclusive access.
 
     Rewrite-free appends SHARE directories across versions (a delta's
     base dirs belong to older versions too), so deletion is by
@@ -273,22 +381,31 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     too, exactly like Delta/Iceberg data-file retention."""
     import shutil
 
-    manifest = read_manifest(table_dir)
-    keep = set([v["version"] for v in manifest["versions"]][-keep_last:])
-    keep |= set(manifest.get("tags", {}).values())  # tags pin snapshots
-    removed = [v["version"] for v in manifest["versions"]
-               if v["version"] not in keep]
-    manifest["versions"] = [v for v in manifest["versions"]
-                            if v["version"] in keep]
-    _commit_manifest(table_dir, manifest)
-    # disk cleanup by refcount: anything not named by a kept entry goes —
-    # including orphans of crashed commits and dropped append bases
-    keep_dirs = {d for v in manifest["versions"] for d in _entry_dirs(v)}
-    for name in os.listdir(table_dir):
-        if name.startswith(".staging_"):
-            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
-        elif name.startswith("v=") and name not in keep_dirs:
-            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+    now = time.time()
+    with _manifest_lock(table_dir):
+        manifest = read_manifest(table_dir)
+        keep = set([v["version"] for v in manifest["versions"]][-keep_last:])
+        keep |= set(manifest.get("tags", {}).values())  # tags pin snapshots
+        removed = [v["version"] for v in manifest["versions"]
+                   if v["version"] not in keep]
+        manifest["versions"] = [v for v in manifest["versions"]
+                                if v["version"] in keep]
+        _commit_manifest(table_dir, manifest)
+        # disk cleanup by refcount: anything not named by a kept entry
+        # goes — orphans of crashed commits and dropped append bases
+        keep_dirs = {d for v in manifest["versions"]
+                     for d in _entry_dirs(v)}
+        for name in os.listdir(table_dir):
+            path = os.path.join(table_dir, name)
+            if name.startswith(".staging_"):
+                try:
+                    idle = now - os.path.getmtime(path)
+                except OSError:
+                    continue                 # already gone / being renamed
+                if idle >= staging_grace_sec:
+                    shutil.rmtree(path, ignore_errors=True)
+            elif name.startswith("v=") and name not in keep_dirs:
+                shutil.rmtree(path, ignore_errors=True)
     return removed
 
 

@@ -736,9 +736,7 @@ def test_edit_distance_join_known_pairs(spark):
     assert k1 == {(1, 2): 1,    # substitution
                   (2, 3): 1,    # substitution
                   (1, 4): 1,    # deletion
-                  (1, 5): 1,    # insertion
-                  (4, 5): 2} or (4, 5) not in k1 and k1 == {
-                      (1, 2): 1, (2, 3): 1, (1, 4): 1, (1, 5): 1}
+                  (1, 5): 1}    # insertion; (4,5) is dist 2 -> excluded
     k2 = {(r.a, r.b): r.dist for r in
           edit_distance_join(df, df, max_dist=2, self_join=True).collect()}
     assert k2[(1, 3)] == 2 and k2[(4, 5)] == 2 and (1, 6) not in k2

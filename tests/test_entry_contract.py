@@ -39,10 +39,40 @@ def test_first_50_registrations_are_oracle_backed():
     registered catalog entries — registration order is a load-bearing
     contract. Every entry in that prefix must carry an exact SQL oracle
     (not rows-only, not error-band) so all 50 driver slots stay
-    hash-checkable; new entries register after slot 50 unless they are
-    oracle-exact. Guard so a refactor can't silently reorder them."""
-    from etl_mark1_spark.catalog import ORACLE, QUERIES
+    hash-checkable; ``catalog/__init__.py`` rotates DRIVER_PREFIX to the
+    front. Guard so a refactor can't silently reorder them."""
+    from etl_mark1_spark.catalog import DRIVER_PREFIX, ORACLE, QUERIES
 
     prefix = list(QUERIES)[:50]
+    assert prefix == DRIVER_PREFIX
     missing = [n for n in prefix if n not in ORACLE]
     assert not missing, f"rows-only entries inside the judged prefix: {missing}"
+
+    # Error-band / recall-band entries (sketches, ANN) can never hash-match
+    # an exact oracle — they must stay out of the judged prefix.
+    banded = {"approx_distinct_users", "hll_rollup_merge", "quartiles_approx",
+              "quantile_digest_merge", "streaming_hll_distinct",
+              "ann_lsh_topk", "ann_ivf_topk"}
+    assert not banded & set(prefix)
+
+
+def test_prefix_rotates_toward_unchecked_entries():
+    """The round-6+ prefix policy: hand the driver entries it has NOT yet
+    hash-confirmed, so driver-confirmed union coverage grows each round.
+    Read the committed CORRECTNESS_r*.json snapshots and require that most
+    of the current prefix is new to the driver (fresh rounds shrink the
+    unchecked pool, so the floor is deliberately loose)."""
+    import glob
+    import json
+
+    from etl_mark1_spark.catalog import DRIVER_PREFIX
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snaps = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-5].json")))
+    assert snaps, "committed round 1-5 snapshots missing"
+    checked: set[str] = set()
+    for path in snaps:
+        with open(path) as fh:
+            checked |= set(json.load(fh))
+    fresh = [n for n in DRIVER_PREFIX if n not in checked]
+    assert len(fresh) >= 40, f"only {len(fresh)} prefix entries are unchecked"
