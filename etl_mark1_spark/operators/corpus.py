@@ -286,8 +286,9 @@ def weighted_sample_per_group(df: DataFrame, weight: Column, k: int,
             .drop("_wkey", "_rk"))
 
 
-def epoch_shuffle(df: DataFrame, num_shards: int = 64, epoch: int = 0,
-                  id_col: str = "doc_id") -> DataFrame:
+def epoch_shuffle(df: DataFrame, num_shards: int | None = None,
+                  epoch: int = 0, id_col: str = "doc_id",
+                  rows_per_shard: int = 4_000_000) -> DataFrame:
     """Deterministic epoch-varying global shuffle for multi-epoch
     training: shard assignment AND within-shard order are pure functions
     of (id, epoch) via an md5 hash, so every epoch presents a different
@@ -299,9 +300,22 @@ def epoch_shuffle(df: DataFrame, num_shards: int = 64, epoch: int = 0,
 
     Scale shape: the hash is map-side; the only shuffle is the implicit
     exchange under the per-shard ranking window, whose partitions are
-    corpus/num_shards-sized by construction — no global sort ever
-    materializes a total order (the total order is the concatenation
-    shard 0..N-1, which downstream loaders read shard-by-shard)."""
+    corpus/num_shards-sized BY CONSTRUCTION — so num_shards is the knob
+    that decides whether one reducer ranks 4M rows or 1.5 TB. Left
+    unset, it is DERIVED from one count() of the input (a columnless
+    parquet scan — footer-cheap next to the shuffle it sizes) at
+    ``rows_per_shard`` rows per reducer, the same sizing discipline as
+    ensure_parallelism. REPRODUCIBILITY CAVEAT: the shard count is part
+    of the hash contract (shard = hash % num_shards), so a derived
+    count changes the epoch's order whenever the corpus grows across
+    runs — a trainer that must replay an epoch bit-for-bit should pin
+    ``num_shards`` explicitly and record it in the run config.
+
+    No global sort ever materializes a total order (the total order is
+    the concatenation shard 0..N-1, which downstream loaders read
+    shard-by-shard)."""
+    if num_shards is None:
+        num_shards = max(1, -(-df.count() // rows_per_shard))
     h = F.conv(F.substring(
         F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
                           F.lit(str(epoch)))), 1, 8), 16, 10).cast("bigint")

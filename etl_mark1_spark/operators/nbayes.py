@@ -47,15 +47,36 @@ def _token_stream(df: DataFrame, text_col: str, id_col: str,
 
 def nb_train(df: DataFrame, text_col: str = "text",
              label_col: str = "lang", id_col: str = "doc_id",
-             alpha: float = 1.0) -> dict:
+             alpha: float = 1.0, min_count: int = 1,
+             max_size: int | None = None) -> dict:
     """Train the classifier; returns a model dict of small DataFrames +
     scalars: ``word`` (token, _label, cnt), ``classes`` (_label,
     n_tokens, log_prior), ``vocab`` (distinct-token count), ``alpha``.
     Two scalar count jobs run here (corpus size, vocabulary size) — the
-    same bounded-collect class as Bloom auto-sizing."""
+    same bounded-collect class as Bloom auto-sizing.
+
+    ``min_count``/``max_size`` bound the vocabulary with build_vocab's
+    discipline (operators/corpus.py:653): tokens whose corpus-wide count
+    falls below ``min_count`` are pruned, then the top ``max_size``
+    tokens by (count DESC, token ASC) survive — the cap compiles to
+    TakeOrderedAndProject, never a global sort. ``nb_score`` BROADCASTS
+    the word table, so at web scale the typo/URL long tail must not
+    ride into it: set both (e.g. ``min_count=5, max_size=1_000_000``).
+    Pruned tokens score exactly like never-seen tokens — the smoothed
+    alpha/(n_tokens + alpha*V) unseen mass with V the SURVIVING
+    vocabulary — so the defaults (no pruning) reproduce the historical
+    model bit-for-bit."""
     toks = _token_stream(df, text_col, id_col, label_col)
     word = (toks.groupBy("token", F.col(label_col).alias("_label"))
             .agg(F.count(F.lit(1)).alias("cnt")))
+    if min_count > 1 or max_size is not None:
+        totals = (word.groupBy("token")
+                  .agg(F.sum("cnt").alias("_tot"))
+                  .filter(F.col("_tot") >= min_count))
+        if max_size is not None:
+            totals = totals.orderBy(F.col("_tot").desc(), "token") \
+                .limit(max_size)
+        word = word.join(F.broadcast(totals.select("token")), "token")
     n_total = df.count()
     vocab = word.select("token").distinct().count()
     classes = (toks.groupBy(F.col(label_col).alias("_label"))
