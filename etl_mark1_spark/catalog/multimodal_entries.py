@@ -51,10 +51,10 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_jpeg_decode")
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode end-to-end with NO image library: each row carries
-    an actual baseline JPEG (id-seeded gradient; ids cycle 4:4:4 / 4:2:0 /
-    restart-marker variants), decoded by the vendored pure-Python codec
-    (operators/jpeg.py) into true dimensions, mean pixel, and a genuine
-    64-bit average-hash. Golden-replay check."""
+    an actual JPEG (id-seeded gradient; ids cycle 4:4:4 / 4:2:0 /
+    restart-marker / progressive-SOF2 variants), decoded by the vendored
+    pure-Python codec (operators/jpeg.py) into true dimensions, mean
+    pixel, and a genuine 64-bit average-hash. Golden-replay check."""
     from etl_mark1_spark.operators.multimodal import (attach_jpeg_media,
                                                       decode_images)
 

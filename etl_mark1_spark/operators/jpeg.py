@@ -1,19 +1,26 @@
-"""Vendored baseline JPEG codec (pure Python + numpy, ITU-T T.81).
+"""Vendored JPEG codec (pure Python + numpy, ITU-T T.81).
 
 The container ships no image library, but JPEG is the dominant real-world
 image format — so the multimodal decode path (operators/multimodal.py)
-vendors a baseline-sequential codec instead of gating JPEG behind PIL:
+vendors a codec instead of gating JPEG behind PIL:
 
-- :func:`decode_jpeg` — baseline/extended-sequential (SOF0/SOF1) decoder:
-  8-bit samples, 1 or 3 components, ANY sampling factors (4:4:4, 4:2:0,
-  4:2:2, ...), restart intervals. Progressive (SOF2) and arithmetic coding
-  raise ``NotImplementedError`` (the PIL wiring point keeps covering those).
+- :func:`decode_jpeg` — baseline/extended-sequential (SOF0/SOF1) AND
+  progressive (SOF2) decoder: 8-bit samples, 1 or 3 components, ANY
+  sampling factors (4:4:4, 4:2:0, 4:2:2, ...), restart intervals;
+  progressive covers spectral selection, successive approximation (DC and
+  AC first + refinement scans, T.81 Annex G), EOB runs, and per-scan
+  Huffman redefinition. Arithmetic coding and hierarchical mode raise
+  ``NotImplementedError`` (the PIL wiring point keeps covering those).
 - :func:`make_jpeg` — fixture encoder (the ``make_bmp``/``make_wav``
-  pattern): grayscale or YCbCr, optional 4:2:0 subsampling and restart
-  intervals, quality-scaled Annex-K quantization. Huffman tables are built
-  from the image's own symbol set (canonical, fixed length) rather than the
-  Annex-K defaults — any prefix code is legal JPEG, and generated tables
-  keep this implementation self-contained.
+  pattern): grayscale or YCbCr, optional 4:2:0 subsampling, restart
+  intervals, quality-scaled Annex-K quantization, and
+  ``progressive=True`` (a libjpeg-shaped scan script: approximated DC
+  first + refinement, per-component spectral AC bands at Al=2 with two
+  refinement passes — exercising EOB runs and the correction-bit
+  buffering of Annex G.1.2.3). Huffman tables are built from the image's
+  own symbol set (canonical, fixed length) rather than the Annex-K
+  defaults — any prefix code is legal JPEG, and generated tables keep
+  this implementation self-contained.
 
 Scale note: the codec is driver-free — it runs inside ``mapInPandas``
 batches on executors (multimodal.py:decode_images), so throughput scales
@@ -189,83 +196,101 @@ def _decode_block(reader: _BitReader, dc_tab: dict, ac_tab: dict,
     return coefs, pred
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to uint8 pixels: (h, w, 3) RGB for color,
-    (h, w) for grayscale. Reference semantics target: what
-    ``duckdb_engine.py``-era stacks get from any stock JPEG decoder —
-    this exists so the multimodal path needs no image library."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (missing SOI)")
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
-    frame = None
-    restart_interval = 0
-    scan: bytes | None = None
-    scan_map: list[tuple[int, int]] = []          # per component (dc, ac)
+# ---- progressive block routines (T.81 Annex G.2; coefficient arrays are
+# ---- zigzag-ordered int32, refined in place across scans) ----
 
-    i = 2
-    while i + 1 < len(payload):
-        if payload[i] != 0xFF:
-            raise ValueError("marker expected")
-        marker = payload[i + 1]
-        i += 2
-        if marker == 0xD9 or 0xD0 <= marker <= 0xD8 or marker == 0x01:
-            continue
-        ln = int.from_bytes(payload[i:i + 2], "big")
-        seg = payload[i + 2:i + ln]
-        if marker == 0xDB:
-            _parse_dqt(seg, qt)
-        elif marker in (0xC0, 0xC1):
-            comps = []
-            n = seg[5]
-            for c in range(n):
-                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (int.from_bytes(seg[1:3], "big"),   # height
-                     int.from_bytes(seg[3:5], "big"),   # width
-                     comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                "only baseline/extended-sequential JPEG (progressive or "
-                "arithmetic-coded input; install PIL for those)")
-        elif marker == 0xC4:
-            _parse_dht(seg, huff)
-        elif marker == 0xDD:
-            restart_interval = int.from_bytes(seg[:2], "big")
-        elif marker == 0xDA:
-            n = seg[0]
-            by_id = {cid: k for k, (cid, *_r) in enumerate(frame[2])}
-            scan_map = [(0, 0)] * len(frame[2])
-            for c in range(n):
-                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_map[by_id[cid]] = (tabs >> 4, tabs & 15)
-            # entropy data runs to the next real marker (FF00 is stuffing,
-            # FFD0-D7 are restarts)
-            j = i + ln
-            while j + 1 < len(payload):
-                if payload[j] == 0xFF and payload[j + 1] != 0x00 and \
-                        not (0xD0 <= payload[j + 1] <= 0xD7):
+
+def _dc_first(reader: _BitReader, dc_tab: dict, pred: int, blk: np.ndarray,
+              al: int) -> int:
+    s = _read_huff(reader, dc_tab)
+    pred += _extend(reader.bits(s), s) if s else 0
+    blk[0] = pred << al
+    return pred
+
+
+def _dc_refine(reader: _BitReader, blk: np.ndarray, al: int) -> None:
+    if reader.bit():
+        blk[0] |= (1 << al)
+
+
+def _ac_first(reader: _BitReader, ac_tab: dict, blk: np.ndarray,
+              ss: int, se: int, al: int, eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(reader, ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:                       # EOBn: run of all-done blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                return eobrun
+            k += 16                          # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            blk[k] = _extend(reader.bits(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine(reader: _BitReader, ac_tab: dict, blk: np.ndarray,
+               ss: int, se: int, al: int, eobrun: int) -> int:
+    """Successive-approximation AC refinement: newly-significant
+    coefficients arrive as ±1<<Al; already-significant ones absorb one
+    correction bit each as the scan passes over them (G.2, mirroring
+    libjpeg's decode_mcu_AC_refine shape — public spec, original code)."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        if reader.bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(reader, ac_tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
                     break
-                j += 1
-            scan = payload[i + ln:j]
-            break
-        i += ln
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
+                # ZRL: skip 16 still-zero coefficients, correcting history
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refinement run past end of band")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                       # EOB run still corrects history
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
-    h, w, comps = frame
-    max_h = max(c[1] for c in comps)
-    max_v = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * max_h))
-    mcus_y = -(-h // (8 * max_v))
 
-    planes = [np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
-              for (_cid, hs, vs, _tq) in comps]
-    preds = [0] * len(comps)
-
-    # restart markers byte-align and reset predictors: split the scan into
-    # independently-decodable segments and de-stuff each
+def _split_restarts(scan: bytes) -> list[bytes]:
+    """Split entropy data at RSTn markers; each segment de-stuffed by the
+    caller. Restarts byte-align and reset predictors/EOB runs."""
     segments = []
     start = k = 0
     while k + 1 < len(scan):
@@ -276,33 +301,174 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         else:
             k += 1
     segments.append(scan[start:])
-    seg_iter = iter(segments)
-    reader = _BitReader(next(seg_iter).replace(b"\xff\x00", b"\xff"))
+    return segments
 
-    total_mcus = mcus_x * mcus_y
-    for mcu in range(total_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            reader = _BitReader(next(seg_iter).replace(b"\xff\x00", b"\xff"))
-            preds = [0] * len(comps)
-        mx, my = mcu % mcus_x, mcu // mcus_x
-        for ci, (_cid, hs, vs, tq) in enumerate(comps):
-            dc_tab = huff[(0, scan_map[ci][0])]
-            ac_tab = huff[(1, scan_map[ci][1])]
-            for by in range(vs):
-                for bx in range(hs):
+
+def _idct_plane(coefs_zz: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Dequantize + inverse DCT a whole component at once: (by, bx, 64)
+    zigzag coefficients -> (by*8, bx*8) float pixels. One einsum instead
+    of a per-block matmul loop."""
+    dq = coefs_zz.astype(np.float64) * qtab[_ZZ_ROWS, _ZZ_COLS]
+    blocks = np.zeros(coefs_zz.shape[:2] + (8, 8))
+    blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = dq
+    pix = np.einsum("ux,abuv,vy->abxy", _DCT, blocks, _DCT) + 128.0
+    by, bx = pix.shape[:2]
+    return pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline, extended-sequential, or progressive JPEG to
+    uint8 pixels: (h, w, 3) RGB for color, (h, w) for grayscale.
+    Reference semantics target: what ``duckdb_engine.py``-era stacks get
+    from any stock JPEG decoder — this exists so the multimodal path
+    needs no image library.
+
+    Every scan decodes into per-component zigzag coefficient arrays
+    (progressive scans refine them in place); reconstruction is one
+    vectorized dequantize+IDCT per component at the end."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    progressive = False
+    restart_interval = 0
+    #: (comp_sel [(ci, dc_sel, ac_sel)], ss, se, ah, al, dri, huff
+    #:  snapshot, entropy bytes)
+    scans: list[tuple] = []
+
+    i = 2
+    while i + 1 < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[i + 1]
+        i += 2
+        if marker == 0xD9:                    # EOI
+            break
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+            continue
+        ln = int.from_bytes(payload[i:i + 2], "big")
+        seg = payload[i + 2:i + ln]
+        if marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker in (0xC0, 0xC1, 0xC2):
+            comps = []
+            n = seg[5]
+            for c in range(n):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (int.from_bytes(seg[1:3], "big"),   # height
+                     int.from_bytes(seg[3:5], "big"),   # width
+                     comps)
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended-sequential/progressive Huffman "
+                "JPEG (arithmetic-coded or hierarchical input; install "
+                "PIL for those)")
+        elif marker == 0xC4:
+            _parse_dht(seg, huff)
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            n = seg[0]
+            by_id = {cid: k for k, (cid, *_r) in enumerate(frame[2])}
+            comp_sel = []
+            for c in range(n):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp_sel.append((by_id[cid], tabs >> 4, tabs & 15))
+            ss, se = seg[1 + 2 * n], seg[2 + 2 * n]
+            ah, al = seg[3 + 2 * n] >> 4, seg[3 + 2 * n] & 15
+            # entropy data runs to the next real marker (FF00 is stuffing,
+            # FFD0-D7 are restarts)
+            j = i + ln
+            while j + 1 < len(payload):
+                if payload[j] == 0xFF and payload[j + 1] != 0x00 and \
+                        not (0xD0 <= payload[j + 1] <= 0xD7):
+                    break
+                j += 1
+            scans.append((comp_sel, ss, se, ah, al, restart_interval,
+                          dict(huff), payload[i + ln:j]))
+            i = j
+            continue
+        i += ln
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    # per-component zigzag coefficient store on the MCU-padded block grid
+    coef = [np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+            for (_cid, hs, vs, _tq) in comps]
+
+    for comp_sel, ss, se, ah, al, dri, tabs, data in scans:
+        if progressive:
+            if ss == 0 and se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            if ss > 0 and len(comp_sel) != 1:
+                raise ValueError("progressive AC scans are single-component")
+        if ss > se or se > 63:
+            raise ValueError("invalid spectral band")
+        interleaved = len(comp_sel) > 1
+        if interleaved:
+            units = mcus_x * mcus_y
+        else:
+            ci = comp_sel[0][0]
+            _cid, hs, vs, _tq = comps[ci]
+            # non-interleaved scans cover the component's OWN ceil grid
+            # (T.81 A.2.2), not the MCU-padded one
+            comp_w = -(-(w * hs) // max_h)
+            comp_h = -(-(h * vs) // max_v)
+            bw = -(-comp_w // 8)
+            bh = -(-comp_h // 8)
+            units = bw * bh
+        seg_iter = iter(_split_restarts(data))
+        reader = _BitReader(next(seg_iter).replace(b"\xff\x00", b"\xff"))
+        preds = [0] * len(comps)
+        eobrun = 0
+        for u in range(units):
+            if dri and u and u % dri == 0:
+                reader = _BitReader(
+                    next(seg_iter).replace(b"\xff\x00", b"\xff"))
+                preds = [0] * len(comps)
+                eobrun = 0
+            if interleaved:
+                mx, my = u % mcus_x, u // mcus_x
+                blocks = [(ci, my * comps[ci][2] + by,
+                           mx * comps[ci][1] + bx, dc_s, ac_s)
+                          for ci, dc_s, ac_s in comp_sel
+                          for by in range(comps[ci][2])
+                          for bx in range(comps[ci][1])]
+            else:
+                ci, dc_s, ac_s = comp_sel[0]
+                blocks = [(ci, u // bw, u % bw, dc_s, ac_s)]
+            for ci, by, bx, dc_s, ac_s in blocks:
+                blk = coef[ci][by, bx]
+                if not progressive:
                     coefs, preds[ci] = _decode_block(
-                        reader, dc_tab, ac_tab, preds[ci])
-                    block = np.zeros((8, 8), dtype=np.float64)
-                    block[_ZZ_ROWS, _ZZ_COLS] = coefs * \
-                        qt[tq][_ZZ_ROWS, _ZZ_COLS]
-                    pix = _DCT.T @ block @ _DCT + 128.0
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                        reader, tabs[(0, dc_s)], tabs[(1, ac_s)], preds[ci])
+                    blk[:] = coefs
+                elif ss == 0 and ah == 0:
+                    preds[ci] = _dc_first(reader, tabs[(0, dc_s)],
+                                          preds[ci], blk, al)
+                elif ss == 0:
+                    _dc_refine(reader, blk, al)
+                elif ah == 0:
+                    eobrun = _ac_first(reader, tabs[(1, ac_s)], blk,
+                                       ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, tabs[(1, ac_s)], blk,
+                                        ss, se, al, eobrun)
 
     full = []
-    for ci, (_cid, hs, vs, _tq) in enumerate(comps):
-        p = planes[ci]
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        p = _idct_plane(coef[ci], qt[tq])
         if hs != max_h or vs != max_v:
             p = p.repeat(max_v // vs, axis=0).repeat(max_h // hs, axis=1)
         full.append(p[:h, :w])
@@ -399,12 +565,230 @@ def _forward_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return quant[:, :, _ZZ_ROWS, _ZZ_COLS]
 
 
+def _ac_first_ops(blocks, ss: int, se: int, al: int, tsel: int) -> list:
+    """Spectral-selection AC first-scan symbol stream (T.81 G.1.2.2):
+    runs, magnitudes point-transformed toward zero by Al, EOB-run
+    accumulation across all-done blocks."""
+    ops: list = []
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            ops.append(("sym", "ac", tsel, nb << 4))
+            if nb:
+                ops.append(("bits", eobrun - (1 << nb), nb))
+            eobrun = 0
+
+    for blk in blocks:
+        vals = [(1 if int(v) >= 0 else -1) * (abs(int(v)) >> al)
+                for v in blk[ss:se + 1]]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                ops.append(("sym", "ac", tsel, 0xF0))
+                r -= 16
+            s, bits = _magnitude(v)
+            ops.append(("sym", "ac", tsel, (r << 4) | s))
+            ops.append(("bits", bits, s))
+            r = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return ops
+
+
+def _ac_refine_ops(blocks, ss: int, se: int, al: int, tsel: int) -> list:
+    """Successive-approximation AC refinement symbol stream (T.81
+    G.1.2.3, the jcphuff.c shape — public spec, original code): newly-
+    significant coefficients as run+sign, one buffered correction bit
+    per already-significant coefficient passed over, correction bits of
+    EOB-run blocks buffered and emitted after the EOBn symbol."""
+    ops: list = []
+    eobrun = 0
+    be: list[int] = []                    # correction bits riding the EOBRUN
+
+    def flush() -> None:
+        nonlocal eobrun, be
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            ops.append(("sym", "ac", tsel, nb << 4))
+            if nb:
+                ops.append(("bits", eobrun - (1 << nb), nb))
+            ops.extend(("bits", b, 1) for b in be)
+            be = []
+            eobrun = 0
+
+    for blk in blocks:
+        absv = [abs(int(v)) >> al for v in blk[ss:se + 1]]
+        sgn = [0 if int(v) < 0 else 1 for v in blk[ss:se + 1]]
+        eob = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        br: list[int] = []                # bits awaiting the next symbol
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:    # fold trailing zeros into EOB
+                flush()
+                ops.append(("sym", "ac", tsel, 0xF0))
+                r -= 16
+                ops.extend(("bits", b, 1) for b in br)
+                br = []
+            if a > 1:
+                br.append(a & 1)          # history: one correction bit
+                continue
+            flush()
+            ops.append(("sym", "ac", tsel, (r << 4) | 1))
+            ops.append(("bits", sgn[i], 1))
+            ops.extend(("bits", b, 1) for b in br)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF or len(be) > 900:
+                flush()
+    flush()
+    return ops
+
+
+def _encode_progressive(coefs, samp, qsel, h, w, mcus_x, mcus_y,
+                        max_h, max_v, q_luma, q_chroma, gray) -> bytes:
+    """SOF2 emission for :func:`make_jpeg(progressive=True)`: the scan
+    script covers spectral selection, successive approximation (DC and
+    AC), EOB runs, and correction-bit buffering — every decoder path."""
+    ncomp = len(coefs)
+
+    def comp_grid(ci):
+        """Non-interleaved scans cover the component's OWN ceil grid
+        (T.81 A.2.2) — padded MCU blocks carry no AC in progressive."""
+        hs, vs = samp[ci]
+        bw = -(-(-(-(w * hs) // max_h)) // 8)
+        bh = -(-(-(-(h * vs) // max_v)) // 8)
+        return [coefs[ci][by, bx] for by in range(bh) for bx in range(bw)]
+
+    def dc_blocks():
+        """DC scans are interleaved in MCU order when multi-component."""
+        if ncomp == 1:
+            return [(0, blk) for blk in comp_grid(0)]
+        out = []
+        for mcu in range(mcus_x * mcus_y):
+            mx, my = mcu % mcus_x, mcu // mcus_x
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        out.append((ci, coefs[ci][my * vs + by,
+                                                  mx * hs + bx]))
+        return out
+
+    scans = []                       # (comp_idxs, ss, se, ah, al, ops)
+    # DC first at Al=1 (arithmetic shift per T.81), then one refine bit
+    ops: list = []
+    preds = [0] * ncomp
+    for ci, blk in dc_blocks():
+        dcv = int(blk[0]) >> 1
+        s, bits = _magnitude(dcv - preds[ci])
+        preds[ci] = dcv
+        ops.append(("sym", "dc", qsel[ci] and 1, s))
+        if s:
+            ops.append(("bits", bits, s))
+    scans.append((list(range(ncomp)), 0, 0, 0, 1, ops))
+    scans.append((list(range(ncomp)), 0, 0, 1, 0,
+                  [("bits", int(blk[0]) & 1, 1) for _ci, blk in dc_blocks()]))
+    for ci in range(ncomp):
+        tsel = qsel[ci] and 1
+        grid = comp_grid(ci)
+        scans.append(([ci], 1, 5, 0, 2, _ac_first_ops(grid, 1, 5, 2, tsel)))
+        scans.append(([ci], 6, 63, 0, 2,
+                      _ac_first_ops(grid, 6, 63, 2, tsel)))
+    for ci in range(ncomp):
+        tsel = qsel[ci] and 1
+        grid = comp_grid(ci)
+        scans.append(([ci], 1, 63, 2, 1,
+                      _ac_refine_ops(grid, 1, 63, 1, tsel)))
+        scans.append(([ci], 1, 63, 1, 0,
+                      _ac_refine_ops(grid, 1, 63, 0, tsel)))
+
+    used: dict[tuple[int, str], set] = {}
+    for _comps, _ss, _se, _ah, _al, ops in scans:
+        for op in ops:
+            if op[0] == "sym":
+                _tag, kind, tsel, sym = op
+                used.setdefault((tsel, kind), set()).add(sym)
+    tables = {key: _build_codes(symbols) for key, symbols in used.items()}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    for tq, qtab in ([(0, q_luma)] if gray else
+                     [(0, q_luma), (1, q_chroma)]):
+        zz = qtab[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        seg(0xDB, bytes([tq]) + zz)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    seg(0xC2, sof)
+    for (tsel, kind), (bits, vals, _codes) in sorted(tables.items()):
+        tc = 0 if kind == "dc" else 1
+        seg(0xC4, bytes([(tc << 4) | tsel]) + bytes(bits) + bytes(vals))
+
+    for comp_idxs, ss, se, ah, al, ops in scans:
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            tsel = qsel[ci] and 1
+            sos += bytes([ci + 1, (tsel << 4) | tsel])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        writer = _BitWriter()
+        for op in ops:
+            if op[0] == "sym":
+                _tag, kind, tsel, sym = op
+                code, length = tables[(tsel, kind)][2][sym]
+                writer.write(code, length)
+            else:
+                _tag, bits, n = op
+                if n:
+                    writer.write(bits, n)
+        writer.flush()
+        out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def make_jpeg(pixels, quality: int = 95, subsample: bool = False,
-              restart_interval: int = 0) -> bytes:
+              restart_interval: int = 0, progressive: bool = False) -> bytes:
     """Encode uint8 pixels — (h, w, 3) RGB or (h, w) grayscale — as a
     baseline JPEG. ``subsample=True`` emits 4:2:0 chroma; and a nonzero
     ``restart_interval`` emits DRI + RSTn markers, exercising the decoder's
-    full marker surface."""
+    full marker surface. ``progressive=True`` emits SOF2 with a
+    libjpeg-shaped scan script — DC at Al=1 + refinement, per-component
+    AC bands 1-5/6-63 at Al=2 with two refinement passes — the SAME
+    quantized coefficients as the sequential form, so a progressive
+    round-trip decodes bit-identically to its sequential sibling."""
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -447,6 +831,14 @@ def make_jpeg(pixels, quality: int = 95, subsample: bool = False,
         p = np.pad(plane, ((0, need_h - plane.shape[0]),
                            (0, need_w - plane.shape[1])), mode="edge")
         coefs.append(_forward_blocks(p, qtab))
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "progressive fixtures do not support restart intervals")
+        return _encode_progressive(coefs, samp, qsel, h, w,
+                                   mcus_x, mcus_y, max_h, max_v,
+                                   q_luma, q_chroma, gray)
 
     # pass 1: symbol streams per MCU (restart resets DC predictors)
     def mcu_stream():

@@ -114,14 +114,16 @@ def decode_image_bytes(payload: bytes):
     mean_pixel, phash) where phash is a genuine 64-bit average-hash
     (8x8 block-sampled grayscale thresholded at its mean).
 
-    BMP (24-bit) and binary PPM/PGM parse with numpy alone; baseline
-    JPEG, PNG at every legal IHDR combination (depths 1/2/4/8/16, all
-    filters, gray/RGB/palette/alpha, Adam7 interlace), and GIF (LZW,
-    interlace) decode through the vendored pure-Python codecs
-    (operators/jpeg.py, operators/png.py, operators/gif.py) — no image
-    library needed for the dominant real-world formats. Remaining
-    formats (progressive jpeg, ...) fall through to PIL when installed,
-    else raise NotImplementedError naming the format. 16-bit PNG stats
+    BMP (24-bit) and binary PPM/PGM parse with numpy alone; JPEG
+    (baseline, extended-sequential, AND progressive SOF2 incl. successive
+    approximation), PNG at every legal IHDR combination (depths
+    1/2/4/8/16, all filters, gray/RGB/palette/alpha, Adam7 interlace),
+    and GIF (LZW, interlace) decode through the vendored pure-Python
+    codecs (operators/jpeg.py, operators/png.py, operators/gif.py) — no
+    image library needed for the dominant real-world formats. Remaining
+    formats (arithmetic-coded jpeg, ...) fall through to PIL when
+    installed, else raise NotImplementedError naming the format. 16-bit
+    PNG stats
     stay on the native 0-65535 scale; sub-byte grayscale scales to
     0-255 per the spec.
     Alpha/gray+alpha planes are dropped for the stats (mean and ahash are
@@ -245,10 +247,11 @@ def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Synthesize a REAL baseline JPEG per row (id-seeded gradient via the
+    """Synthesize a REAL JPEG per row (id-seeded gradient via the
     vendored encoder) — executor-side in mapInPandas like attach_bmp_media.
-    Ids cycle through plain 4:4:4, 4:2:0 subsampled, and restart-marker
-    variants so the full decoder surface stays exercised at corpus scale."""
+    Ids cycle through plain 4:4:4, 4:2:0 subsampled, restart-marker, and
+    PROGRESSIVE (SOF2 multi-scan) variants so the full decoder surface
+    stays exercised at corpus scale."""
     out_schema = T.StructType([
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("content", T.BinaryType(), True),
@@ -273,11 +276,12 @@ def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                                     (h, w))
                 b = np.full((h, w), i % 256, dtype=np.int64)
                 px = np.stack([r, g, b], axis=-1).astype(np.uint8)
-                variant = i % 3
+                variant = i % 4
                 blob = make_jpeg(
                     px, quality=95,
                     subsample=(variant == 1),
-                    restart_interval=2 if variant == 2 else 0)
+                    restart_interval=2 if variant == 2 else 0,
+                    progressive=(variant == 3))
                 rows.append((i, blob, w, h))
             yield pd.DataFrame(rows, columns=["doc_id", "content",
                                               "width", "height"])

@@ -130,23 +130,29 @@ def test_strf_java_side_matches_duckdb_via_spark(spark, fmt):
     st.integers(min_value=1, max_value=40),   # width
     st.integers(min_value=1, max_value=40),   # height
     st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
-    st.sampled_from([(False, 0), (True, 0), (False, 2), (True, 3)]),
+    st.sampled_from([(False, 0, False), (True, 0, False), (False, 2, False),
+                     (True, 3, False), (False, 0, True), (True, 0, True)]),
 )
 @settings(max_examples=40, deadline=None)
 def test_jpeg_roundtrip_any_shape(w, h, seed, variant):
     """Any image shape (odd dims, 1xN strips, MCU-straddling sizes) must
     survive encode->decode at q100 within quantization-rounding distance
-    for 4:4:4, and within the documented chroma band when subsampled."""
+    for 4:4:4, and within the documented chroma band when subsampled.
+    Progressive encodings carry the same coefficients, so their decode
+    must additionally be bit-identical to the sequential sibling's."""
     import numpy as np
 
     from etl_mark1_spark.operators.jpeg import decode_jpeg, make_jpeg
 
-    subsample, restart = variant
+    subsample, restart, progressive = variant
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     blob = make_jpeg(img, quality=100, subsample=subsample,
-                     restart_interval=restart)
+                     restart_interval=restart, progressive=progressive)
     dec = decode_jpeg(blob)
+    if progressive:
+        seq = decode_jpeg(make_jpeg(img, quality=100, subsample=subsample))
+        assert np.array_equal(dec, seq)
     assert dec.shape == img.shape
     err = abs(dec.astype(int) - img.astype(int)).max()
     if subsample:

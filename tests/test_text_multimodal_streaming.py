@@ -635,20 +635,25 @@ def test_jpeg_roundtrip_all_variants():
     assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 2
 
 
-def test_jpeg_rejects_progressive_and_non_jpeg():
+def test_jpeg_rejects_arithmetic_and_non_jpeg():
     import pytest as _pytest
 
     from etl_mark1_spark.operators.jpeg import decode_jpeg, make_jpeg
 
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n")
-    # flip the SOF0 marker to SOF2 (progressive): must refuse loudly
     import numpy as np
 
     blob = bytearray(make_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     idx = bytes(blob).find(b"\xff\xc0")
+    # flip SOF0 to SOF9 (arithmetic-coded sequential): must refuse loudly
+    blob[idx + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(blob))
+    # flip SOF0 to SOF2: the body is a full-band sequential scan, which is
+    # ILLEGAL inside a progressive frame — must refuse, not mis-decode
     blob[idx + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="baseline"):
+    with _pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg(bytes(blob))
 
 
@@ -1045,3 +1050,92 @@ def test_session_window_restart_merges_straddling_sessions(spark, sf_dir,
     n_batch = sess.select("user_id", "_seq").distinct().count()
     assert drained.count() == n_batch
     assert int(drained.agg(F.sum("n_events")).first()[0]) == ev.count()
+
+
+def test_jpeg_progressive_roundtrip_bit_identical_to_sequential():
+    """make_jpeg(progressive=True) encodes the SAME quantized coefficients
+    as the sequential form through a libjpeg-shaped scan script (DC Al=1 +
+    refine, per-component AC bands at Al=2 with two refinement passes), so
+    decoding either blob must give IDENTICAL pixels. This pins every
+    progressive decode path: spectral selection, DC/AC successive
+    approximation, EOB runs, and correction-bit buffering."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    rng = np.random.default_rng(11)
+    for shape, kw in [((16, 24, 3), {}), ((16, 24, 3), {"subsample": True}),
+                      ((13, 9), {}), ((33, 41, 3), {"subsample": True}),
+                      ((8, 8), {"quality": 50}), ((64, 48, 3), {"quality": 30}),
+                      ((7, 7), {}), ((24, 17, 3), {"quality": 75,
+                                                   "subsample": True})]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        seq = decode_jpeg(make_jpeg(img, **kw))
+        prog_blob = make_jpeg(img, progressive=True, **kw)
+        assert b"\xff\xc2" in prog_blob          # really SOF2
+        assert prog_blob.count(b"\xff\xda") > 2  # really multi-scan
+        prog = decode_jpeg(prog_blob)
+        assert np.array_equal(seq, prog), (shape, kw)
+
+
+def test_jpeg_decodes_system_progressive_jpegs():
+    """Interop: progressive JPEGs produced by real-world encoders (libjpeg
+    scan scripts with AC successive approximation) must decode to their
+    documented dimensions with sane statistics."""
+    import os
+
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import decode_jpeg
+
+    cases = [("/usr/share/doc/nodejs/thin-white-stripe.jpg", (58, 493, 3)),
+             ("/usr/share/doc/nodejs/full-white-stripe.jpg", (312, 493, 3))]
+    found = [(p, s) for p, s in cases if os.path.exists(p)]
+    if not found:
+        pytest.skip("no system progressive JPEGs on this machine")
+    for p, shape in found:
+        img = decode_jpeg(open(p, "rb").read())
+        assert img.shape == shape, p
+        assert 150 < img.mean() < 256                # near-white artwork
+
+
+def test_jpeg_progressive_matches_imageio(spark):
+    """Pixel-level ground truth: decode system progressive JPEGs AND our
+    own progressive fixtures with the JVM's javax.imageio (libjpeg-class
+    stock decoder, reached through the Spark gateway — no Python imaging
+    dependency) and require agreement within IDCT-rounding distance."""
+    import os
+
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    jvm = spark._jvm
+
+    def imageio_rgb(blob):
+        stream = jvm.java.io.ByteArrayInputStream(bytearray(blob))
+        img = jvm.javax.imageio.ImageIO.read(stream)
+        if img is None:
+            return None
+        hh, ww = img.getHeight(), img.getWidth()
+        arr = np.array(img.getRGB(0, 0, ww, hh, None, 0, ww),
+                       dtype=np.int64).reshape(hh, ww)
+        return np.stack([(arr >> 16) & 0xFF, (arr >> 8) & 0xFF,
+                         arr & 0xFF], axis=-1)
+
+    # our progressive fixture must be ACCEPTED by the stock decoder and
+    # agree with our own decode (4:4:4: both sides' diffs are pure IDCT
+    # rounding)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    blob = make_jpeg(img, progressive=True)
+    ref = imageio_rgb(blob)
+    assert ref is not None, "stock decoder refused our progressive output"
+    assert np.abs(decode_jpeg(blob).astype(int) - ref).max() <= 3
+
+    # real-world progressive files (libjpeg AC successive approximation)
+    sysjpg = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if os.path.exists(sysjpg):
+        data = open(sysjpg, "rb").read()
+        ref = imageio_rgb(data)
+        assert np.abs(decode_jpeg(data).astype(int) - ref).max() <= 3
