@@ -182,3 +182,37 @@ def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("evr_cum", 6).alias("evr_cum")))
 
 
+
+
+@query("audio_spectral_wav")
+def audio_spectral_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral audio curation features end-to-end (round 6): id-seeded
+    PCM WAV sines decoded into rms, zero-crossing rate, and spectral
+    centroid/rolloff/bandwidth via numpy FFT in mapInPandas
+    (operators/multimodal.py:audio_spectral_bytes) — the gate signals an
+    audio pipeline filters on. The attach sines make the answer
+    verifiable from first principles: a pure f-Hz tone's centroid is f
+    and its zcr is 2f/rate (asserted in tests); this entry golden-replays
+    the full distributed path. Rows-only: no SQL engine has an FFT."""
+    from etl_mark1_spark.operators.multimodal import (attach_wav_media,
+                                                      audio_features)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return audio_features(attach_wav_media(docs))
+
+
+@query("multimodal_resize_images")
+def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (round 6): JPEG payloads (4:4:4 /
+    4:2:0 / restart / progressive variants) decode through the vendored
+    codecs, bilinear-resample to 12x10 executor-side, re-encode as BMP,
+    and flow straight back through decode_images — dims come from the
+    REAL re-decoded payload, not metadata. Rows-only golden (resampling
+    is not SQL-expressible)."""
+    from etl_mark1_spark.operators.multimodal import (attach_jpeg_media,
+                                                      decode_images,
+                                                      resize_images)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id").limit(200)
+    media = resize_images(attach_jpeg_media(docs), 12, 10, codec="real")
+    return decode_images(media, codec="real")

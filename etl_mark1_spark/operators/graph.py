@@ -132,7 +132,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     numeric space; bipartite graphs offset one side.
 
     Oracle-checkable: the same labeling is a recursive min-label closure
-    in ANSI SQL (see catalog.py:connected_components_parts), so the whole
+    in ANSI SQL (see catalog/behavior_graph.py:connected_components_parts), so the whole
     distributed clustering machinery is differential-tested against
     DuckDB, not just golden-replayed."""
     from etl_mark1_spark.operators.dedup import _cluster_min_label

@@ -112,7 +112,16 @@ def make_bmp(pixels) -> bytes:
 def decode_image_bytes(payload: bytes):
     """REAL decode for uncompressed formats: returns (width, height,
     mean_pixel, phash) where phash is a genuine 64-bit average-hash
-    (8x8 block-sampled grayscale thresholded at its mean).
+    (8x8 block-sampled grayscale thresholded at its mean). See
+    :func:`decode_image_pixels` for the format dispatch."""
+    img = decode_image_pixels(payload)
+    return img.shape[1], img.shape[0], round(float(img.mean()), 6), \
+        _ahash(img)
+
+
+def decode_image_pixels(payload: bytes):
+    """REAL pixel decode: returns a numpy array, (h, w, 3) RGB or (h, w)
+    grayscale.
 
     BMP (24-bit) and binary PPM/PGM parse with numpy alone; JPEG
     (baseline, extended-sequential, AND progressive SOF2 incl. successive
@@ -126,7 +135,7 @@ def decode_image_bytes(payload: bytes):
     PNG stats
     stay on the native 0-65535 scale; sub-byte grayscale scales to
     0-255 per the spec.
-    Alpha/gray+alpha planes are dropped for the stats (mean and ahash are
+    Alpha/gray+alpha planes are dropped (mean and ahash are
     over color channels, matching PIL's convert("RGB") path)."""
     import numpy as np
 
@@ -182,9 +191,7 @@ def decode_image_bytes(payload: bytes):
             raise NotImplementedError(
                 f"no built-in decoder for format {payload[:4]!r}; install "
                 "PIL/opencv for compressed formats")
-        w, h = img.shape[1], img.shape[0]
-        return w, h, round(float(img.mean()), 6), _ahash(img)
-    return img.shape[1], img.shape[0], round(float(img.mean()), 6), _ahash(img)
+    return img
 
 
 def _ahash(img) -> str:
@@ -515,11 +522,12 @@ def _build_g711_tables():
 _ULAW_TABLE, _ALAW_TABLE = _build_g711_tables()
 
 
-def decode_audio_bytes(payload: bytes):
-    """REAL audio decode for PCM WAV: (sample_rate, channels, duration_ms,
-    rms) with rms normalized to [0, 1] over full-scale int16. Compressed
-    formats (mp3/ogg/flac) raise NotImplementedError — the wiring point for
-    containers that ship an audio library."""
+def _wav_samples(payload: bytes):
+    """Decode a WAV payload to (sample_rate, channels, x) with x the
+    full-scale-normalized float64 sample stream (channels interleaved).
+    PCM 16-bit and G.711 A-law/mu-law; compressed formats raise
+    NotImplementedError — the wiring point for containers that ship an
+    audio library."""
     import io
     import wave
 
@@ -534,22 +542,81 @@ def decode_audio_bytes(payload: bytes):
         rate, channels, raw = _wav_fmt_data(payload)
         table = _ALAW_TABLE if fmt_code == 6 else _ULAW_TABLE
         pcm = table[np.frombuffer(raw, dtype=np.uint8)]
-        n = len(pcm) // max(channels, 1)
-        x = pcm.astype(np.float64) / 32768.0
-        duration_ms = int(n * 1000 / rate)
-        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
-        return rate, channels, duration_ms, round(rms, 6)
+        return rate, channels, pcm.astype(np.float64) / 32768.0
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate, channels, width = w.getframerate(), w.getnchannels(), \
             w.getsampwidth()
-        n = w.getnframes()
-        raw = w.readframes(n)
+        raw = w.readframes(w.getnframes())
     if width != 2:
         raise NotImplementedError("only 16-bit PCM WAV")
     x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    return rate, channels, x
+
+
+def decode_audio_bytes(payload: bytes):
+    """REAL audio decode for PCM WAV: (sample_rate, channels, duration_ms,
+    rms) with rms normalized to [0, 1] over full-scale int16."""
+    import numpy as np
+
+    rate, channels, x = _wav_samples(payload)
+    n = len(x) // max(channels, 1)
     duration_ms = int(n * 1000 / rate)
     rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
     return rate, channels, duration_ms, round(rms, 6)
+
+
+def audio_spectral_bytes(payload: bytes, n_fft: int = 512):
+    """Spectral feature extraction over a WAV payload, numpy-only: the
+    standard short-time magnitude-spectrum statistics an audio curation
+    pipeline gates on (librosa's feature set, computed from first
+    principles — Hann-windowed frames, hop n_fft/2, power averaged
+    across frames):
+
+    - zcr: zero-crossing rate per sample (a 1 kHz tone at 16 kHz gives
+      2*f/rate = 0.125; hiss approaches 0.5);
+    - spectral_centroid_hz: power-weighted mean frequency;
+    - spectral_rolloff_hz: the frequency below which 85% of total power
+      lies;
+    - spectral_bandwidth_hz: power-weighted standard deviation around
+      the centroid.
+
+    Returns (sample_rate, duration_ms, rms, zcr, centroid, rolloff,
+    bandwidth). Multichannel audio is averaged to mono first."""
+    import numpy as np
+
+    rate, channels, x = _wav_samples(payload)
+    n = len(x) // max(channels, 1)
+    duration_ms = int(n * 1000 / rate)
+    if channels > 1:
+        x = x[:n * channels].reshape(n, channels).mean(axis=1)
+    if len(x) == 0:
+        return rate, 0, 0.0, 0.0, 0.0, 0.0, 0.0
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+        if len(x) > 1 else 0.0
+    # Hann-windowed frames, hop n_fft/2; one zero-padded frame for short
+    # clips so every payload yields a spectrum
+    hop = n_fft // 2
+    if len(x) < n_fft:
+        frames = np.zeros((1, n_fft))
+        frames[0, :len(x)] = x
+    else:
+        n_frames = 1 + (len(x) - n_fft) // hop
+        idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+        frames = x[idx]
+    spec = np.abs(np.fft.rfft(frames * np.hanning(n_fft), axis=1)) ** 2
+    power = spec.mean(axis=0)
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+    total = power.sum()
+    if total <= 0:
+        return rate, duration_ms, round(rms, 6), round(zcr, 6), 0.0, 0.0, 0.0
+    centroid = float((freqs * power).sum() / total)
+    rolloff = float(freqs[np.searchsorted(np.cumsum(power),
+                                          0.85 * total)])
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * power).sum()
+                              / total))
+    return (rate, duration_ms, round(rms, 6), round(zcr, 6),
+            round(centroid, 2), round(rolloff, 2), round(bandwidth, 2))
 
 
 def attach_wav_media(df: DataFrame, id_col: str = "doc_id",
@@ -614,12 +681,112 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         decode_batches, schema=AUDIO_FEATURES)
 
 
+AUDIO_SPECTRAL = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("zcr", T.DoubleType(), True),
+    T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+    T.StructField("spectral_rolloff_hz", T.DoubleType(), True),
+    T.StructField("spectral_bandwidth_hz", T.DoubleType(), True),
+])
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id",
+                   n_fft: int = 512) -> DataFrame:
+    """Spectral audio features per payload (:func:`audio_spectral_bytes`:
+    rms, zero-crossing rate, spectral centroid/rolloff/bandwidth) —
+    the gate signals an audio curation pipeline filters on (silence,
+    hiss, band-limited junk). Partition-preserving mapInPandas; payloads
+    never cross a shuffle, numpy FFT does the work executor-side."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(i),) + audio_spectral_bytes(bytes(b), n_fft)
+                    for i, b in zip(pdf[id_col], pdf["content"])]
+            out = pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "duration_ms", "rms", "zcr",
+                "spectral_centroid_hz", "spectral_rolloff_hz",
+                "spectral_bandwidth_hz"])
+            yield out.astype({"sample_rate": "int32",
+                              "duration_ms": "int64"})
+
+    return df.select(id_col, "content").mapInPandas(
+        feats, schema=AUDIO_SPECTRAL)
+
+
+def _resize_bilinear(img, width: int, height: int):
+    """Vectorized bilinear resample to (height, width); accepts (h, w) or
+    (h, w, c) uint8 and returns the same rank. Pixel-center sampling
+    (src = (dst + 0.5) * scale - 0.5), the convention of stock resizers,
+    so down- and up-scaling both stay artifact-free."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.float64)
+    h, w = arr.shape[:2]
+    ys = np.clip((np.arange(height) + 0.5) * h / height - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(width) + 0.5) * w / width - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    if arr.ndim == 3:
+        fy, fx = fy[..., None], fx[..., None]
+    top = arr[y0][:, x0] * (1 - fx) + arr[y0][:, x1] * fx
+    bot = arr[y1][:, x0] * (1 - fx) + arr[y1][:, x1] * fx
+    return np.clip(top * (1 - fy) + bot * fy, 0, 255) \
+        .round().astype(np.uint8)
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   id_col: str = "doc_id", codec: str = "fake") -> DataFrame:
-    """Resize stub: real codec not available; fake mode rewrites metadata and
-    re-hashes content deterministically, preserving the binary column shape."""
+    """Resize the ``content`` binary column to (width, height).
+
+    ``codec="real"``: decode through the vendored codecs
+    (:func:`decode_image_pixels` — BMP/PPM/JPEG incl. progressive/PNG/
+    GIF), bilinear-resample executor-side in mapInPandas, and re-encode
+    as uncompressed 24-bit BMP (the format the repo can write
+    losslessly), updating media_meta to the new dims/format/size. The
+    output rows feed straight back into :func:`decode_images`.
+
+    ``codec="fake"`` (default) rewrites metadata and re-hashes content
+    deterministically, preserving the binary column shape — the
+    plumbing-only mode for payloads the container cannot decode.
+
+    At 100 TB both modes are partition-preserving map work; payloads
+    never cross a shuffle."""
     if codec == "real":
-        raise NotImplementedError("real resize requires an image library")
+        def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                blobs = []
+                for b in pdf["content"]:
+                    img = decode_image_pixels(bytes(b))
+                    small = _resize_bilinear(img, width, height)
+                    if small.ndim == 2:          # BMP encoder is 24-bit
+                        small = np.stack([small] * 3, axis=-1)
+                    blobs.append(make_bmp(small))
+                out = pdf.copy()
+                out["content"] = blobs
+                yield out
+
+        resized = df.mapInPandas(rz, schema=df.schema)
+        meta = F.col("media_meta")
+        new_meta = F.struct(
+            meta["modality"].alias("modality"),
+            F.lit("bmp").alias("format"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            meta["sample_rate"].alias("sample_rate"),
+            meta["channels"].alias("channels"),
+            meta["duration_ms"].alias("duration_ms"),
+            F.length("content").cast("long").alias("n_bytes"),
+        )
+        return resized.withColumn("media_meta", new_meta)
     meta = F.col("media_meta")
     new_meta = F.struct(
         meta["modality"].alias("modality"),

@@ -37,6 +37,8 @@ GOLDEN_ENTRIES = (
     "multimodal_wav_decode",
     "cross_corpus_decontam",
     "text_compression_ratio",
+    "audio_spectral_wav",
+    "multimodal_resize_images",
 )
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(

@@ -1139,3 +1139,96 @@ def test_jpeg_progressive_matches_imageio(spark):
         data = open(sysjpg, "rb").read()
         ref = imageio_rgb(data)
         assert np.abs(decode_jpeg(data).astype(int) - ref).max() <= 3
+
+
+def test_audio_spectral_tone_physics():
+    """First-principles oracle for the spectral features: a pure f-Hz
+    tone has centroid ~= f, zcr = 2f/rate, rolloff ~= f and narrow
+    bandwidth; white noise has high centroid/rolloff/zcr. No audio
+    library involved anywhere."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.multimodal import (audio_spectral_bytes,
+                                                      make_wav)
+
+    t = np.arange(16000) / 16000.0
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t) * 32767).astype(np.int16)
+    rate, dur, rms, zcr, cent, roll, bw = audio_spectral_bytes(
+        make_wav(tone, 16000))
+    assert (rate, dur) == (16000, 1000)
+    assert abs(rms - 0.5 / 2 ** 0.5) < 0.01
+    assert abs(zcr - 0.125) < 0.002
+    assert abs(cent - 1000) < 40 and abs(roll - 1000) < 80
+    assert bw < 100
+
+    rng = np.random.default_rng(5)
+    noise = (rng.uniform(-0.5, 0.5, 16000) * 32767).astype(np.int16)
+    _, _, _, nzcr, ncent, nroll, nbw = audio_spectral_bytes(
+        make_wav(noise, 16000))
+    assert nzcr > 0.4 and ncent > 3000 and nroll > 6000 and nbw > 1500
+    # sub-frame clips zero-pad instead of crashing
+    assert audio_spectral_bytes(make_wav(tone[:100], 16000))[1] == 6
+
+
+def test_audio_features_distributed(spark):
+    """The Spark path: id-seeded sines (freq = 110*(1 + id%8)) through
+    audio_features must land each doc's spectral centroid on its OWN
+    attached frequency — physics as the distributed oracle."""
+    from etl_mark1_spark.operators.multimodal import (attach_wav_media,
+                                                      audio_features)
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1, 17)])
+    rows = {r.doc_id: r for r in
+            audio_features(attach_wav_media(docs)).collect()}
+    assert len(rows) == 16
+    for i, r in rows.items():
+        want = 110.0 * (1 + i % 8)
+        assert abs(r.spectral_centroid_hz - want) < 35, (i, want, r)
+        assert abs(r.zcr - 2 * want / 16000) < 0.02, i
+
+
+def test_resize_images_real_codec_roundtrip(spark):
+    """codec='real' resize: decode (any vendored format) -> bilinear ->
+    BMP re-encode; the output re-decodes to the target dimensions and
+    preserves image statistics (a constant image stays constant, a
+    gradient keeps its mean within quantization distance)."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.multimodal import (
+        attach_jpeg_media, decode_image_pixels, decode_images,
+        resize_images)
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1, 9)])
+    media = resize_images(attach_jpeg_media(docs), 12, 10, codec="real")
+    out = media.collect()
+    feats = {r.doc_id: r for r in
+             decode_images(media, codec="real").collect()}
+    assert len(feats) == 8
+    for r in out:
+        px = decode_image_pixels(bytes(r.content))
+        assert px.shape == (10, 12, 3)
+        assert r.media_meta.format == "bmp"
+        assert (r.media_meta.width, r.media_meta.height) == (12, 10)
+        assert r.media_meta.n_bytes == len(bytes(r.content))
+    for i, r in feats.items():
+        assert (r.width, r.height) == (12, 10), i
+        # gradients' mean is scale-invariant modulo codec loss
+        assert 60 < r.mean_pixel < 200, i
+
+
+def test_resize_bilinear_identity_and_shapes():
+    import numpy as np
+
+    from etl_mark1_spark.operators.multimodal import _resize_bilinear
+
+    img = np.full((20, 30, 3), 77, dtype=np.uint8)
+    out = _resize_bilinear(img, 7, 5)
+    assert out.shape == (5, 7, 3) and (out == 77).all()
+    grad = np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (16, 1))
+    out = _resize_bilinear(grad, 32, 8)
+    assert out.shape == (8, 32)
+    assert abs(int(out[0, 0]) - 2) <= 4 and abs(int(out[0, -1]) - 253) <= 4
+    assert all(out[0, i] <= out[0, i + 1] for i in range(31))
+    # identity-size resample reproduces the image exactly at pixel centers
+    same = _resize_bilinear(grad, 64, 16)
+    assert np.array_equal(same, grad)
