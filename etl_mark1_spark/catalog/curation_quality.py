@@ -352,7 +352,8 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_toks AS (
         SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS token
         FROM pos WHERE tk[i] <> '')
-    SELECT doc_id, list(token_id ORDER BY pos) AS token_ids
+    SELECT doc_id,
+           array_to_string(list(token_id ORDER BY pos), ',') AS token_ids
     FROM doc_toks JOIN vocab USING (token)
     GROUP BY doc_id
 """)
@@ -360,12 +361,20 @@ def encode_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents encoded as in-vocabulary token-id sequences
     (operators/corpus.py:encode_tokens) against the capped build_vocab
     vocabulary — OOV tokens dropped by policy. Broadcast token->id join
-    on the exploded stream; one per-doc regroup restores order."""
+    on the exploded stream; one per-doc regroup restores order. The
+    catalog entry joins the id sequence to one comma-separated string
+    (output-typing convention, catalog/__init__.py); the operator itself
+    still returns the real array column."""
     from etl_mark1_spark.operators.corpus import build_vocab, encode_tokens
 
     docs = t(spark, sf_dir, "documents")
     vocab = build_vocab(docs, min_count=5, max_size=1000)
-    return encode_tokens(docs, vocab)
+    enc = encode_tokens(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.transform(F.col("token_ids"),
+                                 lambda x: x.cast("string")), ",")
+        .alias("token_ids"))
 
 
 @query("ann_int8_topk", """

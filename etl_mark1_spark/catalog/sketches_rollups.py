@@ -84,7 +84,8 @@ def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("incremental_agg_orders", """
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS total,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total,
            round(max(o_totalprice), 2) AS biggest
     FROM orders
     GROUP BY o_orderstatus
@@ -111,7 +112,7 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_aggregates(base, delta, ["o_orderstatus"], measures)
     return merged.select(
         "o_orderstatus", F.col("n_orders").cast("bigint").alias("n_orders"),
-        F.round("total", 2).alias("total"),
+        F.round("total", 2).cast("double").alias("total"),
         F.round("biggest", 2).alias("biggest"))
 
 
@@ -190,7 +191,8 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("continuous_aggregate_daily", """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(CAST(value AS DECIMAL(18,2))), 2) AS value_sum
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS value_sum
     FROM events GROUP BY 1, 2
 """)
 def continuous_aggregate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +214,8 @@ def continuous_aggregate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hourly rows as the "delta", aggregated once more on (day, type)
     daily = (hourly.groupBy("day", "event_type")
              .agg(F.sum("n").cast("bigint").alias("n"),
-                  F.round(F.sum("value_sum"), 2).alias("value_sum")))
+                  F.round(F.sum("value_sum"), 2).cast("double")
+                  .alias("value_sum")))
     return daily
 
 

@@ -190,38 +190,50 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("collect_set_priorities", """
     SELECT o_orderstatus,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS priorities,
            CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
     FROM orders GROUP BY o_orderstatus
 """)
 def collect_set_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-aggregation battery: collected distinct values are a SET —
     sort before comparing (collect order is partition-dependent in any
-    distributed engine; the sorted array is the portable canonical
-    form)."""
+    distributed engine). Final output is the sorted set JOINED to one
+    string: array columns violate the output-typing convention
+    (catalog/__init__.py — the driver's pandas canonicalizer can't sort
+    list cells), and the joined form is the same canonical value."""
     return (t(spark, sf_dir, "orders")
             .groupBy("o_orderstatus")
-            .agg(F.array_sort(F.collect_set("o_orderpriority"))
-                 .alias("priorities"),
+            .agg(F.array_join(F.array_sort(F.collect_set("o_orderpriority")),
+                              ",").alias("priorities"),
                  F.count_distinct("o_orderpriority").cast("bigint")
                  .alias("n_priorities")))
 
 
 @query("multi_quantiles_quantity", """
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-                          x -> round(x, 6)) AS quartiles
-    FROM lineitem GROUP BY l_returnflag
+           round(qarr[1], 6) AS q25,
+           round(qarr[2], 6) AS q50,
+           round(qarr[3], 6) AS q75
+    FROM (SELECT l_returnflag,
+                 quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qarr
+          FROM lineitem GROUP BY l_returnflag)
 """)
 def multi_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-quantile in one aggregation: exact interpolated quartiles as
-    an array — one pass instead of three percentile aggregates."""
+    """Multi-quantile in one aggregation: exact interpolated quartiles
+    computed in a single percentile pass (the array form), then projected
+    to three scalar DOUBLE columns — the aggregation stays one-pass while
+    the OUTPUT obeys the no-array typing convention
+    (catalog/__init__.py)."""
     q = F.percentile("l_quantity",
                      F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return (t(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
-            .agg(F.transform(q, lambda x: F.round(x, 6))
-                 .alias("quartiles")))
+            .agg(q.alias("qarr"))
+            .select("l_returnflag",
+                    F.round(F.col("qarr")[0], 6).alias("q25"),
+                    F.round(F.col("qarr")[1], 6).alias("q50"),
+                    F.round(F.col("qarr")[2], 6).alias("q75")))
 
 
 @query("date_arithmetic", """

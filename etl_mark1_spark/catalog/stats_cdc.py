@@ -19,7 +19,8 @@ from etl_mark1_spark.catalog._registry import query, t
 @query("window_range_rolling", """
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS sum_1h
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+               AS sum_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -28,8 +29,9 @@ def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 1-hour aggregates per user: a RANGE frame over event time
     (micros), not a ROWS frame — the window contains whatever fits in the
     hour, however many rows that is. Decimal sum so both engines accumulate
-    exactly. One shuffle on user_id; frames evaluate in a single sorted
-    pass per partition."""
+    exactly; the rounded result is cast to DOUBLE for output
+    (output-typing convention, catalog/__init__.py). One shuffle on
+    user_id; frames evaluate in a single sorted pass per partition."""
     w = (Window.partitionBy("user_id")
          .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
          .rangeBetween(-3_600_000_000, 0))
@@ -37,7 +39,7 @@ def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id",
                     F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
                     F.round(F.sum(F.col("value").cast("decimal(18,2)"))
-                            .over(w), 2).alias("sum_1h")))
+                            .over(w), 2).cast("double").alias("sum_1h")))
 
 
 @query("rolling_median_price", """

@@ -100,7 +100,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pv AS (SELECT l_partkey, sum({_DEC_VOLUME}) AS val FROM lineitem
                 GROUP BY l_partkey),
          tot AS (SELECT sum({_DEC_VOLUME}) AS total FROM lineitem)
-    SELECT l_partkey, round(val, 2) AS part_value
+    SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
     FROM pv, tot
     WHERE val * 5000 > total
 """)
@@ -109,13 +109,17 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total (a scalar subquery). One aggregation feeds both sides — the
     global total re-aggregates the per-part sums instead of rescanning
     the fact table; the comparison is exact decimal (val*5000 > total)
-    so no engine disagrees at the threshold."""
+    so no engine disagrees at the threshold. Only the FINAL rounded
+    column is cast to DOUBLE (output-typing convention,
+    catalog/__init__.py — wide decimals don't survive the driver's
+    canonicalizer; the threshold math above stays exact decimal)."""
     li = t(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(F.sum(_vol()).alias("val"))
     tot = pv.agg(F.sum("val").alias("total"))
     return (pv.crossJoin(F.broadcast(tot))
             .filter(F.col("val") * 5000 > F.col("total"))
-            .select("l_partkey", F.round("val", 2).alias("part_value")))
+            .select("l_partkey",
+                    F.round("val", 2).cast("double").alias("part_value")))
 
 
 @query("q12_priority_lateness", """
@@ -334,7 +338,8 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                           count(*) AS n
                    FROM customer WHERE c_acctbal > 0)
     SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS totacctbal
     FROM customer, stats
     WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -348,7 +353,10 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dormancy test is priority-scoped to stay non-vacuous). The
     above-average test is cross-multiplied (bal * n > total) so it
     compares exact decimals, and the NOT EXISTS is a LEFT ANTI join on
-    the customer key."""
+    the customer key. The final summed balance is rounded then cast to
+    DOUBLE (output-typing convention, catalog/__init__.py) — the sum of
+    decimal(18,2) widens past precision 18, which the driver's
+    canonicalizer hashes engine-dependently."""
     cust = t(spark, sf_dir, "customer")
     orders = (t(spark, sf_dir, "orders")
               .filter(F.col("o_orderpriority") == "1-URGENT")
@@ -361,7 +369,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(orders, "c_custkey", "left_anti")
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
-                 F.round(F.sum(bal), 2).alias("totacctbal")))
+                 F.round(F.sum(bal), 2).cast("double").alias("totacctbal")))
 
 
 @query("q2_best_price_supplier", """

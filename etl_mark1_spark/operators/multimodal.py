@@ -767,6 +767,8 @@ def resize_images(df: DataFrame, width: int, height: int,
                 for b in pdf["content"]:
                     img = decode_image_pixels(bytes(b))
                     small = _resize_bilinear(img, width, height)
+                    if small.ndim == 3 and small.shape[2] == 1:
+                        small = small[:, :, 0]   # PGM decodes as (h, w, 1)
                     if small.ndim == 2:          # BMP encoder is 24-bit
                         small = np.stack([small] * 3, axis=-1)
                     blobs.append(make_bmp(small))

@@ -283,7 +283,8 @@ def history(table_dir: str) -> list[dict]:
 
 def table_changes(spark: SparkSession, table_dir: str, key_cols: list[str],
                   from_version: int,
-                  to_version: int | None = None) -> DataFrame:
+                  to_version: int | None = None, *,
+                  force_keyed_diff: bool = False) -> DataFrame:
     """Change data feed between two committed versions: the keyed
     insert/update/delete rows that turn snapshot ``from_version`` into
     ``to_version`` (default: current) — the lakehouse CDF shape
@@ -296,8 +297,17 @@ def table_changes(spark: SparkSession, table_dir: str, key_cols: list[str],
     the delta directories, all inserts. Those dirs are read DIRECTLY:
     no join, no scan of either snapshot — O(delta) compute for an
     O(delta) feed, which is what incremental aggregate maintenance on
-    an append-heavy 100 TB table needs. (Keys are assumed not re-appended
-    within the range; a keyed diff is ill-defined under duplicate keys.)
+    an append-heavy 100 TB table needs.
+
+    FAST-PATH KEY CONTRACT (checked, not just assumed): the fast path
+    requires keys not be re-appended within the range — under duplicate
+    keys its all-insert feed and the keyed diff's 'update' rows are NOT
+    interchangeable shapes. Duplicates WITHIN the delta are detected
+    with one O(delta) aggregation and raise ``ValueError``; a re-append
+    of a key that already existed in the base snapshot is O(table) to
+    detect, so callers whose writers may do that must pass
+    ``force_keyed_diff=True`` to skip the fast path and get the keyed
+    full-outer diff semantics ('update' rows) instead.
 
     Across an overwrite boundary the dirs diverge and the feed falls
     back to one full-outer keyed diff of the two snapshots
@@ -321,7 +331,7 @@ def table_changes(spark: SparkSession, table_dir: str, key_cols: list[str],
 
     from_dirs = set(_entry_dirs(_entry(from_version)))
     to_dirs = set(_entry_dirs(_entry(to_version)))
-    if from_dirs <= to_dirs:
+    if from_dirs <= to_dirs and not force_keyed_diff:
         to_snap = read_table(spark, table_dir, version=to_version)
         payload = [c for c in to_snap.columns if c not in key_cols]
         delta = sorted(to_dirs - from_dirs)
@@ -331,6 +341,15 @@ def table_changes(spark: SparkSession, table_dir: str, key_cols: list[str],
                 reader = reader.option("mergeSchema", "true")
             rows = reader.parquet(
                 *[os.path.join(table_dir, d) for d in delta])
+            dup = (rows.groupBy(*key_cols).count()
+                   .filter(F.col("count") > 1).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    f"append fast path: key {key_cols} re-appended within "
+                    f"versions {from_version}..{to_version} of {table_dir} "
+                    f"(e.g. {tuple(dup[0])[:len(key_cols)]}); an all-insert "
+                    "feed would mislead keyed consumers — pass "
+                    "force_keyed_diff=True for keyed diff semantics")
         else:
             rows = to_snap.limit(0)
         # align to the to-snapshot schema: evolved columns the delta dirs
@@ -352,6 +371,22 @@ def table_changes(spark: SparkSession, table_dir: str, key_cols: list[str],
                          key_cols)
 
 
+def _tree_mtime(path: str) -> float:
+    """Newest mtime across a directory tree (the dir itself, every
+    subdirectory, every file). Raises OSError only if the root is gone;
+    entries that vanish mid-walk (concurrent rename/cleanup) are
+    skipped."""
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for entry in dirs + files:
+            try:
+                newest = max(newest,
+                             os.path.getmtime(os.path.join(root, entry)))
+            except OSError:
+                continue
+    return newest
+
+
 def vacuum(table_dir: str, keep_last: int = 1,
            staging_grace_sec: float = 3600.0) -> list[int]:
     """Drop all but the last ``keep_last`` versions (tagged versions are
@@ -368,8 +403,11 @@ def vacuum(table_dir: str, keep_last: int = 1,
     delete a just-claimed ``v=N`` (claims happen under the lock).
     Writers stage parquet OUTSIDE the lock, so an in-flight
     ``.staging_`` dir is indistinguishable from a crashed one by name —
-    only staging dirs idle for ``staging_grace_sec`` are swept (a live
-    write touches its directory as part files land). Where ``fcntl``
+    only staging dirs idle for ``staging_grace_sec`` are swept, where
+    idle means the newest mtime ANYWHERE in the staging tree (Spark
+    lands part files under nested ``_temporary/`` dirs without bumping
+    the top-level mtime). Grace must still exceed the longest single
+    part-file write. Where ``fcntl``
     is unavailable the lock degrades to a no-op and vacuum requires
     externally-guaranteed exclusive access.
 
@@ -398,8 +436,12 @@ def vacuum(table_dir: str, keep_last: int = 1,
         for name in os.listdir(table_dir):
             path = os.path.join(table_dir, name)
             if name.startswith(".staging_"):
+                # Liveness = the NEWEST mtime anywhere in the staging tree:
+                # Spark stages part files under nested _temporary/ subdirs,
+                # so the top-level dir mtime can go stale mid-write while
+                # tasks are still landing files deeper down.
                 try:
-                    idle = now - os.path.getmtime(path)
+                    idle = now - _tree_mtime(path)
                 except OSError:
                     continue                 # already gone / being renamed
                 if idle >= staging_grace_sec:

@@ -26,7 +26,17 @@ from etl_mark1_spark.catalog import TABLES
 
 
 def canon(v):
-    """Canonicalize a value for order-insensitive comparison."""
+    """Canonicalize a value for order-insensitive comparison.
+
+    Deliberately at-least-driver-strict (round-6 lesson: the old
+    Decimal→float-9-sig-digits canon here PASSED entries the driver's
+    pandas canonicalizer hash-failed): Decimals compare as exact decimal
+    strings — a Decimal on one side and a float on the other never
+    canonicalize equal, mirroring how the driver's value hash treats the
+    carrier types engine-dependently. The output-typing convention in
+    ``etl_mark1_spark/catalog/__init__.py`` (no arrays/maps, no decimals
+    wider than precision 18 in final oracle-exact output) is enforced
+    separately by a schema check in ``main``."""
     import datetime
     from decimal import Decimal
 
@@ -41,7 +51,12 @@ def canon(v):
             return "f:0"
         return f"f:{v:.9e}"
     if isinstance(v, Decimal):
-        return canon(float(v))
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        if s in ("", "-0"):
+            s = "0"
+        return f"d:{s}"
     if isinstance(v, int):
         return f"i:{v}"
     if isinstance(v, (datetime.datetime, datetime.date)):
@@ -53,6 +68,25 @@ def canon(v):
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}={canon(v[k])}" for k in sorted(v)) + "}"
     return f"s:{v}"
+
+
+def driver_hostile_fields(schema) -> list[str]:
+    """Names+types of output fields the driver's canonicalizer can't hash
+    portably: arrays/maps (pandas ``sort_values`` raises on list cells)
+    and decimals wider than precision 18 (Spark's Decimal object vs the
+    oracle engine's carrier type hash differently despite equal values).
+    Shared by this checker and the conformance sweep in
+    ``tests/test_entry_contract.py``."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, (T.ArrayType, T.MapType)):
+            bad.append(f"{f.name}: {dt.simpleString()}")
+        elif isinstance(dt, T.DecimalType) and dt.precision > 18:
+            bad.append(f"{f.name}: {dt.simpleString()}")
+    return bad
 
 
 def row_set(columns: list[str], rows: list[tuple]) -> list[str]:
@@ -210,6 +244,19 @@ def main() -> int:
                   f"{elapsed:.1f}s)")
             if len(srows) == 0 and name != "anti_join_customers":
                 print(f"      WARNING: {name} returned 0 rows")
+            continue
+
+        # Output-typing convention (catalog/__init__.py): oracle-exact
+        # entries must not emit array/map columns (the driver's pandas
+        # canonicalizer crashes on unhashable cells) nor DECIMAL wider
+        # than precision 18 (hashes engine-dependently). Refuse here so a
+        # local PASS predicts a driver PASS — round 6's four driver reds
+        # were exactly this class, and the old checker passed them.
+        hostile = driver_hostile_fields(sdf.schema)
+        if hostile:
+            print(f"FAIL  {name}: driver-hostile output columns: "
+                  f"{', '.join(hostile)}")
+            failures.append(name)
             continue
 
         try:

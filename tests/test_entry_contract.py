@@ -57,22 +57,56 @@ def test_first_50_registrations_are_oracle_backed():
 
 
 def test_prefix_rotates_toward_unchecked_entries():
-    """The round-6+ prefix policy: hand the driver entries it has NOT yet
-    hash-confirmed, so driver-confirmed union coverage grows each round.
-    Read the committed CORRECTNESS_r*.json snapshots and require that most
-    of the current prefix is new to the driver (fresh rounds shrink the
-    unchecked pool, so the floor is deliberately loose)."""
+    """The round-7+ prefix policy (catalog/__init__.py): mostly entries the
+    driver has NOT yet hash-confirmed (so confirmed-union coverage grows),
+    plus a few previously-confirmed SENTINELS so old entries keep external
+    regression coverage. Read the committed CORRECTNESS_r*.json snapshots
+    and require both halves — as much fresh as the shrinking unchecked pool
+    allows, and at least two sentinels."""
     import glob
     import json
 
-    from etl_mark1_spark.catalog import DRIVER_PREFIX
+    from etl_mark1_spark.catalog import DRIVER_PREFIX, ORACLE
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    snaps = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-5].json")))
-    assert snaps, "committed round 1-5 snapshots missing"
+    snaps = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert snaps, "committed correctness snapshots missing"
     checked: set[str] = set()
     for path in snaps:
         with open(path) as fh:
             checked |= set(json.load(fh))
+    banded = {"approx_distinct_users", "hll_rollup_merge", "quartiles_approx",
+              "quantile_digest_merge", "streaming_hll_distinct",
+              "ann_lsh_topk", "ann_ivf_topk"}
+    pool = [n for n in ORACLE if n not in banded and n not in checked]
     fresh = [n for n in DRIVER_PREFIX if n not in checked]
-    assert len(fresh) >= 40, f"only {len(fresh)} prefix entries are unchecked"
+    sentinels = [n for n in DRIVER_PREFIX if n in checked]
+    floor = min(40, len(pool))
+    assert len(fresh) >= floor, \
+        f"only {len(fresh)} prefix entries are unchecked (pool {len(pool)})"
+    assert len(sentinels) >= 2, \
+        f"prefix keeps no previously-confirmed sentinels: {sentinels}"
+
+
+def test_oracle_outputs_driver_safe_types(spark, sf_dir):
+    """Conformance sweep for the output-typing convention
+    (catalog/__init__.py): no oracle-exact entry may emit ARRAY/MAP
+    columns (the driver's pandas canonicalizer crashes on list cells) or
+    DECIMAL wider than precision 18 (hashes engine-dependently despite
+    equal values). This is the guard for round 6's four driver reds —
+    schema-only (plan analysis, no job runs), so the sweep covers every
+    entry cheaply."""
+    import scripts.check_oracle as co
+    from etl_mark1_spark.catalog import ORACLE, QUERIES
+
+    banded = {"approx_distinct_users", "hll_rollup_merge", "quartiles_approx",
+              "quantile_digest_merge", "streaming_hll_distinct",
+              "ann_lsh_topk", "ann_ivf_topk"}
+    offenders = {}
+    for name in ORACLE:
+        if name in banded:
+            continue
+        bad = co.driver_hostile_fields(QUERIES[name](spark, sf_dir).schema)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"driver-hostile oracle outputs: {offenders}"

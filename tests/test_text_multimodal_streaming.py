@@ -1216,6 +1216,45 @@ def test_resize_images_real_codec_roundtrip(spark):
         assert 60 < r.mean_pixel < 200, i
 
 
+def test_resize_images_real_codec_pgm(spark):
+    """codec='real' on grayscale PGM (P5): decode_image_pixels returns
+    (h, w, 1) for PGM — the resize path must squeeze the singleton channel
+    before the 24-bit BMP re-encode (ADVICE r6: this crashed in make_bmp).
+    A constant-gray PGM resizes to a constant-gray BMP of the target
+    dims."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.multimodal import (
+        decode_image_pixels, resize_images)
+
+    def pgm(i: int) -> bytes:
+        w, h = 9 + i, 7 + i
+        return (f"P5 {w} {h} 255\n".encode()
+                + bytes([40 + i] * (w * h)))
+
+    rows = [Row(doc_id=i, content=bytearray(pgm(i)),
+                media_meta=Row(modality="image", format="pgm",
+                               width=9 + i, height=7 + i,
+                               sample_rate=None, channels=None,
+                               duration_ms=None,
+                               n_bytes=len(pgm(i))))
+            for i in range(1, 5)]
+    schema = ("doc_id long, content binary, media_meta struct<"
+              "modality string, format string, width int, height int, "
+              "sample_rate int, channels int, duration_ms long, "
+              "n_bytes long>")
+    docs = spark.createDataFrame(rows, schema=schema)
+    out = resize_images(docs, 6, 4, codec="real").collect()
+    assert len(out) == 4
+    for r in out:
+        px = decode_image_pixels(bytes(r.content))
+        assert px.shape == (4, 6, 3)
+        i = int(r.doc_id)
+        assert (px == 40 + i).all(), i  # constant image stays constant
+        assert r.media_meta.format == "bmp"
+        assert (r.media_meta.width, r.media_meta.height) == (6, 4)
+
+
 def test_resize_bilinear_identity_and_shapes():
     import numpy as np
 

