@@ -136,6 +136,45 @@ def backfill_partitions(
     return path
 
 
+def write_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
+                         num_buckets: int,
+                         sort_cols: list[str] | None = None,
+                         path: str | None = None,
+                         file_format: str = "parquet",
+                         mode: str = "overwrite") -> str:
+    """Write ``df`` as a BUCKETED catalog table: rows hash-clustered into
+    ``num_buckets`` files per partition by ``bucket_cols`` (optionally
+    sorted within each bucket by ``sort_cols``).
+
+    This is the storage-layout half of the co-located join: two tables
+    bucketed on the same key with the same bucket count sort-merge-join
+    WITHOUT exchanging either side — the scan itself reports the
+    hash-partitioning, so Catalyst drops both shuffles (and, with
+    ``sort_cols`` on the key, both sorts). At 100 TB that converts every
+    recurring fact-to-fact join on the bucket key from the single most
+    expensive shuffle in the pipeline into a zero-movement merge; the
+    one-time bucketing write costs one shuffle, amortized across every
+    downstream join/aggregation on that key (``groupBy`` on the bucket
+    key also skips its exchange).
+
+    Bucketing must go through the session catalog (``saveAsTable``) —
+    bucket metadata lives in the table definition, not the parquet files;
+    a plain ``.parquet(path)`` write silently drops it. ``path`` makes it
+    an external table at that location. No reference counterpart (the
+    reference has no storage layout control at all); this is the Spark
+    idiom for the pre-partitioned tables SURVEY.md §2.3 anticipates.
+
+    Returns the table name (query it back with ``spark.table(name)``)."""
+    writer = (df.write.mode(mode).format(file_format)
+              .bucketBy(num_buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+    return name
+
+
 def write_training_shards(df: DataFrame, path: str, num_shards: int = 64,
                           id_col: str = "doc_id",
                           order_col: str | None = None,

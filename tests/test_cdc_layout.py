@@ -294,3 +294,47 @@ def test_snapshot_diff_classifies_changes_null_safely(spark):
 
     with _pytest.raises(ValueError, match="schemas differ"):
         snapshot_diff(old, new.withColumnRenamed("v", "w"), ["k"])
+
+
+# -- bucketed tables: the co-located join layout ------------------------------
+
+def test_bucketed_tables_join_and_agg_without_shuffle(spark, sf_dir, tmp_path):
+    """write_bucketed_table: two tables bucketed on the join key with the
+    same bucket count must sort-merge-join with NO Exchange on either
+    side (the scan reports the hash-clustering), and a groupBy on the
+    bucket key must aggregate without its exchange — the storage layout
+    that amortizes one bucketing shuffle across every downstream join or
+    aggregation on that key."""
+    from etl_mark1_spark.sources.writers import write_bucketed_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(orders, "orders_bkt", ["o_custkey"], 8,
+                             sort_cols=["o_custkey"],
+                             path=str(tmp_path / "orders_bkt"))
+        write_bucketed_table(cust, "customer_bkt", ["c_custkey"], 8,
+                             sort_cols=["c_custkey"],
+                             path=str(tmp_path / "customer_bkt"))
+        ob, cb = spark.table("orders_bkt"), spark.table("customer_bkt")
+
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey) \
+            .select("o_orderkey", "c_name")
+        n = joined.count()
+        assert n == orders.join(
+            cust, orders.o_custkey == cust.c_custkey).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan   # neither side shuffles
+        assert "SortMergeJoin" in plan
+
+        agg = ob.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        total = agg.agg(F.sum("n")).first()[0]
+        assert total == orders.count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan  # clustering satisfies the agg
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
