@@ -113,6 +113,31 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                                codec="real")
 
 
+@query("multimodal_image_neardup")
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE dedup end-to-end: a planted corpus where
+    doc_id // 3 picks the source pixels and doc_id % 3 the variant
+    (original BMP / JPEG q85 re-encode / 2x upscaled BMP — real vendored
+    codecs both ways), hashed with 64-bit dHash executor-side and
+    clustered by the banded-hamming LSH shared with SimHash
+    (operators/multimodal.py:image_neardup). Ground truth is the id
+    arithmetic: the output is the cluster-size histogram and must be ONE
+    row (n=3, clusters=100) — any under-grouping (missed re-encode) or
+    over-merge (hash collision across sources) changes the shape. Payloads
+    never shuffle; only 8-byte fingerprints enter the join."""
+    from etl_mark1_spark.operators.multimodal import (
+        attach_neardup_image_media, image_neardup)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id") \
+        .orderBy("doc_id").limit(300)
+    imgs = attach_neardup_image_media(docs)
+    clusters = image_neardup(imgs, max_hamming=4)
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("clusters"))
+            .orderBy("n"))
+
+
 @query("bpe_train_merges")
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEARN a BPE subword vocabulary from the corpus

@@ -525,15 +525,19 @@ def with_simhash(df: DataFrame, text_col: str = "text",
     return ensure_parallelism(df).withColumn(out_col, _simhash(F.col(text_col)))
 
 
-def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
-    """Near-dup clusters via SimHash: band the 64-bit fingerprint into
+def hamming_neardup(hashed: DataFrame, hash_col: str, id_col: str,
+                    max_hamming: int = 3) -> DataFrame:
+    """Near-dup clusters over ANY 64-bit fingerprint column (SimHash,
+    image dHash/pHash, audio fingerprints): band the fingerprint into
     ``max_hamming + 1`` chunks (pigeonhole: any pair within ``max_hamming``
-    bits shares at least one identical chunk), bucket-join on chunks,
-    verify hamming distance, cluster by min label."""
+    bits shares at least one identical chunk — band-local differences
+    can't exceed the total), bucket equi-join on chunks, verify full
+    hamming distance JVM-side (``bit_count(xor)``), cluster by min label.
+    Never all-pairs; candidate volume is bucket-bounded, the 100 TB shape.
+    Returns (id_col, cluster_id)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    sh = with_simhash(df.select(id_col, text_col), text_col, "_sh")
+    sh = hashed.select(id_col, F.col(hash_col).alias("_sh"))
     bucketed = sh.select(
         id_col, "_sh",
         F.explode(F.array(*[
@@ -554,7 +558,16 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_hamming)
         .select("src", "dst")
     )
-    return _cluster_min_label(df.select(id_col), pairs, id_col)
+    return _cluster_min_label(hashed.select(id_col), pairs, id_col)
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup clusters via SimHash: 64-bit weighted token fingerprint
+    (:func:`with_simhash`), then the generic banded-hamming clustering of
+    :func:`hamming_neardup`."""
+    sh = with_simhash(df.select(id_col, text_col), text_col, "_sh")
+    return hamming_neardup(sh, "_sh", id_col, max_hamming)
 
 
 # --------------------------------------------------------------------------

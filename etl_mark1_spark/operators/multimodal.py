@@ -211,6 +211,169 @@ def _ahash(img) -> str:
     return f"{val:016x}"
 
 
+def _to_gray(img):
+    """(h, w[, c]) uint8 -> (h, w) float64 luma (channel mean; a fixed
+    Rec.601 weighting would be equally valid — the hash only needs a
+    deterministic reduction)."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.float64)
+    return arr.mean(axis=2) if arr.ndim == 3 else arr
+
+
+def _dhash(img) -> int:
+    """64-bit difference hash: grayscale, bilinear 9x8 resample, each bit
+    compares horizontally adjacent cells (col j vs j+1). Robust to
+    re-encoding (JPEG quality), uniform brightness shifts, and rescaling —
+    the standard cheap perceptual key for image near-dup (row-major bits,
+    MSB first). Returns a SIGNED 64-bit int (Spark LongType carrier)."""
+    import numpy as np
+
+    grid = _resize_bilinear(_to_gray(img), 9, 8).astype(np.int16)
+    bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _phash(img) -> int:
+    """64-bit perceptual hash: grayscale, bilinear 32x32 resample,
+    orthonormal 2-D DCT-II, keep the top-left 8x8 low-frequency block,
+    threshold each coefficient at the median of the 63 AC coefficients
+    (row-major bits, MSB first; DC participates with the same threshold).
+    More robust than dHash to blur/sharpen at ~4x the arithmetic.
+    Returns a SIGNED 64-bit int."""
+    import numpy as np
+
+    small = _resize_bilinear(_to_gray(img), 32, 32).astype(np.float64)
+    n = 32
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis *= np.sqrt(2.0 / n)
+    basis[0] *= np.sqrt(0.5)
+    coefs = (basis @ small @ basis.T)[:8, :8].flatten()
+    med = np.median(coefs[1:])
+    bits = coefs > med
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _ahash_int(img) -> int:
+    val = int(_ahash(img), 16)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+_IMAGE_HASHES = {"dhash": _dhash, "phash": _phash, "ahash": _ahash_int}
+
+
+def _smooth_image(seed: int, h: int = 48, w: int = 48):
+    """Deterministic smooth test image: three random low-frequency cosine
+    modes (seeded rng), normalized into [30, 225] and stacked to RGB.
+    Smooth content survives JPEG re-encoding and bilinear rescaling with
+    tiny pixel error, which is exactly what a perceptual-hash fixture
+    needs; different seeds give visually unrelated images."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w))
+    for mode in range(6):
+        fy, fx = rng.integers(0, 4, size=2)
+        if fy == 0 and fx == 0:
+            fy = 1 + mode % 3
+        img += rng.uniform(0.3, 1.0) * np.cos(
+            2 * np.pi * (fy * yy / h + fx * xx / w) + rng.uniform(0, 2 * np.pi))
+    img = (img - img.min()) / (np.ptp(img) + 1e-9)
+    px = (30 + img * 195).astype(np.uint8)
+    return np.stack([px] * 3, axis=-1)
+
+
+def attach_neardup_image_media(df: DataFrame, id_col: str = "doc_id",
+                               group: int = 3) -> DataFrame:
+    """Synthesize a PLANTED near-duplicate image corpus executor-side:
+    rows sharing ``id // group`` get the same source pixels
+    (:func:`_smooth_image`), and ``id % group`` picks the variant —
+    0: original BMP, 1: JPEG quality-85 re-encode, 2: 2x bilinear-upscaled
+    BMP (variants cycle for ``group > 3``). :func:`image_neardup` must
+    reunite each group without merging distinct groups — the ground truth
+    IS the id arithmetic, so correctness is checkable at any scale.
+    Generated in mapInPandas; nothing flows through the driver."""
+    from etl_mark1_spark.operators.jpeg import make_jpeg
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for i in pdf[id_col]:
+                i = int(i)
+                px = _smooth_image(i // group)
+                variant = i % group
+                if variant % 3 == 1:
+                    blob = make_jpeg(px, quality=85)
+                elif variant % 3 == 2:
+                    blob = make_bmp(_resize_bilinear(px, 96, 96))
+                else:
+                    blob = make_bmp(px)
+                rows.append((i, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+            rows = []
+
+    return df.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
+def with_image_hash(df: DataFrame, content_col: str = "content",
+                    out_col: str = "image_hash",
+                    method: str = "dhash") -> DataFrame:
+    """Add a 64-bit perceptual hash column computed from the binary image
+    payload (vendored decoders: BMP/PPM/PGM/JPEG/PNG/GIF). Arrow-batched
+    pandas UDF — payloads are hashed where they already live; only the
+    8-byte fingerprint ever moves after this projection, so at 100 TB the
+    near-dup pass shuffles longs, not images."""
+    from pyspark.sql.functions import pandas_udf
+
+    try:
+        hash_fn = _IMAGE_HASHES[method]
+    except KeyError:
+        raise ValueError(
+            f"unknown image hash method {method!r}; "
+            f"choose from {sorted(_IMAGE_HASHES)}")
+
+    @pandas_udf("long")
+    def _hash(payloads):
+        return pd.Series(
+            [hash_fn(decode_image_pixels(bytes(p))) if p is not None else None
+             for p in payloads], dtype="Int64")
+
+    return df.withColumn(out_col, _hash(F.col(content_col)))
+
+
+def image_neardup(df: DataFrame, id_col: str = "doc_id",
+                  content_col: str = "content", method: str = "dhash",
+                  max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate IMAGE clusters: perceptual hash per payload
+    (:func:`with_image_hash` — dHash default), then the generic
+    banded-hamming LSH clustering shared with SimHash
+    (operators/dedup.py:hamming_neardup — pigeonhole bands, bucket join,
+    exact bit_count verify, min-label components). Catches re-encoded
+    (BMP vs JPEG quality), rescaled, and brightness-shifted copies
+    without any all-pairs comparison. Returns (id_col, cluster_id);
+    rows with NULL payloads are dropped (no hash, no cluster)."""
+    from etl_mark1_spark.operators.dedup import hamming_neardup
+
+    hashed = (with_image_hash(df.select(id_col, content_col),
+                              content_col, "_ih", method)
+              .filter(F.col("_ih").isNotNull()))
+    return hamming_neardup(hashed.select(id_col, "_ih"), "_ih", id_col,
+                           max_hamming)
+
+
 def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a REAL 24-bit BMP per row (deterministic id-seeded
     gradient) — executors generate their own partitions' payloads inside

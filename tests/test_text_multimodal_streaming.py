@@ -1271,3 +1271,82 @@ def test_resize_bilinear_identity_and_shapes():
     # identity-size resample reproduces the image exactly at pixel centers
     same = _resize_bilinear(grad, 64, 16)
     assert np.array_equal(same, grad)
+
+
+# -- perceptual image hashing + near-dup image dedup --------------------------
+
+def test_image_hashes_robust_and_separating():
+    """dHash must survive JPEG re-encoding, 2x bilinear upscale, and a
+    uniform brightness shift within a small hamming budget while distinct
+    source images stay far apart; pHash is bit-exact under upscale and
+    near-exact under brightness shift (DC-only), but JPEG quantization
+    noise flips near-zero AC bits — its documented wider-threshold
+    regime. All deterministic: seeded fixtures, vendored codecs."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import make_jpeg
+    from etl_mark1_spark.operators.multimodal import (
+        _dhash, _phash, _resize_bilinear, _smooth_image,
+        decode_image_pixels, make_bmp)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    d_base, p_base = [], []
+    for seed in range(12):
+        px = _smooth_image(seed)
+        orig = decode_image_pixels(make_bmp(px))
+        jpg = decode_image_pixels(make_jpeg(px, quality=85))
+        up = decode_image_pixels(make_bmp(_resize_bilinear(px, 96, 96)))
+        bright = np.clip(px.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+
+        d0 = _dhash(orig)
+        assert ham(d0, _dhash(jpg)) <= 4
+        assert ham(d0, _dhash(up)) <= 4
+        assert ham(d0, _dhash(bright)) <= 2   # differences are shift-immune
+        p0 = _phash(orig)
+        assert ham(p0, _phash(up)) <= 2       # same resample target
+        assert ham(p0, _phash(bright)) <= 2   # only DC moves
+        assert ham(p0, _phash(jpg)) <= 14     # near-zero AC bits are noisy
+        d_base.append(d0)
+        p_base.append(p0)
+
+    for i in range(len(d_base)):
+        for j in range(i + 1, len(d_base)):
+            assert ham(d_base[i], d_base[j]) > 4, (i, j)
+            assert ham(p_base[i], p_base[j]) > 14, (i, j)
+
+
+def test_with_image_hash_rejects_unknown_method(spark):
+    import pytest as _pytest
+
+    from etl_mark1_spark.operators.multimodal import with_image_hash
+
+    df = spark.range(1).select(F.lit(None).cast("binary").alias("content"))
+    with _pytest.raises(ValueError, match="unknown image hash method"):
+        with_image_hash(df, method="md5")
+
+
+def test_image_neardup_reunites_planted_variants(spark):
+    """End-to-end distributed check: 20 source images x 3 encodings
+    (BMP / JPEG q85 / upscaled BMP) must come back as exactly 20
+    clusters of size 3, with every member of a cluster sharing
+    doc_id // 3 — no missed re-encodes, no cross-source merges."""
+    from etl_mark1_spark.operators.multimodal import (
+        attach_neardup_image_media, image_neardup, with_image_hash)
+
+    docs = spark.range(60).withColumnRenamed("id", "doc_id")
+    imgs = attach_neardup_image_media(docs)
+
+    hashed = with_image_hash(imgs)   # dhash default; 8-byte key column
+    assert dict(hashed.dtypes)["image_hash"] == "bigint"
+
+    got = image_neardup(imgs, max_hamming=4).collect()
+    assert len(got) == 60
+    groups: dict = {}
+    for r in got:
+        groups.setdefault(r.cluster_id, []).append(int(r.doc_id))
+    assert len(groups) == 20
+    for members in groups.values():
+        assert len(members) == 3
+        assert len({m // 3 for m in members}) == 1, members
