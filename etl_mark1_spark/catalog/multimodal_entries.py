@@ -138,6 +138,29 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n"))
 
 
+@query("multimodal_audio_neardup")
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO dedup end-to-end: a planted corpus where
+    doc_id // 3 picks the tone mix and doc_id % 3 the encoding
+    (PCM16 @ 16 kHz / G.711 mu-law re-encode / 2:1 decimated @ 8 kHz),
+    fingerprinted with a 64-bit time-difference spectral hash (9 segments
+    x 8 absolute-Hz log bands) and clustered by the same banded-hamming
+    LSH as SimHash and image dHash. Output is the cluster-size histogram
+    and must be ONE row (n=3, clusters=100); only 8-byte fingerprints
+    enter the join."""
+    from etl_mark1_spark.operators.multimodal import (
+        attach_neardup_audio_media, audio_neardup)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id") \
+        .orderBy("doc_id").limit(300)
+    wavs = attach_neardup_audio_media(docs)
+    clusters = audio_neardup(wavs, max_hamming=6)
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("clusters"))
+            .orderBy("n"))
+
+
 @query("bpe_train_merges")
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEARN a BPE subword vocabulary from the corpus

@@ -716,6 +716,166 @@ def _wav_samples(payload: bytes):
     return rate, channels, x
 
 
+def make_wav_g711(samples, sample_rate: int = 8000, law: str = "ulaw") -> bytes:
+    """Encode int16 mono samples as a G.711 companded WAV (format code
+    7=mu-law / 6=A-law). The compressor is the exact inverse-by-nearest of
+    the ITU expand tables used for decode (:func:`_build_g711_tables`) —
+    round-trips land on the nearest representable companded level, the
+    defining lossy step of telephone-band audio."""
+    import struct
+
+    import numpy as np
+
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"unknown companding law {law!r}")
+    table = _ULAW_TABLE if law == "ulaw" else _ALAW_TABLE
+    order = np.argsort(table)
+    levels = table[order]                       # sorted expand levels
+    x = np.asarray(samples, dtype=np.int16).astype(np.int32)
+    pos = np.searchsorted(levels, x).clip(1, 255)
+    lo, hi = levels[pos - 1], levels[pos.clip(0, 255)]
+    pick = np.where(np.abs(x - lo) <= np.abs(hi - x), pos - 1, pos)
+    codes = order[pick].astype(np.uint8)
+    fmt_code = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", fmt_code, 1, sample_rate, sample_rate, 1, 8)
+    data = codes.tobytes()
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _band_energy_fingerprint(x, rate: int, channels: int = 1) -> int:
+    """64-bit audio fingerprint (Haitsma-Kalker flavor): split the signal
+    into 9 equal TIME segments, measure energy in 8 log-spaced ABSOLUTE
+    frequency bands (100-3400 Hz, the telephone band, so 8 kHz and 16 kHz
+    encodings of the same content land in the same bands), and emit one
+    bit per (segment-transition, band): did this band's energy rise?
+    Robust to amplitude scaling (uniform gain cancels in comparisons),
+    G.711 companding (quantization noise is broadband and small per band),
+    and resampling (bands are Hz-absolute, segments duration-relative)."""
+    import numpy as np
+
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    n_seg, n_bands = 9, 8
+    seg_len = len(x) // n_seg
+    if seg_len < 16:
+        return 0
+    edges = np.geomspace(100.0, 3400.0, n_bands + 1)
+    energy = np.empty((n_seg, n_bands))
+    for s in range(n_seg):
+        seg = x[s * seg_len:(s + 1) * seg_len]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg)))) ** 2
+        freqs = np.fft.rfftfreq(len(seg), 1.0 / rate)
+        idx = np.searchsorted(freqs, edges)
+        for b in range(n_bands):
+            energy[s, b] = spec[idx[b]:max(idx[b + 1], idx[b] + 1)].sum()
+    bits = (energy[1:] > energy[:-1]).flatten()   # (8 transitions x 8 bands)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def with_audio_fingerprint(df: DataFrame, content_col: str = "content",
+                           out_col: str = "audio_fp") -> DataFrame:
+    """Add a 64-bit spectral fingerprint column computed from WAV payloads
+    (PCM16 / G.711 via the vendored RIFF walk). Arrow-batched pandas UDF;
+    as with image hashing, only the 8-byte fingerprint survives into any
+    downstream shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _fp(payloads):
+        out = []
+        for p in payloads:
+            if p is None:
+                out.append(None)
+                continue
+            rate, ch, x = _wav_samples(bytes(p))
+            out.append(_band_energy_fingerprint(x, rate, ch or 1))
+        return pd.Series(out, dtype="Int64")
+
+    return df.withColumn(out_col, _fp(F.col(content_col)))
+
+
+def audio_neardup(df: DataFrame, id_col: str = "doc_id",
+                  content_col: str = "content",
+                  max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate AUDIO clusters: spectral fingerprint per payload
+    (:func:`with_audio_fingerprint`), clustered by the generic
+    banded-hamming LSH shared with SimHash and image dHash
+    (operators/dedup.py:hamming_neardup). Catches re-companded (PCM vs
+    G.711) and resampled copies without all-pairs comparison. Returns
+    (id_col, cluster_id); NULL payloads are dropped."""
+    from etl_mark1_spark.operators.dedup import hamming_neardup
+
+    fp = (with_audio_fingerprint(df.select(id_col, content_col),
+                                 content_col, "_afp")
+          .filter(F.col("_afp").isNotNull()))
+    return hamming_neardup(fp.select(id_col, "_afp"), "_afp", id_col,
+                           max_hamming)
+
+
+def attach_neardup_audio_media(df: DataFrame, id_col: str = "doc_id",
+                               group: int = 3) -> DataFrame:
+    """Synthesize a PLANTED near-duplicate audio corpus executor-side:
+    rows sharing ``id // group`` get the same telephone-band tone mix
+    (8 seeded sines, 150-3200 Hz, per-segment amplitude envelopes so the
+    time-difference fingerprint has signal), ``id % group`` picks the
+    variant — 0: PCM16 @ 16 kHz, 1: G.711 mu-law @ 16 kHz (companding
+    loss), 2: 2:1 decimated PCM16 @ 8 kHz (content < 3.4 kHz, so naive
+    decimation is alias-free). Ground truth is the id arithmetic."""
+    import numpy as np
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ])
+
+    def synth(seed: int):
+        rng = np.random.default_rng(seed)
+        rate, n_seg, seg_len = 16000, 9, 1600
+        t = np.arange(n_seg * seg_len) / rate
+        x = np.zeros(len(t))
+        # one tone per fingerprint band (log-spaced 150-3200 Hz): every
+        # band's energy is tone-driven, never leakage/companding noise
+        band_edges = np.geomspace(150.0, 3200.0, 9)
+        for b in range(8):
+            f = rng.uniform(band_edges[b] * 1.1, band_edges[b + 1] * 0.9)
+            # per-segment amplitude from {1/4, 1/2, 1} with adjacent
+            # segments FORCED to different levels: every time-transition
+            # bit rests on a >=4x power step, never a near-tie that
+            # companding or resampling noise could flip
+            lvl = rng.integers(0, 3, size=n_seg)
+            for s in range(1, n_seg):
+                if lvl[s] == lvl[s - 1]:
+                    lvl[s] = (lvl[s] + 1 + rng.integers(0, 2)) % 3
+            env = np.repeat(np.array([0.25, 0.5, 1.0])[lvl], seg_len)
+            x += env * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        x /= np.abs(x).max() + 1e-9
+        return (x * 20000).astype(np.int16), rate
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for i in pdf[id_col]:
+                i = int(i)
+                pcm, rate = synth(i // group)
+                variant = i % group
+                if variant % 3 == 1:
+                    blob = make_wav_g711(pcm, rate, law="ulaw")
+                elif variant % 3 == 2:
+                    blob = make_wav(pcm[::2], rate // 2)
+                else:
+                    blob = make_wav(pcm, rate)
+                rows.append((i, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+            rows = []
+
+    return df.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
 def decode_audio_bytes(payload: bytes):
     """REAL audio decode for PCM WAV: (sample_rate, channels, duration_ms,
     rms) with rms normalized to [0, 1] over full-scale int16."""

@@ -1350,3 +1350,97 @@ def test_image_neardup_reunites_planted_variants(spark):
     for members in groups.values():
         assert len(members) == 3
         assert len({m // 3 for m in members}) == 1, members
+
+
+# -- audio fingerprinting + near-dup audio dedup ------------------------------
+
+def test_g711_encoder_roundtrips_within_companding_error():
+    """make_wav_g711 compresses to the nearest expand level of the exact
+    ITU tables; decoding its output must reproduce the input within the
+    level spacing (which grows with amplitude — logarithmic companding),
+    and the full encode must parse through the RIFF walk with the right
+    format code."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.multimodal import (
+        _ULAW_TABLE, _wav_fmt_code, _wav_samples, make_wav_g711)
+
+    rng = np.random.default_rng(7)
+    pcm = (rng.uniform(-1, 1, 4000) * 20000).astype(np.int16)
+    for law, code in (("ulaw", 7), ("alaw", 6)):
+        blob = make_wav_g711(pcm, 8000, law)
+        assert _wav_fmt_code(blob) == code
+        rate, ch, x = _wav_samples(blob)
+        assert (rate, ch) == (8000, 1)
+        err = np.abs(x * 32768.0 - pcm)
+        assert err.max() < 1000            # worst-case spacing at |x|~20k
+        assert np.mean(err) < 120
+
+    with pytest.raises(ValueError, match="unknown companding law"):
+        make_wav_g711(pcm, 8000, "gsm")
+
+
+def test_audio_fingerprint_robust_and_separating():
+    """The 64-bit spectral fingerprint must survive G.711 companding and
+    2:1 decimation within a small hamming budget while distinct tone
+    mixes stay far apart (deterministic seeded fixtures)."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.multimodal import (
+        _band_energy_fingerprint, _wav_samples, make_wav, make_wav_g711)
+
+    def synth(seed):
+        rng = np.random.default_rng(seed)
+        rate, n_seg, seg_len = 16000, 9, 1600
+        t = np.arange(n_seg * seg_len) / rate
+        x = np.zeros(len(t))
+        band_edges = np.geomspace(150.0, 3200.0, 9)
+        for b in range(8):
+            f = rng.uniform(band_edges[b] * 1.1, band_edges[b + 1] * 0.9)
+            lvl = rng.integers(0, 3, size=n_seg)
+            for s in range(1, n_seg):
+                if lvl[s] == lvl[s - 1]:
+                    lvl[s] = (lvl[s] + 1 + rng.integers(0, 2)) % 3
+            env = np.repeat(np.array([0.25, 0.5, 1.0])[lvl], seg_len)
+            x += env * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        x /= np.abs(x).max() + 1e-9
+        return (x * 20000).astype(np.int16), rate
+
+    def fp(blob):
+        rate, ch, x = _wav_samples(blob)
+        return _band_energy_fingerprint(x, rate, ch or 1)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base = []
+    for seed in range(12):
+        pcm, rate = synth(seed)
+        f0 = fp(make_wav(pcm, rate))
+        assert ham(f0, fp(make_wav_g711(pcm, rate, "ulaw"))) <= 6
+        assert ham(f0, fp(make_wav(pcm[::2], rate // 2))) <= 6
+        half = (pcm.astype(np.int32) // 2).astype(np.int16)
+        assert ham(f0, fp(make_wav(half, rate))) <= 2   # gain-immune
+        base.append(f0)
+    for i in range(len(base)):
+        for j in range(i + 1, len(base)):
+            assert ham(base[i], base[j]) > 6, (i, j)
+
+
+def test_audio_neardup_reunites_planted_variants(spark):
+    """Distributed end-to-end: 20 tone mixes x 3 encodings must come back
+    as exactly 20 clusters of size 3 grouped by doc_id // 3."""
+    from etl_mark1_spark.operators.multimodal import (
+        attach_neardup_audio_media, audio_neardup)
+
+    docs = spark.range(60).withColumnRenamed("id", "doc_id")
+    wavs = attach_neardup_audio_media(docs)
+    got = audio_neardup(wavs, max_hamming=6).collect()
+    assert len(got) == 60
+    groups: dict = {}
+    for r in got:
+        groups.setdefault(r.cluster_id, []).append(int(r.doc_id))
+    assert len(groups) == 20
+    for members in groups.values():
+        assert len(members) == 3
+        assert len({m // 3 for m in members}) == 1, members
