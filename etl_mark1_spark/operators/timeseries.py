@@ -41,27 +41,42 @@ def resample_ffill(df: DataFrame, unit: str = "hour",
     """Per-key regular time grid with forward-filled values.
 
     1. bucket actual events to the grid unit, sum ``value_col`` per bucket;
-    2. explode each key's [min, max] bucket span into a complete sequence
-       (gap buckets appear with NULL);
-    3. forward-fill with last-non-null over an unbounded-preceding window.
+    2. ONE lag window over the observed rows pairs each observation with
+       its predecessor;
+    3. a narrow explode of ``sequence(prev + step, cur)`` generates the
+       gap buckets directly, each carrying the predecessor's value (the
+       forward fill), with the first observation per key emitted alone.
+
+    Same result as the classical grid-then-window formulation (the grid
+    ``[lo, hi]`` is exactly {first obs} ∪ ⋃ (prev, cur] spans, and grid
+    endpoints are always observed), but the window pass touches only
+    OBSERVED rows, not the dense grid, and the grid/actual join — two
+    extra shuffles at 100 TB — disappears entirely: after the one
+    aggregation shuffle everything is a narrow map/explode. Rewritten
+    round 7; measured 27.6 s -> (see BENCH notes) on the interpolate
+    sibling's composite entry at sf0.1.
 
     Returns (key, bucket, val) sorted nowhere — order is the consumer's
     business. Empty input yields an empty frame.
     """
     bucket = truncate_ntz(ts_col, unit).alias("bucket")
     actual = (df.groupBy(key_col, bucket)
-              .agg(F.round(F.sum(value_col), round_digits).alias("_actual")))
-    bounds = actual.groupBy(key_col).agg(
-        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
-    grid = bounds.select(
-        key_col,
-        F.explode(F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
-                  ).alias("bucket"))
-    w = (Window.partitionBy(key_col).orderBy("bucket")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (grid.join(actual, [key_col, "bucket"], "left")
-            .select(key_col, "bucket",
-                    F.last("_actual", ignorenulls=True).over(w).alias("val")))
+              .agg(F.round(F.sum(value_col), round_digits).alias("_v")))
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    step_iv = F.expr(f"interval {step}")
+    lagged = actual.select(
+        key_col, F.col("bucket").alias("_cb"), "_v",
+        F.lag("bucket").over(w).alias("_pb"),
+        F.lag("_v").over(w).alias("_pv"))
+    exploded = lagged.select(
+        key_col, "_cb", "_v", "_pv",
+        F.explode(
+            F.when(F.col("_pb").isNull(), F.array(F.col("_cb")))
+            .otherwise(F.sequence(F.col("_pb") + step_iv, F.col("_cb"),
+                                  step_iv))).alias("bucket"))
+    val = F.when(F.col("bucket") == F.col("_cb"), F.col("_v")) \
+        .otherwise(F.col("_pv"))
+    return exploded.select(key_col, "bucket", val.alias("val"))
 
 
 def resample_interpolate(df: DataFrame, unit: str = "hour",
@@ -75,49 +90,49 @@ def resample_interpolate(df: DataFrame, unit: str = "hour",
 
     Gap buckets get ``prev + (next - prev) * elapsed/gap`` between their
     nearest observed neighbors (time-weighted, so it is correct for any
-    grid ``step``); leading/trailing edges fall back to nearest-value
-    (back-/forward-fill). Same shape at scale as the ffill variant — grid
-    size bounded by span/step per key, two frames over one per-key window
-    ordering instead of one — everything partitions by key.
+    grid ``step``). Like :func:`resample_ffill` (rewritten round 7), the
+    dense grid is never materialized through a join: one lag window over
+    the OBSERVED rows pairs neighbors, then a narrow explode of
+    ``sequence(prev + step, cur)`` emits each gap bucket already knowing
+    both interpolation endpoints. The grid's edges are always observed
+    buckets (lo/hi are min/max of observations), so the old back-/
+    forward-fill edge fallback only ever fired for single-observation
+    keys — which the first-row branch emits directly. Arithmetic is
+    bit-identical to the two-window formulation: same frac, same
+    endpoint short-circuit (IEEE ``pv + (nv-pv)*1.0`` need not equal
+    ``nv``), same tie-deterministic rounding.
+
+    At scale: one aggregation shuffle, a window over observed rows only,
+    then map-side explode — no grid join, no unbounded frames over the
+    dense series.
     """
     bucket = truncate_ntz(ts_col, unit).alias("bucket")
     actual = (df.groupBy(key_col, bucket)
-              .agg(F.round(F.sum(value_col), 2).alias("_actual")))
-    bounds = actual.groupBy(key_col).agg(
-        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
-    grid = bounds.select(
-        key_col,
-        F.explode(F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
-                  ).alias("bucket"))
-    back = (Window.partitionBy(key_col).orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    fwd = (Window.partitionBy(key_col).orderBy("bucket")
-           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    obs_bucket = F.when(F.col("_actual").isNotNull(), F.col("bucket"))
-    joined = (grid.join(actual, [key_col, "bucket"], "left")
-              .select(key_col, "bucket", "_actual",
-                      F.last("_actual", ignorenulls=True).over(back)
-                      .alias("_pv"),
-                      F.last(obs_bucket, ignorenulls=True).over(back)
-                      .alias("_pb"),
-                      F.first("_actual", ignorenulls=True).over(fwd)
-                      .alias("_nv"),
-                      F.first(obs_bucket, ignorenulls=True).over(fwd)
-                      .alias("_nb")))
+              .agg(F.round(F.sum(value_col), 2).alias("_v")))
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    step_iv = F.expr(f"interval {step}")
+    lagged = actual.select(
+        key_col, F.col("bucket").alias("_cb"), "_v",
+        F.lag("bucket").over(w).alias("_pb"),
+        F.lag("_v").over(w).alias("_pv"))
+    exploded = lagged.select(
+        key_col, "_cb", "_v", "_pb", "_pv",
+        F.explode(
+            F.when(F.col("_pb").isNull(), F.array(F.col("_cb")))
+            .otherwise(F.sequence(F.col("_pb") + step_iv, F.col("_cb"),
+                                  step_iv))).alias("bucket"))
     frac = (F.expr("timestampdiff(SECOND, _pb, bucket)")
-            / F.expr("timestampdiff(SECOND, _pb, _nb)"))
-    val = (F.when(F.col("_actual").isNotNull(), F.col("_actual"))
-           .when(F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
-                 F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac)
-           .otherwise(F.coalesce("_pv", "_nv")))
+            / F.expr("timestampdiff(SECOND, _pb, _cb)"))
+    val = (F.when(F.col("bucket") == F.col("_cb"), F.col("_v"))
+           .otherwise(F.col("_pv") + (F.col("_v") - F.col("_pv")) * frac))
     # interpolating 2-decimal sums by dyadic fractions (1/2, 1/4, ...)
     # lands on exact representable halves constantly, where engines split
     # (Spark rounds half-up, DuckDB half-even) — so round tie-DETERMINISTIC:
     # floor(v * 10^d + 0.5) is the same IEEE arithmetic everywhere
     scale = F.lit(float(10 ** round_digits))
-    return joined.select(key_col, "bucket",
-                         (F.floor(val * scale + F.lit(0.5)) / scale)
-                         .alias("val"))
+    return exploded.select(key_col, "bucket",
+                           (F.floor(val * scale + F.lit(0.5)) / scale)
+                           .alias("val"))
 
 
 def seasonal_decompose(df: DataFrame, period: int = 24,
