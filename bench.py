@@ -149,7 +149,12 @@ def child_main(name: str, sf_dir: str) -> None:
 def time_isolated(name: str, sf_dir: str) -> tuple[float, list[float]] | None:
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--one", name],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True,
+        # warmup + SPARK_GRAFT_RUNS live in ONE subprocess; heavyweight
+        # entries at the 10x scaling point (multimodal_video_frames:
+        # ~9 min/run of pure-Python JPEG decode) legitimately outgrow the
+        # default — raise per-call, don't drop runs
+        timeout=int(os.environ.get("SPARK_GRAFT_TIMEOUT_SEC", "1800")),
         env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
     )
     for line in reversed(proc.stdout.strip().splitlines()):
