@@ -161,6 +161,29 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n"))
 
 
+@query("multimodal_video_neardup")
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO dedup end-to-end: a planted MJPEG corpus
+    where doc_id // 3 picks the frame content and doc_id % 3 the variant
+    (JPEG q90 / q70 generation-loss re-encode / 2x-upscaled frames),
+    fingerprinted as per-sampled-frame dHash SEQUENCES and clustered by
+    the frame-aligned banded-hamming candidate join + sequence-overlap
+    verify (operators/multimodal.py:video_neardup). Output is the
+    cluster-size histogram and must be ONE row (n=3, clusters=50);
+    only 12-byte (id, frame_idx, hash) rows shuffle, never frames."""
+    from etl_mark1_spark.operators.multimodal import (
+        attach_neardup_video_media, video_neardup)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id") \
+        .orderBy("doc_id").limit(150)
+    vids = attach_neardup_video_media(docs)
+    clusters = video_neardup(vids, max_hamming=4, min_match_frac=0.8)
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("clusters"))
+            .orderBy("n"))
+
+
 @query("bpe_train_merges")
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEARN a BPE subword vocabulary from the corpus

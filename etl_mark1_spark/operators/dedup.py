@@ -537,7 +537,12 @@ def hamming_neardup(hashed: DataFrame, hash_col: str, id_col: str,
     Returns (id_col, cluster_id)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    sh = hashed.select(id_col, F.col(hash_col).alias("_sh"))
+    # The fingerprint frame fans out three ways (self-join left/right +
+    # the id universe below); without a checkpoint each reference re-runs
+    # the upstream hashing lineage — for media fingerprints that means
+    # re-decoding every payload 3x. The checkpoint holds only
+    # (id, 8-byte hash) rows, so it stays tiny even at corpus scale.
+    sh = hashed.select(id_col, F.col(hash_col).alias("_sh")).localCheckpoint()
     bucketed = sh.select(
         id_col, "_sh",
         F.explode(F.array(*[
@@ -558,7 +563,7 @@ def hamming_neardup(hashed: DataFrame, hash_col: str, id_col: str,
         .filter(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_hamming)
         .select("src", "dst")
     )
-    return _cluster_min_label(hashed.select(id_col), pairs, id_col)
+    return _cluster_min_label(sh.select(id_col), pairs, id_col)
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -876,6 +876,145 @@ def attach_neardup_audio_media(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col).mapInPandas(gen, schema=out_schema)
 
 
+VIDEO_FRAME_HASHES = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("fhash", T.LongType(), True),
+])
+
+
+def with_video_frame_hashes(df: DataFrame, id_col: str = "doc_id",
+                            content_col: str = "content",
+                            every_ms: int = 1000) -> DataFrame:
+    """Explode each MJPEG AVI payload into one row per sampled timestamp
+    carrying the 64-bit dHash of the frame nearest that timestamp
+    (vendored RIFF walk + JPEG decode, executor-side mapInPandas).
+    Returns (doc_id, frame_idx, fhash) — the per-video fingerprint
+    SEQUENCE, 12 bytes per sampled frame; payloads never leave their
+    partition."""
+    from etl_mark1_spark.operators.avi import decode_avi
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                fps, frames = decode_avi(bytes(blob))
+                duration_ms = len(frames) * 1000 // max(fps, 1)
+                for k, ts in enumerate(range(0, duration_ms, every_ms)):
+                    fr = frames[min(int(round(ts * fps / 1000.0)),
+                                    len(frames) - 1)]
+                    rows.append((int(i), k,
+                                 _dhash(decode_image_pixels(fr))))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "fhash"])
+
+    return df.select(F.col(id_col).alias("doc_id"), content_col) \
+        .mapInPandas(sample, schema=VIDEO_FRAME_HASHES)
+
+
+def video_neardup(df: DataFrame, id_col: str = "doc_id",
+                  content_col: str = "content", every_ms: int = 1000,
+                  max_hamming: int = 4,
+                  min_match_frac: float = 0.8) -> DataFrame:
+    """Near-duplicate VIDEO clusters: per-sampled-frame dHash sequences
+    (:func:`with_video_frame_hashes`), candidate pairs from the
+    pigeonhole band join APPLIED PER (frame_idx, band) — two videos
+    become candidates when any aligned frame shares a clean hash band —
+    then exact verification: the fraction of aligned frames within
+    ``max_hamming`` bits must reach ``min_match_frac`` of the LONGER
+    sequence (so a clip matching a prefix of a longer video does not
+    merge). Min-label components as everywhere else. Candidate volume is
+    bucket-bounded; only (id, frame_idx, 8-byte hash) rows shuffle —
+    never frames. Returns (id_col, cluster_id); NULL payloads drop."""
+    from etl_mark1_spark.operators.dedup import _cluster_min_label
+
+    # The hash-sequence frame fans out five ways (band buckets left/right,
+    # both sides of the aligned verify, per-video counts, id universe);
+    # checkpoint it so the AVI-walk + JPEG-decode lineage runs ONCE and
+    # everything downstream reads 12-byte rows.
+    hashes = with_video_frame_hashes(df, id_col, content_col,
+                                     every_ms).localCheckpoint()
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bucketed = hashes.select(
+        "doc_id", "frame_idx", "fhash",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(b),
+                        F.shiftrightunsigned(F.col("fhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
+            for b in range(n_bands)
+        ])).alias("_bucket"))
+    left = bucketed.select(F.col("doc_id").alias("src"), "frame_idx",
+                           "_bucket")
+    right = bucketed.select(F.col("doc_id").alias("dst"), "frame_idx",
+                            "_bucket")
+    cand = (left.join(right, ["frame_idx", "_bucket"])
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst").dropDuplicates(["src", "dst"]))
+
+    counts = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    ha = hashes.select(F.col("doc_id").alias("src"),
+                       F.col("frame_idx").alias("_fi"),
+                       F.col("fhash").alias("_ha"))
+    hb = hashes.select(F.col("doc_id").alias("_dst2"),
+                       F.col("frame_idx").alias("_fj"),
+                       F.col("fhash").alias("_hb"))
+    matched = (cand.join(ha, "src")
+               .join(hb, (F.col("dst") == F.col("_dst2"))
+                     & (F.col("_fi") == F.col("_fj")))
+               .filter(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                       <= max_hamming)
+               .groupBy("src", "dst")
+               .agg(F.count(F.lit(1)).alias("_m")))
+    ca = counts.select(F.col("doc_id").alias("src"), F.col("_n").alias("_na"))
+    cb = counts.select(F.col("doc_id").alias("dst"), F.col("_n").alias("_nb"))
+    edges = (matched.join(ca, "src").join(cb, "dst")
+             .filter(F.col("_m") >= min_match_frac
+                     * F.greatest("_na", "_nb"))
+             .select("src", "dst"))
+    ids = hashes.select(F.col("doc_id").alias(id_col)).distinct()
+    return _cluster_min_label(ids, edges, id_col)
+
+
+def attach_neardup_video_media(df: DataFrame, id_col: str = "doc_id",
+                               group: int = 3) -> DataFrame:
+    """Synthesize a PLANTED near-duplicate MJPEG corpus executor-side:
+    rows sharing ``id // group`` get the same frame content (per-frame
+    smooth images, seed mixes the group and the frame index), ``id %
+    group`` picks the variant — 0: JPEG q90 frames, 1: JPEG q70
+    re-encode (generation loss), 2: spatially 2x-upscaled q90 frames.
+    4-second clips at 4 fps (16 frames; every_ms=1000 samples 4).
+    Ground truth is the id arithmetic."""
+    from etl_mark1_spark.operators.avi import make_avi
+    from etl_mark1_spark.operators.jpeg import make_jpeg
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for i in pdf[id_col]:
+                i = int(i)
+                base, variant = i // group, i % group
+                frames = []
+                for fidx in range(16):
+                    px = _smooth_image(base * 1009 + fidx)
+                    if variant % 3 == 2:
+                        px = _resize_bilinear(px, 96, 96)
+                    q = 70 if variant % 3 == 1 else 90
+                    frames.append(make_jpeg(px, quality=q))
+                rows.append((i, make_avi(frames, fps=4)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+            rows = []
+
+    return df.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
 def decode_audio_bytes(payload: bytes):
     """REAL audio decode for PCM WAV: (sample_rate, channels, duration_ms,
     rms) with rms normalized to [0, 1] over full-scale int16."""

@@ -42,13 +42,43 @@ NOTES = {
     "embedding_cosine_topk": (
         "brute-force linear scan + TakeOrderedAndProject; 10x rows = 10x "
         "scan"),
+    # round-7 additions: heaviest NON-headline entries
+    "seasonal_decompose_interp_events": (
+        "seasonal grid + two off-center windows per key PLUS the "
+        "gap-interpolation join; parallelizes by user key like "
+        "seasonal_decompose_events"),
+    "bpe_train_merges": (
+        "fixed merge-iteration count over the unique-word table; sf1's "
+        "per-replica Caesar rotation multiplies vocabulary ~10x, so "
+        "per-iteration pair counts scale ~linearly"),
+    "multimodal_video_frames": (
+        "per-doc AVI synth + JPEG frame decode in mapInPandas; embarrassingly "
+        "parallel, linear in docs"),
+    "audio_spectral_wav": (
+        "per-doc WAV synth + FFT frames in mapInPandas; linear in docs"),
+    "embedding_neardup": (
+        "banded hyperplane LSH; sf1 copies each vector 10x so every bucket "
+        "carries the copy set — candidate pairs grow ~linearly (45 exact-dup "
+        "pairs per copy set), worst-case-friendly for the check"),
+    "cross_corpus_decontam": (
+        "bucket join on shingle hashes; Caesar-disjoint replicas keep bucket "
+        "sizes flat, candidates linear"),
 }
 
 
 def main() -> None:
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     only = set(sys.argv[2:])
+    # Any catalog entry is checkable, not just the bench headline — the
+    # catalog outgrew the headline (round-7: the heaviest entry overall,
+    # seasonal_decompose_interp_events, is non-headline). Headline order
+    # first, then extra requested names.
+    from etl_mark1_spark.catalog import QUERIES
+    unknown = only - set(QUERIES)
+    if unknown:
+        raise SystemExit(f"not catalog entries: {sorted(unknown)}")
     names = [n for n in bench.HEADLINE if not only or n in only]
+    names += sorted(only - set(bench.HEADLINE))
 
     entries: dict[str, dict] = {"sf0.1": {}, "sf1": {}}
     for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", sf1_dir)):
@@ -72,9 +102,10 @@ def main() -> None:
                 flagged[name] = NOTES.get(
                     name, "UNEXPLAINED — investigate before shipping")
 
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_sf1.json")
     artifact = {
         "metric": "sf_scaling_spot_check",
-        "n_entries": len(names),
         "data": "10 disjoint FK-consistent replicas of sf0.1 "
                 "(scripts/make_sf1.py); dims region/nation unreplicated",
         "estimator": "min_of_steady_state_runs (bench.py isolation)",
@@ -84,8 +115,23 @@ def main() -> None:
         "over_bar": flagged,
         "notes": {k: v for k, v in NOTES.items() if k in names},
     }
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_sf1.json")
+    # MERGE into the existing artifact: a partial run (extra names only)
+    # must extend the record, not clobber the full-headline sweep.
+    if os.path.exists(out):
+        with open(out) as fh:
+            prior = json.load(fh)
+        for sf_label in ("sf0.1", "sf1"):
+            merged = dict(prior.get("entries", {}).get(sf_label, {}))
+            merged.update(entries[sf_label])
+            artifact["entries"][sf_label] = merged
+        for key in ("ratio_sf1_over_sf0.1", "over_bar", "notes"):
+            # older artifacts stored free-text notes / omitted over_bar —
+            # only dict-shaped priors are mergeable
+            prev = prior.get(key)
+            merged = dict(prev) if isinstance(prev, dict) else {}
+            merged.update(artifact[key])
+            artifact[key] = merged
+    artifact["n_entries"] = len(artifact["entries"]["sf0.1"])
     with open(out, "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(f"wrote {out}")

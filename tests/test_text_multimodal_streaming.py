@@ -1444,3 +1444,66 @@ def test_audio_neardup_reunites_planted_variants(spark):
     for members in groups.values():
         assert len(members) == 3
         assert len({m // 3 for m in members}) == 1, members
+
+
+# -- video near-dup: frame-aligned hash sequences -----------------------------
+
+def test_with_video_frame_hashes_shape(spark):
+    """Each 16-frame 4fps clip sampled at 1000ms yields exactly 4 rows of
+    (doc_id, frame_idx, fhash), and the same content re-encoded at lower
+    quality produces near-identical aligned hashes."""
+    from etl_mark1_spark.operators.multimodal import (
+        attach_neardup_video_media, with_video_frame_hashes)
+
+    docs = spark.range(6).withColumnRenamed("id", "doc_id")
+    vids = attach_neardup_video_media(docs)
+    got = with_video_frame_hashes(vids).collect()
+    assert len(got) == 6 * 4
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(int(r.doc_id), {})[int(r.frame_idx)] = int(r.fhash)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+    for fi in range(4):     # doc 0 (q90) vs doc 1 (q70): same group 0
+        d = (by_doc[0][fi] ^ by_doc[1][fi]) & ((1 << 64) - 1)
+        assert bin(d).count("1") <= 4, fi
+
+
+def test_video_neardup_reunites_planted_variants(spark):
+    """Distributed end-to-end: 15 source clips x 3 encodings must come
+    back as exactly 15 clusters of size 3 grouped by doc_id // 3."""
+    from etl_mark1_spark.operators.multimodal import (
+        attach_neardup_video_media, video_neardup)
+
+    docs = spark.range(45).withColumnRenamed("id", "doc_id")
+    vids = attach_neardup_video_media(docs)
+    got = video_neardup(vids, max_hamming=4, min_match_frac=0.8).collect()
+    assert len(got) == 45
+    groups: dict = {}
+    for r in got:
+        groups.setdefault(r.cluster_id, []).append(int(r.doc_id))
+    assert len(groups) == 15
+    for members in groups.values():
+        assert len(members) == 3
+        assert len({m // 3 for m in members}) == 1, members
+
+
+def test_video_neardup_prefix_clip_does_not_merge(spark):
+    """A clip that is a strict PREFIX of a longer video matches every
+    aligned frame but fails the longer side's min_match_frac — the
+    greatest(na, nb) denominator is what prevents subset merges."""
+    import pandas as pd_
+
+    from etl_mark1_spark.operators.avi import make_avi
+    from etl_mark1_spark.operators.jpeg import make_jpeg
+    from etl_mark1_spark.operators.multimodal import (_smooth_image,
+                                                      video_neardup)
+
+    frames = [make_jpeg(_smooth_image(5000 + k), quality=90)
+              for k in range(16)]
+    rows = [(0, make_avi(frames, fps=4)),          # 4s -> 4 sampled
+            (1, make_avi(frames[:4], fps=4))]      # 1s prefix -> 1 sampled
+    df = spark.createDataFrame(
+        pd_.DataFrame(rows, columns=["doc_id", "content"]))
+    got = {int(r.doc_id): r.cluster_id
+           for r in video_neardup(df, min_match_frac=0.8).collect()}
+    assert got[0] != got[1]
