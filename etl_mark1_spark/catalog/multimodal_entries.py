@@ -113,7 +113,25 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                                codec="real")
 
 
-@query("multimodal_image_neardup")
+def _neardup_truth_sql(limit: int) -> str:
+    """Ground-truth oracle for the planted near-dup corpora: the fixture
+    assigns variants by ``doc_id % 3`` within groups of ``doc_id // 3``,
+    so under PERFECT dedup the cluster-size histogram equals the group-size
+    histogram of the id arithmetic — computable in plain SQL from the same
+    ``documents`` slice the Spark entry reads. Any missed re-encode or
+    cross-group hash collision changes the histogram and fails the hash."""
+    return f"""
+        SELECT n, count(*) AS clusters FROM (
+            SELECT CAST(doc_id // 3 AS BIGINT) AS g,
+                   count(*) AS n
+            FROM (SELECT doc_id FROM documents
+                  ORDER BY doc_id LIMIT {limit})
+            GROUP BY g
+        ) GROUP BY n ORDER BY n
+    """
+
+
+@query("multimodal_image_neardup", oracle=_neardup_truth_sql(300))
 def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE dedup end-to-end: a planted corpus where
     doc_id // 3 picks the source pixels and doc_id % 3 the variant
@@ -138,7 +156,7 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n"))
 
 
-@query("multimodal_audio_neardup")
+@query("multimodal_audio_neardup", oracle=_neardup_truth_sql(300))
 def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate AUDIO dedup end-to-end: a planted corpus where
     doc_id // 3 picks the tone mix and doc_id % 3 the encoding
@@ -161,7 +179,7 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n"))
 
 
-@query("multimodal_video_neardup")
+@query("multimodal_video_neardup", oracle=_neardup_truth_sql(150))
 def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate VIDEO dedup end-to-end: a planted MJPEG corpus
     where doc_id // 3 picks the frame content and doc_id % 3 the variant
