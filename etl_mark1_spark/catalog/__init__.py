@@ -74,6 +74,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     rows_only_approx,
     multimodal_entries,
     analytics_sampling,
+    web_curation,
 )
 
 #: Round-7 driver prefix (50 slots):

@@ -1,0 +1,194 @@
+"""Web-corpus curation entries: URL normalization, domain rollups, caps,
+blocklists (extension family; operators/web.py).
+
+The ``documents`` table has no URL column, so each entry ATTACHES a
+deterministic synthetic URL computed from ``doc_id`` with pure column
+arithmetic — the oracle SQL rebuilds the same strings in DuckDB, then
+derives the EXPECTED canonical form from the synthesis components (host
+slot -> registered domain, default ports always dropped, utm params
+removed) while the Spark side runs the real parser/normalizer over the
+URL string. A parser bug that mishandles any synthesized shape (userinfo
+aside: ports, www, trailing slash, utm mix, fragments) breaks the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.catalog._registry import query, t
+
+#: Host slot -> (raw host with case/www noise, its registered domain).
+_HOSTS = [
+    ("Example.COM", "example.com"),
+    ("www.example.com", "example.com"),
+    ("blog.example.co.uk", "example.co.uk"),
+    ("News.Portal.org", "portal.org"),
+    ("cdn.portal.org", "portal.org"),
+    ("shop.example.co.uk", "example.co.uk"),
+    ("wiki.knowledge.net", "knowledge.net"),
+    ("tracker.spamcdn.biz", "spamcdn.biz"),
+]
+
+
+def _with_synth_urls(df: DataFrame) -> DataFrame:
+    """Deterministic URL per doc_id (pure column arithmetic, mirrored
+    bit-for-bit by :data:`_URL_CTE`): Knuth-multiplier host slot, http on
+    every 11th id, explicit default port on every 5th, trailing slash on
+    every 6th, utm params mixed into two of three query shapes, fragment
+    on every 4th."""
+    did = F.col("doc_id")
+    h = ((did * F.lit(2654435761)) % 8 + 1).cast("int")
+    host = F.element_at(F.array(*[F.lit(r) for r, _ in _HOSTS]), h)
+    scheme = F.when(did % 11 == 0, F.lit("http")).otherwise(F.lit("https"))
+    port = F.when(
+        did % 5 == 0,
+        F.when(scheme == "https", F.lit(":443")).otherwise(F.lit(":80")),
+    ).otherwise(F.lit(""))
+    path = F.concat(F.lit("/articles/"), (did % 1000).cast("string"),
+                    F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")))
+    qk = (did % 7).cast("string")
+    qs = (F.when(did % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), qk))
+          .when(did % 3 == 1, F.concat(F.lit("?id="), qk,
+                                       F.lit("&utm_campaign=x")))
+          .otherwise(F.lit("")))
+    frag = F.when(did % 4 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return df.withColumn(
+        "url", F.concat(scheme, F.lit("://"), host, port, path, qs, frag))
+
+
+#: DuckDB CTE producing (doc_id, lang, source, url, url_norm, domain):
+#: ``url`` rebuilds the Spark synthesis; ``url_norm``/``domain`` state the
+#: EXPECTED normalization from the components, independent of any parsing.
+_URL_CTE = """
+WITH parts AS (
+    SELECT doc_id, lang, source,
+           CAST((doc_id * 2654435761) % 8 AS INT) + 1 AS h,
+           CASE WHEN doc_id % 11 = 0 THEN 'http' ELSE 'https' END AS scheme,
+           CASE WHEN doc_id % 3 = 0
+                    THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                WHEN doc_id % 3 = 1
+                    THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                         || '&utm_campaign=x'
+                ELSE '' END AS qs,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                    THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                ELSE '' END AS qs_norm
+    FROM documents
+), hosted AS (
+    SELECT *,
+           (['Example.COM', 'www.example.com', 'blog.example.co.uk',
+             'News.Portal.org', 'cdn.portal.org', 'shop.example.co.uk',
+             'wiki.knowledge.net', 'tracker.spamcdn.biz'])[h] AS host,
+           (['example.com', 'example.com', 'example.co.uk', 'portal.org',
+             'portal.org', 'example.co.uk', 'knowledge.net',
+             'spamcdn.biz'])[h] AS domain
+    FROM parts
+), urls AS (
+    SELECT doc_id, lang, source, domain,
+           scheme || '://' || host
+           || CASE WHEN doc_id % 5 = 0 THEN
+                  CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END
+              ELSE '' END
+           || '/articles/' || CAST(doc_id % 1000 AS VARCHAR)
+           || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+           || qs
+           || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url,
+           scheme || '://'
+           || CASE WHEN lower(host) LIKE 'www.%' THEN substr(lower(host), 5)
+              ELSE lower(host) END
+           || '/articles/' || CAST(doc_id % 1000 AS VARCHAR)
+           || qs_norm AS url_norm
+    FROM hosted
+)
+"""
+
+
+@query("url_normalize_docs", _URL_CTE + """
+    SELECT doc_id, url, url_norm, domain FROM urls
+""")
+def url_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize crawl URLs with the REAL parser (operators/web.py:
+    normalize_url — lowercase scheme/host, strip www and default ports,
+    drop fragments and utm params, trim trailing slash) plus
+    public-suffix-aware registered-domain extraction; the oracle derives
+    the expected canonical strings from the synthesis components. Pure
+    column expressions — the plan is a single codegen'd projection, no
+    shuffle, 100 TB normalizes at scan speed."""
+    from etl_mark1_spark.operators.web import with_normalized_urls
+
+    docs = _with_synth_urls(t(spark, sf_dir, "documents").select("doc_id"))
+    return with_normalized_urls(docs).select("doc_id", "url", "url_norm",
+                                             "domain")
+
+
+@query("domain_stats_docs", _URL_CTE + """
+    SELECT domain,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           min(doc_id) AS first_doc
+    FROM urls GROUP BY domain ORDER BY domain
+""")
+def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup (the crawl-curation dashboard cut): doc
+    count, language spread, earliest id per domain. One hash aggregate
+    with map-side partials over the map-side URL attach."""
+    from etl_mark1_spark.operators.web import with_normalized_urls
+
+    docs = _with_synth_urls(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "source"))
+    return (with_normalized_urls(docs)
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("domain"))
+
+
+@query("domain_capped_docs", _URL_CTE + """
+    SELECT domain,
+           count(*) AS n_kept,
+           sum(doc_id) AS kept_ids_sum
+    FROM (
+        SELECT domain, doc_id,
+               row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        FROM urls
+    ) WHERE rn <= 100
+    GROUP BY domain ORDER BY domain
+""")
+def domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every domain at 100 docs keeping the smallest doc_ids
+    (operators/web.py:domain_cap — two-phase: under-cap domains bypass the
+    sort via a broadcast anti-join, only the Zipf head pays the per-domain
+    window). ``kept_ids_sum`` pins WHICH rows survived, not just how
+    many. At sf0.01 three domains are over the cap and two under, so both
+    branches execute."""
+    from etl_mark1_spark.operators.web import domain_cap, with_normalized_urls
+
+    docs = _with_synth_urls(t(spark, sf_dir, "documents").select("doc_id"))
+    capped = domain_cap(with_normalized_urls(docs), cap=100)
+    return (capped.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("kept_ids_sum"))
+            .orderBy("domain"))
+
+
+@query("blocklist_filtered_docs", _URL_CTE + """
+    SELECT domain, count(*) AS n_docs
+    FROM urls
+    WHERE domain NOT IN ('spamcdn.biz', 'knowledge.net')
+    GROUP BY domain ORDER BY domain
+""")
+def blocklist_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop blocklisted registered domains via the broadcast left-anti
+    join (operators/web.py:filter_blocklist); the corpus never shuffles
+    for the filter itself. Output is the surviving per-domain census."""
+    from etl_mark1_spark.operators.web import (filter_blocklist,
+                                               with_normalized_urls)
+
+    docs = _with_synth_urls(t(spark, sf_dir, "documents").select("doc_id"))
+    blocked = spark.createDataFrame(
+        [("spamcdn.biz",), ("knowledge.net",)], ["domain"])
+    kept = filter_blocklist(with_normalized_urls(docs), blocked)
+    return (kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("domain"))

@@ -1,0 +1,168 @@
+"""Web-corpus curation operators: URL normalization, registered-domain
+extraction, per-domain caps, and domain blocklists.
+
+Extension family (the reference engine stops at generic SQL —
+backend/services/duckdb_engine.py); these are the steps a crawl-derived
+training corpus runs before any text-level filtering: canonicalize URLs so
+exact-dedup keys match across re-crawls, roll documents up to their
+registered domain (public-suffix aware, so ``blog.example.co.uk`` and
+``shop.example.co.uk`` share ``example.co.uk``), cap any one domain's
+contribution, and drop blocklisted domains.
+
+Scale shapes:
+
+- URL normalization and domain extraction are PURE COLUMN EXPRESSIONS
+  (regexp + array built-ins, whole-stage codegen, no Python, no shuffle):
+  a 100 TB crawl normalizes at scan speed.
+- ``domain_cap`` is ONE shuffle on the domain key. Crawl domains are
+  Zipfian, so the biggest domain is a skew key by construction — the
+  window ranks WITHIN a domain partition and AQE's skew-join/partition
+  splitting does not apply to windows; for truly giant domains prefilter
+  with an aggregate count and only rank domains over the cap (done here:
+  under-cap domains short-circuit via a broadcast semi-join and never
+  sort).
+- ``filter_blocklist`` broadcasts the blocklist (it is small by nature)
+  into a left-anti hash join: map-side, no shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_url",
+    "url_host",
+    "registered_domain",
+    "with_normalized_urls",
+    "domain_cap",
+    "filter_blocklist",
+    "MULTI_PART_SUFFIXES",
+]
+
+#: Minimal public-suffix list for the two-vs-three-label decision.
+#: The real PSL is ~9k entries and ships as a data file; the heuristic and
+#: the plan shape are identical — swap in the full list for production.
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "co.in", "co.kr", "com.mx",
+)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (no port, no userinfo) from a URL string; NULL when
+    the string has no ``scheme://`` authority. Pure regexp — map-side."""
+    host = F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(host, r"^[^@]*@", "")      # userinfo
+    host = F.regexp_replace(host, r":\d+$", "")        # port
+    return F.when(host != "", F.lower(host))
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, strip a leading ``www.``,
+    drop default ports (``:80`` http / ``:443`` https), drop the fragment,
+    drop ``utm_*`` tracking params (preserving other params in order), and
+    strip a trailing slash from non-root paths. NULL for strings without a
+    ``scheme://``. Entirely regexp/array built-ins — codegen, no Python."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"(?i)^([a-z][a-z0-9+.-]*)://", 1))
+    authority = F.regexp_extract(
+        url, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.lower(F.regexp_replace(authority, r"^[^@]*@", ""))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, r":443$", ""),
+    ).when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).otherwise(host)
+
+    path = F.regexp_extract(
+        url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")) \
+        .otherwise(F.regexp_replace(path, r"/$", ""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    query_norm = F.when(F.size(kept) > 0,
+                        F.concat(F.lit("?"), F.array_join(kept, "&"))) \
+        .otherwise(F.lit(""))
+
+    return F.when(scheme != "",
+                  F.concat(scheme, F.lit("://"), host, path, query_norm))
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain of a host: the last two labels, or the last
+    THREE when the final two form a multi-part public suffix
+    (``a.blog.example.co.uk`` -> ``example.co.uk``). Hosts with fewer
+    labels than that pass through unchanged. Pure array expressions."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # try_element_at: ANSI element_at raises on out-of-bounds negative
+    # indexes even in unselected CASE branches (constant folding evaluates
+    # them), so single-label hosts would crash the whole projection
+    last2 = F.concat_ws(".", F.try_element_at(labels, F.lit(-2)),
+                        F.try_element_at(labels, F.lit(-1)))
+    last3 = F.concat_ws(".", F.try_element_at(labels, F.lit(-3)),
+                        F.try_element_at(labels, F.lit(-2)),
+                        F.try_element_at(labels, F.lit(-1)))
+    is_multi = last2.isin(*MULTI_PART_SUFFIXES)
+    return (F.when(host.isNull(), F.lit(None).cast("string"))
+            .when(is_multi & (n >= 3), last3)
+            .when(~is_multi & (n >= 2), last2)
+            .otherwise(host))
+
+
+def with_normalized_urls(df: DataFrame, url_col: str = "url",
+                         norm_col: str = "url_norm",
+                         domain_col: str = "domain") -> DataFrame:
+    """Attach the canonical URL and its registered domain as columns.
+    Map-side only (see module scale notes)."""
+    norm = normalize_url(F.col(url_col))
+    return (df.withColumn(norm_col, norm)
+            .withColumn(domain_col, registered_domain(url_host(norm))))
+
+
+def domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",
+               order_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` rows per domain, deterministically preferring
+    the smallest ``order_col`` (never visit order — re-runs and backfills
+    must keep the same rows).
+
+    Two-phase to dodge the Zipf head: a count aggregate (map-side partial)
+    splits domains into under-cap (kept wholesale, no sort) and over-cap
+    (ranked by a window). Only the over-cap slice — in a crawl, a tiny
+    fraction of rows concentrated in a few domains — pays the per-domain
+    sort; the giant-domain partitions sort once each, which is the
+    unavoidable cost of an exact deterministic cap."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dc"))
+    # referenced by both branches below; checkpoint the (tiny) over-cap
+    # domain list so the counting aggregation runs once, not twice
+    over = counts.filter(F.col("_dc") > cap).select(domain_col) \
+        .localCheckpoint()
+    under_rows = df.join(F.broadcast(over), domain_col, "left_anti")
+    w = Window.partitionBy(domain_col).orderBy(F.col(order_col).asc())
+    over_rows = (df.join(F.broadcast(over), domain_col, "left_semi")
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= cap).drop("_rn"))
+    return under_rows.unionByName(over_rows)
+
+
+def filter_blocklist(df: DataFrame, blocked: DataFrame,
+                     domain_col: str = "domain") -> DataFrame:
+    """Drop rows whose registered domain appears in ``blocked`` (a
+    one-column DataFrame of domains). Broadcast left-anti join — the
+    corpus never shuffles."""
+    bcol = blocked.columns[0]
+    return df.join(
+        F.broadcast(blocked.select(F.col(bcol).alias(domain_col))
+                    .dropDuplicates()),
+        domain_col, "left_anti")

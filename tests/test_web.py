@@ -1,0 +1,121 @@
+"""Web-curation operators: URL normalization, registered domains, domain
+caps, blocklists (operators/web.py + catalog/web_curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.web import (domain_cap, filter_blocklist,
+                                           normalize_url, registered_domain,
+                                           url_host, with_normalized_urls)
+
+
+def _norm_one(spark, url: str):
+    row = (spark.range(1)
+           .select(normalize_url(F.lit(url)).alias("u")).collect()[0])
+    return row.u
+
+
+@pytest.mark.parametrize("raw,expected", [
+    # case folding: scheme and host lower, path case preserved
+    ("HTTPS://WWW.Example.COM/Path/To/X", "https://example.com/Path/To/X"),
+    # default ports dropped, non-default kept
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),
+    # userinfo stripped by host extraction, fragment dropped
+    ("https://example.com/a#frag", "https://example.com/a"),
+    # empty path -> "/", trailing slash trimmed on non-root
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/", "https://example.com/"),
+    ("https://example.com/a/b/", "https://example.com/a/b"),
+    # utm params dropped wherever they sit; others keep their order
+    ("https://example.com/a?utm_source=x", "https://example.com/a"),
+    ("https://example.com/a?b=2&utm_medium=m&a=1",
+     "https://example.com/a?b=2&a=1"),
+    ("https://example.com/a?utm_campaign=c&q=1#f",
+     "https://example.com/a?q=1"),
+])
+def test_normalize_url_cases(spark, raw, expected):
+    assert _norm_one(spark, raw) == expected
+
+
+def test_normalize_url_no_scheme_is_null(spark):
+    assert _norm_one(spark, "example.com/a") is None
+    assert _norm_one(spark, "not a url") is None
+
+
+def test_url_host_strips_userinfo_and_port(spark):
+    row = (spark.range(1).select(
+        url_host(F.lit("https://User:Pw@Sub.Example.COM:8443/x")).alias("h"))
+        .collect()[0])
+    assert row.h == "sub.example.com"
+
+
+@pytest.mark.parametrize("host,domain", [
+    ("a.b.blog.example.co.uk", "example.co.uk"),
+    ("example.co.uk", "example.co.uk"),
+    ("co.uk", "co.uk"),                      # bare suffix passes through
+    ("deep.sub.news.portal.org", "portal.org"),
+    ("portal.org", "portal.org"),
+    ("localhost", "localhost"),              # single label unchanged
+    ("shop.example.com.au", "example.com.au"),
+])
+def test_registered_domain(spark, host, domain):
+    row = (spark.range(1)
+           .select(registered_domain(F.lit(host)).alias("d")).collect()[0])
+    assert row.d == domain
+
+
+def test_with_normalized_urls_is_shuffle_free(spark):
+    df = with_normalized_urls(
+        spark.range(10).select(
+            F.concat(F.lit("https://www.Example.com/a/"),
+                     F.col("id").cast("string")).alias("url")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_domain_cap_keeps_smallest_ids_both_branches(spark):
+    # big: 10 rows (over cap 3) -> keeps ids 0,1,2; small: 2 rows (under)
+    rows = [("big.com", i) for i in range(10)] + \
+           [("small.net", 100), ("small.net", 101)]
+    df = spark.createDataFrame(rows, ["domain", "doc_id"])
+    got = {(r.domain, r.doc_id)
+           for r in domain_cap(df, cap=3).collect()}
+    assert got == {("big.com", 0), ("big.com", 1), ("big.com", 2),
+                   ("small.net", 100), ("small.net", 101)}
+
+
+def test_domain_cap_is_deterministic_under_repartition(spark):
+    rows = [("d%d.com" % (i % 5), i) for i in range(50)]
+    df = spark.createDataFrame(rows, ["domain", "doc_id"])
+    a = sorted(map(tuple, domain_cap(df, cap=4).collect()))
+    b = sorted(map(tuple, domain_cap(df.repartition(7), cap=4).collect()))
+    assert a == b and len(a) == 20
+
+
+def test_filter_blocklist_broadcasts_anti_join(spark):
+    df = spark.createDataFrame(
+        [("spam.biz", 1), ("ok.org", 2), ("ok.org", 3)],
+        ["domain", "doc_id"])
+    blocked = spark.createDataFrame([("spam.biz",), ("spam.biz",)],
+                                    ["domain"])
+    kept = filter_blocklist(df, blocked)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_url_catalog_entries_run_and_agree_on_shape(spark):
+    from etl_mark1_spark.catalog import QUERIES
+
+    stats = QUERIES["domain_stats_docs"](spark, "/root/testdata/sf0.001")
+    got = {r.domain: r.n_docs for r in stats.collect()}
+    assert set(got) == {"example.com", "example.co.uk", "portal.org",
+                        "knowledge.net", "spamcdn.biz"}
+    assert sum(got.values()) == 500
+    blocked = QUERIES["blocklist_filtered_docs"](
+        spark, "/root/testdata/sf0.001")
+    left = {r.domain for r in blocked.collect()}
+    assert left == {"example.com", "example.co.uk", "portal.org"}
