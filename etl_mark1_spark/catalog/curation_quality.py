@@ -578,3 +578,53 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            docs.filter(F.col("source") == "src0"))
 
 
+
+
+@query("incremental_neardup_docs", r"""
+    WITH d AS (SELECT doc_id,
+                      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+               FROM documents),
+    p AS (SELECT doc_id, nt,
+                 unnest(range(1, greatest(len(nt) - 4, 1) + 1)) AS i
+          FROM d),
+    sh AS (SELECT doc_id,
+                  list_distinct(list(substr(nt, CAST(i AS INT), 5))) AS s
+           FROM p GROUP BY doc_id),
+    newd AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+    prior AS (SELECT n.doc_id AS nid, o.doc_id AS oid,
+                     CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                     / CAST(len(x.s) + len(y.s)
+                            - len(list_intersect(x.s, y.s)) AS DOUBLE) AS j
+              FROM newd n
+              JOIN documents o
+                ON (o.doc_id % 5 <> 4 OR o.doc_id < n.doc_id)
+               AND o.doc_id <> n.doc_id
+              JOIN sh x ON x.doc_id = n.doc_id
+              JOIN sh y ON y.doc_id = o.doc_id),
+    sel AS (SELECT nid, oid, j,
+                   row_number() OVER (PARTITION BY nid ORDER BY oid) AS rn
+            FROM prior WHERE j >= 0.8)
+    SELECT n.doc_id, s.oid AS dup_of, s.j AS jaccard_sim
+    FROM newd n LEFT JOIN sel s ON s.nid = n.doc_id AND s.rn = 1
+    ORDER BY n.doc_id
+""")
+def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest (operators/incremental.py): documents with
+    doc_id % 5 = 4 arrive as a batch against an LSH index built from the
+    other 80%; each new doc reports the smallest prior (indexed or
+    earlier-in-batch) near-duplicate and its exact shingle Jaccard, NULL
+    when unique. ORACLE-EXACT on the minhash_neardup argument: banding
+    and the signature-agreement prefilter only narrow candidates —
+    membership is exact Jaccard >= 0.8 — and the oracle replays the
+    all-pairs new x prior comparison with the keep-first (min prior id)
+    policy. History is only re-shingled for candidate ids (semi-join);
+    the index row is ~0.5 KB/doc, so the batch side broadcasts and the
+    100 TB index never shuffles."""
+    from etl_mark1_spark.operators.incremental import (incremental_neardup,
+                                                       minhash_index)
+
+    docs = t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    idx = minhash_index(history)
+    return incremental_neardup(new, idx, history).orderBy("doc_id")

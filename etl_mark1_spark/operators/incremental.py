@@ -1,0 +1,154 @@
+"""Incremental near-duplicate detection against a persisted LSH index.
+
+A growing corpus cannot re-cluster 100 TB of history every time a batch
+of new documents arrives. The standard shape (MinHash-LSH dedup-on-
+ingest): keep an INDEX of per-document MinHash signatures + band buckets;
+for each incoming batch, generate candidates by joining the batch's band
+buckets against the index (plus within-batch self-candidates), verify
+candidates with EXACT shingle Jaccard against the stored corpus text, and
+accept only non-duplicates — whose index rows are then appended for the
+next batch. History is never re-shingled wholesale: only the candidate
+docs' text is touched, via a semi-join.
+
+Scale shapes:
+
+- The index row is (doc_id, sig: 48 longs, buckets: 12 longs) — ~0.5 KB
+  per document, independent of document size. Candidate generation
+  explodes buckets on BOTH sides and equi-joins on the bucket id; a
+  daily batch is small relative to the index, so Catalyst/AQE broadcasts
+  the batch side and the index is probed map-side without shuffling.
+- Exact verification re-shingles ONLY candidate documents (semi-join
+  pushdown into the corpus scan), so its cost scales with the candidate
+  count, not the corpus.
+- Appending accepted rows to the index is an O(batch) versioned-table
+  append (``sources/versioned.py``), not a rewrite.
+
+Parameters must match between index build and query — both default to
+``operators/dedup.py:minhash_dedup``'s 5-char shingles, 48 hashes,
+12 bands (s-curve ~0.54), exact-verify threshold 0.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.dedup import (char_shingles, jaccard,
+                                             lsh_band_buckets)
+
+__all__ = ["minhash_index", "incremental_neardup"]
+
+
+def _signatures(df: DataFrame, text_col: str, id_col: str,
+                shingle_k: int, num_hashes: int) -> DataFrame:
+    """(id, _sig array<long>) via the explode + flat-min-aggregate scheme
+    of ``minhash_dedup`` (codegen-small, map-side partials; each shingle
+    hashed to a long once, the hash family rehashes the long per seed)."""
+    base = df.select(F.col(id_col),
+                     char_shingles(F.col(text_col), shingle_k).alias("_sh"))
+    hashed = base.select(
+        F.col(id_col),
+        F.explode(F.transform(F.col("_sh"),
+                              lambda s: F.xxhash64(s))).alias("_h"))
+    sig = hashed.groupBy(id_col).agg(*[
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ])
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"))
+
+
+def minhash_index(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, shingle_k: int = 5,
+                  num_hashes: int = 48, bands: int = 12) -> DataFrame:
+    """The persistable LSH index: one row per document —
+    (id_col, sig: array<long>, buckets: array<long>). Write it with
+    ``sources/versioned.py`` (or plain parquet) and append accepted
+    batches; ~0.5 KB/doc at the defaults."""
+    rows_per_band = num_hashes // bands
+    sig = _signatures(df, text_col, id_col, shingle_k, num_hashes)
+    return sig.select(
+        F.col(id_col), F.col("_sig").alias("sig"),
+        lsh_band_buckets(F.col("_sig"), bands, rows_per_band)
+        .alias("buckets"))
+
+
+def incremental_neardup(new_docs: DataFrame, index: DataFrame,
+                        history: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", *, shingle_k: int = 5,
+                        num_hashes: int = 48, bands: int = 12,
+                        threshold: float = 0.8) -> DataFrame:
+    """Dedup-on-ingest: for every document in ``new_docs``, find whether
+    it near-duplicates an already-indexed document or an earlier (smaller
+    id) document of the same batch.
+
+    Returns one row per new document: (id_col, dup_of, jaccard_sim) with
+    ``dup_of`` the smallest matching prior id and NULL when the document
+    is unique (accept it; its ``minhash_index`` row joins the index).
+    Membership is decided by EXACT shingle Jaccard >= ``threshold`` —
+    LSH banding and the signature-agreement prefilter only narrow the
+    candidate set (false-drop p <= ~2e-3 per qualifying pair at 12x4
+    banding; the sketches never ADD a false duplicate)."""
+    rows_per_band = num_hashes // bands
+    # batch signatures fan out to buckets, the estimate prefilter, and
+    # the id universe; tiny (48 longs/doc) -> checkpoint once
+    new_idx = minhash_index(new_docs, text_col, id_col,
+                            shingle_k=shingle_k, num_hashes=num_hashes,
+                            bands=bands).localCheckpoint()
+
+    nb = new_idx.select(F.col(id_col).alias("_nid"),
+                        F.col("sig").alias("_nsig"),
+                        F.explode("buckets").alias("_bucket"))
+    # vs history: batch buckets probe the index (AQE broadcasts the
+    # small batch side; the index never shuffles)
+    ib = index.select(F.col(id_col).alias("_oid"),
+                      F.col("sig").alias("_osig"),
+                      F.explode("buckets").alias("_bucket"))
+    cand_h = (nb.join(ib, "_bucket")
+              .select("_nid", "_oid", "_nsig", "_osig"))
+    # within batch: earlier (smaller id) docs of the same batch count as
+    # already-accepted — the deterministic keep-first policy
+    cand_n = (nb.join(nb.select(F.col("_nid").alias("_oid"),
+                                F.col("_nsig").alias("_osig"), "_bucket"),
+                      "_bucket")
+              .filter(F.col("_oid") < F.col("_nid"))
+              .select("_nid", "_oid", "_nsig", "_osig"))
+    cand = cand_h.unionByName(cand_n).dropDuplicates(["_nid", "_oid"])
+
+    # signature-agreement estimate prefilter (see minhash_dedup): pairs
+    # that cannot plausibly clear the threshold never touch shingles
+    est_threshold = max(0.0, threshold - 0.2)
+    agree = F.size(
+        F.filter(F.zip_with("_nsig", "_osig",
+                            lambda x, y: (x == y).cast("int")),
+                 lambda v: v == 1)) / F.lit(float(num_hashes))
+    plausible = cand.filter(agree >= est_threshold).select("_nid", "_oid")
+
+    # exact verify: re-shingle ONLY candidate docs (semi-join-bounded)
+    all_docs = history.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col))
+    cand_ids = (plausible.select(F.col("_nid").alias(id_col))
+                .union(plausible.select(F.col("_oid").alias(id_col)))
+                .distinct())
+    sh = (all_docs.join(cand_ids, id_col, "left_semi")
+          .select(F.col(id_col),
+                  F.array_distinct(char_shingles(F.col(text_col),
+                                                 shingle_k)).alias("_sh")))
+    verified = (plausible
+                .join(sh.select(F.col(id_col).alias("_nid"),
+                                F.col("_sh").alias("_sha")), "_nid")
+                .join(sh.select(F.col(id_col).alias("_oid"),
+                                F.col("_sh").alias("_shb")), "_oid")
+                .withColumn("_j", jaccard(F.col("_sha"), F.col("_shb")))
+                .filter(F.col("_j") >= threshold))
+
+    best = (verified.groupBy("_nid")
+            .agg(F.min_by(F.struct(F.col("_oid"), F.col("_j")),
+                          F.col("_oid")).alias("_m"))
+            .select(F.col("_nid"),
+                    F.col("_m._oid").alias("dup_of"),
+                    F.col("_m._j").alias("jaccard_sim")))
+    return (new_idx.select(F.col(id_col).alias("_nid"))
+            .join(best, "_nid", "left")
+            .select(F.col("_nid").alias(id_col), "dup_of", "jaccard_sim"))

@@ -747,3 +747,76 @@ def test_edit_distance_join_known_pairs(spark):
     got = {(r.a, r.b): r.dist for r in
            edit_distance_join(left, right, max_dist=1).collect()}
     assert got == {(10, 20): 0, (10, 21): 1}
+
+
+# -- incremental dedup-on-ingest (operators/incremental.py) -------------------
+
+def _inc_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+BASE_A = ("the quick brown fox jumps over the lazy dog while the band "
+          "plays on and the crowd cheers loudly in the warm evening air")
+BASE_B = ("completely different content about distributed query engines "
+          "and shuffle partitioning strategies for large analytical jobs")
+BASE_C = ("a third unrelated passage mentioning neither foxes nor query "
+          "engines but rather the economics of medieval salt trading")
+
+
+def test_incremental_neardup_flags_history_and_batch_dups(spark):
+    from etl_mark1_spark.operators.incremental import (incremental_neardup,
+                                                       minhash_index)
+
+    history = _inc_docs(spark, [(0, BASE_A), (1, BASE_B)])
+    idx = minhash_index(history)
+    batch = _inc_docs(spark, [
+        (10, BASE_A + " extra tail"),   # near-dup of history doc 0
+        (11, BASE_C),                   # unique
+        (12, BASE_C + " appended"),     # near-dup of EARLIER batch doc 11
+    ])
+    got = {r.doc_id: (r.dup_of, r.jaccard_sim)
+           for r in incremental_neardup(batch, idx, history,
+                                        threshold=0.6).collect()}
+    assert set(got) == {10, 11, 12}
+    assert got[10][0] == 0 and got[10][1] >= 0.6
+    assert got[11] == (None, None)
+    assert got[12][0] == 11 and got[12][1] >= 0.6
+
+
+def test_incremental_neardup_versioned_index_loop(spark, tmp_path):
+    """The full ingest loop: index history -> persist versioned -> batch 1
+    -> append ACCEPTED rows -> batch 2 must near-dup a batch-1 doc via the
+    APPENDED index rows, and the corpus store grows by accepted docs."""
+    from etl_mark1_spark.operators.incremental import (incremental_neardup,
+                                                       minhash_index)
+    from etl_mark1_spark.sources.versioned import read_table, write_version
+
+    table = str(tmp_path / "lsh_index")
+    history = _inc_docs(spark, [(0, BASE_A)])
+    write_version(minhash_index(history), table)
+
+    batch1 = _inc_docs(spark, [(10, BASE_B), (11, BASE_A + " tail")])
+    r1 = {r.doc_id: r.dup_of for r in incremental_neardup(
+        batch1, read_table(spark, table), history,
+        threshold=0.6).collect()}
+    assert r1 == {10: None, 11: 0}
+    accepted1 = batch1.filter(batch1.doc_id == 10)     # 11 rejected
+    write_version(minhash_index(accepted1), table, mode="append")
+    corpus = history.unionByName(accepted1)
+
+    batch2 = _inc_docs(spark, [(20, BASE_B + " coda"), (21, BASE_C)])
+    r2 = {r.doc_id: r.dup_of for r in incremental_neardup(
+        batch2, read_table(spark, table), corpus,
+        threshold=0.6).collect()}
+    assert r2 == {20: 10, 21: None}   # 20 caught by the APPENDED rows
+
+
+def test_incremental_neardup_verify_is_semi_join_bounded(spark):
+    from etl_mark1_spark.operators.incremental import (incremental_neardup,
+                                                       minhash_index)
+
+    history = _inc_docs(spark, [(0, BASE_A), (1, BASE_B)])
+    out = incremental_neardup(
+        _inc_docs(spark, [(10, BASE_A)]), minhash_index(history), history)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan   # only candidate ids are re-shingled
