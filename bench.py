@@ -101,6 +101,12 @@ HEADLINE = [
     # join shape AQE should co-partition), representing the behavioral
     # analytics family
     "funnel_conversion_events",
+    # round-7 additions: dedup-on-ingest against a persisted LSH index
+    # (batch probe + semi-join-bounded exact verify), representing the
+    # incremental family; URL canonicalization + registered-domain
+    # rollup, representing web curation (shuffle-free map path)
+    "incremental_neardup_docs",
+    "domain_stats_docs",
 ]
 
 

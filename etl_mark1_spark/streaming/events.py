@@ -533,3 +533,67 @@ def versioned_sink(stream_df: DataFrame, table_dir: str,
              .trigger(availableNow=True)
              .start())
     query.awaitTermination()
+
+
+def dedup_ingest_sink(stream_df: DataFrame, corpus_dir: str,
+                      index_dir: str, checkpoint: str | None = None, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.8,
+                      note_prefix: str = "dedup_ingest") -> None:
+    """Streaming dedup-on-ingest: each document micro-batch is screened
+    against the persisted MinHash-LSH index
+    (operators/incremental.py:incremental_neardup — batch probes the
+    index, exact-Jaccard verify on semi-join-bounded candidates,
+    keep-first within the batch), then ACCEPTED documents append to the
+    versioned corpus table and their index rows to the versioned index
+    table. The next batch — in this drain or any later one — sees the
+    grown index, so near-duplicates are caught across the stream's whole
+    lifetime without ever re-clustering the corpus.
+
+    Exactly-once on BOTH tables via versioned_sink's epoch-note
+    discipline (checkpoint-tagged epoch notes; a replayed batch between
+    version-commit and checkpoint advance is detected per-table, so a
+    crash after the corpus commit but before the index commit heals on
+    replay: the corpus append skips, the index append lands). Drains
+    with AvailableNow and returns."""
+    from etl_mark1_spark.operators.incremental import (incremental_neardup,
+                                                       minhash_index)
+    from etl_mark1_spark.sources.versioned import (history,
+                                                   read_table,
+                                                   write_version)
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="etl_mark1_ckpt_")
+    ckpt_tag = hashlib.sha256(
+        os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+    def _commit(df: DataFrame, table_dir: str, note: str) -> None:
+        if os.path.exists(os.path.join(table_dir, "_MANIFEST.json")):
+            if any(v.get("note") == note for v in history(table_dir)):
+                return                        # replayed epoch: skip
+            write_version(df, table_dir, mode="append", note=note)
+        else:
+            write_version(df, table_dir, mode="overwrite", note=note)
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        docs = batch.select(id_col, text_col)
+        spark = docs.sparkSession
+        if os.path.exists(os.path.join(corpus_dir, "_MANIFEST.json")):
+            corpus = read_table(spark, corpus_dir)
+            index = read_table(spark, index_dir)
+        else:
+            corpus = docs.limit(0)
+            index = minhash_index(docs.limit(0), text_col, id_col)
+        verdicts = incremental_neardup(docs, index, corpus, text_col,
+                                       id_col, threshold=threshold)
+        accepted = docs.join(
+            verdicts.filter(F.col("dup_of").isNull()).select(id_col),
+            id_col, "left_semi")
+        note = f"{note_prefix}:{ckpt_tag}:{epoch_id}"
+        _commit(accepted, corpus_dir, note)
+        _commit(minhash_index(accepted, text_col, id_col), index_dir, note)
+
+    query = (stream_df.writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()

@@ -1507,3 +1507,73 @@ def test_video_neardup_prefix_clip_does_not_merge(spark):
     got = {int(r.doc_id): r.cluster_id
            for r in video_neardup(df, min_match_frac=0.8).collect()}
     assert got[0] != got[1]
+
+
+# -- streaming dedup-on-ingest ------------------------------------------------
+
+_ING_A = ("the quick brown fox jumps over the lazy dog while the band "
+          "plays on and the crowd cheers loudly in the warm evening air")
+_ING_B = ("completely different content about distributed query engines "
+          "and shuffle partitioning strategies for large analytical jobs")
+_ING_C = ("a third unrelated passage mentioning neither foxes nor query "
+          "engines but rather the economics of medieval salt trading")
+
+
+def _write_ingest_file(spark, src_dir, rows, mtime):
+    import glob
+    import os
+    stage = src_dir + f"_stage{int(mtime)}"
+    (spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)
+     .write.mode("overwrite").parquet(stage))
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    os.makedirs(src_dir, exist_ok=True)
+    dst = os.path.join(src_dir, f"b{int(mtime)}.parquet")
+    os.replace(part, dst)
+    os.utime(dst, (mtime, mtime))   # deterministic oldest-first pickup
+
+
+def test_dedup_ingest_sink_dedups_across_batches_and_drains(spark, tmp_path):
+    """Two files -> two micro-batches in ONE drain (maxFilesPerTrigger=1):
+    batch 2's near-copy of a batch-1 doc is rejected via the index rows
+    appended mid-drain. A replay drain on the same checkpoint appends
+    nothing; a later drain still dedups against the whole history."""
+    import time
+
+    from etl_mark1_spark.sources.versioned import history, read_table
+    from etl_mark1_spark.streaming.events import dedup_ingest_sink
+
+    src = str(tmp_path / "src")
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    now = time.time()
+    _write_ingest_file(spark, src, [(0, _ING_A), (1, _ING_B)], now - 100)
+    _write_ingest_file(spark, src,
+                       [(10, _ING_A + " tail"), (11, _ING_C)], now - 50)
+
+    def drain():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        dedup_ingest_sink(stream, corpus_dir, index_dir, ckpt,
+                          threshold=0.6)
+
+    drain()
+    kept = {r.doc_id for r in read_table(spark, corpus_dir).collect()}
+    assert kept == {0, 1, 11}       # 10 caught by mid-drain index growth
+    assert {r.doc_id for r in read_table(spark, index_dir).collect()} == kept
+    n_versions = len(history(corpus_dir))
+
+    drain()                          # replay: nothing new, nothing appended
+    assert len(history(corpus_dir)) == n_versions
+    assert {r.doc_id
+            for r in read_table(spark, corpus_dir).collect()} == kept
+
+    _write_ingest_file(spark, src,
+                       [(20, _ING_C + " coda"), (21, "entirely novel text "
+                         "about glacier dynamics and moraine formation")],
+                       now - 10)
+    drain()
+    kept3 = {r.doc_id for r in read_table(spark, corpus_dir).collect()}
+    assert kept3 == {0, 1, 11, 21}  # 20 near-dups doc 11 from drain 1
+    assert {r.doc_id
+            for r in read_table(spark, index_dir).collect()} == kept3
