@@ -132,27 +132,42 @@ def with_normalized_urls(df: DataFrame, url_col: str = "url",
 
 
 def domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",
-               order_col: str = "doc_id") -> DataFrame:
+               order_col: str = "doc_id",
+               salt_partitions: int = 32) -> DataFrame:
     """Keep at most ``cap`` rows per domain, deterministically preferring
     the smallest ``order_col`` (never visit order — re-runs and backfills
-    must keep the same rows).
+    must keep the same rows; ``order_col`` must be unique per row, as a
+    doc id is, or the boundary tie broken is engine-dependent).
 
-    Two-phase to dodge the Zipf head: a count aggregate (map-side partial)
-    splits domains into under-cap (kept wholesale, no sort) and over-cap
-    (ranked by a window). Only the over-cap slice — in a crawl, a tiny
-    fraction of rows concentrated in a few domains — pays the per-domain
-    sort; the giant-domain partitions sort once each, which is the
-    unavoidable cost of an exact deterministic cap."""
+    Zipf-proof and exact: a count aggregate (map-side partial) splits
+    domains at the cap. Under-cap domains — the long tail, almost all
+    rows — are kept wholesale through a broadcast anti-join, touching no
+    sort. Over-cap domains run a SALTED two-phase top-k: rows scatter
+    across ``salt_partitions`` salts per domain, each salt keeps its
+    local ``cap`` smallest (a per-salt window over ~n/S rows), and the
+    final per-domain window ranks only the surviving
+    ``salt_partitions * cap`` rows — so no single sort ever scales with
+    the domain's row count. A domain with 10^9 rows costs S parallel
+    windows of 10^9/S rows each plus one window of S*cap rows, instead
+    of one 10^9-row single-partition sort."""
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dc"))
     # referenced by both branches below; checkpoint the (tiny) over-cap
     # domain list so the counting aggregation runs once, not twice
     over = counts.filter(F.col("_dc") > cap).select(domain_col) \
         .localCheckpoint()
     under_rows = df.join(F.broadcast(over), domain_col, "left_anti")
-    w = Window.partitionBy(domain_col).orderBy(F.col(order_col).asc())
+
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_partitions))
+    w1 = Window.partitionBy(domain_col, "_salt") \
+        .orderBy(F.col(order_col).asc())
+    w2 = Window.partitionBy(domain_col).orderBy(F.col(order_col).asc())
     over_rows = (df.join(F.broadcast(over), domain_col, "left_semi")
-                 .withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") <= cap).drop("_rn"))
+                 .withColumn("_salt", salt)
+                 .withColumn("_rn", F.row_number().over(w1))
+                 .filter(F.col("_rn") <= cap)          # per-salt top-cap
+                 .withColumn("_rn", F.row_number().over(w2))
+                 .filter(F.col("_rn") <= cap)          # exact final cap
+                 .drop("_rn", "_salt"))
     return under_rows.unionByName(over_rows)
 
 

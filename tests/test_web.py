@@ -119,3 +119,22 @@ def test_url_catalog_entries_run_and_agree_on_shape(spark):
         spark, "/root/testdata/sf0.001")
     left = {r.domain for r in blocked.collect()}
     assert left == {"example.com", "example.co.uk", "portal.org"}
+
+
+def test_domain_cap_salted_topk_matches_naive_window(spark):
+    """The salted two-phase top-k must equal the single-window answer on
+    a skewed corpus (one giant domain, several small), across salt
+    counts — including salt_partitions > cap and = 1."""
+    from pyspark.sql import Window
+
+    rows = [("giant.com", i * 7 % 997) for i in range(900)] + \
+           [("mid.org", 1000 + i) for i in range(40)] + \
+           [("tiny.net", 2000)]
+    df = spark.createDataFrame(rows, ["domain", "doc_id"]).repartition(8)
+    w = Window.partitionBy("domain").orderBy(F.col("doc_id").asc())
+    naive = sorted(map(tuple, df.withColumn("_rn", F.row_number().over(w))
+                       .filter(F.col("_rn") <= 25).drop("_rn").collect()))
+    for s in (1, 4, 64):
+        got = sorted(map(tuple,
+                         domain_cap(df, cap=25, salt_partitions=s).collect()))
+        assert got == naive, f"salt_partitions={s}"
