@@ -238,3 +238,4 @@ def apply_steps(df: DataFrame, steps: list[dict[str, Any]]) -> DataFrame:
 # opt-in (the import is at the bottom: corpus.py calls register_operator,
 # which must exist first)
 from etl_mark1_spark.operators import corpus as _corpus  # noqa: E402,F401
+from etl_mark1_spark.operators import web as _web  # noqa: E402,F401

@@ -14,13 +14,13 @@ Scale shapes:
 - URL normalization and domain extraction are PURE COLUMN EXPRESSIONS
   (regexp + array built-ins, whole-stage codegen, no Python, no shuffle):
   a 100 TB crawl normalizes at scan speed.
-- ``domain_cap`` is ONE shuffle on the domain key. Crawl domains are
-  Zipfian, so the biggest domain is a skew key by construction — the
-  window ranks WITHIN a domain partition and AQE's skew-join/partition
-  splitting does not apply to windows; for truly giant domains prefilter
-  with an aggregate count and only rank domains over the cap (done here:
-  under-cap domains short-circuit via a broadcast semi-join and never
-  sort).
+- ``domain_cap``: crawl domains are Zipfian, so the biggest domain is a
+  skew key by construction, and AQE's skew-join splitting does not apply
+  to windows. The cap is therefore exact-but-bounded: a count aggregate
+  lets under-cap domains (the long tail) bypass any sort via broadcast
+  anti-join, and over-cap domains run a salted two-phase top-k whose
+  final window ranks only ``salt_partitions * cap`` rows per domain —
+  no sort scales with a domain's row count.
 - ``filter_blocklist`` broadcasts the blocklist (it is small by nature)
   into a left-anti hash join: map-side, no shuffle of the corpus.
 """
@@ -181,3 +181,32 @@ def filter_blocklist(df: DataFrame, blocked: DataFrame,
         F.broadcast(blocked.select(F.col(bcol).alias(domain_col))
                     .dropDuplicates()),
         domain_col, "left_anti")
+
+
+def _register_steps() -> None:
+    from etl_mark1_spark.operators.steps import register_operator
+
+    register_operator(
+        "normalize_urls",
+        lambda df, p: with_normalized_urls(
+            df, url_col=p.get("column", "url"),
+            norm_col=p.get("target_column", "url_norm"),
+            domain_col=p.get("domain_column", "domain")))
+    register_operator(
+        "domain_cap",
+        lambda df, p: domain_cap(
+            df, int(p["cap"]),
+            domain_col=p.get("domain_column", "domain"),
+            order_col=p.get("order_column", "doc_id"),
+            salt_partitions=int(p.get("salt_partitions", 32))))
+
+    def _blocklist(df, p):
+        blocked = df.sparkSession.createDataFrame(
+            [(d,) for d in p["domains"]], ["domain"])
+        return filter_blocklist(
+            df, blocked, domain_col=p.get("domain_column", "domain"))
+
+    register_operator("domain_blocklist", _blocklist)
+
+
+_register_steps()

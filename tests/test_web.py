@@ -138,3 +138,41 @@ def test_domain_cap_salted_topk_matches_naive_window(spark):
         got = sorted(map(tuple,
                          domain_cap(df, cap=25, salt_partitions=s).collect()))
         assert got == naive, f"salt_partitions={s}"
+
+
+def test_web_steps_run_in_a_dag_pipeline(spark, tmp_path):
+    """The web ops are registered step operators: a file_input ->
+    normalize_urls -> domain_blocklist -> domain_cap -> file_output
+    pipeline runs end-to-end through the DAG executor."""
+    from etl_mark1_spark.plans.dag import PipelineExecutor
+
+    src = str(tmp_path / "crawl.parquet")
+    rows = [(i, f"https://WWW.Big.COM/p/{i}?utm_source=x") for i in range(9)]
+    rows += [(100, "https://spam.biz/x"), (101, "http://Tiny.ORG:80/y/")]
+    spark.createDataFrame(rows, ["doc_id", "url"]).write.parquet(src)
+    out = str(tmp_path / "out.parquet")
+    definition = {
+        "nodes": [
+            {"id": "in", "type": "file_input",
+             "config": {"path": src, "format": "parquet"}},
+            {"id": "tf", "type": "transform", "config": {"steps": [
+                {"operator": "normalize_urls", "params": {}},
+                {"operator": "domain_blocklist",
+                 "params": {"domains": ["spam.biz"]}},
+                {"operator": "domain_cap", "params": {"cap": 5}},
+            ]}},
+            {"id": "out", "type": "file_output",
+             "config": {"path": out, "format": "parquet"}},
+        ],
+        "edges": [{"source": "in", "target": "tf"},
+                  {"source": "tf", "target": "out"}],
+    }
+    report = PipelineExecutor(spark).execute(definition)
+    assert report.status == "succeeded"
+    got = spark.read.parquet(out)
+    by_domain = {r.domain: r.n for r in
+                 got.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    assert by_domain == {"big.com": 5, "tiny.org": 1}   # spam.biz dropped
+    assert {r.url_norm for r in got.filter("domain = 'tiny.org'")
+            .collect()} == {"http://tiny.org/y"}
