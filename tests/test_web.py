@@ -176,3 +176,49 @@ def test_web_steps_run_in_a_dag_pipeline(spark, tmp_path):
     assert by_domain == {"big.com": 5, "tiny.org": 1}   # spam.biz dropped
     assert {r.url_norm for r in got.filter("domain = 'tiny.org'")
             .collect()} == {"http://tiny.org/y"}
+
+
+def test_normalize_url_differential_grid(spark):
+    """Differential test against an independent pure-Python reference
+    normalizer over the full cross product of URL components (7680
+    combos: schemes x userinfo x hosts x ports x paths x queries x
+    fragments) — one Spark job, row-for-row equality."""
+    import itertools
+
+    def ref(scheme, user, host, port, path, query, frag):
+        s = scheme.lower()
+        h = host.lower()
+        if h.startswith("www."):
+            h = h[4:]
+        pp = port
+        if (s == "https" and port == ":443") or (s == "http"
+                                                 and port == ":80"):
+            pp = ""
+        p = path or "/"
+        if p.endswith("/"):
+            p = p[:-1]
+        if p == "":
+            p = "/"
+        params = [x for x in (query[1:].split("&") if query else [])
+                  if x and not x.startswith("utm_")]
+        q = "?" + "&".join(params) if params else ""
+        return f"{s}://{h}{pp}{p}{q}"
+
+    grid = list(itertools.product(
+        ["http", "https", "ftp", "HTTPS"],
+        ["", "user@", "a:b@"],
+        ["example.com", "WWW.Example.COM", "sub.blog.example.co.uk",
+         "localhost"],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/a/b", "/a/b/", "/Path%20X"],
+        ["", "?utm_source=x", "?a=1&utm_b=2&c=3", "?a=1&b=2"],
+        ["", "#f"],
+    ))
+    rows = [(i, f"{s}://{u}{h}{pt}{p}{q}{fr}",
+             ref(s, u, h, pt, p, q, fr))
+            for i, (s, u, h, pt, p, q, fr) in enumerate(grid)]
+    df = spark.createDataFrame(rows, ["i", "url", "expected"])
+    bad = (df.withColumn("got", normalize_url(F.col("url")))
+           .filter("got IS DISTINCT FROM expected")
+           .select("url", "expected", "got").limit(5).collect())
+    assert not bad, bad
