@@ -784,3 +784,42 @@ def skewed_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("l_extendedprice"), 2).alias("revenue")))
 
 
+
+
+@query("length_bucketed_batches_docs", r"""
+    WITH tk AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128 WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512 WHEN n_tokens <= 1024 THEN 1024 WHEN n_tokens <= 2048 THEN 2048 WHEN n_tokens <= 4096 THEN 4096 WHEN n_tokens <= 8192 THEN 8192 WHEN n_tokens <= 16384 THEN 16384 WHEN n_tokens <= 32768 THEN 32768 ELSE 65536 END AS BIGINT) AS bucket
+      FROM tk),
+    r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                       ORDER BY doc_id) - 1 AS rk
+          FROM b)
+    SELECT doc_id, n_tokens, bucket,
+           CAST(rk // greatest(256 // bucket, 1) AS BIGINT) AS batch_idx
+    FROM r ORDER BY doc_id
+""")
+def length_bucketed_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching (operators/corpus.py:
+    length_bucketed_batches): documents pad up to the next power-of-two
+    token bucket and fill per-bucket batches of max(1, 256 // bucket)
+    docs in doc_id order — the padding-waste reducer for variable-length
+    training. Per-bucket ranks come from the shared two-phase prefix sum
+    over one indicator column per bucket (buckets are few and huge — the
+    worst window skew — so no per-bucket window ever sorts a bucket's
+    full row set); the oracle replays the bucketing and fill arithmetic
+    with a plain window."""
+    from etl_mark1_spark.functions.text import whitespace_token_count
+    from etl_mark1_spark.operators.corpus import length_bucketed_batches
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count("text").cast("long")
+        .alias("n_tokens"))
+    return (length_bucketed_batches(docs, budget=256)
+            .select("doc_id", "n_tokens", "bucket", "batch_idx")
+            .orderBy("doc_id"))

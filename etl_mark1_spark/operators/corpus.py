@@ -169,6 +169,64 @@ def pack_sequences(df: DataFrame, budget: int, size_col: str = "n_tokens",
         .drop(f"{size_col}_cum"))
 
 
+def length_bucketed_batches(df: DataFrame, budget: int,
+                            size_col: str = "n_tokens",
+                            id_col: str = "doc_id",
+                            min_bucket: int = 16,
+                            max_bucket: int = 65536,
+                            num_shards: int = 64) -> DataFrame:
+    """Length-bucketed dynamic batching: pad each document up to the next
+    power-of-two ``bucket`` (floored at ``min_bucket``, clamped at
+    ``max_bucket``), then fill batches per bucket in ``id_col`` order with
+    ``capacity = max(1, budget // bucket)`` documents each — the standard
+    padding-waste reducer for variable-length training (long docs batch
+    few-at-a-time, short docs many-at-a-time, padding never exceeds the
+    bucket boundary). Adds ``bucket`` (padded length) and ``batch_idx``
+    (0-based within the bucket).
+
+    Scale shape: the per-bucket rank is NOT a per-bucket window — bucket
+    keys are few and huge (the worst window skew), so ranks come from the
+    shared two-phase prefix sum (sketches.py:two_phase_prefix_sum) over
+    one 0/1 indicator column per bucket (log2(max/min)+1 columns, ~12):
+    sketch-sharded parallel windows in ``id_col`` order, broadcast
+    offsets, no sort ever scales with a bucket's row count. Deterministic
+    for unique ``id_col`` (doc ids)."""
+    from etl_mark1_spark.operators.sketches import two_phase_prefix_sum
+
+    buckets = []
+    b = min_bucket
+    while b < max_bucket:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_bucket)
+
+    size = F.col(size_col)
+    bucket = F.lit(buckets[-1])
+    for b in reversed(buckets):
+        bucket = F.when(size <= b, F.lit(b)).otherwise(bucket)
+    flagged = df.withColumn("_bucket", bucket)
+    flag_cols = []
+    for b in buckets:
+        flagged = flagged.withColumn(
+            f"_in{b}", (F.col("_bucket") == b).cast("bigint"))
+        flag_cols.append(f"_in{b}")
+
+    cum = two_phase_prefix_sum(flagged, id_col, flag_cols,
+                               num_shards=num_shards)
+    rank = F.lit(None).cast("bigint")
+    for b in buckets:
+        rank = F.when(F.col("_bucket") == b,
+                      F.col(f"_in{b}_cum") - 1).otherwise(rank)
+    capacity = F.greatest(F.floor(F.lit(budget) / F.col("_bucket")),
+                          F.lit(1)).cast("bigint")
+    out = (cum.withColumn("_rank", rank)
+           .withColumn("batch_idx",
+                       F.floor(F.col("_rank") / capacity).cast("bigint"))
+           .withColumnRenamed("_bucket", "bucket"))
+    drop = flag_cols + [f"{c}_cum" for c in flag_cols] + ["_rank"]
+    return out.drop(*drop)
+
+
 #: simple, engine-portable PII patterns (emails; international-ish phones)
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -824,3 +824,55 @@ def test_epoch_shuffle_derives_shard_count_from_rows(spark):
     tiny = epoch_shuffle(spark.range(1).select(F.col("id").alias("doc_id")),
                          rows_per_shard=1000)
     assert {r.shard for r in tiny.collect()} == {0}
+
+
+# -- length-bucketed dynamic batching -----------------------------------------
+
+def test_length_bucketed_batches_semantics(spark):
+    """Bucket = next power of two (floored at min_bucket); capacity =
+    max(1, budget // bucket); batches fill in id order."""
+    from etl_mark1_spark.operators.corpus import length_bucketed_batches
+
+    rows = [(i, n) for i, n in enumerate([5, 10, 17, 30, 33, 100, 300])]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {r.doc_id: (r.bucket, r.batch_idx)
+           for r in length_bucketed_batches(df, budget=64).collect()}
+    # 5,10 -> bucket 16 cap 4 batch 0; 17,30 -> 32 cap 2 batch 0;
+    # 33 -> 64 cap 1 batch 0; 100 -> 128 cap 1; 300 -> 512 cap 1
+    assert got == {0: (16, 0), 1: (16, 0), 2: (32, 0), 3: (32, 0),
+                   4: (64, 0), 5: (128, 0), 6: (512, 0)}
+
+
+def test_length_bucketed_batches_matches_naive_window(spark):
+    """The prefix-sum rank formulation must equal the naive per-bucket
+    window on sizeable skewed data (one bucket holds most rows)."""
+    from pyspark.sql import Window
+
+    from etl_mark1_spark.operators.corpus import length_bucketed_batches
+
+    rows = [(i, 10 + (i % 3)) for i in range(400)]       # all bucket 16
+    rows += [(1000 + i, 20 + i % 9) for i in range(50)]  # bucket 32
+    rows += [(2000 + i, 40) for i in range(7)]           # bucket 64
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).repartition(8)
+    got = sorted(map(tuple,
+                     length_bucketed_batches(df, budget=128)
+                     .select("doc_id", "bucket", "batch_idx").collect()))
+    bucket = F.when(F.col("n_tokens") <= 16, 16) \
+        .when(F.col("n_tokens") <= 32, 32).otherwise(64)
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    naive = sorted(map(tuple, (
+        df.withColumn("bucket", bucket)
+        .withColumn("rk", F.row_number().over(w) - 1)
+        .withColumn("batch_idx", F.floor(
+            F.col("rk") / F.greatest(F.floor(128 / F.col("bucket")),
+                                     F.lit(1))).cast("bigint"))
+        .select("doc_id", "bucket", "batch_idx")).collect()))
+    assert got == naive
+
+
+def test_length_bucketed_batches_clamps_overlong(spark):
+    from etl_mark1_spark.operators.corpus import length_bucketed_batches
+
+    df = spark.createDataFrame([(0, 10**9)], ["doc_id", "n_tokens"])
+    row = length_bucketed_batches(df, budget=256).collect()[0]
+    assert row.bucket == 65536 and row.batch_idx == 0
