@@ -75,6 +75,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     multimodal_entries,
     analytics_sampling,
     web_curation,
+    html_extraction,
 )
 
 #: Round-7 driver prefix (50 slots):

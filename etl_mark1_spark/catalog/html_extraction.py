@@ -1,0 +1,129 @@
+"""HTML extraction entries (extension family; operators/html.py).
+
+The ``documents`` table is already clean text, so each entry SYNTHESIZES a
+deterministic HTML page around it with pure column arithmetic — the oracle
+SQL rebuilds the page's *components* and states the EXPECTED extraction
+output directly from them, independent of any parsing: a regression in tag
+stripping, entity decoding, link harvesting, or the block classifier breaks
+the value hash. The Spark side runs the real operators over the full HTML
+string (the strip/link entries stay whole-stage codegen; main-content runs
+the actual ``html.parser`` block classifier in mapInPandas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.catalog._registry import query, t
+from etl_mark1_spark.operators.html import (
+    extract_links,
+    extract_main_content,
+    strip_html_tags,
+)
+
+
+@query("html_strip_docs", r"""
+SELECT doc_id,
+       'Doc ' || doc_id || ' Title ' || doc_id || ' '
+           || trim(regexp_replace(text, '\s+', ' ', 'g'))
+           || ' entities: <tag> & "q''s" end' AS stripped
+FROM documents
+""")
+def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style tag strip over synthesized pages: title text survives,
+    style/script bodies (including a ``</p>`` hidden inside a JS string
+    and a ``<`` comparison) and comments vanish, the six common entities
+    decode exactly once, whitespace collapses. The oracle never parses —
+    it states the expected text from the synthesis components."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did, F.lit("</title>"),
+        F.lit('<style type="text/css">p { margin: '), (did % 7),
+        F.lit("px; }</style>"),
+        F.lit("<script>if (a < "), (did % 9),
+        F.lit(') { s = "</p>"; }</script></head>'),
+        F.lit("<body><!-- build "), did, F.lit(" --><h1>Title "), did,
+        F.lit("</h1><p class=\"lead\">"), F.col("text"), F.lit("</p>"),
+        F.lit("<p>entities: &lt;tag&gt; &amp; &quot;q&#39;s&quot;&nbsp;"
+              "end</p></body></html>"))
+    return (d.withColumn("html", html)
+             .select("doc_id", strip_html_tags("html").alias("stripped")))
+
+
+@query("html_links_docs", """
+WITH gen AS (
+    SELECT doc_id, unnest(range(doc_id % 4)) AS i FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS pos,
+       'https://site' || ((doc_id * 7 + i) % 5) || '.example/p/'
+           || (doc_id % 100) || '/' || i AS link
+FROM gen
+""")
+def html_links_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor href harvesting: each doc carries ``doc_id % 4`` anchors
+    (quote style alternating per doc so both extraction passes are
+    exercised corpus-wide), plus non-anchor href noise (``<link>``,
+    ``<area>``, a nameless ``<a>``) that must NOT be harvested. The
+    oracle regenerates the expected (doc_id, pos, link) rows directly."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    n = (did % 4).cast("int")
+    quote = F.when(did % 2 == 0, F.lit('"')).otherwise(F.lit("'"))
+
+    def anchor(i):
+        url = F.concat(F.lit("https://site"), (did * 7 + i) % 5,
+                       F.lit(".example/p/"), did % 100, F.lit("/"), i)
+        return F.concat(F.lit("<a class=t href="), quote, url, quote,
+                        F.lit(">link "), i, F.lit("</a>"))
+
+    anchors = F.when(
+        n > 0,
+        F.array_join(F.transform(F.sequence(F.lit(0), n - 1), anchor), " "),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/style.css">'
+              "</head><body><a name=\"top\">no href</a>"),
+        anchors,
+        F.lit('<area shape="rect" href="/map"></body></html>'))
+    return extract_links(d.withColumn("html", html))
+
+
+@query("html_main_content_docs", r"""
+SELECT doc_id,
+       trim(regexp_replace(
+           'Paragraph one & lead of document ' || doc_id || ': '
+               || substr(text, 1, 80), '\s+', ' ', 'g'))
+       || chr(10) ||
+       trim(regexp_replace(
+           'Paragraph two of document ' || doc_id || ' continues: '
+               || substr(text, 11, 80), '\s+', ' ', 'g')) AS main_text,
+       CAST(2 AS INT) AS blocks_kept
+FROM documents
+""")
+def html_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal end to end: the synthesized page wraps two
+    planted article paragraphs in the full crawl-page furniture — head
+    title, nav link bar, site header, link-farm aside, footer — and the
+    classifier must keep EXACTLY the two paragraphs (entity in the first
+    one decoded). The oracle states the planted paragraphs verbatim; any
+    kept boilerplate or dropped article text breaks both the hash and
+    blocks_kept."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    p1 = F.concat(F.lit("Paragraph one &amp; lead of document "), did,
+                  F.lit(": "), F.substring(F.col("text"), 1, 80))
+    p2 = F.concat(F.lit("Paragraph two of document "), did,
+                  F.lit(" continues: "), F.substring(F.col("text"), 11, 80))
+    html = F.concat(
+        F.lit("<html><head><title>Site "), did % 5,
+        F.lit('</title></head><body><nav><a href="/">Home</a> '
+              '<a href="/a">About</a> <a href="/c">Contact</a></nav>'
+              "<header><h1>The Portal, issue "), did % 12,
+        F.lit("</h1></header><p>"), p1, F.lit("</p><p>"), p2,
+        F.lit('</p><aside><a href="/buy">Buy now</a> '
+              '<a href="/deal">cheap deals</a> ads</aside>'
+              "<footer>contact us | terms</footer></body></html>"))
+    out = extract_main_content(d.withColumn("html", html))
+    return out.select("doc_id", "main_text", "blocks_kept")
