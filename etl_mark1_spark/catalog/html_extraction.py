@@ -127,3 +127,52 @@ def html_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
               "<footer>contact us | terms</footer></body></html>"))
     out = extract_main_content(d.withColumn("html", html))
     return out.select("doc_id", "main_text", "blocks_kept")
+
+
+@query("warc_ingest_docs", r"""
+SELECT doc_id,
+       'https://corpus.example/doc/' || doc_id AS url,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || 'T12:00:00Z' AS warc_date,
+       CAST(200 AS INT) AS http_status,
+       'Home ' || trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean_text
+FROM documents
+""")
+def warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl ingest chain end to end: each doc is wrapped into a
+    byte-exact WARC response record (version line, WARC headers with
+    Content-Length in bytes, HTTP envelope with its own Content-Length)
+    built by pure column arithmetic, then the REAL parser
+    (sources/warc.py:parse_warc_records) walks the bytes, peels the HTTP
+    envelope, and the recovered HTML strips back to text. The oracle
+    states every recovered field from the synthesis components — a parser
+    off-by-one, header case bug, or envelope mix-up breaks the hash."""
+    from etl_mark1_spark.sources.warc import parse_warc_records
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a></nav><p>'),
+        F.col("text"), F.lit("</p></body></html>"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+              "\r\nContent-Length: "),
+        F.octet_length(body).cast("string"), F.lit("\r\n\r\n"), body)
+    url = F.concat(F.lit("https://corpus.example/doc/"), did)
+    date = F.concat(F.lit("2026-01-"),
+                    F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+                    F.lit("T12:00:00Z"))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: "), date,
+        F.lit("\r\nContent-Type: application/http; msgtype=response"
+              "\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"))
+    recs = parse_warc_records(
+        d.select(rec.cast("binary").alias("content")))
+    return recs.select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("bigint")
+         .alias("doc_id"),
+        "url", "warc_date", "http_status",
+        strip_html_tags("text").alias("clean_text"))

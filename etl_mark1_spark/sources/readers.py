@@ -16,13 +16,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-#: Formats the reference accepts at upload (backend/services/file_service.py:61).
+#: Formats the reference accepts at upload (backend/services/file_service.py:61),
+#: plus extension formats (warc — sources/warc.py).
 KNOWN_FORMATS = ("csv", "json", "xlsx", "parquet", "orc", "xml", "txt",
-                 "pdf")
+                 "pdf", "warc")
 
 
 def detect_format(file_path: str) -> str:
-    """Extension-based autodetect, default csv (duckdb_engine.py:265-269)."""
+    """Extension-based autodetect, default csv (duckdb_engine.py:265-269).
+    ``.warc.gz`` (the layout crawls actually ship) detects as warc."""
+    if file_path.lower().endswith(".warc.gz"):
+        return "warc"
     ext = os.path.splitext(file_path)[1].lower().lstrip(".")
     return ext if ext in KNOWN_FORMATS else "csv"
 
@@ -93,6 +97,10 @@ def read_file(
         from .pdf import read_pdf
 
         return read_pdf(spark, path)
+    if fmt == "warc":
+        from .warc import read_warc
+
+        return read_warc(spark, path, **options)
     raise ValueError(f"unsupported format: {fmt}")
 
 
