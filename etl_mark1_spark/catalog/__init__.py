@@ -76,6 +76,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     analytics_sampling,
     web_curation,
     html_extraction,
+    encoding_entries,
 )
 
 #: Round-7 driver prefix (50 slots):

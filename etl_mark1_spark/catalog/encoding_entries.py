@@ -1,0 +1,86 @@
+"""Character-encoding curation entries (extension family;
+operators/encoding.py).
+
+Same planted-expected pattern as the HTML/WARC entries: byte payloads and
+corrupted strings are synthesized deterministically per doc (JVM ``encode``
+for UTF-8/UTF-16, ``unhex`` literals for windows-1252 bytes, precomputed
+mojibake constants whose C1 control characters splice in via ``chr``), the
+REAL detector/repairer runs on the Spark side, and the oracle states the
+expected recovery from the components. The mojibake constants are the
+WHATWG-windows-1252 misdecodings of ``'café “quoted” — €'`` (single and
+double corruption) — the mixed euro-byte/hole-byte case that strict
+cp1252 or latin-1 repair provably cannot round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.catalog._registry import query, t
+from etl_mark1_spark.operators.encoding import decode_text, fix_mojibake
+
+#: 'café “quoted” — €' through one / two rounds of UTF-8-bytes-misread-as-
+#: WHATWG-windows-1252 (computed by operators/encoding.py:_w1252_decode;
+#: \x9d is the hole byte that forces the WHATWG table).
+_GOOD = "café “quoted” — €"
+_MOJI1 = "cafÃ© â€œquotedâ€\x9d â€” â‚¬"
+_MOJI2 = ("cafÃƒÂ© Ã¢â‚¬Å“quotedÃ¢â‚¬Â\x9d Ã¢â‚¬â€\x9d Ã¢â€šÂ¬")
+
+
+@query("decode_bytes_docs", """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN text
+           WHEN 1 THEN '¡utf16! ' || text
+           ELSE '“€smart ' || text
+       END AS text,
+       CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'utf-8'
+           WHEN 1 THEN 'utf-16-be'
+           ELSE 'windows-1252'
+       END AS encoding
+FROM documents
+""")
+def decode_bytes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-stream decoding with detection over a mixed-encoding corpus:
+    a third each of plain UTF-8, BOM'd UTF-16 (Java's UTF-16 writes the
+    BE BOM), and windows-1252 (smart-quote 0x93 + euro 0x80 prefix bytes
+    spliced via unhex make the stream invalid UTF-8). The oracle states
+    the recovered text AND which decoder must have fired."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = (
+        F.when(did % 3 == 0, F.encode(F.col("text"), "UTF-8"))
+         .when(did % 3 == 1,
+               F.encode(F.concat(F.lit("¡utf16! "), F.col("text")),
+                        "UTF-16"))
+         .otherwise(F.concat(
+             F.unhex(F.lit("9380")),
+             F.encode(F.concat(F.lit("smart "), F.col("text")), "UTF-8"))))
+    return decode_text(d.select("doc_id", body.alias("body")))
+
+
+@query("mojibake_repair_docs", """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN text
+           ELSE 'café “quoted” — € ' || text
+       END AS fixed_text,
+       CAST(doc_id % 3 AS INT) AS mojibake_passes
+FROM documents
+""")
+def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair over a corpus where a third of the docs are sound
+    ASCII (must pass through untouched, 0 passes), a third carry the
+    single-corrupted constant (1 pass), and a third the double-corrupted
+    one (2 passes — the iterated repair). The repaired text and the pass
+    count are both stated by the oracle."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    corrupted = (
+        F.when(did % 3 == 0, F.col("text"))
+         .when(did % 3 == 1,
+               F.concat(F.lit(_MOJI1 + " "), F.col("text")))
+         .otherwise(F.concat(F.lit(_MOJI2 + " "), F.col("text"))))
+    return fix_mojibake(d.select("doc_id", corrupted.alias("text")))

@@ -240,3 +240,4 @@ def apply_steps(df: DataFrame, steps: list[dict[str, Any]]) -> DataFrame:
 from etl_mark1_spark.operators import corpus as _corpus  # noqa: E402,F401
 from etl_mark1_spark.operators import web as _web  # noqa: E402,F401
 from etl_mark1_spark.operators import html as _html  # noqa: E402,F401
+from etl_mark1_spark.operators import encoding as _encoding  # noqa: E402,F401
