@@ -77,6 +77,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     web_curation,
     html_extraction,
     encoding_entries,
+    line_dedup,
 )
 
 #: Round-7 driver prefix (50 slots):

@@ -241,3 +241,4 @@ from etl_mark1_spark.operators import corpus as _corpus  # noqa: E402,F401
 from etl_mark1_spark.operators import web as _web  # noqa: E402,F401
 from etl_mark1_spark.operators import html as _html  # noqa: E402,F401
 from etl_mark1_spark.operators import encoding as _encoding  # noqa: E402,F401
+from etl_mark1_spark.operators import lines as _lines  # noqa: E402,F401
