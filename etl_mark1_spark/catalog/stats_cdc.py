@@ -513,3 +513,36 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("z"))
 
 
+
+
+@query("compact_versioned_docs", """
+SELECT doc_id, lang, n_chars FROM documents
+""")
+def compact_versioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE round-trip (sources/versioned.py:compact_table): the
+    documents table lands as three small-filed rewrite-free appends, the
+    compactor collapses the chain into one right-sized version, and the
+    post-compaction snapshot must still be EXACTLY the corpus — the
+    oracle is the table itself. File-count/clustering/concurrency
+    behavior is pinned by tests/test_versioned.py; this entry pins that
+    maintenance never changes data."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_mark1_spark.sources.versioned import (
+        compact_table,
+        read_table,
+        write_version,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"etl_mark1_compact_{key}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    for k in range(3):
+        write_version(d.where(F.col("doc_id") % 3 == k).repartition(4),
+                      tdir, mode="append")
+    compact_table(spark, tdir, target_file_mb=128)
+    return read_table(spark, tdir).select("doc_id", "lang", "n_chars")

@@ -281,6 +281,130 @@ def history(table_dir: str) -> list[dict]:
     return list(read_manifest(table_dir)["versions"])
 
 
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(parquet_file_count, total_parquet_bytes) under ``path``."""
+    count = total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                count += 1
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    continue
+    return count, total
+
+
+def compact_table(spark: SparkSession, table_dir: str,
+                  target_file_mb: int = 128,
+                  cluster_by: list[str] | None = None,
+                  full: bool = False, note: str = "compact",
+                  output_files: int | None = None) -> int | None:
+    """OPTIMIZE for versioned tables: rewrite the current snapshot's
+    small-file directories into one right-sized directory and commit the
+    result as a new version. Returns the new version, or ``None`` when
+    there was nothing to compact (or the snapshot was replaced by an
+    overwrite mid-compaction — maintenance yields to real writes).
+
+    Why it exists: rewrite-free appends (``write_version(mode="append")``)
+    and the streaming ingest sinks commit one directory per batch — the
+    small-files problem. Every snapshot read then unions an ever-growing
+    directory list and opens thousands of KB-sized parquet files; at
+    100 TB the NameNode/listing and per-file open costs dominate the scan.
+    Compaction is the amortization: one rewrite collapses the chain, and
+    the refcount :func:`vacuum` frees the replaced directories once no
+    live version references them. History is untouched — time travel to
+    pre-compaction versions still reads the old directory sets.
+
+    Selection: a directory is "small-filed" when its average parquet file
+    size is under half of ``target_file_mb``; ``full=True`` rewrites every
+    directory (use with ``cluster_by`` to re-cluster a whole snapshot).
+    The rewrite repartitions to ``ceil(bytes / target_file_mb)`` output
+    files; with ``cluster_by`` it range-partitions + sorts on those
+    columns instead, so each output file covers a disjoint key range and
+    parquet min/max stats let later scans skip files (the OPTIMIZE
+    ZORDER-lite that actually matters for pruning). ``output_files``
+    overrides the byte-derived count — set it to match a downstream
+    consumer's parallelism.
+
+    Concurrency: the rewrite runs OUTSIDE the lock. Under the lock the
+    fresh manifest is re-read — concurrent APPENDS are fine (their delta
+    dirs are carried into the new entry unchanged); a concurrent
+    OVERWRITE aborts the compaction (its snapshot no longer contains the
+    rewritten dirs) and the staged directory is removed."""
+    import math
+    import shutil
+
+    manifest = read_manifest(table_dir)
+    if manifest["current"] < 0:
+        return None
+    entry = next(v for v in manifest["versions"]
+                 if v["version"] == manifest["current"])
+    dirs = _entry_dirs(entry)
+    stats = {d: _dir_stats(os.path.join(table_dir, d)) for d in dirs}
+    threshold = target_file_mb * 1024 * 1024 / 2
+    if full:
+        selected = list(dirs)
+    else:
+        selected = [d for d in dirs
+                    if stats[d][0] > 0
+                    and stats[d][1] / stats[d][0] < threshold]
+    total_files = sum(stats[d][0] for d in selected)
+    total_bytes = sum(stats[d][1] for d in selected)
+    n_out = output_files or max(
+        1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    if not selected or (len(selected) < 2 and total_files <= n_out):
+        return None  # already compact
+    reader = spark.read
+    if len(selected) > 1:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[os.path.join(table_dir, d) for d in selected])
+    if cluster_by:
+        df = df.repartitionByRange(n_out, *cluster_by) \
+               .sortWithinPartitions(*cluster_by)
+    else:
+        df = df.repartition(n_out)
+    staging = os.path.join(table_dir, f".staging_{uuid.uuid4().hex[:8]}")
+    df.write.parquet(staging)
+    with _manifest_lock(table_dir):
+        fresh = read_manifest(table_dir)
+        cur = next((v for v in fresh["versions"]
+                    if v["version"] == fresh["current"]), None)
+        fresh_dirs = _entry_dirs(cur) if cur else []
+        if cur is None or not set(selected) <= set(fresh_dirs):
+            shutil.rmtree(staging, ignore_errors=True)
+            return None  # snapshot replaced mid-compaction: yield
+        for _ in range(64):
+            version = max([fresh["current"],
+                           *_disk_versions(table_dir)]) + 1
+            vdir = os.path.join(table_dir, f"v={version}")
+            try:
+                os.rename(staging, vdir)
+                break
+            except OSError:
+                continue
+        else:
+            raise RuntimeError(f"could not claim a version in {table_dir} "
+                               "after 64 attempts")
+        # carry concurrent appends' deltas; replace only what we rewrote
+        new_dirs = [d for d in fresh_dirs if d not in selected]
+        new_dirs.append(f"v={version}")
+        new_entry = {
+            "version": version, "dir": f"v={version}", "dirs": new_dirs,
+            "schema": cur.get("schema", {}),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+            "note": f"{note} ({len(selected)} dirs, {total_files} files "
+                    f"-> {n_out})",
+        }
+        fresh["versions"] = sorted(
+            [v for v in fresh["versions"] if v["version"] != version]
+            + [new_entry], key=lambda v: v["version"])
+        fresh["current"] = max(fresh["current"], version)
+        _commit_manifest(table_dir, fresh)
+    return version
+
+
 def table_changes(spark: SparkSession, table_dir: str, key_cols: list[str],
                   from_version: int,
                   to_version: int | None = None, *,

@@ -521,3 +521,139 @@ def test_vacuum_races_appends_without_losing_commits(spark, tmp_path):
                          + [1000 * (k + 1) + i
                             for k in range(4) for i in range(10)])
     assert sorted(r.id for r in pinned.collect()) == list(range(100))
+
+
+# -- compaction (OPTIMIZE) -----------------------------------------------------
+
+def _parquet_files(path):
+    out = []
+    for root, _d, files in os.walk(path):
+        out += [os.path.join(root, f) for f in files
+                if f.endswith(".parquet")]
+    return out
+
+
+def test_compact_collapses_append_chain(spark, tmp_path):
+    from etl_mark1_spark.sources.versioned import compact_table
+
+    tdir = str(tmp_path / "t")
+    for lo in range(0, 100, 20):
+        write_version(
+            spark.range(lo, lo + 20).repartition(4), tdir, mode="append")
+    before = read_manifest(tdir)
+    entry = [v for v in before["versions"]
+             if v["version"] == before["current"]][0]
+    assert len(entry["dirs"]) == 5
+    n_files_before = sum(
+        len(_parquet_files(os.path.join(tdir, d))) for d in entry["dirs"])
+
+    v = compact_table(spark, tdir, target_file_mb=128)
+    assert v == before["current"] + 1
+    after = read_manifest(tdir)
+    new_entry = [x for x in after["versions"] if x["version"] == v][0]
+    assert new_entry["dirs"] == [f"v={v}"]
+    assert len(_parquet_files(os.path.join(tdir, f"v={v}"))) < n_files_before
+
+    # content identical, history intact, time travel still works
+    assert sorted(r.id for r in read_table(spark, tdir).collect()) == \
+        list(range(100))
+    assert sorted(r.id for r in
+                  read_table(spark, tdir, version=1).collect()) == \
+        list(range(40))
+    # idempotent: second run is a no-op
+    assert compact_table(spark, tdir, target_file_mb=128) is None
+
+
+def test_compact_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
+    from etl_mark1_spark.sources.versioned import compact_table
+
+    tdir = str(tmp_path / "t")
+    # shuffled keys across many tiny appends
+    for s in range(4):
+        df = spark.range(1000).select(
+            ((F.col("id") * 7919 + s * 13) % 4000).alias("k")).repartition(8)
+        write_version(df, tdir, mode="append")
+    v = compact_table(spark, tdir, cluster_by=["k"], full=True,
+                      output_files=4)
+    assert v is not None
+    back = read_table(spark, tdir).withColumn(
+        "f", F.input_file_name())
+    ranges = (back.groupBy("f").agg(F.min("k").alias("lo"),
+                                    F.max("k").alias("hi"))
+              .orderBy("lo").collect())
+    assert len(ranges) > 1
+    for a, b in zip(ranges, ranges[1:]):
+        assert a.hi <= b.lo  # disjoint key ranges -> min/max pruning works
+    assert back.count() == 4000
+
+
+def test_compact_carries_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append that lands between the compaction rewrite and its commit
+    must survive: its delta dir is carried into the compacted entry."""
+    import etl_mark1_spark.sources.versioned as V
+
+    tdir = str(tmp_path / "t")
+    write_version(spark.range(0, 10).repartition(3), tdir, mode="append")
+    write_version(spark.range(10, 20).repartition(3), tdir, mode="append")
+
+    real_lock = V._manifest_lock
+    fired = {"done": False}
+
+    class _race_lock(real_lock):
+        def __enter__(self):
+            if not fired["done"]:
+                fired["done"] = True
+                write_version(spark.range(20, 30), tdir, mode="append")
+            return super().__enter__()
+
+    monkeypatch.setattr(V, "_manifest_lock", _race_lock)
+    v = V.compact_table(spark, tdir, target_file_mb=128)
+    assert v is not None
+    entry = [x for x in read_manifest(tdir)["versions"]
+             if x["version"] == v][0]
+    assert len(entry["dirs"]) == 2  # compacted dir + the racing delta
+    assert sorted(r.id for r in read_table(spark, tdir).collect()) == \
+        list(range(30))
+
+
+def test_compact_yields_to_concurrent_overwrite(spark, tmp_path,
+                                                monkeypatch):
+    import etl_mark1_spark.sources.versioned as V
+
+    tdir = str(tmp_path / "t")
+    write_version(spark.range(0, 10).repartition(3), tdir, mode="append")
+    write_version(spark.range(10, 20).repartition(3), tdir, mode="append")
+
+    real_lock = V._manifest_lock
+    fired = {"done": False}
+
+    class _race_lock(real_lock):
+        def __enter__(self):
+            if not fired["done"]:
+                fired["done"] = True
+                write_version(spark.range(100, 105), tdir,
+                              mode="overwrite")
+            return super().__enter__()
+
+    monkeypatch.setattr(V, "_manifest_lock", _race_lock)
+    assert V.compact_table(spark, tdir, target_file_mb=128) is None
+    # the overwrite won; no stale staging dirs left behind
+    assert sorted(r.id for r in read_table(spark, tdir).collect()) == \
+        list(range(100, 105))
+    assert not [d for d in os.listdir(tdir) if d.startswith(".staging_")]
+
+
+def test_compact_then_vacuum_frees_replaced_dirs(spark, tmp_path):
+    from etl_mark1_spark.sources.versioned import compact_table
+
+    tdir = str(tmp_path / "t")
+    for lo in range(0, 60, 20):
+        write_version(spark.range(lo, lo + 20).repartition(4), tdir,
+                      mode="append")
+    v = compact_table(spark, tdir, target_file_mb=128)
+    dropped = vacuum(tdir, keep_last=1)
+    assert dropped  # pre-compaction versions gone
+    left = {d for d in os.listdir(tdir) if d.startswith("v=")}
+    assert left == {f"v={v}"}
+    assert sorted(r.id for r in read_table(spark, tdir).collect()) == \
+        list(range(60))
