@@ -121,3 +121,28 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", fingerprint_md5("text").alias("fingerprint")))
 
 
+
+
+@query("bpe_roundtrip_docs", r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+           AS restored
+FROM documents
+""")
+def bpe_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation invertibility, corpus-wide: segment every document
+    under a fixed merge list (invertibility must hold under ANY merges,
+    so none need training here), then bpe_decode the tokens back. The
+    restored text must equal the segmenter's normalized view — stated by
+    the oracle straight from the raw text. A merge that glues across a
+    word boundary, a decode that mishandles the end-of-word marker, or a
+    tokenizer/normalizer drift all break the hash."""
+    from etl_mark1_spark.operators.bpe import bpe_decode, bpe_segment
+
+    merges = [("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "</w>"),
+              ("e", "</w>"), ("s", "</w>"), ("r", "o"), ("w", "i"),
+              ("ro", "w</w>"), ("o", "r"), ("d", "e")]
+    d = t(spark, sf_dir, "documents")
+    toks = bpe_segment(d, merges)
+    return bpe_decode(toks).select(
+        "doc_id", F.col("decoded_text").alias("restored"))

@@ -117,3 +117,15 @@ def merges_df(spark: SparkSession,
     return spark.createDataFrame(
         [(i, left, right) for i, (left, right) in enumerate(merges)],
         "rank long, left string, right string")
+
+
+def bpe_decode(df: DataFrame, tokens_col: str = "bpe_tokens",
+               out_col: str = "decoded_text") -> DataFrame:
+    """Invert :func:`bpe_segment`: concatenate the subword tokens and turn
+    each end-of-word marker back into a word boundary. Recovers the
+    segmenter's NORMALIZED view of the document (lowercased words joined
+    by single spaces — segmentation drops punctuation by design), under
+    ANY merge list, trained or not. Pure column expressions, map-side."""
+    joined = F.array_join(F.col(tokens_col), "")
+    return df.withColumn(
+        out_col, F.trim(F.regexp_replace(joined, END, " ")))

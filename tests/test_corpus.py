@@ -876,3 +876,27 @@ def test_length_bucketed_batches_clamps_overlong(spark):
     df = spark.createDataFrame([(0, 10**9)], ["doc_id", "n_tokens"])
     row = length_bucketed_batches(df, budget=256).collect()[0]
     assert row.bucket == 65536 and row.batch_idx == 0
+
+
+def test_bpe_decode_inverts_segmentation(spark):
+    """bpe_decode must recover the segmenter's normalized view under any
+    merge list — trained or arbitrary — including merges that cross into
+    the end-of-word marker."""
+    from etl_mark1_spark.operators.bpe import bpe_decode, bpe_segment, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "The theme, the THEOREM: a rose!"),
+         (2, "row row row your boat"),
+         (3, "?!..., -"),
+         (4, "")],
+        "doc_id bigint, text string")
+    arbitrary = [("t", "h"), ("th", "e"), ("the", "</w>"), ("r", "o"),
+                 ("ro", "w</w>")]
+    trained = bpe_train(df, num_merges=8)
+    for merges in (arbitrary, trained):
+        out = {r.doc_id: r.decoded_text
+               for r in bpe_decode(bpe_segment(df, merges)).collect()}
+        assert out[1] == "the theme the theorem a rose"
+        assert out[2] == "row row row your boat"
+        assert out[3] == ""
+        assert out[4] == ""
