@@ -63,6 +63,20 @@ NOTES = {
     "cross_corpus_decontam": (
         "bucket join on shingle hashes; Caesar-disjoint replicas keep bucket "
         "sizes flat, candidates linear"),
+    # round-7 web-ingest additions: all mapInPandas or column-expression
+    # map-side work, embarrassingly parallel in docs
+    "warc_ingest_docs": (
+        "per-doc WARC record synth + record walk + HTTP peel + HTML strip "
+        "in mapInPandas/codegen; linear in docs, no shuffle"),
+    "html_main_content_docs": (
+        "per-doc html.parser block classification in mapInPandas; linear "
+        "in total HTML bytes"),
+    "mojibake_repair_docs": (
+        "per-doc iterated re-encode/strict-decode repair in mapInPandas; "
+        "linear in docs"),
+    "remove_common_lines_docs": (
+        "one doc-frequency count shuffle + broadcast membership + one "
+        "positional regroup; both shuffles scale linearly in lines"),
 }
 
 
