@@ -78,6 +78,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     html_extraction,
     encoding_entries,
     line_dedup,
+    script_entries,
 )
 
 #: Round-7 driver prefix (50 slots):

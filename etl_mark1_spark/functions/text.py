@@ -353,3 +353,72 @@ def repetition_profile(df, text_col: str = "text",
         (10 * F.coalesce(F.col("top_chars"), F.lit(0))
          <= 2 * F.coalesce(F.col("_chars"), F.lit(0)))
         .alias("ok_top_bigram"))
+
+
+# -- Unicode script profiling --------------------------------------------------
+
+#: Script -> Java regex character class (Spark side). The oracle side uses
+#: RE2's spelling (\p{Cyrillic}); catalog/script_entries.py pairs them.
+SCRIPT_CLASSES = {
+    "latin": r"\p{IsLatin}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "greek": r"\p{IsGreek}",
+    "arabic": r"\p{IsArabic}",
+    "han": r"\p{IsHan}",
+    "hiragana": r"\p{IsHiragana}",
+    "katakana": r"\p{IsKatakana}",
+    "hangul": r"\p{IsHangul}",
+    "devanagari": r"\p{IsDevanagari}",
+}
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-script letter counts: for each script, the number of its
+    characters in the string. One ``regexp_replace`` + ``length`` per
+    script — all whole-stage codegen, map-side; nine passes over a string
+    beat one Python UDF by an order of magnitude at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {name: F.length(F.regexp_replace(c, f"[^{cls}]", ""))
+            for name, cls in SCRIPT_CLASSES.items()}
+
+
+def dominant_script(col: Column | str) -> Column:
+    """Argmax script of the string's letters; ties resolve in the fixed
+    SCRIPT_CLASSES order; a string with no scripted letters at all (digits,
+    punctuation, whitespace only) yields 'none'. The script signal is what
+    separates e.g. Serbian-Latin from Serbian-Cyrillic and catches
+    wrong-script contamination inside a monolingual corpus — upstream of
+    stopword-based lang_id, which assumes a Latin corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    scores = script_counts(col)
+    all_zero = None
+    for s in scores.values():
+        z = s == 0
+        all_zero = z if all_zero is None else all_zero & z
+    # NULL text -> NULL (without this, NULL comparisons fall through every
+    # when() to the final fixed-order branch)
+    expr = F.when(c.isNull(), F.lit(None)).when(all_zero, F.lit("none"))
+    names = list(SCRIPT_CLASSES)
+    for i, name in enumerate(names):
+        cond = None
+        for other in names[i + 1:]:
+            c = scores[name] >= scores[other]
+            cond = c if cond is None else cond & c
+        expr = expr.when(cond if cond is not None else F.lit(True),
+                         F.lit(name))
+    return expr
+
+
+def script_profile(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document script audit: ``(id, dominant_script, <script>_chars
+    ..., scripted_chars)`` — the corpus-health rollup (docs per script,
+    mixed-script outliers) is one groupBy away. Pure column expressions."""
+    counts = script_counts(text_col)
+    total = None
+    for s in counts.values():
+        total = s if total is None else total + s
+    return df.select(
+        id_col,
+        dominant_script(text_col).alias("dominant_script"),
+        *[c.cast("int").alias(f"{n}_chars") for n, c in counts.items()],
+        total.cast("int").alias("scripted_chars"))
