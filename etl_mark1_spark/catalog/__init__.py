@@ -79,6 +79,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     encoding_entries,
     line_dedup,
     script_entries,
+    sentence_entries,
 )
 
 #: Round-7 driver prefix (50 slots):

@@ -242,3 +242,4 @@ from etl_mark1_spark.operators import web as _web  # noqa: E402,F401
 from etl_mark1_spark.operators import html as _html  # noqa: E402,F401
 from etl_mark1_spark.operators import encoding as _encoding  # noqa: E402,F401
 from etl_mark1_spark.operators import lines as _lines  # noqa: E402,F401
+from etl_mark1_spark.operators import sentences as _sentences  # noqa: E402,F401
