@@ -47,3 +47,35 @@ def split_sentences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (did % 9), F.lit(". It costs "), (did % 7),
         F.lit(".50 dollars! The end came quickly? Yes."))
     return split_sentences(d.select("doc_id", text.alias("text")))
+
+
+@query("sentence_decontam_docs", """
+SELECT doc_id, CAST(1 AS INT) AS sent_idx,
+       'Benchmark item ' || (doc_id % 5) || ' must never leak.'
+           AS sentence
+FROM documents
+WHERE doc_id % 10 = 0
+""")
+def sentence_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-sentence decontamination: every 10th doc embeds one of
+    five benchmark sentences (with case noise — the match is on the
+    normalized form) between its intro and closing; the flagger must
+    return exactly those docs, the planted sentence, and its position.
+    The benchmark side broadcasts; the corpus never shuffles."""
+    from etl_mark1_spark.operators.sentences import flag_benchmark_sentences
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.when(
+        did % 10 == 0,
+        F.concat(F.lit("Benchmark item "), did % 5,
+                 F.lit(" must never leak. "))).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit("Intro for document "), did, F.lit(". "), planted,
+        F.lit("Closing remark number "), (did % 7), F.lit("."))
+    bench = spark.range(5).select(
+        F.concat(F.lit("BENCHMARK ITEM "), F.col("id"),
+                 F.lit(" MUST NEVER LEAK.")).alias("sentence"))
+    flagged = flag_benchmark_sentences(
+        d.select("doc_id", text.alias("text")), bench)
+    return flagged.select("doc_id", "sent_idx", "sentence")

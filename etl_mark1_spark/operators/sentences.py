@@ -65,6 +65,31 @@ def split_sentences(df: DataFrame, text_col: str = "text",
               .withColumn("sent_idx", F.col("sent_idx").cast("int")))
 
 
+def flag_benchmark_sentences(docs: DataFrame, benchmark: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             bench_col: str = "sentence") -> DataFrame:
+    """Sentence-level exact decontamination: every corpus sentence whose
+    normalized form (lowercase, whitespace collapsed) appears in the
+    benchmark sentence set — ``(id, sent_idx, sentence)`` rows to strip
+    or to kill the whole document over.
+
+    Eval sets are small by nature, so the benchmark side BROADCASTS into
+    a semi join: the corpus explodes to sentences map-side and never
+    shuffles. Complements n-gram decontam (operators/dedup.py:
+    minhash_cross_dedup / bloom prefilter), which catches paraphrase-level
+    overlap; this catches the verbatim-sentence leak at exact precision."""
+    def norm(c):
+        return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+    sents = split_sentences(docs, text_col=text_col, id_col=id_col)
+    bench = benchmark.select(norm(F.col(bench_col)).alias("_bkey")) \
+        .distinct()
+    return sents.join(F.broadcast(bench),
+                      norm(F.col("sentence")) == F.col("_bkey"),
+                      "left_semi")
+
+
 def _register_steps() -> None:
     from etl_mark1_spark.operators.steps import register_operator
 

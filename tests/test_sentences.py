@@ -68,3 +68,21 @@ def test_sentence_step_registered_in_cold_interpreter():
          "assert 'split_sentences' in STEP_OPERATORS; print('ok')"],
         capture_output=True, text=True, cwd="/root/repo")
     assert out.stdout.strip() == "ok", out.stderr
+
+
+def test_flag_benchmark_sentences_broadcast_and_normalized(spark):
+    from etl_mark1_spark.operators.sentences import flag_benchmark_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "Clean doc here. Nothing leaks."),
+         (2, "Start. THE SECRET   answer IS 42. End here."),
+         (3, "the secret answer is 42.")],  # whole doc IS the leak
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [("The Secret Answer is 42.",), ("Unused eval row.",)],
+        ["sentence"])
+    out = flag_benchmark_sentences(docs, bench)
+    rows = {(r.doc_id, r.sent_idx) for r in out.collect()}
+    assert rows == {(2, 1), (3, 0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
