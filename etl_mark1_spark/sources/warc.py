@@ -218,3 +218,27 @@ def read_warc(spark: SparkSession, path: str,
         .select("path", "content")
     return parse_warc_records(blobs, record_types=record_types,
                               carry_cols=("path",))
+
+
+_BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def stream_warc(spark: SparkSession, path: str,
+                record_types: tuple[str, ...] = ("response",)) -> DataFrame:
+    """Streaming WARC ingest: the crawler keeps dropping segment files
+    into ``path``; each micro-batch picks up only the NEW segments
+    (binaryFile file-source tracking via the query's checkpoint) and
+    walks their records exactly like :func:`read_warc`. Compose with
+    ``streaming/events.py:dedup_ingest_sink`` for crawl-to-corpus
+    dedup-on-ingest, or any ``foreachBatch``/``writeStream`` sink.
+
+    Record parsing is the same stateless ``mapInPandas`` as the batch
+    path — no watermark or state needed; incremental-ness comes entirely
+    from the file source."""
+    blobs = (spark.readStream.format("binaryFile")
+             .schema(_BINARYFILE_SCHEMA)
+             .load(path)
+             .select("path", "content"))
+    return parse_warc_records(blobs, record_types=record_types,
+                              carry_cols=("path",))
