@@ -60,3 +60,38 @@ def remove_common_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 5), F.lit("\n\n"), F.col("text"))
     return remove_common_lines(
         d.withColumn("text", page), min_docs=max(2, n // 10))
+
+
+@query("corpus_datacard", """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(median(n_chars) AS DOUBLE) AS median_chars,
+       CAST(count(DISTINCT md5(lower(trim(regexp_replace(
+           text, '\\s+', ' ', 'g'))))) AS BIGINT) AS n_unique_texts
+FROM documents
+GROUP BY lang, source
+""")
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card rollup per (lang, source) stratum: volume, length
+    distribution (exact median), and exact-dedup uniqueness via the
+    engine-portable md5 fingerprint (functions/text.py:fingerprint_md5)
+    — the table a dataset release publishes. One shuffle, map-side
+    partial aggregation; the median is an exact percentile aggregate
+    computed per group, no global sort."""
+    from etl_mark1_spark.functions.text import fingerprint_md5
+
+    d = t(spark, sf_dir, "documents")
+    return (d.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.min("n_chars").cast("bigint").alias("min_chars"),
+                 F.max("n_chars").cast("bigint").alias("max_chars"),
+                 F.expr("percentile(n_chars, 0.5)").cast("double")
+                  .alias("median_chars"),
+                 F.count_distinct(fingerprint_md5(F.col("text")))
+                  .cast("bigint").alias("n_unique_texts")))
