@@ -178,7 +178,9 @@ def write_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
 def write_training_shards(df: DataFrame, path: str, num_shards: int = 64,
                           id_col: str = "doc_id",
                           order_col: str | None = None,
-                          epoch: int | None = None) -> dict:
+                          epoch: int | None = None,
+                          file_format: str = "parquet",
+                          compression: str | None = None) -> dict:
     """Write a curated corpus as deterministic training shards — the
     last-mile sink of the curation pipeline (the reference's closest
     surface is the plain file_output node, backend/executor/engine.py).
@@ -204,6 +206,11 @@ def write_training_shards(df: DataFrame, path: str, num_shards: int = 64,
       deterministic global order, each re-run of an epoch the identical
       one. ``order_col`` still wins the within-shard sort if given.
 
+    - ``file_format="jsonl"`` (or ``"json"``) writes line-delimited JSON
+      instead of parquet — the interchange format training datasets ship
+      in; pair with ``compression="gzip"`` for ``.json.gz`` shard files.
+      Same layout, same determinism, same manifest.
+
     Returns the manifest dict (including the epoch when set).
     """
     import json
@@ -222,15 +229,25 @@ def write_training_shards(df: DataFrame, path: str, num_shards: int = 64,
     # rows sorted by partition cols and INSERTS its own (order-scrambling)
     # sort when they are not — leading with shard satisfies it, so the
     # within-shard order actually reaches the files
-    (tagged.repartition(num_shards, "shard")
-     .sortWithinPartitions("shard", *order)
-     .write.mode("overwrite").partitionBy("shard").parquet(path))
+    writer = (tagged.repartition(num_shards, "shard")
+              .sortWithinPartitions("shard", *order)
+              .write.mode("overwrite").partitionBy("shard"))
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    if file_format in ("json", "jsonl"):
+        writer.json(path)
+    elif file_format == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unsupported shard format: {file_format}")
 
     counts = {int(r["shard"]): r["n"] for r in
               tagged.groupBy("shard")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     manifest = {
         "num_shards": num_shards,
+        "format": "jsonl" if file_format in ("json", "jsonl")
+                  else file_format,
         "total_rows": int(sum(counts.values())),
         "shard_rows": {str(k): int(v) for k, v in sorted(counts.items())},
     }

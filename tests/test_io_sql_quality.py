@@ -426,3 +426,39 @@ def test_corrupt_col_captures_bad_rows(spark, tmp_path):
     out = read_file(spark, str(js), corrupt_col="_bad").cache()
     assert {r.k for r in out.filter("_bad IS NULL").collect()} == {1, 3}
     assert out.filter("_bad IS NOT NULL").count() == 1
+
+
+def test_training_shards_jsonl_gzip(spark, sf_dir, tmp_path):
+    """jsonl shard export: same deterministic layout as parquet, valid
+    gzipped line-delimited JSON on disk, manifest records the format."""
+    import gzip
+    import glob
+    import json as _json
+
+    from etl_mark1_spark.sources.writers import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    out = str(tmp_path / "jsonl_shards")
+    m = write_training_shards(docs, out, num_shards=4,
+                              file_format="jsonl", compression="gzip")
+    assert m["format"] == "jsonl" and m["total_rows"] == docs.count()
+
+    files = glob.glob(f"{out}/shard=*/*.json.gz")
+    assert files, "expected gzipped jsonl shard files"
+    with gzip.open(files[0], "rt") as fh:
+        first = _json.loads(fh.readline())
+    assert {"doc_id", "lang", "text"} <= set(first)
+
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+
+    # byte-identical determinism across re-runs, like the parquet path
+    out2 = str(tmp_path / "jsonl_shards2")
+    write_training_shards(docs, out2, num_shards=4,
+                          file_format="jsonl", compression="gzip")
+    a = sorted(glob.glob(f"{out}/shard=*/*.json.gz"))
+    b = sorted(glob.glob(f"{out2}/shard=*/*.json.gz"))
+    for fa, fb in zip(a, b):
+        with gzip.open(fa, "rb") as ha, gzip.open(fb, "rb") as hb:
+            assert ha.read() == hb.read()
