@@ -80,6 +80,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     line_dedup,
     script_entries,
     sentence_entries,
+    webdataset_entries,
 )
 
 #: Round-7 driver prefix (50 slots):

@@ -1,0 +1,105 @@
+"""WebDataset tar-shard source — the de-facto container for multimodal
+training data (tar files of ``{key}.jpg`` / ``{key}.txt`` / ``{key}.json``
+member groups, streamed sequentially by loaders).
+
+Extension family: the reference ingests row-oriented files only
+(backend/services/file_service.py); multimodal corpora ship as tar
+shards precisely so that a sample's image/caption/metadata sit
+contiguously. Reading follows the PDF/WARC shape: ``binaryFile`` assigns
+whole shards to tasks (a million-shard corpus fans out across executors,
+zero driver traffic) and the stdlib ``tarfile`` walk groups members into
+samples per shard inside ``mapInPandas``. WebDataset semantics: a
+sample's key is the member name up to the FIRST dot, so ``x.seg.png``
+has key ``x`` and extension ``seg.png``; samples end when the key
+changes (members of one sample are contiguous in a well-formed shard —
+this reader tolerates interleaving by grouping per whole shard).
+
+``make_webdataset_tar`` builds spec-shaped fixtures for tests and the
+catalog entry.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["make_webdataset_tar", "iter_webdataset_samples",
+           "read_webdataset"]
+
+
+def make_webdataset_tar(samples: list[dict], key_field: str = "__key__",
+                        ) -> bytes:
+    """Tar bytes from sample dicts: ``{"__key__": "000001", "txt": b"..",
+    "json": b"..", ...}`` — one member per non-key field, named
+    ``{key}.{ext}``, in dict order, samples contiguous (the layout
+    loaders rely on)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for s in samples:
+            key = s[key_field]
+            for ext, data in s.items():
+                if ext == key_field:
+                    continue
+                if isinstance(data, str):
+                    data = data.encode("utf-8")
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                info.mtime = 0  # deterministic bytes across runs
+                tar.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def iter_webdataset_samples(data: bytes) -> Iterator[tuple[str, dict]]:
+    """(key, {ext: bytes}) per sample in a tar shard's bytes. Key = name
+    up to the first dot (WebDataset rule); directories and PAX headers
+    are skipped; samples yield in first-appearance order of their key."""
+    order: list[str] = []
+    groups: dict[str, dict] = {}
+    with tarfile.open(fileobj=io.BytesIO(data), mode="r") as tar:
+        for member in tar:
+            if not member.isfile():
+                continue
+            name = member.name.rsplit("/", 1)[-1]
+            if "." not in name:
+                continue
+            key, ext = name.split(".", 1)
+            payload = tar.extractfile(member).read()
+            if key not in groups:
+                groups[key] = {}
+                order.append(key)
+            groups[key][ext] = payload
+    for key in order:
+        yield key, groups[key]
+
+
+def read_webdataset(spark: SparkSession, path: str,
+                    extensions: tuple[str, ...] = ("txt", "json"),
+                    ) -> DataFrame:
+    """Distributed WebDataset ingest: one row per sample —
+    ``(path, key, <ext> binary ...)`` with one binary column per
+    requested extension (NULL when the sample lacks it; dots in
+    extensions become ``_`` in column names). Decode text members with
+    ``F.decode`` or operators/encoding.py; image/audio members flow
+    straight into the multimodal decoders."""
+    cols = {ext: ext.replace(".", "_") for ext in extensions}
+    schema = "path string, key string, " + ", ".join(
+        f"{c} binary" for c in cols.values())
+    blobs = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def walk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for key, group in iter_webdataset_samples(bytes(content)):
+                    rows.append((p, key, *[group.get(ext)
+                                           for ext in extensions]))
+            yield pd.DataFrame(
+                rows, columns=["path", "key", *cols.values()])
+
+    return blobs.mapInPandas(walk, schema=schema)

@@ -1,0 +1,67 @@
+"""WebDataset tar-shard source (sources/webdataset.py)."""
+
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.sources.webdataset import (
+    iter_webdataset_samples,
+    make_webdataset_tar,
+    read_webdataset,
+)
+
+SAMPLES = [
+    {"__key__": "000001", "txt": "first caption", "json": b'{"a": 1}',
+     "jpg": b"\xff\xd8fakejpeg"},
+    {"__key__": "000002", "txt": "second caption", "json": b'{"a": 2}'},
+]
+
+
+def test_fixture_roundtrip_and_key_rule():
+    out = dict(iter_webdataset_samples(make_webdataset_tar(SAMPLES)))
+    assert set(out) == {"000001", "000002"}
+    assert out["000001"]["txt"] == b"first caption"
+    assert out["000001"]["jpg"].startswith(b"\xff\xd8")
+    assert "jpg" not in out["000002"]
+
+
+def test_first_dot_key_rule_for_dotted_extensions():
+    tar = make_webdataset_tar(
+        [{"__key__": "x", "seg.png": b"mask", "txt": b"t"}])
+    out = dict(iter_webdataset_samples(tar))
+    assert out == {"x": {"seg.png": b"mask", "txt": b"t"}}
+
+
+def test_deterministic_bytes():
+    assert make_webdataset_tar(SAMPLES) == make_webdataset_tar(SAMPLES)
+
+
+def test_read_webdataset_distributed(spark, tmp_path):
+    (tmp_path / "s1.tar").write_bytes(make_webdataset_tar(SAMPLES))
+    (tmp_path / "s2.tar").write_bytes(make_webdataset_tar(
+        [{"__key__": "000003", "txt": "third"}]))
+    out = read_webdataset(spark, str(tmp_path),
+                          extensions=("txt", "json", "jpg")) \
+        .orderBy("key").collect()
+    assert [r.key for r in out] == ["000001", "000002", "000003"]
+    assert bytes(out[0].jpg).startswith(b"\xff\xd8")
+    assert out[1].jpg is None          # missing member -> NULL
+    assert out[2].json is None
+    assert bytes(out[2].txt) == b"third"
+
+
+def test_read_webdataset_text_decode_composition(spark, tmp_path):
+    (tmp_path / "s.tar").write_bytes(make_webdataset_tar(SAMPLES))
+    got = (read_webdataset(spark, str(tmp_path))
+           .select("key", F.decode("txt", "UTF-8").alias("caption"),
+                   F.get_json_object(F.decode("json", "UTF-8"), "$.a")
+                    .cast("int").alias("a"))
+           .orderBy("key").collect())
+    assert [(r.caption, r.a) for r in got] == [("first caption", 1),
+                                               ("second caption", 2)]
+
+
+def test_dotted_extension_column_naming(spark, tmp_path):
+    (tmp_path / "s.tar").write_bytes(make_webdataset_tar(
+        [{"__key__": "k", "seg.png": b"m"}]))
+    df = read_webdataset(spark, str(tmp_path), extensions=("seg.png",))
+    assert "seg_png" in df.columns
+    assert bytes(df.first().seg_png) == b"m"
