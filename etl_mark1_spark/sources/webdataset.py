@@ -75,6 +75,71 @@ def iter_webdataset_samples(data: bytes) -> Iterator[tuple[str, dict]]:
         yield key, groups[key]
 
 
+def write_webdataset_shards(df: DataFrame, path: str,
+                            members: dict[str, str],
+                            num_shards: int = 64,
+                            key_col: str = "doc_id") -> dict:
+    """Export a curated corpus as WebDataset tar shards — the last-mile
+    sink for multimodal training: ``members`` maps member extension to
+    source column (string or binary), e.g. ``{"txt": "text", "json":
+    "meta", "jpg": "image"}``.
+
+    Same determinism contract as ``write_training_shards``
+    (sources/writers.py): shard membership is md5-of-key (re-runs and
+    repartitions produce byte-identical shards — tar member mtimes are
+    zeroed), samples sort by key within a shard, and a ``_manifest.json``
+    with per-shard sample counts commits LAST. One groupBy-shard pass:
+    each shard group builds its tar EXECUTOR-side and writes
+    ``shard-{K:05d}.tar``; nothing flows through the driver. Returns the
+    manifest dict."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    hcol = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+                  16, 10).cast("bigint")
+    tagged = df.withColumn("_shard", (hcol % num_shards).cast("int"))
+    exts = list(members)
+    cols = [key_col] + [members[e] for e in exts]
+
+    def build(pdf):
+        import pandas as pd
+
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values(key_col)
+        samples = []
+        for _, row in pdf.iterrows():
+            s = {"__key__": f"{row[key_col]}"}
+            for ext in exts:
+                v = row[members[ext]]
+                if v is not None:
+                    s[ext] = bytes(v) if not isinstance(v, (str, bytes)) \
+                        else v
+            samples.append(s)
+        out = os.path.join(path, f"shard-{shard:05d}.tar")
+        with open(out, "wb") as fh:
+            fh.write(make_webdataset_tar(samples))
+        return pd.DataFrame({"shard": [shard], "n": [len(samples)]})
+
+    stats = (tagged.select("_shard", *cols)
+             .groupBy("_shard")
+             .applyInPandas(build, "shard int, n long")
+             .collect())
+    manifest = {
+        "format": "webdataset",
+        "num_shards": num_shards,
+        "total_samples": int(sum(r.n for r in stats)),
+        "shard_samples": {str(r.shard): int(r.n)
+                          for r in sorted(stats, key=lambda r: r.shard)},
+        "members": {e: members[e] for e in exts},
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
 def read_webdataset(spark: SparkSession, path: str,
                     extensions: tuple[str, ...] = ("txt", "json"),
                     ) -> DataFrame:

@@ -65,3 +65,54 @@ def test_dotted_extension_column_naming(spark, tmp_path):
     df = read_webdataset(spark, str(tmp_path), extensions=("seg.png",))
     assert "seg_png" in df.columns
     assert bytes(df.first().seg_png) == b"m"
+
+
+def test_write_webdataset_shards_roundtrip_and_determinism(spark, sf_dir,
+                                                           tmp_path):
+    import glob
+    import json as _json
+
+    from etl_mark1_spark.sources.webdataset import write_webdataset_shards
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text",
+                    F.to_json(F.struct("lang", "source")).alias("meta")))
+    out = str(tmp_path / "wds")
+    m = write_webdataset_shards(
+        docs, out, {"txt": "text", "json": "meta"}, num_shards=6)
+    assert m["total_samples"] == docs.count()
+    assert sorted(m["shard_samples"]) == [str(i) for i in range(6)]
+
+    back = read_webdataset(spark, out + "/shard-*.tar")
+    assert back.count() == docs.count()
+    joined = (back.select(F.col("key").cast("bigint").alias("doc_id"),
+                          F.decode("txt", "UTF-8").alias("t2"))
+              .join(docs, "doc_id"))
+    assert joined.filter(F.col("t2") != F.col("text")).count() == 0
+
+    # byte-identical re-run
+    out2 = str(tmp_path / "wds2")
+    write_webdataset_shards(docs, out2, {"txt": "text", "json": "meta"},
+                            num_shards=6)
+    for f1 in sorted(glob.glob(out + "/shard-*.tar")):
+        f2 = out2 + "/" + f1.rsplit("/", 1)[1]
+        assert open(f1, "rb").read() == open(f2, "rb").read()
+
+    manifest = _json.load(open(out + "/_manifest.json"))
+    assert manifest["format"] == "webdataset"
+
+
+def test_write_webdataset_null_members_skipped(spark, tmp_path):
+    from etl_mark1_spark.sources.webdataset import write_webdataset_shards
+
+    df = spark.createDataFrame(
+        [(1, "has caption", b"img"), (2, None, b"img2")],
+        "doc_id bigint, text string, image binary")
+    out = str(tmp_path / "w")
+    write_webdataset_shards(df, out, {"txt": "text", "jpg": "image"},
+                            num_shards=1)
+    back = read_webdataset(spark, out + "/shard-*.tar",
+                           extensions=("txt", "jpg")) \
+        .orderBy("key").collect()
+    assert bytes(back[0].txt) == b"has caption"
+    assert back[1].txt is None and bytes(back[1].jpg) == b"img2"
