@@ -146,3 +146,49 @@ def bpe_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = bpe_segment(d, merges)
     return bpe_decode(toks).select(
         "doc_id", F.col("decoded_text").alias("restored"))
+
+
+#: Hand-specified quality model for the oracle entry: training
+#: coefficients vary run to run (solver), but INFERENCE must be
+#: engine-exact under any fixed model — which is what the driver checks.
+_LR_MODEL = {"intercept": -1.5,
+             "coefficients": {"log_chars": 0.35, "punct_ratio": -6.0,
+                              "stop_ratio": 4.0, "mean_word_len": -0.12}}
+
+
+@query("quality_lr_score_docs", f"""
+WITH stats AS (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END
+                AS DOUBLE) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+               AS n_punct,
+           CAST({_stopword_sql('en')} + {_stopword_sql('de')}
+                + {_stopword_sql('fr')} + {_stopword_sql('es')} AS DOUBLE)
+               AS n_stop
+    FROM documents
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(
+           -1.5 + 0.35 * ln(n_chars + 1.0)
+                - 6.0 * (n_punct / greatest(n_chars, 1.0))
+                + 4.0 * (n_stop / greatest(n_tokens, 1.0))
+                - 0.12 * (n_chars / greatest(n_tokens, 1.0))))), 6)
+           AS lr_quality
+FROM stats
+""")
+def quality_lr_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality scoring (operators/quality_model.py) as
+    pure codegen: the fixed model's sigmoid-of-dot-product over the
+    portable feature battery, replayed feature by feature in SQL. The
+    TRAINED path is pinned by tests (MLlib-vs-expression parity and
+    separation on planted labels); the driver pins that compiled
+    inference is engine-exact."""
+    from etl_mark1_spark.operators.quality_model import quality_score_expr
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score_expr(_LR_MODEL, "text").alias("lr_quality"))
