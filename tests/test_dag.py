@@ -394,3 +394,51 @@ def test_curation_demo_end_to_end(spark, sf_dir, tmp_path):
     shards = read_tag(spark, str(tmp_path / "train_shards"), "demo")
     assert shards.count() == s["mixture"]
     assert "bpe_tokens" in shards.columns
+
+
+def test_web_curation_pipeline_through_step_registry(spark, sf_dir,
+                                                     tmp_path):
+    """The round-7 curation ops compose as plain DAG transform steps —
+    one pipeline definition takes raw HTML-wrapped docs through strip,
+    mojibake repair, line dedup, and main-content extraction using ONLY
+    the registered step DSL (no Python imports in the definition)."""
+    from etl_mark1_spark.plans.dag import PipelineExecutor
+
+    out = str(tmp_path / "curated.parquet")
+    definition = {
+        "nodes": [
+            {"id": "in", "type": "file_input",
+             "config": {"path": f"{sf_dir}/documents.parquet",
+                        "format": "parquet"}},
+            {"id": "tx", "type": "transform", "config": {"steps": [
+                {"operator": "add_derived_column",
+                 "params": {"name": "html",
+                            "expression":
+                                "concat('<nav><a href=\"/\">Home</a></nav>"
+                                "<p>cafÃ© lead</p><p>', text, '</p>"
+                                "<p>', text, '</p>"
+                                "<footer>terms</footer>')"}},
+                {"operator": "html_main_content",
+                 "params": {"column": "html"}},
+                {"operator": "fix_mojibake",
+                 "params": {"column": "main_text"}},
+                {"operator": "dedup_lines",
+                 "params": {"column": "fixed_text",
+                            "target_column": "clean"}},
+            ]}},
+            {"id": "out", "type": "file_output",
+             "config": {"path": out, "format": "parquet"}},
+        ],
+        "edges": [{"source": "in", "target": "tx"},
+                  {"source": "tx", "target": "out"}],
+    }
+    report = PipelineExecutor(spark).execute(definition)
+    assert report.status == "succeeded"
+    back = spark.read.parquet(out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert back.count() == docs.count()
+    r = back.orderBy("doc_id").first()
+    d0 = docs.orderBy("doc_id").first()
+    # nav/footer dropped, mojibake lead repaired, duplicated paragraph
+    # deduplicated down to one line + the lead
+    assert r["clean"] == f"café lead\n{d0['text']}"
