@@ -176,3 +176,51 @@ def warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("doc_id"),
         "url", "warc_date", "http_status",
         strip_html_tags("text").alias("clean_text"))
+
+
+@query("html_metadata_docs", """
+SELECT doc_id,
+       'Page ' || doc_id || ' & friends' AS page_title,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE 'summary of page ' || doc_id END AS meta_description,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'https://canon.example/p/' || doc_id
+            ELSE NULL END AS canonical_url,
+       CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'en' WHEN 1 THEN 'fr-ca' ELSE NULL
+       END AS html_lang
+FROM documents
+""")
+def html_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata sidecar extraction: titles carry an entity, the
+    description meta alternates attribute order (name-first vs
+    content-first), canonical links and lang attributes appear on
+    planted subsets — absent pieces must surface as NULL, stated by the
+    oracle from the synthesis branches."""
+    from etl_mark1_spark.operators.html import extract_html_metadata
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lang_attr = (F.when(did % 3 == 0, F.lit(' lang="en"'))
+                  .when(did % 3 == 1, F.lit(" lang='FR-CA'"))
+                  .otherwise(F.lit("")))
+    desc = (F.when(did % 3 == 2, F.lit(""))
+             .when(did % 2 == 0,
+                   F.concat(F.lit('<meta name="description" content='
+                                  '"summary of page '), did, F.lit('">')))
+             .otherwise(
+                 F.concat(F.lit('<meta content="summary of page '), did,
+                          F.lit('" name=\'description\'>'))))
+    canon = F.when(
+        did % 4 == 0,
+        F.concat(F.lit('<link rel="canonical" href='
+                       '"https://canon.example/p/'), did, F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html"), lang_attr, F.lit("><head><title>  Page "), did,
+        F.lit(" &amp; friends </title>"), desc, canon,
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"))
+    out = extract_html_metadata(d.withColumn("html", html))
+    return out.select("doc_id", "page_title", "meta_description",
+                      "canonical_url", "html_lang")

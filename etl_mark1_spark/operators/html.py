@@ -45,6 +45,7 @@ __all__ = [
     "strip_html_tags",
     "extract_links",
     "extract_main_content",
+    "extract_html_metadata",
 ]
 
 #: Entity decode map for the regex fast path, applied in order —
@@ -276,6 +277,45 @@ def extract_main_content(df: DataFrame, html_col: str = "html",
     return df.select(id_col, html_col).mapInPandas(run, schema=out_schema)
 
 
+def extract_html_metadata(df: DataFrame, html_col: str = "html",
+                          ) -> DataFrame:
+    """Page metadata columns appended to ``df``: ``page_title`` (text of
+    the first ``<title>``, entities decoded, whitespace collapsed),
+    ``meta_description`` (first ``<meta name="description">`` content,
+    either attribute order), ``canonical_url`` (first
+    ``<link rel="canonical">`` href), and ``html_lang`` (the ``<html>``
+    tag's ``lang`` attribute, lowercased). Absent pieces are NULL.
+
+    Pure regexp column expressions (whole-stage codegen) — the metadata
+    sidecar a crawl pipeline keeps even when it drops the body."""
+    c = F.col(html_col)
+
+    def nullify(col):
+        return F.when(col != "", col)
+
+    title = F.regexp_extract(c, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)
+    for ent, rep in _ENTITIES:
+        title = F.regexp_replace(title, ent, rep)
+    title = F.trim(F.regexp_replace(title, r"\s+", " "))
+    desc = F.regexp_extract(
+        c, r'(?is)<meta\s[^>]*name\s*=\s*["\']description["\']'
+           r'[^>]*content\s*=\s*"([^"]*)"', 1)
+    desc2 = F.regexp_extract(
+        c, r'(?is)<meta\s[^>]*content\s*=\s*"([^"]*)"'
+           r'[^>]*name\s*=\s*["\']description["\']', 1)
+    canonical = F.regexp_extract(
+        c, r'(?is)<link\s[^>]*rel\s*=\s*["\']canonical["\']'
+           r'[^>]*href\s*=\s*"([^"]*)"', 1)
+    lang = F.lower(F.regexp_extract(
+        c, r'(?is)<html\s[^>]*lang\s*=\s*["\']([^"\']+)["\']', 1))
+    return (df
+            .withColumn("page_title", nullify(title))
+            .withColumn("meta_description",
+                        nullify(F.coalesce(nullify(desc), desc2)))
+            .withColumn("canonical_url", nullify(canonical))
+            .withColumn("html_lang", nullify(lang)))
+
+
 def _register_steps() -> None:
     from etl_mark1_spark.operators.steps import register_operator
 
@@ -284,6 +324,10 @@ def _register_steps() -> None:
         lambda df, p: df.withColumn(
             p.get("target_column", "text"),
             strip_html_tags(p.get("column", "html"))))
+    register_operator(
+        "html_metadata",
+        lambda df, p: extract_html_metadata(
+            df, html_col=p.get("column", "html")))
     register_operator(
         "html_main_content",
         lambda df, p: extract_main_content(

@@ -203,3 +203,34 @@ def test_strip_matches_parser_on_simple_structures(spark, html, expected):
     """On well-formed boilerplate-free HTML the fast path and a full parse
     agree (the fast path's contract: same text, no classification)."""
     assert _strip(spark, html) == expected
+
+
+# -- metadata extraction --------------------------------------------------------
+
+def test_extract_html_metadata(spark):
+    from etl_mark1_spark.operators.html import extract_html_metadata
+
+    pages = [
+        (1, '<html lang="EN-us"><head><title> A &amp; B </title>'
+            '<meta name="description" content="the summary">'
+            '<link rel="canonical" href="https://c.example/1">'
+            "</head><body>x</body></html>"),
+        (2, "<html><head><meta content=\"flipped order\" "
+            "name='description'></head><body>no title</body></html>"),
+        (3, "<html><body>bare</body></html>"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(pages, "doc_id bigint, html string")
+    out = {r.doc_id: r for r in extract_html_metadata(df).collect()}
+    assert out[1].page_title == "A & B"
+    assert out[1].meta_description == "the summary"
+    assert out[1].canonical_url == "https://c.example/1"
+    assert out[1].html_lang == "en-us"
+    assert out[2].page_title is None
+    assert out[2].meta_description == "flipped order"
+    assert out[3].page_title is None and out[3].canonical_url is None
+    assert out[4].page_title is None
+
+    plan = extract_html_metadata(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
