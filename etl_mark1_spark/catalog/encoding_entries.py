@@ -84,3 +84,42 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.concat(F.lit(_MOJI1 + " "), F.col("text")))
          .otherwise(F.concat(F.lit(_MOJI2 + " "), F.col("text"))))
     return fix_mojibake(d.select("doc_id", corrupted.alias("text")))
+
+@query("sniff_mime_docs", """
+SELECT doc_id,
+       CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'image/jpeg'
+           WHEN 1 THEN 'image/png'
+           WHEN 2 THEN 'application/pdf'
+           WHEN 3 THEN 'text/html'
+           WHEN 4 THEN 'application/json'
+           ELSE 'text/plain'
+       END AS mime
+FROM documents
+""")
+def sniff_mime_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniffing over a mixed-payload corpus: a sixth
+    each of JPEG/PNG/PDF-prefixed bytes, HTML (doctype after
+    whitespace), JSON, and plain text — the classifier a crawl pipeline
+    trusts over the server's Content-Type header. The oracle states the
+    expected type from the synthesis branch."""
+    from etl_mark1_spark.operators.encoding import sniff_mime
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tb = F.encode(F.col("text"), "UTF-8")
+    body = (
+        F.when(did % 6 == 0, F.concat(F.unhex(F.lit("FFD8FFE0")), tb))
+         .when(did % 6 == 1,
+               F.concat(F.unhex(F.lit("89504E470D0A1A0A")), tb))
+         .when(did % 6 == 2,
+               F.concat(F.encode(F.lit("%PDF-1.7\n"), "UTF-8"), tb))
+         .when(did % 6 == 3,
+               F.encode(F.concat(F.lit("  <!doctype html><p>"),
+                                 F.col("text")), "UTF-8"))
+         .when(did % 6 == 4,
+               F.encode(F.concat(F.lit('{"text": "x"}'), F.lit("")),
+                        "UTF-8"))
+         .otherwise(tb))
+    return d.select("doc_id",
+                    sniff_mime(body).alias("mime"))

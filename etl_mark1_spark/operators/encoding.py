@@ -182,6 +182,49 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def sniff_mime(col) -> "Column":  # noqa: F821 — pyspark Column
+    """Content-type from leading magic bytes — servers lie about
+    Content-Type, payloads do not. Covers the formats this engine
+    decodes (JPEG/PNG/GIF/BMP/RIFF-WAV/AVI, PDF, gzip, zip/xlsx, tar
+    ustar, HTML with optional BOM/whitespace) plus 'text/plain' for
+    printable-ASCII starts and 'application/octet-stream' otherwise.
+
+    Pure column expressions over ``substring``/``hex`` of the first
+    bytes — whole-stage codegen; classifying a 100 TB crawl's payloads
+    is a single scan."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    head = F.hex(F.substring(c, 1, 8))
+    # text probe: strip BOM + whitespace, lowercase the first chars
+    text_start = F.lower(F.trim(F.regexp_replace(
+        F.decode(F.substring(c, 1, 256), "UTF-8"), "^﻿", "")))
+    riff_type = F.decode(F.substring(c, 9, 4), "UTF-8")
+    printable = text_start.rlike(r"^[\x20-\x7e\s]+")
+    return (
+        F.when(c.isNull() | (F.octet_length(c) == 0), F.lit(None))
+         .when(head.startswith("FFD8FF"), F.lit("image/jpeg"))
+         .when(head.startswith("89504E470D0A1A0A"), F.lit("image/png"))
+         .when(head.startswith("474946383"), F.lit("image/gif"))
+         .when(head.startswith("424D"), F.lit("image/bmp"))
+         .when(head.startswith("52494646") & (riff_type == "WAVE"),
+               F.lit("audio/wav"))
+         .when(head.startswith("52494646") & (riff_type == "AVI "),
+               F.lit("video/avi"))
+         .when(head.startswith("255044462D"), F.lit("application/pdf"))
+         .when(head.startswith("1F8B"), F.lit("application/gzip"))
+         .when(head.startswith("504B0304"), F.lit("application/zip"))
+         .when(F.decode(F.substring(c, 258, 5), "UTF-8") == "ustar",
+               F.lit("application/x-tar"))
+         .when(text_start.startswith("<!doctype html")
+               | text_start.startswith("<html"), F.lit("text/html"))
+         .when(text_start.startswith("<?xml"), F.lit("application/xml"))
+         .when(text_start.startswith("{")
+               | text_start.startswith("["), F.lit("application/json"))
+         .when(printable, F.lit("text/plain"))
+         .otherwise(F.lit("application/octet-stream")))
+
+
 def _register_steps() -> None:
     from etl_mark1_spark.operators.steps import register_operator
 

@@ -140,3 +140,65 @@ def test_warc_body_decode_composition(spark, tmp_path):
     assert out["https://cp.example"].text == GOOD
     assert out["https://cp.example"].encoding == "windows-1252"
     assert out["https://u8.example"].encoding == "utf-8"
+
+
+def test_sniff_mime_magic_bytes(spark):
+    from etl_mark1_spark.operators.encoding import sniff_mime
+
+    tar = bytearray(512)
+    tar[257:262] = b"ustar"
+    cases = [
+        (1, b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (2, b"\x89PNG\r\n\x1a\nrest", "image/png"),
+        (3, b"GIF89a...", "image/gif"),
+        (4, b"BMxxxx", "image/bmp"),
+        (5, b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (6, b"RIFF\x00\x00\x00\x00AVI LIST", "video/avi"),
+        (7, b"%PDF-1.7", "application/pdf"),
+        (8, b"\x1f\x8b\x08rest", "application/gzip"),
+        (9, b"PK\x03\x04xl/", "application/zip"),
+        (10, b"  <!DOCTYPE HTML><html>", "text/html"),
+        (11, b"\xef\xbb\xbf<html lang=en>", "text/html"),
+        (12, b'<?xml version="1.0"?>', "application/xml"),
+        (13, b'{"k": 1}', "application/json"),
+        (14, b"plain words here", "text/plain"),
+        (15, b"\x00\x01\x02\x03", "application/octet-stream"),
+        (16, None, None),
+        (17, b"", None),
+        (18, bytes(tar), "application/x-tar"),
+    ]
+    df = spark.createDataFrame([(i, b) for i, b, _ in cases],
+                               "id bigint, body binary")
+    got = {r.id: r.m for r in
+           df.select("id", sniff_mime("body").alias("m")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    plan = df.select(sniff_mime("body").alias("m")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_sniff_mime_real_codec_payloads(spark):
+    """Sniffing must agree with the vendored encoders' real output."""
+    from etl_mark1_spark.operators.encoding import sniff_mime
+    from etl_mark1_spark.operators.gif import make_gif
+    from etl_mark1_spark.operators.multimodal import make_bmp, make_wav
+    from etl_mark1_spark.operators.png import make_png
+
+    import numpy as np
+
+    pixels = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (1, 1, 1)]]
+    payloads = [
+        (1, make_bmp(pixels), "image/bmp"),
+        (2, make_png(np.asarray(pixels, dtype=np.uint8)), "image/png"),
+        (3, make_gif([[0, 1], [1, 0]], [(0, 0, 0), (255, 255, 255)]),
+         "image/gif"),
+        (4, make_wav([0, 100, -100, 0]), "audio/wav"),
+    ]
+    df = spark.createDataFrame([(i, b) for i, b, _ in payloads],
+                               "id bigint, body binary")
+    got = {r.id: r.m for r in
+           df.select("id", sniff_mime("body").alias("m")).collect()}
+    for i, _, want in payloads:
+        assert got[i] == want, (i, got[i], want)
