@@ -192,3 +192,55 @@ def blocklist_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = filter_blocklist(with_normalized_urls(docs), blocked)
     return (kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("domain"))
+
+
+_ROBOTS_SITE0 = """# site0 policy
+User-agent: trainingbot
+Disallow: /private/
+Allow: /private/pub/
+
+User-agent: *
+Disallow: /
+"""
+_ROBOTS_SITE1 = "User-agent: *\nDisallow: /tmp/\nCrawl-delay: 2\n"
+
+
+@query("robots_filter_docs", """
+SELECT doc_id,
+       'https://site' || (doc_id % 3) || '.example' ||
+       CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN '/articles/' || doc_id
+           WHEN 1 THEN '/private/' || doc_id
+           WHEN 2 THEN '/private/pub/' || doc_id
+           ELSE '/tmp/' || doc_id
+       END AS url,
+       NOT ((doc_id % 3 = 0 AND doc_id % 4 = 1)
+            OR (doc_id % 3 = 1 AND doc_id % 4 = 3)) AS robots_allowed
+FROM documents
+""")
+def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots filtering for a crawler identity: site0 has a
+    trainingbot-specific group (its * group would deny EVERYTHING — group
+    selection must pick the specific one), with a longer Allow carving
+    /private/pub/ back out of /private/; site1 has only a * group denying
+    /tmp/; site2 publishes no robots at all. The oracle states every
+    URL's verdict from the (host, path) synthesis branches."""
+    from etl_mark1_spark.operators.web import (filter_robots_allowed,
+                                               robots_rules)
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    path = (F.when(did % 4 == 0, F.concat(F.lit("/articles/"), did))
+             .when(did % 4 == 1, F.concat(F.lit("/private/"), did))
+             .when(did % 4 == 2, F.concat(F.lit("/private/pub/"), did))
+             .otherwise(F.concat(F.lit("/tmp/"), did)))
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), did % 3, F.lit(".example"), path)
+         .alias("url"))
+    robots = spark.createDataFrame(
+        [("site0.example", _ROBOTS_SITE0), ("site1.example", _ROBOTS_SITE1)],
+        "domain string, robots_txt string")
+    rules = robots_rules(robots, "trainingbot")
+    return filter_robots_allowed(urls, rules, keep_denied=True) \
+        .select("doc_id", "url", "robots_allowed")

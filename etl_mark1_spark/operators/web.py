@@ -37,6 +37,9 @@ __all__ = [
     "with_normalized_urls",
     "domain_cap",
     "filter_blocklist",
+    "parse_robots_text",
+    "robots_rules",
+    "filter_robots_allowed",
     "MULTI_PART_SUFFIXES",
 ]
 
@@ -181,6 +184,112 @@ def filter_blocklist(df: DataFrame, blocked: DataFrame,
         F.broadcast(blocked.select(F.col(bcol).alias(domain_col))
                     .dropDuplicates()),
         domain_col, "left_anti")
+
+
+def parse_robots_text(robots_txt: str | None,
+                      user_agent: str) -> list[tuple[str, str]]:
+    """RFC 9309 group selection over one robots.txt body: the rules of
+    the most specific matching ``User-agent`` group — an exact
+    (case-insensitive) product-token match beats ``*``; consecutive
+    ``User-agent`` lines share a group; comments and blank lines are
+    ignored; empty-path rules are dropped (an empty Disallow allows
+    everything). Returns ``[(rule, path_prefix)]`` with rule in
+    {"allow", "disallow"}. Pure function — the executor-side kernel of
+    :func:`robots_rules`."""
+    if not robots_txt:
+        return []
+    agent = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, str]] = []
+    in_header = False
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_header:
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = [], []
+                in_header = True
+            agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_header = False
+            if value:
+                rules.append((field, value))
+        else:
+            in_header = False  # crawl-delay/sitemap/etc end the header
+    if agents:
+        groups.append((agents, rules))
+    exact = [r for a, r in groups if agent in a]
+    if exact:
+        return [x for r in exact for x in r]
+    return [x for a, r in groups if "*" in a for x in r]
+
+
+def robots_rules(robots: DataFrame, user_agent: str,
+                 domain_col: str = "domain",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """(domain, rule, path) rows from a per-domain robots.txt table for
+    one crawler identity. Robots bodies are KB-sized and one-per-domain
+    — mapInPandas, trivially parallel; the OUTPUT is the small side that
+    :func:`filter_robots_allowed` broadcasts."""
+    schema = f"{domain_col} string, rule string, path string"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for dom, txt in zip(pdf[domain_col], pdf[text_col]):
+                for rule, path in parse_robots_text(txt, user_agent):
+                    rows.append((dom, rule, path))
+            yield pd.DataFrame(rows, columns=[domain_col, "rule", "path"])
+
+    return robots.select(domain_col, text_col).mapInPandas(run, schema)
+
+
+def filter_robots_allowed(df: DataFrame, rules: DataFrame,
+                          url_col: str = "url",
+                          keep_denied: bool = False) -> DataFrame:
+    """Apply robots rules to a URL corpus: RFC 9309 longest-match decides
+    and Allow wins exact length ties; a URL with no matching rule (or no
+    rules for its host) is allowed. Adds ``robots_allowed``; by default
+    returns only the allowed rows (``keep_denied=True`` keeps everything,
+    flagged, for audits).
+
+    Scale shape: the per-domain rules collapse into ONE array per domain
+    and BROADCAST; the corpus-side decision is a higher-order
+    ``filter``/``array_max`` over that array — after the broadcast hash
+    join there is no shuffle, no window, and no Python anywhere near the
+    corpus."""
+    host = url_host(F.col(url_col))
+    path = F.regexp_extract(F.col(url_col),
+                            r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)",
+                            1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    per_domain = rules.groupBy(F.col(rules.columns[0]).alias("_rdomain")) \
+        .agg(F.collect_list(F.struct(
+            F.length("path").alias("n"),
+            (F.col("rule") == "allow").alias("is_allow"),
+            F.col("path").alias("p"))).alias("_rules"))
+    joined = df.withColumn("_host", host).join(
+        F.broadcast(per_domain),
+        F.col("_host") == F.col("_rdomain"), "left")
+    pc = path
+    matched = F.filter(F.col("_rules"), lambda r: pc.startswith(r["p"]))
+    best = F.array_max(matched)  # (n, is_allow, p): longest, allow on tie
+    allowed = F.when(F.col("_rules").isNull(), F.lit(True)) \
+        .when(F.size(matched) == 0, F.lit(True)) \
+        .otherwise(best["is_allow"])
+    out = joined.withColumn("robots_allowed", allowed) \
+        .drop("_host", "_rdomain", "_rules")
+    return out if keep_denied else \
+        out.where("robots_allowed").drop("robots_allowed")
 
 
 def _register_steps() -> None:

@@ -222,3 +222,78 @@ def test_normalize_url_differential_grid(spark):
            .filter("got IS DISTINCT FROM expected")
            .select("url", "expected", "got").limit(5).collect())
     assert not bad, bad
+
+
+# -- robots.txt (RFC 9309) -----------------------------------------------------
+
+def test_parse_robots_group_selection_and_syntax():
+    from etl_mark1_spark.operators.web import parse_robots_text
+
+    body = ("# comment\r\n"
+            "User-agent: TrainingBot\r\n"
+            "Disallow: /private/   # trailing comment\r\n"
+            "Allow: /private/pub/\r\n"
+            "\r\n"
+            "User-agent: a\r\n"
+            "User-agent: b\r\n"
+            "Disallow: /shared/\r\n"
+            "\r\n"
+            "User-agent: *\r\n"
+            "Disallow: /\r\n")
+    # specific group wins; case-insensitive agent match
+    assert parse_robots_text(body, "trainingbot") == [
+        ("disallow", "/private/"), ("allow", "/private/pub/")]
+    # consecutive User-agent lines share one group
+    assert parse_robots_text(body, "B") == [("disallow", "/shared/")]
+    # unknown agent falls back to *
+    assert parse_robots_text(body, "nobody") == [("disallow", "/")]
+    # empty Disallow allows everything; other fields end the header
+    assert parse_robots_text("User-agent: *\nDisallow:\n", "x") == []
+    assert parse_robots_text(None, "x") == []
+    assert parse_robots_text("garbage no colons", "x") == []
+
+
+def test_robots_filter_longest_match_allow_wins_tie(spark):
+    from etl_mark1_spark.operators.web import (filter_robots_allowed,
+                                               robots_rules)
+
+    robots = spark.createDataFrame(
+        [("s.example",
+          "User-agent: *\nDisallow: /a/\nAllow: /a/b/\n"
+          "Disallow: /same/\nAllow: /same/\n")],
+        "domain string, robots_txt string")
+    rules = robots_rules(robots, "anybot")
+    urls = spark.createDataFrame(
+        [(1, "https://s.example/a/x"),       # denied
+         (2, "https://s.example/a/b/x"),     # longer allow wins
+         (3, "https://s.example/same/x"),    # equal length: allow wins
+         (4, "https://s.example/other"),     # no match -> allowed
+         (5, "https://s.example"),           # bare host -> '/' -> allowed
+         (6, "https://unknown.example/a/x")],  # no rules -> allowed
+        "doc_id bigint, url string")
+    flagged = {r.doc_id: r.robots_allowed
+               for r in filter_robots_allowed(urls, rules,
+                                              keep_denied=True).collect()}
+    assert flagged == {1: False, 2: True, 3: True, 4: True, 5: True,
+                       6: True}
+    # default mode drops denied rows
+    kept = {r.doc_id
+            for r in filter_robots_allowed(urls, rules).collect()}
+    assert kept == {2, 3, 4, 5, 6}
+
+
+def test_robots_filter_broadcasts_and_stays_codegen(spark):
+    from etl_mark1_spark.operators.web import (filter_robots_allowed,
+                                               robots_rules)
+
+    robots = spark.createDataFrame(
+        [("s.example", "User-agent: *\nDisallow: /x/")],
+        "domain string, robots_txt string")
+    urls = spark.createDataFrame([(1, "https://s.example/x/1")],
+                                 "doc_id bigint, url string")
+    out = filter_robots_allowed(urls, robots_rules(robots, "b"),
+                                keep_denied=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the corpus side carries no Python (the parser ran on the tiny side)
+    assert plan.count("ArrowEvalPython") <= 1
