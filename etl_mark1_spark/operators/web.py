@@ -317,5 +317,15 @@ def _register_steps() -> None:
 
     register_operator("domain_blocklist", _blocklist)
 
+    def _robots(df, p):
+        robots = df.sparkSession.createDataFrame(
+            list(p["robots"].items()), ["domain", "robots_txt"])
+        rules = robots_rules(robots, p.get("user_agent", "*"))
+        return filter_robots_allowed(
+            df, rules, url_col=p.get("column", "url"),
+            keep_denied=bool(p.get("keep_denied", False)))
+
+    register_operator("robots_filter", _robots)
+
 
 _register_steps()

@@ -297,3 +297,16 @@ def test_robots_filter_broadcasts_and_stays_codegen(spark):
     assert "BroadcastHashJoin" in plan
     # the corpus side carries no Python (the parser ran on the tiny side)
     assert plan.count("ArrowEvalPython") <= 1
+
+
+def test_robots_filter_step_operator(spark):
+    from etl_mark1_spark.operators.steps import apply_steps
+
+    df = spark.createDataFrame(
+        [(1, "https://s.example/keep"), (2, "https://s.example/no/x")],
+        "doc_id bigint, url string")
+    out = apply_steps(df, [{
+        "operator": "robots_filter",
+        "params": {"robots": {"s.example": "User-agent: *\nDisallow: /no/"},
+                   "user_agent": "trainingbot"}}])
+    assert [r.doc_id for r in out.collect()] == [1]
