@@ -55,8 +55,11 @@ def test_compiled_expression_matches_mllib_probabilities(spark):
                                 outputCol="features").transform(rows)
     lr = LogisticRegression(maxIter=100, regParam=0.0,
                             standardization=False).fit(assembled)
-    mllib = {r.doc_id: float(r.probability[1])
-             for r in lr.transform(assembled).collect()}
+    # predictProbability driver-side: transform() would ship the model in
+    # a task closure, and LogisticRegressionModel.trainingSummary is not
+    # java-serializable under every conf the suite runs with
+    mllib = {r.doc_id: float(lr.predictProbability(r.features)[1])
+             for r in assembled.select("doc_id", "features").collect()}
 
     ours = {r.doc_id: r.p for r in labeled.select(
         "doc_id",
