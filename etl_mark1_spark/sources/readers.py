@@ -31,6 +31,40 @@ def detect_format(file_path: str) -> str:
     return ext if ext in KNOWN_FORMATS else "csv"
 
 
+def _sniff_delimiter(path: str) -> str:
+    """``read_csv_auto`` delimiter-sniff parity (duckdb_engine.py:253):
+    pick the candidate (comma, tab, semicolon, pipe) with the highest
+    count consistently present across the first lines of the first local
+    file; comma when nothing wins or the path is remote/unreadable (the
+    same local-sniff scope as the parquet footer probe — at scale pass
+    ``sep=`` explicitly)."""
+    import glob
+
+    cand = path
+    if os.path.isdir(path):
+        files = sorted(f for f in glob.glob(os.path.join(path, "*"))
+                       if os.path.isfile(f) and not
+                       os.path.basename(f).startswith(("_", ".")))
+        if not files:
+            return ","
+        cand = files[0]
+    elif not os.path.isfile(path):
+        return ","
+    try:
+        with open(cand, "r", errors="replace") as fh:
+            lines = [ln for ln in fh.read(8192).splitlines() if ln][:5]
+    except OSError:
+        return ","
+    if not lines:
+        return ","
+    best, best_n = ",", 0
+    for d in (",", "\t", ";", "|"):
+        n = min(line.count(d) for line in lines)
+        if n > best_n:
+            best, best_n = d, n
+    return best
+
+
 def read_file(
     spark: SparkSession,
     path: str,
@@ -74,6 +108,8 @@ def read_file(
             reader = reader.schema(schema)
         return reader.load(path)
     if fmt in ("csv", "txt", "xml"):
+        if "sep" not in options and "delimiter" not in options:
+            options["sep"] = _sniff_delimiter(path)
         reader = (
             spark.read.option("header", options.pop("header", True))
             .option("inferSchema", schema is None)

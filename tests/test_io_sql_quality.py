@@ -462,3 +462,32 @@ def test_training_shards_jsonl_gzip(spark, sf_dir, tmp_path):
     for fa, fb in zip(a, b):
         with gzip.open(fa, "rb") as ha, gzip.open(fb, "rb") as hb:
             assert ha.read() == hb.read()
+
+
+def test_csv_delimiter_sniffing_read_csv_auto_parity(spark, tmp_path):
+    """read_csv_auto parity: tab/semicolon/pipe files parse into real
+    columns without an explicit sep; explicit sep always wins; comma
+    files are unchanged."""
+    from etl_mark1_spark.sources.readers import read_file
+
+    cases = {"t.tsv": "a\tb\n1\tx\n2\ty\n",
+             "s.csv": "a;b\n1;x\n2;y\n",
+             "p.txt": "a|b\n1|x\n2|y\n",
+             "c.csv": "a,b\n1,x\n2,y\n"}
+    for name, body in cases.items():
+        p = tmp_path / name
+        p.write_text(body)
+        df = read_file(spark, str(p), file_format="csv")
+        assert df.columns == ["a", "b"], (name, df.columns)
+        assert df.count() == 2
+
+    # explicit sep overrides the sniff
+    q = tmp_path / "explicit.csv"
+    q.write_text("a;b\n1;x\n")
+    df = read_file(spark, str(q), file_format="csv", sep=",")
+    assert df.columns == ["a;b"]
+
+    # single-column file defaults to comma without exploding
+    r = tmp_path / "one.csv"
+    r.write_text("a\n1\n2\n")
+    assert read_file(spark, str(r), file_format="csv").columns == ["a"]
