@@ -31,13 +31,20 @@ def detect_format(file_path: str) -> str:
     return ext if ext in KNOWN_FORMATS else "csv"
 
 
-def _sniff_delimiter(path: str) -> str:
-    """``read_csv_auto`` delimiter-sniff parity (duckdb_engine.py:253):
-    pick the candidate (comma, tab, semicolon, pipe) with the highest
-    count consistently present across the first lines of the first local
-    file; comma when nothing wins or the path is remote/unreadable (the
-    same local-sniff scope as the parquet footer probe — at scale pass
-    ``sep=`` explicitly)."""
+def _sniff_csv(path: str) -> tuple[str, bool]:
+    """``read_csv_auto`` sniff parity (duckdb_engine.py:253), local-probe
+    scope (same as the parquet footer probe — at scale pass ``sep=`` /
+    ``header=`` explicitly):
+
+    - delimiter: the candidate (comma, tab, semicolon, pipe) with the
+      highest count consistently present across the first lines of the
+      first local file; comma when nothing wins or the path is remote.
+    - header: False when the first line itself contains a numeric field
+      (a header row of data is the strong headerless signal — without
+      this a headerless numeric CSV silently loses its first row to the
+      column names); True otherwise. Narrower than DuckDB's full
+      type-contrast heuristic by design: all-text files keep the
+      header=True default this engine has always used."""
     import glob
 
     cand = path
@@ -46,23 +53,33 @@ def _sniff_delimiter(path: str) -> str:
                        if os.path.isfile(f) and not
                        os.path.basename(f).startswith(("_", ".")))
         if not files:
-            return ","
+            return ",", True
         cand = files[0]
     elif not os.path.isfile(path):
-        return ","
+        return ",", True
     try:
         with open(cand, "r", errors="replace") as fh:
             lines = [ln for ln in fh.read(8192).splitlines() if ln][:5]
     except OSError:
-        return ","
+        return ",", True
     if not lines:
-        return ","
+        return ",", True
     best, best_n = ",", 0
     for d in (",", "\t", ";", "|"):
         n = min(line.count(d) for line in lines)
         if n > best_n:
             best, best_n = d, n
-    return best
+
+    def _numeric(f: str) -> bool:
+        try:
+            float(f)
+            return True
+        except ValueError:
+            return False
+
+    header = not any(_numeric(f.strip().strip('"'))
+                     for f in lines[0].split(best) if f.strip())
+    return best, header
 
 
 def read_file(
@@ -109,7 +126,9 @@ def read_file(
         return reader.load(path)
     if fmt in ("csv", "txt", "xml"):
         if "sep" not in options and "delimiter" not in options:
-            options["sep"] = _sniff_delimiter(path)
+            sep, header = _sniff_csv(path)
+            options["sep"] = sep
+            options.setdefault("header", header)
         reader = (
             spark.read.option("header", options.pop("header", True))
             .option("inferSchema", schema is None)

@@ -491,3 +491,22 @@ def test_csv_delimiter_sniffing_read_csv_auto_parity(spark, tmp_path):
     r = tmp_path / "one.csv"
     r.write_text("a\n1\n2\n")
     assert read_file(spark, str(r), file_format="csv").columns == ["a"]
+
+
+def test_csv_header_sniffing_headerless_numeric(spark, tmp_path):
+    from etl_mark1_spark.sources.readers import read_file
+
+    # headerless numeric csv: first row is DATA, must not become names
+    p = tmp_path / "nohdr.csv"
+    p.write_text("1,alpha\n2,beta\n3,gamma\n")
+    df = read_file(spark, str(p), file_format="csv")
+    assert df.count() == 3
+    assert df.columns == ["_c0", "_c1"]
+
+    # headered file unchanged; explicit header always wins
+    q = tmp_path / "hdr.csv"
+    q.write_text("id,name\n1,alpha\n")
+    assert read_file(spark, str(q), file_format="csv").columns == [
+        "id", "name"]
+    forced = read_file(spark, str(p), file_format="csv", header=True)
+    assert forced.count() == 2
