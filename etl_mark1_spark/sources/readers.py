@@ -17,9 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 #: Formats the reference accepts at upload (backend/services/file_service.py:61),
-#: plus extension formats (warc — sources/warc.py).
+#: plus extension formats (warc — sources/warc.py; tar WebDataset shards —
+#: sources/webdataset.py).
 KNOWN_FORMATS = ("csv", "json", "xlsx", "parquet", "orc", "xml", "txt",
-                 "pdf", "warc")
+                 "pdf", "warc", "tar")
 
 
 def detect_format(file_path: str) -> str:
@@ -156,6 +157,10 @@ def read_file(
         from .warc import read_warc
 
         return read_warc(spark, path, **options)
+    if fmt in ("tar", "webdataset"):
+        from .webdataset import read_webdataset
+
+        return read_webdataset(spark, path, **options)
     raise ValueError(f"unsupported format: {fmt}")
 
 

@@ -116,3 +116,13 @@ def test_write_webdataset_null_members_skipped(spark, tmp_path):
         .orderBy("key").collect()
     assert bytes(back[0].txt) == b"has caption"
     assert back[1].txt is None and bytes(back[1].jpg) == b"img2"
+
+
+def test_tar_format_autodetect_and_read_file(spark, tmp_path):
+    from etl_mark1_spark.sources.readers import detect_format, read_file
+
+    assert detect_format("shard-00001.tar") == "tar"
+    p = tmp_path / "s.tar"
+    p.write_bytes(make_webdataset_tar(SAMPLES))
+    df = read_file(spark, str(p))
+    assert df.count() == 2 and "txt" in df.columns
