@@ -305,3 +305,58 @@ def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id").limit(200)
     media = resize_images(attach_jpeg_media(docs), 12, 10, codec="real")
     return decode_images(media, codec="real")
+
+
+@query("image_exif_docs", """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE CAST(doc_id % 8 + 1 AS INT) END AS exif_orientation,
+       CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 'CamCo' END AS exif_make,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'M' || (doc_id % 4) END AS exif_model,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE '2026:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2,
+                                    '0') || ' 12:00:00'
+       END AS exif_datetime_original,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE CAST(16 + doc_id % 16 AS INT) END AS exif_pixel_x,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE CAST(12 + doc_id % 12 AS INT) END AS exif_pixel_y
+FROM documents
+""")
+def image_exif_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction at corpus scale: real vendored-encoder JPEGs get a
+    spec-shaped APP1 spliced in (byte order alternating little/big endian
+    per doc; every 5th image carries NO EXIF and must surface NULLs),
+    then the parser recovers every tag. The oracle states the planted
+    values from the synthesis branches."""
+    from etl_mark1_spark.operators.jpeg import insert_app1, make_exif_app1
+    from etl_mark1_spark.operators.multimodal import (attach_jpeg_media,
+                                                      with_image_exif)
+
+    media = attach_jpeg_media(t(spark, sf_dir, "documents")
+                              .select("doc_id"))
+
+    def tag(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf["doc_id"], pdf["content"]):
+                did = int(rid)
+                if did % 5 == 4:
+                    rows.append((did, bytes(content)))
+                    continue
+                app1 = make_exif_app1(
+                    orientation=did % 8 + 1, make="CamCo",
+                    model=f"M{did % 4}",
+                    datetime_original=f"2026:01:{did % 28 + 1:02d} "
+                                      "12:00:00",
+                    pixel_x=16 + did % 16, pixel_y=12 + did % 12,
+                    big_endian=bool(did % 2))
+                rows.append((did, insert_app1(bytes(content), app1)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    tagged = media.select("doc_id", "content").mapInPandas(
+        tag, "doc_id bigint, content binary")
+    return with_image_exif(tagged)

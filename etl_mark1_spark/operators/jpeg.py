@@ -934,3 +934,166 @@ def _sof_dims(payload: bytes) -> tuple[int, int]:
             continue
         pos += 2 + int.from_bytes(payload[pos + 2:pos + 4], "big")
     raise ValueError("JPEG: no SOF marker")
+
+
+# ---------------------------------------------------------------------------
+# EXIF (APP1) metadata — build + parse
+# ---------------------------------------------------------------------------
+#
+# EXIF rides in an APP1 segment as a TIFF structure ("Exif\0\0" + byte-order
+# header + IFD0), per JEITA CP-3451. The subset here is the curation-relevant
+# one: orientation (auto-rotate before any pixel op), camera make/model,
+# capture time, and the Exif-subIFD pixel dimensions. Parsing is TOLERANT —
+# metadata is advisory, so absent or malformed EXIF yields {} rather than
+# failing the document (the opposite of the WARC walker, where truncation is
+# data loss and raises).
+
+_EXIF_IFD0 = {0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+              0x0132: "datetime"}
+_EXIF_SUB = {0x9003: "datetime_original", 0xA002: "pixel_x",
+             0xA003: "pixel_y"}
+_EXIF_POINTER = 0x8769
+
+
+def make_exif_app1(orientation: int | None = 1, make: str | None = None,
+                   model: str | None = None,
+                   datetime_original: str | None = None,
+                   pixel_x: int | None = None, pixel_y: int | None = None,
+                   big_endian: bool = False) -> bytes:
+    """A complete APP1 segment (FF E1 + length + Exif TIFF body) carrying
+    the given tags, in either byte order — the fixture builder for tests
+    and catalog entries."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+
+    def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
+        return struct.pack(bo + "HHI", tag, typ, count) + value.ljust(4,
+                                                                      b"\0")
+
+    ifd0 = []
+    sub = []
+    extra = b""  # out-of-line ASCII values, appended after both IFDs
+
+    # layout: TIFF header (8) + IFD0 + [sub IFD] + out-of-line data.
+    # Sizes are known up front, so offsets resolve in one pass.
+    n_ifd0 = sum(x is not None for x in (make, model, orientation))
+    has_sub = any(v is not None for v in (datetime_original, pixel_x,
+                                          pixel_y))
+    if has_sub:
+        n_ifd0 += 1
+    n_sub = sum(v is not None for v in (datetime_original, pixel_x,
+                                        pixel_y))
+    ifd0_off = 8
+    ifd0_size = 2 + 12 * n_ifd0 + 4
+    sub_off = ifd0_off + ifd0_size
+    sub_size = (2 + 12 * n_sub + 4) if has_sub else 0
+    data_off = sub_off + sub_size
+    import struct as _s
+
+    def build_ascii(tag: int, s: str) -> bytes:
+        nonlocal extra, data_off
+        data = s.encode("ascii") + b"\0"
+        if len(data) <= 4:
+            return entry(tag, 2, len(data), data)
+        e = entry(tag, 2, len(data), _s.pack(bo + "I", data_off))
+        extra += data
+        data_off += len(data)
+        return e
+
+    if make is not None:
+        ifd0.append(build_ascii(0x010F, make))
+    if model is not None:
+        ifd0.append(build_ascii(0x0110, model))
+    if orientation is not None:
+        ifd0.append(entry(0x0112, 3, 1, _s.pack(bo + "H", orientation)))
+    if has_sub:
+        ifd0.append(entry(_EXIF_POINTER, 4, 1, _s.pack(bo + "I", sub_off)))
+    if datetime_original is not None:
+        sub.append(build_ascii(0x9003, datetime_original))
+    if pixel_x is not None:
+        sub.append(entry(0xA002, 4, 1, _s.pack(bo + "I", pixel_x)))
+    if pixel_y is not None:
+        sub.append(entry(0xA003, 4, 1, _s.pack(bo + "I", pixel_y)))
+
+    tiff = (b"II*\0" if not big_endian else b"MM\0*") \
+        + _s.pack(bo + "I", ifd0_off) \
+        + _s.pack(bo + "H", len(ifd0)) + b"".join(sorted(ifd0)) \
+        + _s.pack(bo + "I", 0)
+    if has_sub:
+        tiff += _s.pack(bo + "H", len(sub)) + b"".join(sorted(sub)) \
+            + _s.pack(bo + "I", 0)
+    tiff += extra
+    body = b"Exif\0\0" + tiff
+    return b"\xff\xe1" + _s.pack(">H", len(body) + 2) + body
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def parse_exif(jpeg: bytes) -> dict:
+    """EXIF tags from a JPEG's APP1 segment: ``orientation`` (int),
+    ``make``/``model``/``datetime_original`` (str), ``pixel_x``/
+    ``pixel_y`` (int) — whichever are present. Both byte orders. Returns
+    ``{}`` for images without EXIF or with malformed EXIF (tolerant by
+    design; metadata is advisory)."""
+    import struct
+
+    try:
+        if jpeg[:2] != b"\xff\xd8":
+            return {}
+        i = 2
+        body = None
+        while i + 4 <= len(jpeg):
+            if jpeg[i] != 0xFF:
+                return {}
+            marker = jpeg[i + 1]
+            if marker in (0xD9, 0xDA):
+                break
+            seg_len = struct.unpack(">H", jpeg[i + 2:i + 4])[0]
+            if marker == 0xE1 and jpeg[i + 4:i + 10] == b"Exif\0\0":
+                body = jpeg[i + 10:i + 2 + seg_len]
+                break
+            i += 2 + seg_len
+        if body is None or len(body) < 8:
+            return {}
+        if body[:4] == b"II*\0":
+            bo = "<"
+        elif body[:4] == b"MM\0*":
+            bo = ">"
+        else:
+            return {}
+
+        def read_ifd(off: int, tag_names: dict) -> dict:
+            out = {}
+            n = struct.unpack_from(bo + "H", body, off)[0]
+            for k in range(n):
+                tag, typ, count = struct.unpack_from(
+                    bo + "HHI", body, off + 2 + 12 * k)
+                voff = off + 2 + 12 * k + 8
+                if typ == 2:  # ASCII
+                    if count > 4:
+                        voff = struct.unpack_from(bo + "I", body, voff)[0]
+                    raw = body[voff:voff + count]
+                    val = raw.split(b"\0", 1)[0].decode("ascii",
+                                                        errors="replace")
+                elif typ == 3:  # SHORT
+                    val = struct.unpack_from(bo + "H", body, voff)[0]
+                elif typ == 4:  # LONG
+                    val = struct.unpack_from(bo + "I", body, voff)[0]
+                else:
+                    continue
+                if tag == _EXIF_POINTER:
+                    out.update(read_ifd(val, _EXIF_SUB))
+                elif tag in tag_names:
+                    out[tag_names[tag]] = val
+            return out
+
+        ifd0_off = struct.unpack_from(bo + "I", body, 4)[0]
+        return read_ifd(ifd0_off, _EXIF_IFD0)
+    except (struct.error, IndexError, UnicodeDecodeError):
+        return {}

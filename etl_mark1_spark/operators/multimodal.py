@@ -1377,3 +1377,40 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
         df.select(F.col(id_col), F.col("content"), F.col("media_meta"), ts)
         .select(id_col, "frame_ms", frame.alias("frame"))
     )
+
+
+def with_image_exif(df: DataFrame, content_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """EXIF metadata columns from JPEG payloads
+    (operators/jpeg.py:parse_exif): ``(id, exif_orientation int,
+    exif_make string, exif_model string, exif_datetime_original string,
+    exif_pixel_x int, exif_pixel_y int)`` — NULL where a tag (or all of
+    EXIF) is absent. Orientation is the one every image pipeline must
+    read BEFORE any pixel op (resize/hash of an unrotated portrait is a
+    different image). Partition-preserving mapInPandas; payloads never
+    shuffle."""
+    from etl_mark1_spark.operators.jpeg import parse_exif
+
+    id_field = df.schema[id_col]
+    schema = (f"{id_col} {id_field.dataType.simpleString()}, "
+              "exif_orientation int, exif_make string, exif_model string, "
+              "exif_datetime_original string, exif_pixel_x int, "
+              "exif_pixel_y int")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                tags = parse_exif(bytes(content)) if content is not None \
+                    else {}
+                rows.append((rid, tags.get("orientation"),
+                             tags.get("make"), tags.get("model"),
+                             tags.get("datetime_original"),
+                             tags.get("pixel_x"), tags.get("pixel_y")))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "exif_orientation", "exif_make", "exif_model",
+                "exif_datetime_original", "exif_pixel_x", "exif_pixel_y"])
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)

@@ -1577,3 +1577,69 @@ def test_dedup_ingest_sink_dedups_across_batches_and_drains(spark, tmp_path):
     assert kept3 == {0, 1, 11, 21}  # 20 near-dups doc 11 from drain 1
     assert {r.doc_id
             for r in read_table(spark, index_dir).collect()} == kept3
+
+
+# -- EXIF metadata ---------------------------------------------------------------
+
+def test_exif_roundtrip_both_byte_orders():
+    from etl_mark1_spark.operators.jpeg import (insert_app1, make_exif_app1,
+                                                make_jpeg, parse_exif)
+
+    jp = make_jpeg([[10, 20], [30, 40]])
+    want = {"make": "CamCo", "model": "M3", "orientation": 6,
+            "datetime_original": "2026:08:15 12:00:00",
+            "pixel_x": 640, "pixel_y": 480}
+    for be in (False, True):
+        app1 = make_exif_app1(orientation=6, make="CamCo", model="M3",
+                              datetime_original="2026:08:15 12:00:00",
+                              pixel_x=640, pixel_y=480, big_endian=be)
+        assert parse_exif(insert_app1(jp, app1)) == want
+    # partial tags; short ASCII inline path (<= 4 bytes incl. NUL)
+    assert parse_exif(insert_app1(jp, make_exif_app1(
+        orientation=2, make="X"))) == {"orientation": 2, "make": "X"}
+
+
+def test_exif_tolerant_on_absent_and_malformed():
+    from etl_mark1_spark.operators.jpeg import (insert_app1, make_exif_app1,
+                                                make_jpeg, parse_exif)
+
+    jp = make_jpeg([[10, 20], [30, 40]])
+    assert parse_exif(jp) == {}
+    assert parse_exif(b"\xff\xd8\xff\xe1\x00\x08Exif\0\0") == {}
+    assert parse_exif(b"not a jpeg") == {}
+    # truncated APP1 bodies never raise
+    app1 = make_exif_app1(orientation=6, make="CamCo", pixel_x=9)
+    full = insert_app1(jp, app1)
+    for cut in range(4, len(app1), 7):
+        broken = jp[:2] + app1[:cut] + jp[2:]
+        assert isinstance(parse_exif(broken), dict)
+    assert parse_exif(full)["orientation"] == 6
+
+
+def test_exif_decode_unaffected_by_app1():
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import (decode_jpeg, insert_app1,
+                                                make_exif_app1, make_jpeg)
+
+    jp = make_jpeg([[0, 128], [128, 255]])
+    plain = decode_jpeg(jp)
+    tagged = decode_jpeg(insert_app1(jp, make_exif_app1(orientation=8)))
+    assert np.array_equal(plain, tagged)
+
+
+def test_with_image_exif_dataframe(spark):
+    from etl_mark1_spark.operators.jpeg import (insert_app1, make_exif_app1,
+                                                make_jpeg)
+    from etl_mark1_spark.operators.multimodal import with_image_exif
+
+    jp = make_jpeg([[10, 20], [30, 40]])
+    rows = [(1, insert_app1(jp, make_exif_app1(orientation=6,
+                                               make="CamCo"))),
+            (2, jp),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    out = {r.doc_id: r for r in with_image_exif(df).collect()}
+    assert out[1].exif_orientation == 6 and out[1].exif_make == "CamCo"
+    assert out[2].exif_orientation is None
+    assert out[3].exif_make is None
