@@ -360,3 +360,50 @@ def image_exif_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = media.select("doc_id", "content").mapInPandas(
         tag, "doc_id bigint, content binary")
     return with_image_exif(tagged)
+
+
+@query("image_autorotate_docs", """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 8 + 1 >= 5
+                 THEN 10 + doc_id % 3 ELSE 16 + doc_id % 5 END AS INT)
+           AS width,
+       CAST(CASE WHEN doc_id % 8 + 1 >= 5
+                 THEN 16 + doc_id % 5 ELSE 10 + doc_id % 3 END AS INT)
+           AS height
+FROM documents
+""")
+def image_autorotate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF auto-rotation end to end: per-doc JPEGs of planted dimensions
+    carry every orientation 1-8 in rotation; after normalization the
+    output dimensions must swap exactly for the transposing orientations
+    (5-8) and hold for 1-4 — stated by the oracle from the planted
+    (width, height, orientation) arithmetic. Pixel-level correctness is
+    pinned by tests; this entry pins the corpus-scale wiring."""
+    from etl_mark1_spark.operators.multimodal import normalize_orientation
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_mark1_spark.operators.jpeg import (insert_app1,
+                                                    make_exif_app1,
+                                                    make_jpeg)
+
+        for pdf in batches:
+            rows = []
+            for rid in pdf["doc_id"]:
+                did = int(rid)
+                w0, h0 = 16 + did % 5, 10 + did % 3
+                grad = (np.add.outer(np.arange(h0), np.arange(w0)) * 9
+                        % 256).astype(np.uint8)
+                jp = insert_app1(
+                    make_jpeg(grad.tolist()),
+                    make_exif_app1(orientation=did % 8 + 1,
+                                   big_endian=bool(did % 2)))
+                rows.append((did, jp))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = d.mapInPandas(build, "doc_id bigint, content binary")
+    return normalize_orientation(media).select("doc_id", "width", "height")

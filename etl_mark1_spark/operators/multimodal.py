@@ -1414,3 +1414,70 @@ def with_image_exif(df: DataFrame, content_col: str = "content",
                 "exif_datetime_original", "exif_pixel_x", "exif_pixel_y"])
 
     return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def apply_exif_orientation(pixels, orientation: int | None):
+    """The 8 EXIF orientation transforms (CP-3451 table) applied to a
+    decoded pixel array — the normalization every image pipeline runs
+    before resize/hash (an unrotated portrait hashes as a different
+    image). 1/None = identity; 2 = mirror; 3 = rotate 180; 4 = flip
+    vertical; 5 = transpose; 6 = rotate 90 CW; 7 = transverse;
+    8 = rotate 90 CCW. Pure numpy, O(1) views where possible."""
+    import numpy as np
+
+    if orientation in (None, 1):
+        return pixels
+    if orientation == 2:
+        return np.flip(pixels, axis=1)
+    if orientation == 3:
+        return np.flip(np.flip(pixels, axis=0), axis=1)
+    if orientation == 4:
+        return np.flip(pixels, axis=0)
+    if orientation == 5:
+        return np.swapaxes(pixels, 0, 1)
+    if orientation == 6:
+        return np.flip(np.swapaxes(pixels, 0, 1), axis=1)
+    if orientation == 7:
+        return np.flip(np.flip(np.swapaxes(pixels, 0, 1), 0), 1)
+    if orientation == 8:
+        return np.flip(np.swapaxes(pixels, 0, 1), axis=0)
+    raise ValueError(f"EXIF orientation out of range: {orientation}")
+
+
+def normalize_orientation(df: DataFrame, content_col: str = "content",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Auto-rotate JPEG payloads per their EXIF orientation: decode,
+    apply the orientation transform, re-encode as BMP (orientation
+    consumed, so none is re-attached): ``(id, content binary, width,
+    height)`` with post-rotation dimensions. Images without EXIF (or
+    orientation 1) pass through the same decode/re-encode path, so the
+    output column is uniformly BMP. Partition-preserving mapInPandas —
+    payloads never shuffle."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import parse_exif
+
+    id_field = df.schema[id_col]
+    schema = (f"{id_col} {id_field.dataType.simpleString()}, "
+              "content binary, width int, height int")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(content)
+                pix = decode_image_pixels(data)
+                ori = parse_exif(data).get("orientation")
+                pix = apply_exif_orientation(pix, ori)
+                if pix.ndim == 2:
+                    pix = np.stack([pix] * 3, axis=-1)
+                elif pix.ndim == 3 and pix.shape[2] == 1:
+                    pix = np.repeat(pix, 3, axis=2)
+                rows.append((rid, make_bmp(pix), int(pix.shape[1]),
+                             int(pix.shape[0])))
+            yield pd.DataFrame(rows, columns=[id_col, "content", "width",
+                                              "height"])
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)

@@ -1643,3 +1643,59 @@ def test_with_image_exif_dataframe(spark):
     assert out[1].exif_orientation == 6 and out[1].exif_make == "CamCo"
     assert out[2].exif_orientation is None
     assert out[3].exif_make is None
+
+
+def test_apply_exif_orientation_all_eight():
+    """Differential against the defining operations: each orientation is
+    a composition of transpose/flips; applying the transform then its
+    known inverse must restore the original."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_mark1_spark.operators.multimodal import apply_exif_orientation
+
+    a = np.arange(24).reshape(2, 4, 3)
+    assert np.array_equal(apply_exif_orientation(a, 1), a)
+    assert np.array_equal(apply_exif_orientation(a, None), a)
+    assert np.array_equal(apply_exif_orientation(a, 2), a[:, ::-1])
+    assert np.array_equal(apply_exif_orientation(a, 3), a[::-1, ::-1])
+    assert np.array_equal(apply_exif_orientation(a, 4), a[::-1, :])
+    t = np.swapaxes(a, 0, 1)
+    assert np.array_equal(apply_exif_orientation(a, 5), t)
+    assert np.array_equal(apply_exif_orientation(a, 6), t[:, ::-1])
+    assert np.array_equal(apply_exif_orientation(a, 7), t[::-1, ::-1])
+    assert np.array_equal(apply_exif_orientation(a, 8), t[::-1, :])
+    # rotations change dims for non-square images
+    assert apply_exif_orientation(a, 6).shape == (4, 2, 3)
+    # inverses: 6 (90 CW) undone by 8 (90 CCW); involutions undo selves
+    for o, inv in ((2, 2), (3, 3), (4, 4), (5, 5), (6, 8), (7, 7), (8, 6)):
+        assert np.array_equal(
+            apply_exif_orientation(apply_exif_orientation(a, o), inv), a)
+    with _pytest.raises(ValueError, match="orientation"):
+        apply_exif_orientation(a, 9)
+
+
+def test_normalize_orientation_dataframe(spark):
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import (insert_app1, make_exif_app1,
+                                                make_jpeg)
+    from etl_mark1_spark.operators.multimodal import (decode_image_pixels,
+                                                      normalize_orientation)
+
+    # 2x4 landscape, distinct corner values survive q95 well enough to
+    # compare via the re-decoded reference pixels
+    base = [[0, 60, 120, 180], [255, 200, 140, 80]]
+    jp = make_jpeg(base)
+    ref = decode_image_pixels(jp)          # post-codec reference pixels
+    rows = [(1, insert_app1(jp, make_exif_app1(orientation=6))),
+            (2, insert_app1(jp, make_exif_app1(orientation=3))),
+            (3, jp)]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    out = {r.doc_id: r for r in normalize_orientation(df).collect()}
+    assert (out[1].width, out[1].height) == (2, 4)   # rotated 90
+    assert (out[2].width, out[2].height) == (4, 2)   # rotated 180
+    assert (out[3].width, out[3].height) == (4, 2)   # untouched dims
+    got1 = decode_image_pixels(bytes(out[1].content))
+    want1 = np.flip(np.swapaxes(np.stack([ref] * 3, -1), 0, 1), 1)
+    assert np.array_equal(got1, want1)
