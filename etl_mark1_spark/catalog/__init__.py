@@ -92,11 +92,13 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
 #:   * 43 FRESH — never appeared in any CORRECTNESS_r0x snapshot (in
 #:     historical registration order, plus ``streaming_session_window``
 #:     pulled forward so the streaming family finally gets a driver row).
-#: After this round's rotation, 18 pre-round-7 oracle-exact entries remain
-#: never-driver-checked, plus the 14 oracle-exact entries round 7 ADDED
-#: after the prefix was fixed (html/warc/encoding/lines/sentences/script/
-#: webdataset/compaction/datacard/bpe-roundtrip families) — 32 in all; one
-#: more 50-slot rotation (with sentinels) covers the full set.
+#: After this round's rotation, 48 oracle-carrying entries remain outside
+#: every CORRECTNESS snapshot so far: the 18 pre-round-7 stragglers plus
+#: the entries round 7 ADDED after this prefix was fixed (html/warc/
+#: encoding+mime/lines/sentences/script/webdataset/compaction/datacard/
+#: bpe-roundtrip/quality-lr/robots/exif families; count includes their
+#: band-checked members). One more 50-slot rotation (with sentinels)
+#: covers the full oracle-exact set.
 DRIVER_PREFIX = [
     # re-tests (r6 type-contract reds, fixed this round)
     "collect_set_priorities",
