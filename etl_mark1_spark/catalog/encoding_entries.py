@@ -123,3 +123,34 @@ def sniff_mime_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(tb))
     return d.select("doc_id",
                     sniff_mime(body).alias("mime"))
+
+
+@query("unicode_nfc_docs", """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN text
+           ELSE 'café résumé — ' || text
+       END AS norm_text,
+       doc_id % 3 = 1 AS changed
+FROM documents
+""")
+def unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC canonicalization over a mixed-composition corpus: a third of
+    the docs carry the DECOMPOSED spelling of an accented lead (e +
+    combining acute, 'changed' must flip), a third the composed spelling
+    (already canonical — untouched), a third plain ASCII. The oracle
+    builds the expected composed text with DuckDB's own nfc_normalize-
+    independent literal arithmetic (composed literals + chr-spliced
+    combining marks on the input side only)."""
+    from etl_mark1_spark.operators.encoding import normalize_unicode
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    decomposed = "café résumé — "   # e + U+0301
+    composed = "café résumé — "                        # precomposed
+    text = (F.when(did % 3 == 1,
+                   F.concat(F.lit(decomposed), F.col("text")))
+             .when(did % 3 == 2,
+                   F.concat(F.lit(composed), F.col("text")))
+             .otherwise(F.col("text")))
+    return normalize_unicode(d.select("doc_id", text.alias("text")))

@@ -49,6 +49,8 @@ __all__ = [
     "decode_text",
     "fix_mojibake_text",
     "fix_mojibake",
+    "normalize_unicode",
+    "sniff_mime",
 ]
 
 
@@ -182,6 +184,36 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", form: str = "NFC",
+                      out_col: str = "norm_text") -> DataFrame:
+    """Unicode normalization (NFC by default): composed ``é`` and
+    decomposed ``e + U+0301`` are DIFFERENT strings to every hash, join,
+    and dedup key while rendering identically — a corpus mixing sources
+    must canonicalize before fingerprinting or exact dedup silently
+    misses duplicates. Adds ``out_col`` (+ ``changed`` flag so the
+    corpus-health rollup is one groupBy away). Arrow-batched map-side
+    pandas transform (the JVM has no normalization expression); NFKC
+    additionally folds compatibility forms (ligatures, fullwidth)."""
+    import unicodedata
+
+    id_field = df.schema[id_col]
+    schema = (f"{id_col} {id_field.dataType.simpleString()}, "
+              f"{out_col} string, changed boolean")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            norm = [unicodedata.normalize(form, s) if s is not None
+                    else None for s in pdf[text_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                out_col: norm,
+                "changed": [n != s for n, s in zip(norm, pdf[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def sniff_mime(col) -> "Column":  # noqa: F821 — pyspark Column
     """Content-type from leading magic bytes — servers lie about
     Content-Type, payloads do not. Covers the formats this engine
@@ -239,6 +271,12 @@ def _register_steps() -> None:
             df, text_col=p.get("column", "text"),
             id_col=p.get("id_column", "doc_id"),
             max_passes=int(p.get("max_passes", 3))))
+    register_operator(
+        "normalize_unicode",
+        lambda df, p: normalize_unicode(
+            df, text_col=p.get("column", "text"),
+            id_col=p.get("id_column", "doc_id"),
+            form=p.get("form", "NFC")))
 
 
 _register_steps()

@@ -202,3 +202,48 @@ def test_sniff_mime_real_codec_payloads(spark):
            df.select("id", sniff_mime("body").alias("m")).collect()}
     for i, _, want in payloads:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_normalize_unicode_nfc_and_nfkc(spark):
+    from etl_mark1_spark.operators.encoding import normalize_unicode
+
+    decomposed = "café"            # e + combining acute
+    composed = "café"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, "plain"), (4, None),
+         (5, "ﬁle Ａwide")],   # fi ligature + fullwidth A
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in normalize_unicode(df).collect()}
+    assert out[1].norm_text == composed and out[1].changed
+    assert out[2].norm_text == composed and not out[2].changed
+    assert out[3].norm_text == "plain" and not out[3].changed
+    assert out[4].norm_text is None
+    assert out[5].norm_text == "ﬁle Ａwide"  # NFC keeps compat
+
+    nfkc = {r.doc_id: r.norm_text for r in
+            normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[5] == "file Awide"      # NFKC folds ligature + fullwidth
+
+    # the dedup consequence: fingerprints agree only after normalization
+    from etl_mark1_spark.functions.text import fingerprint_md5
+    from pyspark.sql import functions as F
+
+    pair = spark.createDataFrame([(1, decomposed), (2, composed)],
+                                 "doc_id bigint, text string")
+    raw = pair.select(fingerprint_md5("text").alias("f")).distinct().count()
+    normed = (normalize_unicode(pair)
+              .select(fingerprint_md5("norm_text").alias("f"))
+              .distinct().count())
+    assert raw == 2 and normed == 1
+
+
+def test_normalize_unicode_step_registered():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from etl_mark1_spark.operators.steps import STEP_OPERATORS; "
+         "assert 'normalize_unicode' in STEP_OPERATORS; print('ok')"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.stdout.strip() == "ok", out.stderr
