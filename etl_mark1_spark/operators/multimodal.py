@@ -330,12 +330,19 @@ def attach_neardup_image_media(df: DataFrame, id_col: str = "doc_id",
 
 def with_image_hash(df: DataFrame, content_col: str = "content",
                     out_col: str = "image_hash",
-                    method: str = "dhash") -> DataFrame:
+                    method: str = "dhash",
+                    normalize_exif: bool = False) -> DataFrame:
     """Add a 64-bit perceptual hash column computed from the binary image
     payload (vendored decoders: BMP/PPM/PGM/JPEG/PNG/GIF). Arrow-batched
     pandas UDF — payloads are hashed where they already live; only the
     8-byte fingerprint ever moves after this projection, so at 100 TB the
-    near-dup pass shuffles longs, not images."""
+    near-dup pass shuffles longs, not images.
+
+    ``normalize_exif=True`` applies the EXIF orientation transform before
+    hashing: a camera-rotated re-save of the same photo otherwise hashes
+    as a different image (dHash is not rotation-invariant BY DESIGN —
+    genuinely rotated content should not merge; EXIF rotation is display
+    metadata, not content)."""
     from pyspark.sql.functions import pandas_udf
 
     try:
@@ -345,10 +352,19 @@ def with_image_hash(df: DataFrame, content_col: str = "content",
             f"unknown image hash method {method!r}; "
             f"choose from {sorted(_IMAGE_HASHES)}")
 
+    if normalize_exif:
+        from etl_mark1_spark.operators.jpeg import parse_exif
+
+        def _pixels(p: bytes):
+            return apply_exif_orientation(
+                decode_image_pixels(p), parse_exif(p).get("orientation"))
+    else:
+        _pixels = decode_image_pixels
+
     @pandas_udf("long")
     def _hash(payloads):
         return pd.Series(
-            [hash_fn(decode_image_pixels(bytes(p))) if p is not None else None
+            [hash_fn(_pixels(bytes(p))) if p is not None else None
              for p in payloads], dtype="Int64")
 
     return df.withColumn(out_col, _hash(F.col(content_col)))
@@ -356,7 +372,8 @@ def with_image_hash(df: DataFrame, content_col: str = "content",
 
 def image_neardup(df: DataFrame, id_col: str = "doc_id",
                   content_col: str = "content", method: str = "dhash",
-                  max_hamming: int = 4) -> DataFrame:
+                  max_hamming: int = 4,
+                  normalize_exif: bool = False) -> DataFrame:
     """Near-duplicate IMAGE clusters: perceptual hash per payload
     (:func:`with_image_hash` — dHash default), then the generic
     banded-hamming LSH clustering shared with SimHash
@@ -368,7 +385,8 @@ def image_neardup(df: DataFrame, id_col: str = "doc_id",
     from etl_mark1_spark.operators.dedup import hamming_neardup
 
     hashed = (with_image_hash(df.select(id_col, content_col),
-                              content_col, "_ih", method)
+                              content_col, "_ih", method,
+                              normalize_exif=normalize_exif)
               .filter(F.col("_ih").isNotNull()))
     return hamming_neardup(hashed.select(id_col, "_ih"), "_ih", id_col,
                            max_hamming)

@@ -1699,3 +1699,42 @@ def test_normalize_orientation_dataframe(spark):
     got1 = decode_image_pixels(bytes(out[1].content))
     want1 = np.flip(np.swapaxes(np.stack([ref] * 3, -1), 0, 1), 1)
     assert np.array_equal(got1, want1)
+
+
+def test_image_neardup_exif_normalized_rotated_resave_reunites(spark):
+    """A camera-rotated re-save (same photo, EXIF orientation 6 + pixels
+    stored rotated) must reunite with the original ONLY when
+    normalize_exif is on — and a genuinely rotated image without EXIF
+    must still NOT merge (rotation is content, metadata is not)."""
+    import numpy as np
+
+    from etl_mark1_spark.operators.jpeg import (insert_app1, make_exif_app1,
+                                                make_jpeg)
+    from etl_mark1_spark.operators.multimodal import (
+        apply_exif_orientation, decode_image_pixels, image_neardup,
+        make_bmp)
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(24, 32), dtype=np.uint8)
+    orig = make_jpeg(base.tolist(), quality=95)
+    # the camera stored the sensor image rotated 90 CW and set
+    # orientation=8 so viewers rotate it back (8 undoes 6)
+    stored = apply_exif_orientation(
+        decode_image_pixels(orig), 6).astype(np.uint8)
+    resave = insert_app1(make_jpeg(stored.tolist(), quality=95),
+                         make_exif_app1(orientation=8))
+    # genuine rotation: same pixels, no EXIF — different content
+    genuine = make_jpeg(stored.tolist(), quality=95)
+
+    df = spark.createDataFrame(
+        [(1, orig), (2, resave), (3, genuine)],
+        "doc_id bigint, content binary")
+
+    plain = {r.doc_id: r.cluster_id
+             for r in image_neardup(df, max_hamming=6).collect()}
+    assert plain[1] != plain[2]          # without EXIF handling: split
+    normed = {r.doc_id: r.cluster_id
+              for r in image_neardup(df, max_hamming=6,
+                                     normalize_exif=True).collect()}
+    assert normed[1] == normed[2]        # metadata rotation undone
+    assert normed[1] != normed[3]        # content rotation still distinct
