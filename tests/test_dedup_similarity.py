@@ -820,3 +820,16 @@ def test_incremental_neardup_verify_is_semi_join_bounded(spark):
         _inc_docs(spark, [(10, BASE_A)]), minhash_index(history), history)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan   # only candidate ids are re-shingled
+
+
+def test_minhash_index_fans_out_compact_file_corpus(spark, sf_dir):
+    """The index build must round-robin a few-split file corpus before
+    shingling — without the exchange the whole CPU-heavy stage runs on
+    one core (measured 16s -> 2s at sf0.1; the bench entry dropped
+    24.5s -> 5.5s when this regressed in round 7)."""
+    from etl_mark1_spark.operators.incremental import minhash_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = minhash_index(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
