@@ -77,6 +77,11 @@ NOTES = {
     "remove_common_lines_docs": (
         "one doc-frequency count shuffle + broadcast membership + one "
         "positional regroup; both shuffles scale linearly in lines"),
+    "incremental_neardup_docs": (
+        "index build is explode + flat min-aggregate (fanned out by "
+        "ensure_parallelism); the probe's bucket join scales with batch "
+        "x bucket-collision count, Caesar-disjoint replicas keep buckets "
+        "flat"),
 }
 
 
