@@ -140,20 +140,13 @@ def write_webdataset_shards(df: DataFrame, path: str,
     return manifest
 
 
-def read_webdataset(spark: SparkSession, path: str,
-                    extensions: tuple[str, ...] = ("txt", "json"),
-                    ) -> DataFrame:
-    """Distributed WebDataset ingest: one row per sample —
-    ``(path, key, <ext> binary ...)`` with one binary column per
-    requested extension (NULL when the sample lacks it; dots in
-    extensions become ``_`` in column names). Decode text members with
-    ``F.decode`` or operators/encoding.py; image/audio members flow
-    straight into the multimodal decoders."""
+def _samples_from_blobs(blobs: DataFrame,
+                        extensions: tuple[str, ...]) -> DataFrame:
+    """Shared walk for the batch and streaming readers: (path, content)
+    blobs → one row per sample."""
     cols = {ext: ext.replace(".", "_") for ext in extensions}
     schema = "path string, key string, " + ", ".join(
         f"{c} binary" for c in cols.values())
-    blobs = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
 
     def walk(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -168,3 +161,36 @@ def read_webdataset(spark: SparkSession, path: str,
                 rows, columns=["path", "key", *cols.values()])
 
     return blobs.mapInPandas(walk, schema=schema)
+
+
+def read_webdataset(spark: SparkSession, path: str,
+                    extensions: tuple[str, ...] = ("txt", "json"),
+                    ) -> DataFrame:
+    """Distributed WebDataset ingest: one row per sample —
+    ``(path, key, <ext> binary ...)`` with one binary column per
+    requested extension (NULL when the sample lacks it; dots in
+    extensions become ``_`` in column names). Decode text members with
+    ``F.decode`` or operators/encoding.py; image/audio members flow
+    straight into the multimodal decoders."""
+    blobs = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    return _samples_from_blobs(blobs, extensions)
+
+
+_BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def stream_webdataset(spark: SparkSession, path: str,
+                      extensions: tuple[str, ...] = ("txt", "json"),
+                      ) -> DataFrame:
+    """Streaming WebDataset ingest: shards keep landing in ``path``, each
+    micro-batch walks only the NEW ones (binaryFile file-source tracking
+    via the query checkpoint) — the same incremental shape as
+    ``sources/warc.py:stream_warc``, so tar-sharded corpora feed
+    dedup-on-ingest or any foreachBatch sink without re-reading history."""
+    blobs = (spark.readStream.format("binaryFile")
+             .schema(_BINARYFILE_SCHEMA)
+             .load(path)
+             .select("path", "content"))
+    return _samples_from_blobs(blobs, extensions)

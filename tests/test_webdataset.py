@@ -126,3 +126,34 @@ def test_tar_format_autodetect_and_read_file(spark, tmp_path):
     p.write_bytes(make_webdataset_tar(SAMPLES))
     df = read_file(spark, str(p))
     assert df.count() == 2 and "txt" in df.columns
+
+
+def test_stream_webdataset_picks_up_only_new_shards(spark, tmp_path):
+    from etl_mark1_spark.sources.webdataset import stream_webdataset
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (shards / "s1.tar").write_bytes(make_webdataset_tar(SAMPLES))
+
+    seen = []
+
+    def grab(batch, _epoch):
+        seen.extend((r.key, bytes(r.txt).decode())
+                    for r in batch.collect())
+
+    def drain():
+        q = (stream_webdataset(spark, str(shards))
+             .writeStream.foreachBatch(grab)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(seen) == [("000001", "first caption"),
+                            ("000002", "second caption")]
+    (shards / "s2.tar").write_bytes(make_webdataset_tar(
+        [{"__key__": "000003", "txt": "third"}]))
+    seen.clear()
+    drain()
+    assert seen == [("000003", "third")]
