@@ -87,13 +87,26 @@ def incremental_neardup(new_docs: DataFrame, index: DataFrame,
     it near-duplicates an already-indexed document or an earlier (smaller
     id) document of the same batch.
 
-    Returns one row per new document: (id_col, dup_of, jaccard_sim) with
-    ``dup_of`` the smallest matching prior id and NULL when the document
-    is unique (accept it; its ``minhash_index`` row joins the index).
-    Membership is decided by EXACT shingle Jaccard >= ``threshold`` —
-    LSH banding and the signature-agreement prefilter only narrow the
-    candidate set (false-drop p <= ~2e-3 per qualifying pair at 12x4
-    banding; the sketches never ADD a false duplicate)."""
+    Returns one row per new document — INCLUDING documents whose text is
+    NULL or too short to shingle, which carry no signature and therefore
+    surface as unique (``dup_of`` NULL); the verdicts are left-joined
+    onto ``new_docs``' id universe, not the signature table, so an ingest
+    sink always sees an explicit accept/reject for every input row.
+    Output: (id_col, dup_of, jaccard_sim) with ``dup_of`` the smallest
+    matching prior id and NULL when the document is unique (accept it;
+    its ``minhash_index`` row joins the index). Membership is decided by
+    EXACT shingle Jaccard >= ``threshold`` — LSH banding and the
+    signature-agreement prefilter only narrow the candidate set
+    (false-drop p <= ~2e-3 per qualifying pair at 12x4 banding; the
+    sketches never ADD a false duplicate).
+
+    Design point: the batch is assumed SMALL relative to the index (a
+    daily ingest against a corpus) — the within-batch self-join pairs
+    batch docs by bucket before the keep-first filter, so a one-shot
+    "ingest the whole corpus as one batch" call degenerates to plain
+    ``minhash_dedup`` cost with none of its clustering; bulk-load a
+    corpus with ``operators/dedup.py:minhash_dedup`` instead and build
+    the index from the survivors."""
     rows_per_band = num_hashes // bands
     # batch signatures fan out to buckets, the estimate prefilter, and
     # the id universe; tiny (48 longs/doc) -> checkpoint once
@@ -153,6 +166,10 @@ def incremental_neardup(new_docs: DataFrame, index: DataFrame,
             .select(F.col("_nid"),
                     F.col("_m._oid").alias("dup_of"),
                     F.col("_m._j").alias("jaccard_sim")))
-    return (new_idx.select(F.col(id_col).alias("_nid"))
+    # Verdicts join back onto new_docs' OWN id universe (not new_idx):
+    # a NULL-text document produces no shingles, hence no signature row,
+    # and joining on new_idx would silently drop it from the output
+    # (round-8 ADVICE) — an ingest sink would neither accept nor reject.
+    return (new_docs.select(F.col(id_col).alias("_nid"))
             .join(best, "_nid", "left")
             .select(F.col("_nid").alias(id_col), "dup_of", "jaccard_sim"))

@@ -38,10 +38,17 @@ _SENTINEL = "\x00"
 
 
 def _boundary_pattern() -> str:
+    # Each guard is anchored with \b so only the STANDALONE abbreviation
+    # token suppresses the boundary: an unanchored (?<!al\.) would also
+    # match any word ending in "-al." ("surreal.", "Normal.") and silently
+    # merge real sentences — which then miss verbatim benchmark matches in
+    # flag_benchmark_sentences. \b is zero-width, so the lookbehind stays
+    # bounded (a Java-regex requirement).
     guards = "".join(
-        f"(?<!{a.replace('.', chr(92) + '.')})" for a in ABBREVIATIONS)
-    # also guard single-letter initials ("J. Smith")
-    return rf"(?<=[.!?]){guards}(?<![A-Z]\.)\s+(?=[A-Z0-9])"
+        f"(?<!\\b{a.replace('.', chr(92) + '.')})" for a in ABBREVIATIONS)
+    # also guard single-letter initials ("J. Smith") — \b-anchored for the
+    # same reason ("NASA." must still end a sentence)
+    return rf"(?<=[.!?]){guards}(?<!\b[A-Z]\.)\s+(?=[A-Z0-9])"
 
 
 def sentence_boundaries_marked(col) -> F.Column:

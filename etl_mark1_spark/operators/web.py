@@ -262,6 +262,19 @@ def filter_robots_allowed(df: DataFrame, rules: DataFrame,
     returns only the allowed rows (``keep_denied=True`` keeps everything,
     flagged, for audits).
 
+    Rule paths honor the RFC 9309 special characters: ``*`` matches any
+    character run and a TRAILING ``$`` anchors the rule to the URL's end
+    (a ``$`` anywhere else is literal, as is every regex metacharacter).
+    Precedence is the rule's octet length (wildcard characters count),
+    Allow winning ties. Plain prefix rules — the overwhelming majority in
+    real robots.txt — keep the cheap ``startswith`` path; only rules that
+    actually contain ``*``/``$`` pay a regex match.
+
+    The join key is the EXACT URL host: RFC 9309 scopes robots.txt to
+    one authority, so the rules table must be keyed by host as crawled
+    (``url_host``), NOT by :func:`registered_domain` — a rules row keyed
+    ``example.com`` will never match ``www.example.com`` URLs.
+
     Scale shape: the per-domain rules collapse into ONE array per domain
     and BROADCAST; the corpus-side decision is a higher-order
     ``filter``/``array_max`` over that array — after the broadcast hash
@@ -272,17 +285,32 @@ def filter_robots_allowed(df: DataFrame, rules: DataFrame,
                             r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)",
                             1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    # Translate each rule path to an anchored Java regex ON THE RULES SIDE
+    # (tiny, pre-broadcast): strip a trailing '$' (the end anchor), escape
+    # every regex metacharacter except '*', then '*' -> '.*'.
+    has_end = F.col("path").endswith("$")
+    body = F.when(
+        has_end, F.expr("substring(path, 1, length(path) - 1)")) \
+        .otherwise(F.col("path"))
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", "\\\\$1")
+    regex = F.concat(F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+                     F.when(has_end, F.lit("$")).otherwise(F.lit("")))
     per_domain = rules.groupBy(F.col(rules.columns[0]).alias("_rdomain")) \
         .agg(F.collect_list(F.struct(
             F.length("path").alias("n"),
             (F.col("rule") == "allow").alias("is_allow"),
-            F.col("path").alias("p"))).alias("_rules"))
+            F.col("path").alias("p"),
+            (F.col("path").contains("*") | has_end).alias("wild"),
+            regex.alias("re"))).alias("_rules"))
     joined = df.withColumn("_host", host).join(
         F.broadcast(per_domain),
         F.col("_host") == F.col("_rdomain"), "left")
     pc = path
-    matched = F.filter(F.col("_rules"), lambda r: pc.startswith(r["p"]))
-    best = F.array_max(matched)  # (n, is_allow, p): longest, allow on tie
+    matched = F.filter(
+        F.col("_rules"),
+        lambda r: F.when(r["wild"], F.regexp_like(pc, r["re"]))
+                   .otherwise(pc.startswith(r["p"])))
+    best = F.array_max(matched)  # (n, is_allow, ...): longest, allow on tie
     allowed = F.when(F.col("_rules").isNull(), F.lit(True)) \
         .when(F.size(matched) == 0, F.lit(True)) \
         .otherwise(best["is_allow"])

@@ -91,7 +91,18 @@ def write_webdataset_shards(df: DataFrame, path: str,
     with per-shard sample counts commits LAST. One groupBy-shard pass:
     each shard group builds its tar EXECUTOR-side and writes
     ``shard-{K:05d}.tar``; nothing flows through the driver. Returns the
-    manifest dict."""
+    manifest dict.
+
+    DEPLOYMENT REQUIREMENT: shard tars are written with a plain
+    executor-side ``open(path)`` while the driver writes the manifest, so
+    ``path`` must be a filesystem shared by driver AND executors (NFS,
+    Lustre, a FUSE-mounted object store) — on a multi-node cluster with
+    only node-local disks the shards would land scattered on executor
+    machines and the export would be silently incomplete. For direct
+    object-store output, route bytes through a storage client inside
+    ``build`` instead of ``open``. Each shard group is also materialized
+    in executor memory while its tar is built — size ``num_shards`` so
+    ``total_bytes / num_shards`` fits comfortably in one task."""
     import json
     import os
 

@@ -577,12 +577,20 @@ def dedup_ingest_sink(stream_df: DataFrame, corpus_dir: str,
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         docs = batch.select(id_col, text_col)
         spark = docs.sparkSession
-        if os.path.exists(os.path.join(corpus_dir, "_MANIFEST.json")):
-            corpus = read_table(spark, corpus_dir)
-            index = read_table(spark, index_dir)
-        else:
-            corpus = docs.limit(0)
-            index = minhash_index(docs.limit(0), text_col, id_col)
+
+        # Each table's manifest is checked INDEPENDENTLY: a crash between
+        # the first batch's corpus commit and index commit leaves the
+        # corpus table existing but no index table, and gating both reads
+        # on the corpus manifest would make the replay crash on
+        # read_table(index_dir) instead of healing (round-8 ADVICE).
+        def _load(table_dir: str, empty: DataFrame) -> DataFrame:
+            if os.path.exists(os.path.join(table_dir, "_MANIFEST.json")):
+                return read_table(spark, table_dir)
+            return empty
+
+        corpus = _load(corpus_dir, docs.limit(0))
+        index = _load(index_dir, minhash_index(docs.limit(0), text_col,
+                                               id_col))
         verdicts = incremental_neardup(docs, index, corpus, text_col,
                                        id_col, threshold=threshold)
         accepted = docs.join(

@@ -822,6 +822,40 @@ def test_incremental_neardup_verify_is_semi_join_bounded(spark):
     assert "LeftSemi" in plan   # only candidate ids are re-shingled
 
 
+def test_incremental_neardup_null_and_short_text_surface(spark):
+    """Round-8 ADVICE regression: NULL-text (and unshingleable) documents
+    must still get a verdict row — dup_of NULL — instead of vanishing
+    from the output (an ingest sink would otherwise neither accept nor
+    reject them)."""
+    from etl_mark1_spark.operators.incremental import (incremental_neardup,
+                                                       minhash_index)
+
+    history = _inc_docs(spark, [(0, BASE_A)])
+    batch = spark.createDataFrame(
+        [(10, None), (11, "ab"), (12, BASE_A + " tail"), (13, BASE_C)],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.dup_of
+           for r in incremental_neardup(batch, minhash_index(history),
+                                        history, threshold=0.6).collect()}
+    assert got == {10: None, 11: None, 12: 0, 13: None}
+
+
+def test_incremental_neardup_history_probe_broadcasts_batch(spark):
+    """Plan pin (VERDICT r7 #4): the candidate-generation bucket join
+    must broadcast the SMALL batch side into the index probe — the index
+    (the 100 TB-scale side) never shuffles."""
+    from etl_mark1_spark.operators.incremental import (incremental_neardup,
+                                                       minhash_index)
+
+    history = _inc_docs(spark, [(i, f"{BASE_A} v{i}") for i in range(8)])
+    out = incremental_neardup(
+        _inc_docs(spark, [(100, BASE_A + " probe")]),
+        minhash_index(history), history, threshold=0.6)
+    out.collect()   # let AQE finalize its runtime join choices
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [_bucket" in plan, plan[:2000]
+
+
 def test_minhash_index_fans_out_compact_file_corpus(spark, sf_dir):
     """The index build must round-robin a few-split file corpus before
     shingling — without the exchange the whole CPU-heavy stage runs on

@@ -28,6 +28,23 @@ def test_abbreviations_and_initials_protected(spark):
     ]
 
 
+def test_abbreviation_guards_are_token_anchored(spark):
+    # Regression (round-8 ADVICE): the unanchored "al." guard (from
+    # "et al.") used to suppress the boundary after ANY "-al."-suffixed
+    # word, merging real sentences. Same class for "-No."/"Fig."-suffixed
+    # words and all-caps words ending in a capital before the period.
+    assert _sents(spark, "Normal. Next one.") == ["Normal.", "Next one."]
+    assert _sents(spark, "It was surreal. Then it ended.") == [
+        "It was surreal.", "Then it ended."]
+    assert _sents(spark, "She joined NASA. Liftoff followed.") == [
+        "She joined NASA.", "Liftoff followed."]
+    # ...while the standalone tokens still protect:
+    assert _sents(spark, "See Smith et al. For details read on.") == [
+        "See Smith et al. For details read on."]
+    assert _sents(spark, "J. Doe arrived. Done.") == [
+        "J. Doe arrived.", "Done."]
+
+
 def test_decimals_never_split(spark):
     assert _sents(spark, "It costs 3.14 dollars. Cheap.") == [
         "It costs 3.14 dollars.", "Cheap."]

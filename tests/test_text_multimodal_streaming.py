@@ -1579,6 +1579,50 @@ def test_dedup_ingest_sink_dedups_across_batches_and_drains(spark, tmp_path):
             for r in read_table(spark, index_dir).collect()} == kept3
 
 
+def test_dedup_ingest_sink_heals_partial_first_batch(spark, tmp_path):
+    """Crash-heal regression (round-8 ADVICE): a crash after the FIRST
+    batch's corpus commit but before its index commit leaves a corpus
+    table with the epoch note and NO index table at all. Replay must
+    bootstrap the index (each table's manifest checked independently),
+    not crash on read_table(index_dir), and must not double-append the
+    corpus."""
+    import hashlib
+    import os
+    import time
+
+    from etl_mark1_spark.sources.versioned import (history, read_table,
+                                                   write_version)
+    from etl_mark1_spark.streaming.events import dedup_ingest_sink
+
+    src = str(tmp_path / "src")
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    _write_ingest_file(spark, src, [(0, _ING_A), (1, _ING_B)],
+                       time.time() - 100)
+
+    # Recreate the partial-commit state the sink itself would leave: the
+    # corpus committed under this checkpoint's epoch-0 note, index absent.
+    tag = hashlib.sha256(os.path.abspath(ckpt).encode()).hexdigest()[:12]
+    docs = spark.createDataFrame([(0, _ING_A), (1, _ING_B)],
+                                 "doc_id long, text string")
+    write_version(docs, corpus_dir, mode="overwrite",
+                  note=f"dedup_ingest:{tag}:0")
+    assert not os.path.exists(index_dir)
+
+    dedup_ingest_sink(
+        (spark.readStream.schema("doc_id long, text string").parquet(src)),
+        corpus_dir, index_dir, ckpt, threshold=0.6)
+
+    # Healed: corpus NOT double-appended (one version, same rows), index
+    # bootstrapped with exactly the batch's rows.
+    assert len(history(corpus_dir)) == 1
+    assert {r.doc_id for r in read_table(spark, corpus_dir).collect()} \
+        == {0, 1}
+    assert {r.doc_id for r in read_table(spark, index_dir).collect()} \
+        == {0, 1}
+
+
 # -- EXIF metadata ---------------------------------------------------------------
 
 def test_exif_roundtrip_both_byte_orders():

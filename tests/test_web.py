@@ -282,6 +282,38 @@ def test_robots_filter_longest_match_allow_wins_tie(spark):
     assert kept == {2, 3, 4, 5, 6}
 
 
+def test_robots_filter_wildcard_and_end_anchor(spark):
+    """RFC 9309 special characters (round-8 ADVICE): '*' matches any run,
+    a trailing '$' anchors to the URL end, other metacharacters are
+    literal; wildcard octets count toward longest-match precedence."""
+    from etl_mark1_spark.operators.web import (filter_robots_allowed,
+                                               robots_rules)
+
+    robots = spark.createDataFrame(
+        [("s.example",
+          "User-agent: *\n"
+          "Disallow: /*.php$\n"        # any path ending .php
+          "Disallow: /tmp*/\n"         # wildcard mid-rule
+          "Allow: /tmpfiles/ok/\n"     # longer than /tmp*/ -> wins
+          "Disallow: /a$b/\n")],       # '$' mid-rule is literal
+        "domain string, robots_txt string")
+    rules = robots_rules(robots, "anybot")
+    urls = spark.createDataFrame(
+        [(1, "https://s.example/index.php"),        # denied by /*.php$
+         (2, "https://s.example/index.php?x=1"),    # query cut: path ends .php
+         (3, "https://s.example/index.phpx"),       # NOT anchored match
+         (4, "https://s.example/tmpfiles/secret"),  # denied by /tmp*/
+         (5, "https://s.example/tmpfiles/ok/f"),    # longer allow wins
+         (6, "https://s.example/a$b/x"),            # literal '$' rule
+         (7, "https://s.example/aXb/x")],           # not the literal rule
+        "doc_id bigint, url string")
+    flagged = {r.doc_id: r.robots_allowed
+               for r in filter_robots_allowed(urls, rules,
+                                              keep_denied=True).collect()}
+    assert flagged == {1: False, 2: False, 3: True, 4: False, 5: True,
+                       6: False, 7: True}
+
+
 def test_robots_filter_broadcasts_and_stays_codegen(spark):
     from etl_mark1_spark.operators.web import (filter_robots_allowed,
                                                robots_rules)
