@@ -83,77 +83,85 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     webdataset_entries,
 )
 
-#: Round-7 driver prefix (50 slots):
+#: Round-8 driver prefix (50 slots). The round-7 snapshot NEVER RAN (no
+#: CORRECTNESS_r07.json landed), so the r7 prefix's 43 fresh entries and
+#: 4 re-tests are still externally unconfirmed — they move to the ROUND-9
+#: prefix; this round prioritizes the other half of the never-sampled set
+#: so two rotations cover everything regardless of which snapshots run:
 #:   * 4 RE-TESTS — red in CORRECTNESS_r06 on output-type grounds (values
-#:     were verified identical row-for-row), now conforming to the typing
-#:     convention above; re-sampled to prove the fix at the driver.
-#:   * 3 SENTINELS — driver-green in rounds 1-5 and untouched since; kept in
-#:     every prefix so old entries retain external regression coverage.
-#:   * 43 FRESH — never appeared in any CORRECTNESS_r0x snapshot (in
-#:     historical registration order, plus ``streaming_session_window``
-#:     pulled forward so the streaming family finally gets a driver row).
-#: After this round's rotation, 48 oracle-carrying entries remain outside
-#: every CORRECTNESS snapshot so far: the 18 pre-round-7 stragglers plus
-#: the entries round 7 ADDED after this prefix was fixed (html/warc/
-#: encoding+mime/lines/sentences/script/webdataset/compaction/datacard/
-#: bpe-roundtrip/quality-lr/robots/exif families; count includes their
-#: band-checked members). One more 50-slot rotation (with sentinels)
-#: covers the full oracle-exact set.
+#:     verified identical row-for-row), fixed in round 7 but still never
+#:     externally re-confirmed; kept at the head because they are the only
+#:     entries the driver has ever marked wrong.
+#:   * 3 SENTINELS — driver-green in rounds 1-5 and untouched since; kept
+#:     in every prefix so old entries retain external regression coverage.
+#:   * 43 FRESH — never appeared in any CORRECTNESS_r0x snapshot and NOT
+#:     in the round-7 prefix (historical registration order): the 18
+#:     pre-round-7 stragglers plus round 7's web/WARC/HTML/encoding/
+#:     lines/sentences/script/webdataset/compaction/datacard/bpe-roundtrip/
+#:     quality-lr/robots/exif additions. Six family-redundant members are
+#:     deferred to round 9 to fit the 50 slots: multimodal_audio_neardup +
+#:     multimodal_video_neardup (multimodal_image_neardup covers the shared
+#:     banded-hamming LSH core), weighted_sample_per_lang +
+#:     sample_per_group_lang (weighted_sample_docs covers the sampling
+#:     family), seasonal_decompose_interp_events (the decompose core was
+#:     driver-green in r6), bigram_lm_score (rides with unigram_lm_score
+#:     in the r9 prefix).
+#: Remaining never-sampled after THIS rotation is confirmed: the 47
+#: r7-prefix holdovers + the 6 deferrals -> the round-9 prefix.
 DRIVER_PREFIX = [
-    # re-tests (r6 type-contract reds, fixed this round)
+    # re-tests (r6 type-contract reds, fixed in r7, never re-sampled)
     "collect_set_priorities",
     "multi_quantiles_quantity",
     "window_range_rolling",
     "q11_important_parts",
-    # sentinels (driver-green r1-5; streaming_dedup doubles as streaming-
-    # family re-coverage — no streaming entry has had a driver row since r5)
+    # sentinels (driver-green r1-5)
     "q1_pricing_summary",
     "window_topk_orders",
     "streaming_dedup",
-    # fresh: never driver-checked
-    "q12_priority_lateness",
-    "q13_order_distribution",
-    "q16_supplier_count",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "q2_best_price_supplier",
-    "distinct_rollup_daily",
-    "heavy_hitter_types",
-    "incremental_agg_orders",
-    "unpivot_part_metrics",
-    "regr_price_quantity",
-    "fuzzy_match_names",
-    "continuous_aggregate_daily",
-    "window_distinct_running",
-    "cohort_retention",
-    "token_repetition",
-    "text_char_entropy",
-    "pagerank_parts",
-    "connected_components_parts",
-    "triangle_count_parts",
-    "funnel_view_click_purchase",
-    "unigram_lm_score",
-    "psi_drift_chars",
-    "robust_outliers_orders",
-    "cross_corpus_decontam",
-    "bloom_contaminated_docs",
-    "duplicate_spans_docs",
-    "strip_dup_spans_docs",
-    "vocab_top_tokens",
-    "encode_tokens_docs",
-    "ann_int8_topk",
-    "gopher_quality_docs",
-    "repetition_profile_docs",
-    "dsir_importance_docs",
-    "knn_join_embeddings",
-    "cms_event_counts",
-    "setsim_join_docs",
-    "token_budget_mixture",
-    "curation_quality_chain",
-    "streaming_session_window",
+    # fresh: never driver-checked, outside the r7 prefix
+    "winsorize_prices",
+    "ks_drift_values",
+    "quality_percentile_rank",
+    "cohort_retention_events",
+    "funnel_conversion_events",
+    "dedup_keep_best_docs",
+    "fuzzy_dedup_customers",
+    "edit_distance_join_customers",
+    "nb_lang_classifier",
+    "collocations_pmi_docs",
+    "bm25_search_docs",
+    "epoch_shuffle_docs",
+    "length_bucketed_batches_docs",
+    "temperature_mixture_sources",
+    "weighted_sample_docs",
+    "multimodal_image_neardup",
+    "compact_versioned_docs",
+    "incremental_neardup_docs",
+    "url_normalize_docs",
+    "domain_stats_docs",
+    "domain_capped_docs",
+    "blocklist_filtered_docs",
+    "robots_filter_docs",
+    "html_strip_docs",
+    "html_links_docs",
+    "html_metadata_docs",
+    "html_main_content_docs",
+    "decode_bytes_docs",
+    "mojibake_repair_docs",
+    "sniff_mime_docs",
+    "unicode_nfc_docs",
+    "dedup_lines_docs",
+    "remove_common_lines_docs",
+    "script_profile_docs",
+    "split_sentences_docs",
+    "sentence_decontam_docs",
+    "quality_lr_score_docs",
+    "bpe_roundtrip_docs",
+    "warc_ingest_docs",
+    "webdataset_ingest_docs",
+    "image_exif_docs",
+    "image_autorotate_docs",
+    "corpus_datacard",
 ]
 
 

@@ -34,6 +34,32 @@ from etl_mark1_spark.functions.text import normalized_text
 # exact
 # --------------------------------------------------------------------------
 
+def _plan_has_shuffle_exchange(jplan) -> bool:
+    """Walk a physical-plan (SparkPlan) tree for a SHUFFLE exchange —
+    ``ShuffleExchangeExec`` or an AQE ``ShuffleQueryStageExec`` wrapper —
+    by node CLASS, not by matching substrings of the explain string
+    (format drifts across Spark versions; class names are the API).
+    Broadcast exchanges deliberately don't count: a single-split scan
+    broadcast-joined to a tiny dim frame is still serialized on one core.
+    ``AdaptiveSparkPlanExec`` is a leaf wrapper, so descend into its
+    ``initialPlan`` — the plan AFTER EnsureRequirements inserted the
+    exchanges (``inputPlan`` is pre-insertion and shows none); plain
+    ``children()`` covers everything else."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name.startswith(("ShuffleExchange", "ShuffleQueryStage")):
+            return True
+        if name.startswith("AdaptiveSparkPlan"):
+            stack.append(node.initialPlan())
+            continue
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return False
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Fan a narrow FILE-BACKED input out to the cluster's parallelism.
 
@@ -67,15 +93,10 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     # its partitioning set by that shuffle and AQE's coalescing — adding a
     # round-robin there is a gratuitous full-data shuffle at scale. Only a
     # shuffle-free narrow scan genuinely inherits the (few) file splits.
-    # Match shuffle exchanges specifically: a bare "Exchange" substring
-    # would also hit BroadcastExchange, and a single-split scan broadcast-
-    # joined to a tiny dim frame is exactly the serialized case this
-    # function exists to fix.
-    import re
-
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if re.search(r"\bExchange (hashpartitioning|rangepartitioning|"
-                 r"SinglePartition|RoundRobinPartitioning)", plan):
+    # Detection walks the physical-plan tree by node class (see
+    # _plan_has_shuffle_exchange) — explain-string matching proved brittle
+    # across Spark versions.
+    if _plan_has_shuffle_exchange(df._jdf.queryExecution().executedPlan()):
         return df
     return df.repartition(target)
 
