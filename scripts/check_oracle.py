@@ -162,6 +162,82 @@ RECALL_ORACLES = {
 }
 
 
+def _check_compression_ratio(con, rows: list[dict]) -> list[str]:
+    """Independent recomputation (round-8, graduating the entry from
+    rows-only): read every document via DuckDB, zlib-compress at the
+    same fixed level 6, and demand the EXACT per-doc ratio — zlib is
+    deterministic for a fixed level, so there is no band to grant."""
+    import zlib
+
+    exact = {}
+    for doc_id, text in con.execute(
+            "SELECT doc_id, text FROM documents").fetchall():
+        if text is None or len(text) == 0:
+            exact[doc_id] = None
+        else:
+            raw = text.encode("utf-8")
+            exact[doc_id] = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    got = {r["doc_id"]: r["zlib_ratio"] for r in rows}
+    if set(got) != set(exact):
+        return [f"doc universe differs: {len(got)} vs {len(exact)}"]
+    bad = [f"doc {i}: {got[i]} != {exact[i]}" for i in exact
+           if got[i] != exact[i]]
+    return bad[:3]
+
+
+def _check_pca_embeddings(con, rows: list[dict]) -> list[str]:
+    """Independent full-matrix PCA (round-8 graduation): pull the raw
+    vectors via DuckDB into numpy, eigendecompose the biased covariance
+    directly (no Gram partials, no Spark), and hold the entry's
+    eigenvalues, empirical projected variances, and cumulative
+    explained-variance ratios to tight relative bands."""
+    import numpy as np
+
+    X = np.array([list(v) for (v,) in con.execute(
+        "SELECT embedding FROM embeddings ORDER BY vec_id").fetchall()],
+        dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    cov = (Xc.T @ Xc) / X.shape[0]
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    total = float(eig.sum())
+    bad = []
+    if len(rows) != 8:
+        return [f"expected 8 components, got {len(rows)}"]
+    for r in sorted(rows, key=lambda r: r["component"]):
+        i = int(r["component"])
+        want = float(eig[i])
+        if abs(r["eigval"] - want) > 1e-6 * max(want, 1e-12):
+            bad.append(f"c{i}: eigval {r['eigval']} vs numpy {want:.9g}")
+        if abs(r["empirical_var"] - want) > 1e-4 * max(want, 1e-12):
+            bad.append(f"c{i}: empirical_var {r['empirical_var']} "
+                       f"vs eigval {want:.9g}")
+        want_evr = float(eig[:i + 1].sum() / total)
+        if abs(r["evr_cum"] - want_evr) > 1e-5:
+            bad.append(f"c{i}: evr_cum {r['evr_cum']} vs {want_evr:.6f}")
+    return bad
+
+
+#: Entries whose check is an independent CHECKER-SIDE recomputation
+#: (no SQL engine exposes zlib / eigendecomposition): the callable gets
+#: (duckdb_con, result rows as dicts) and returns problem strings.
+GOLDEN_CHECKS = {
+    "text_compression_ratio": _check_compression_ratio,
+    "pca_embeddings": _check_pca_embeddings,
+}
+
+#: The 11 entries that remain rows-only HERE, with why (each is pinned
+#: elsewhere by committed goldens and/or differential tests):
+#:   multimodal_{jpeg,png,gif,bmp,wav}_decode, multimodal_image_features,
+#:   multimodal_resize_images, multimodal_video_frames, audio_spectral_wav
+#:     — vendored-codec decodes of synthesized media; byte-exact goldens +
+#:       imageio/stdlib-wave interop + hypothesis fuzz in tests/ (no SQL
+#:       engine decodes JPEG/PNG/GIF/BMP/WAV/AVI).
+#:   bpe_train_merges, bpe_segment_docs — merge tables and segmentations
+#:     are differential-tested against an independent pure-Python BPE in
+#:       tests/ (the training loop is iterative, not SQL-expressible);
+#:       bpe_roundtrip_docs (oracle-exact) pins decode(segment(x)) == x.
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -239,6 +315,17 @@ def main() -> int:
                       f"({len(srows)} rows, {elapsed:.1f}s)")
             continue
 
+        if name in GOLDEN_CHECKS:
+            rows_d = [dict(zip(scols, row)) for row in srows]
+            bad = GOLDEN_CHECKS[name](con, rows_d)
+            if bad:
+                print(f"FAIL  {name}: {'; '.join(bad)}")
+                failures.append(name)
+            else:
+                print(f"PASS  {name}: checker-golden recomputation exact "
+                      f"({len(srows)} rows, {elapsed:.1f}s)")
+            continue
+
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows, "
                   f"{elapsed:.1f}s)")
@@ -292,11 +379,13 @@ def main() -> int:
         n_total = len(queries)
         n_band = len([n for n in APPROX_ORACLES if n in queries])
         n_recall = len([n for n in RECALL_ORACLES if n in queries])
+        n_golden = len([n for n in GOLDEN_CHECKS if n in queries])
         n_oracle = len([n for n in oracles if n not in APPROX_ORACLES
                         and n not in RECALL_ORACLES])
         print(f"\ncatalog: {n_total} entries = {n_oracle} oracle-exact + "
               f"{n_band} error-band + {n_recall} recall-band + "
-              f"{n_total - n_oracle - n_band - n_recall} "
+              f"{n_golden} checker-golden + "
+              f"{n_total - n_oracle - n_band - n_recall - n_golden} "
               f"rows-only (goldens)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
