@@ -282,6 +282,21 @@ def test_robots_filter_longest_match_allow_wins_tie(spark):
     assert kept == {2, 3, 4, 5, 6}
 
 
+def test_domain_expression_tree_stays_bounded(spark, sf_dir):
+    """Codegen-size pin (round 8): deriving `domain` from the NORMALIZED
+    url expression re-inlined the whole normalize tree into every host
+    reference inside registered_domain — ~1,200 regexp nodes in the
+    optimized plan, fused stages past the JIT method-size limit, 5x
+    slowdown on domain_capped_docs. Keep the total regexp node count in
+    the full capped plan bounded so a refactor can't reintroduce it."""
+    from etl_mark1_spark.catalog import QUERIES
+
+    df = QUERIES["domain_capped_docs"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    n_regexp = opt.count("regexp_")
+    assert n_regexp < 200, f"domain plan regexp blowup: {n_regexp} nodes"
+
+
 def test_robots_filter_wildcard_and_end_anchor(spark):
     """RFC 9309 special characters (round-8 ADVICE): '*' matches any run,
     a trailing '$' anchors to the URL end, other metacharacters are
