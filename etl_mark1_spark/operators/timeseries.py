@@ -199,11 +199,20 @@ def seasonal_decompose(df: DataFrame, period: int = 24,
         key_col, ts_col, value_col, "_phase", "_iv",
         F.when(full, ssum).alias("_ts"),
         F.when(full, F.col("_iv") * mult - ssum).alias("_det"))
-    seasonal = (with_trend.filter(F.col("_det").isNotNull())
-                .groupBy(key_col, "_phase")
-                .agg(F.sum("_det").alias("_gs"),
-                     F.count(F.lit(1)).alias("_gn")))
-    out = with_trend.join(seasonal, [key_col, "_phase"], "left")
+    # Per-phase seasonal means as a SECOND WINDOW over (key, phase) rather
+    # than a groupBy + join back (round 8): the join formulation consumed
+    # ``with_trend`` twice, and Spark re-executed the whole grid+trend
+    # subtree for each consumer (no exchange reuse across the two
+    # branches — measured 1.6x end-to-end). The trend window's
+    # hashpartitioning(key) already SATISFIES the (key, phase) clustering
+    # (a partitioning on a subset of the keys co-locates every group), so
+    # this adds only an in-partition sort — no exchange, no recompute.
+    # sum/count of the same BIGINT _det values: engine-exact, identical
+    # output (the NULL-det rows are excluded by count/sum semantics just
+    # as the filter did).
+    wp = Window.partitionBy(key_col, "_phase")
+    out = with_trend.withColumn("_gs", F.sum("_det").over(wp)) \
+                    .withColumn("_gn", F.count("_det").over(wp))
     rscale = F.lit(float(10 ** round_digits))
 
     def rnd(c):

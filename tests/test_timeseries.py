@@ -138,3 +138,20 @@ def test_seasonal_decompose_value_scale_keeps_6dp_inputs(spark):
     worst = max(abs(r.val - (r.trend + r.seasonal + r.resid))
                 for r in coarse if r.trend is not None)
     assert worst > 2e-6
+
+
+def test_seasonal_decompose_is_single_branch_no_join(spark, sf_dir):
+    """Plan pin (round 8): the seasonal profile is a second window over
+    (key, phase) riding the trend window's by-key partitioning — the old
+    groupBy + join-back formulation consumed the grid subtree twice and
+    Spark re-executed it per consumer (1.6x end-to-end). No join, no
+    extra exchange: the by-key hashpartitioning already satisfies the
+    (key, phase) clustering."""
+    from etl_mark1_spark.operators.timeseries import (resample_ffill,
+                                                      seasonal_decompose)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = seasonal_decompose(resample_ffill(ev), period=24) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
