@@ -427,9 +427,14 @@ def minhash_dedup(
     # the shuffle carries one partial signature per (id, partition), not the
     # shingles. Each shingle string is hashed to a long once; the hash
     # family rehashes that long per seed.
+    # array_distinct before the explode: duplicate shingles within a doc
+    # contribute nothing to a MIN aggregate but multiply the rehash rows
+    # (~20% of the hot stage on prose corpora); dedup the hashed longs
+    # map-side, output identical.
     hashed = base.select(
         F.col(id_col),
-        F.explode(F.transform(F.col("_sh"), lambda s: F.xxhash64(s))).alias("_h"),
+        F.explode(F.array_distinct(F.transform(
+            F.col("_sh"), lambda s: F.xxhash64(s)))).alias("_h"),
     )
     sig = hashed.groupBy(id_col).agg(*[
         F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
