@@ -78,15 +78,19 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     g = symmetrize(edges, src, dst) if undirected else (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct())
-    # checkpoint the edge list: every iteration joins against it, and
-    # without the cut each round's plan would re-derive the (possibly
-    # expensive) edge build from scratch
-    g = g.localCheckpoint()
-    # degree and node tables are node-cardinality sized and joined EVERY
-    # round — checkpoint them too, or each iteration re-runs their
-    # aggregations from the edge list
-    deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
-        .localCheckpoint()
+    # checkpoint the edge list: the degree aggregation and the annotated
+    # rebuild below both read it, and without the cut each would
+    # re-derive the (possibly expensive) edge build from scratch
+    raw = g.localCheckpoint()
+    # Attach the out-degree to the edge table ONCE (round 8): the old
+    # loop joined ranks AND the degree table every iteration; carrying
+    # ``deg`` (one BIGINT) on the checkpointed edges halves the
+    # per-iteration join count. The contribution stays ``rank / deg`` —
+    # the same double division the SQL oracle replays, so results are
+    # bit-identical (a precomputed 1/deg weight would not be).
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    g = raw.join(deg, "src").localCheckpoint()
+    release_checkpoint(raw)   # the annotated edges supersede it
     nodes = (g.select(F.col("src").alias("node"))
              .union(g.select(F.col("dst").alias("node"))).distinct()) \
         .localCheckpoint()
@@ -94,12 +98,9 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     base = (1.0 - damping) / n
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
-    out_deg = deg.withColumnRenamed("src", "node")
     for _ in range(iterations):
         contribs = (
             g.join(ranks, g.src == ranks.node)
-            .join(out_deg.withColumnRenamed("node", "_dn"),
-                  F.col("src") == F.col("_dn"))
             .select(F.col("dst").alias("node"),
                     (F.col("rank") / F.col("deg")).alias("c"))
         )
@@ -116,7 +117,7 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     # calls leave executor storage flat apart from it
     out = ranks.select("node", F.round("rank", 7).alias("rank")) \
         .localCheckpoint()
-    for upstream in (g, deg, nodes):
+    for upstream in (g, nodes):
         release_checkpoint(upstream)
     return out
 
