@@ -108,6 +108,12 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
 #:     in the r9 prefix).
 #: Remaining never-sampled after THIS rotation is confirmed: the 47
 #: r7-prefix holdovers + the 6 deferrals -> the round-9 prefix.
+#:
+#: ROUND-8 GROWTH FREEZE: the catalog holds at 228 entries this round —
+#: zero additions — so the confirmation gap stops growing and the two
+#: planned rotations (this prefix + the round-9 prefix above) cover every
+#: oracle-exact entry ever registered. New operators resume in round 9
+#: only up to that rotation's leftover headroom.
 DRIVER_PREFIX = [
     # re-tests (r6 type-contract reds, fixed in r7, never re-sampled)
     "collect_set_priorities",
