@@ -106,8 +106,15 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
 #:     family), seasonal_decompose_interp_events (the decompose core was
 #:     driver-green in r6), bigram_lm_score (rides with unigram_lm_score
 #:     in the r9 prefix).
-#: Remaining never-sampled after THIS rotation is confirmed: the 47
-#: r7-prefix holdovers + the 6 deferrals -> the round-9 prefix.
+#: Remaining never-sampled after THIS rotation is confirmed: the 43
+#: r7-prefix holdovers (q12/q13/q16/q17/q19/q20/q21/q22/q2, the sketch
+#: and drift family, the graph trio, the corpus-prep and curation-chain
+#: entries, streaming_session_window — the r7-prefix names minus this
+#: prefix's 7 carried re-tests/sentinels) + the 6 family-redundant
+#: deferrals named above = 49 entries, which fit the round-9 prefix
+#: exactly with one slot left for a sentinel (keep q1_pricing_summary).
+#: If CORRECTNESS_r08 also fails to land, re-run THIS prefix in round 9
+#: instead — never rotate past an unsampled prefix.
 #:
 #: ROUND-8 GROWTH FREEZE: the catalog holds at 228 entries this round —
 #: zero additions — so the confirmation gap stops growing and the two
