@@ -53,8 +53,17 @@ def _with_synth_urls(df: DataFrame) -> DataFrame:
                                        F.lit("&utm_campaign=x")))
           .otherwise(F.lit("")))
     frag = F.when(did % 4 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    # Materialize the synthesized URL so downstream plans see a plain
+    # column, as they would reading a real crawl table. Left lazy, the
+    # synth CASE re-inlines into every reference the normalizer makes
+    # (split/element_at each repeat their input tree), and the isnotnull
+    # null-filter a domain equi-join pushes to the scan repeats the full
+    # composition enough to blow the JIT method limit — domain_capped_docs
+    # fell off whole-stage codegen to interpreted rows (2.7 s vs ~0.7 s
+    # peers at sf0.01) before this cut. Narrow ids+url rows only.
     return df.withColumn(
-        "url", F.concat(scheme, F.lit("://"), host, port, path, qs, frag))
+        "url", F.concat(scheme, F.lit("://"), host, port, path, qs, frag)) \
+        .localCheckpoint()
 
 
 #: DuckDB CTE producing (doc_id, lang, source, url, url_norm, domain):

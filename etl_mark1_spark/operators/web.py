@@ -167,7 +167,14 @@ def domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",
     ``salt_partitions * cap`` rows — so no single sort ever scales with
     the domain's row count. A domain with 10^9 rows costs S parallel
     windows of 10^9/S rows each plus one window of S*cap rows, instead
-    of one 10^9-row single-partition sort."""
+    of one 10^9-row single-partition sort.
+
+    ``df`` is consumed three times (count, anti-join, semi-join), and the
+    joins push an ``isnotnull(domain_col)`` filter toward the scan. If
+    ``domain_col`` is an expensive derived EXPRESSION rather than a stored
+    column, both effects re-inline its tree — materialize it first (write
+    it, or checkpoint a narrow projection) as a crawl pipeline naturally
+    would."""
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dc"))
     # referenced by both branches below; checkpoint the (tiny) over-cap
     # domain list so the counting aggregation runs once, not twice
