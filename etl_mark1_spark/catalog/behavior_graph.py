@@ -152,7 +152,8 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_mark1_spark.operators.graph import coorder_edges
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return pagerank(coorder_edges(li), iterations=3, damping=0.85)
+    return pagerank(coorder_edges(li), iterations=3, damping=0.85,
+                    oriented=True)
 
 
 @query("connected_components_parts", """
@@ -219,7 +220,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_mark1_spark.operators.graph import coorder_edges
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return triangle_count(coorder_edges(li))
+    return triangle_count(coorder_edges(li), oriented=True)
 
 
 @query("funnel_view_click_purchase", """

@@ -23,12 +23,19 @@ from pyspark.sql import functions as F
 
 
 def symmetrize(edges: DataFrame, src: str = "src",
-               dst: str = "dst") -> DataFrame:
-    """Undirected view of an edge list: both directions, deduplicated."""
-    return (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+               dst: str = "dst", *, oriented: bool = False) -> DataFrame:
+    """Undirected view of an edge list: both directions, deduplicated.
+
+    ``oriented=True`` is the caller's guarantee that the input is already
+    DISTINCT in a canonical ``src < dst`` orientation (what
+    :func:`coorder_edges` emits): the reversed direction then cannot
+    collide with the forward set, so the post-union dedup — a full
+    shuffle of the DOUBLED edge list, the single largest step of an
+    undirected build at scale — is skipped with identical output."""
+    both = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .union(edges.select(F.col(dst).alias("src"),
-                                F.col(src).alias("dst")))
-            .distinct())
+                                F.col(src).alias("dst"))))
+    return both if oriented else both.distinct()
 
 
 def coorder_edges(df: DataFrame, group_col: str = "l_orderkey",
@@ -57,7 +64,7 @@ def coorder_edges(df: DataFrame, group_col: str = "l_orderkey",
 
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
-             undirected: bool = True) -> DataFrame:
+             undirected: bool = True, oriented: bool = False) -> DataFrame:
     """Fixed-iteration PageRank over an edge list; returns (node, rank).
 
     rank_{k+1}(v) = (1-d)/N + d * sum over in-neighbors u of
@@ -65,6 +72,10 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     also guarantees no dangling nodes (every node has out-degree >= 1);
     with ``undirected=False`` dangling mass leaks, as in the classic
     simplified formulation — both behaviors reproduce exactly in SQL.
+    ``oriented=True`` (undirected inputs only) asserts the edge list is
+    already distinct and canonically ``src < dst`` ordered — what
+    :func:`coorder_edges` emits — letting :func:`symmetrize` skip its
+    doubled-edge dedup shuffle (see there).
 
     The edge list is checkpointed once (every iteration joins it; without
     the cut each round re-derives the edge build), the intermediate rank
@@ -75,7 +86,7 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     """
     from etl_mark1_spark.operators.dedup import release_checkpoint
 
-    g = symmetrize(edges, src, dst) if undirected else (
+    g = symmetrize(edges, src, dst, oriented=oriented) if undirected else (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct())
     # checkpoint the edge list: the degree aggregation and the annotated
@@ -145,7 +156,7 @@ def connected_components(edges: DataFrame, src: str = "src",
 
 
 def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
+                   dst: str = "dst", *, oriented: bool = False) -> DataFrame:
     """Per-node triangle counts: (node, n_triangles) for every node in at
     least one triangle — the local clustering signal (community density,
     link-spam detection) next to PageRank's authority and connected
@@ -164,9 +175,11 @@ def triangle_count(edges: DataFrame, src: str = "src",
     carrying two bounded arrays, vs the Σ outdeg² wedge join (measured
     240M rows on a 1.2M-edge co-order graph) of the naive formulation.
     Shuffles: degree agg, adjacency agg, two edge-adjacency joins, count
-    agg.
+    agg. ``oriented=True`` as in :func:`pagerank`: the input is already
+    a distinct ``src < dst`` canonical form, so the undirected build
+    skips its doubled-edge dedup shuffle.
     """
-    e = symmetrize(edges, src, dst)
+    e = symmetrize(edges, src, dst, oriented=oriented)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     o = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
          .join(deg.select(F.col("src").alias("u"),

@@ -393,6 +393,41 @@ def test_pagerank_path_graph_matches_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_symmetrize_oriented_skips_dedup_identically(spark):
+    """oriented=True (round 8): on a distinct src<dst canonical edge list
+    — what coorder_edges emits — the doubled-edge dedup shuffle is
+    skipped and the result row set is identical; the executed fast-path
+    plan must carry no aggregate (distinct compiles to HashAggregate)."""
+    from etl_mark1_spark.operators.graph import (coorder_edges, pagerank,
+                                                 symmetrize)
+
+    li = spark.createDataFrame(
+        [(o, p) for o in range(40) for p in [o % 7, (o * 3) % 11 + 7,
+                                             (o * 5) % 13 + 20]],
+        ["l_orderkey", "l_partkey"])
+    canon = coorder_edges(li)
+    slow_df = symmetrize(canon)
+    slow = {(r.src, r.dst) for r in slow_df.collect()}
+    fast_df = symmetrize(canon, oriented=True)
+    fast = [(r.src, r.dst) for r in fast_df.collect()]
+    assert set(fast) == slow and len(fast) == len(slow)
+    # Both plans duplicate coorder's subtree under the union; the dedup
+    # path adds its own distinct aggregate on top — the fast path must
+    # plan strictly fewer aggregates (same base, no post-union dedup).
+    n_fast = fast_df._jdf.queryExecution().executedPlan().toString() \
+        .count("HashAggregate")
+    n_slow = slow_df._jdf.queryExecution().executedPlan().toString() \
+        .count("HashAggregate")
+    assert n_fast < n_slow, f"no dedup skipped: fast {n_fast} slow {n_slow}"
+
+    # end-to-end: ranks identical through the fast path
+    slow_pr = {r.node: r.rank for r in pagerank(canon, iterations=2).collect()}
+    fast_pr = {r.node: r.rank
+               for r in pagerank(canon, iterations=2,
+                                 oriented=True).collect()}
+    assert fast_pr == slow_pr
+
+
 def test_pagerank_directed_dangling(spark):
     """Directed mode: a sink node receives mass but contributes none
     (dangling leak, the documented simplified formulation); source nodes
