@@ -226,6 +226,66 @@ def test_normalize_url_differential_grid(spark):
 
 # -- robots.txt (RFC 9309) -----------------------------------------------------
 
+def test_robots_match_differential_grid(spark):
+    """Differential test of the column-side RFC 9309 decision against an
+    independent pure-Python reference matcher: seeded random rule sets
+    (prefixes, '*' runs, trailing-'$' anchors, literal metacharacters,
+    allow/disallow mixes, octet-length ties) x generated URL paths, one
+    Spark job, row-for-row equality on the allow verdict."""
+    import random
+    import re as _re
+
+    from etl_mark1_spark.operators.web import filter_robots_allowed
+
+    def ref_allowed(rules, path):
+        best = None  # (octet length incl wildcards, is_allow)
+        for rule, rpath in rules:
+            has_end = rpath.endswith("$")
+            body = rpath[:-1] if has_end else rpath
+            pat = "^" + ".*".join(_re.escape(s) for s in body.split("*"))
+            if has_end:
+                pat += "$"
+            if ("*" in rpath) or has_end:
+                hit = _re.search(pat, path) is not None
+            else:
+                hit = path.startswith(rpath)
+            if hit:
+                key = (len(rpath), rule == "allow")
+                if best is None or key > best:
+                    best = key
+        return True if best is None else best[1]
+
+    rng = random.Random(20260815)
+    atoms = ["/a", "/b", "/cd", "x", "y", ".php", "*", "+", "."]
+    def rand_path_rule():
+        body = "/" + "".join(rng.choice(atoms) for _ in range(rng.randint(1, 4))).lstrip("/")
+        return body + ("$" if rng.random() < 0.3 else "")
+    domains = [f"d{i}.example" for i in range(4)]
+    rule_rows = [(dom, rng.choice(["allow", "disallow"]), rand_path_rule())
+                 for dom in domains[:3]  # d3.example: no rules -> allowed
+                 for _ in range(rng.randint(3, 8))]
+    by_dom = {}
+    for dom, rule, p in rule_rows:
+        by_dom.setdefault(dom, []).append((rule, p))
+
+    url_atoms = ["/a", "/b", "/cd", "x", "y", ".php", "+", ".", "z"]
+    urls = []
+    for i in range(400):
+        dom = rng.choice(domains)
+        path = "/" + "".join(rng.choice(url_atoms)
+                             for _ in range(rng.randint(0, 5))).lstrip("/")
+        urls.append((i, f"https://{dom}{path}",
+                     ref_allowed(by_dom.get(dom, []), path)))
+
+    rules_df = spark.createDataFrame(rule_rows,
+                                     ["domain", "rule", "path"])
+    urls_df = spark.createDataFrame(urls, ["i", "url", "expected"])
+    got = filter_robots_allowed(urls_df, rules_df, keep_denied=True)
+    bad = (got.filter("robots_allowed IS DISTINCT FROM expected")
+           .select("url", "expected", "robots_allowed").limit(5).collect())
+    assert not bad, bad
+
+
 def test_parse_robots_group_selection_and_syntax():
     from etl_mark1_spark.operators.web import parse_robots_text
 
