@@ -83,98 +83,96 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     webdataset_entries,
 )
 
-#: Round-8 driver prefix (50 slots). The round-7 snapshot NEVER RAN (no
-#: CORRECTNESS_r07.json landed), so the r7 prefix's 43 fresh entries and
-#: 4 re-tests are still externally unconfirmed — they move to the ROUND-9
-#: prefix; this round prioritizes the other half of the never-sampled set
-#: so two rotations cover everything regardless of which snapshots run:
-#:   * 4 RE-TESTS — red in CORRECTNESS_r06 on output-type grounds (values
-#:     verified identical row-for-row), fixed in round 7 but still never
-#:     externally re-confirmed; kept at the head because they are the only
-#:     entries the driver has ever marked wrong.
-#:   * 3 SENTINELS — driver-green in rounds 1-5 and untouched since; kept
-#:     in every prefix so old entries retain external regression coverage.
-#:   * 43 FRESH — never appeared in any CORRECTNESS_r0x snapshot and NOT
-#:     in the round-7 prefix (historical registration order): the 18
-#:     pre-round-7 stragglers plus round 7's web/WARC/HTML/encoding/
-#:     lines/sentences/script/webdataset/compaction/datacard/bpe-roundtrip/
-#:     quality-lr/robots/exif additions. Six family-redundant members are
-#:     deferred to round 9 to fit the 50 slots: multimodal_audio_neardup +
-#:     multimodal_video_neardup (multimodal_image_neardup covers the shared
-#:     banded-hamming LSH core), weighted_sample_per_lang +
-#:     sample_per_group_lang (weighted_sample_docs covers the sampling
-#:     family), seasonal_decompose_interp_events (the decompose core was
-#:     driver-green in r6), bigram_lm_score (rides with unigram_lm_score
-#:     in the r9 prefix).
-#: Remaining never-sampled after THIS rotation is confirmed: the 43
-#: r7-prefix holdovers (q12/q13/q16/q17/q19/q20/q21/q22/q2, the sketch
-#: and drift family, the graph trio, the corpus-prep and curation-chain
-#: entries, streaming_session_window — the r7-prefix names minus this
-#: prefix's 7 carried re-tests/sentinels) + the 6 family-redundant
-#: deferrals named above = 49 entries, which fit the round-9 prefix
-#: exactly with one slot left for a sentinel (keep q1_pricing_summary).
-#: If CORRECTNESS_r08 also fails to land, re-run THIS prefix in round 9
-#: instead — never rotate past an unsampled prefix.
+#: Round number that authored the prefix below: the rotation meta-test in
+#: tests/test_entry_contract.py only counts CORRECTNESS snapshots from
+#: rounds STRICTLY BEFORE this one when classifying prefix entries as
+#: fresh vs sentinel (the round-8 lesson: globbing ALL snapshots made the
+#: meta-test fail the moment the current round's snapshot landed on disk).
+DRIVER_PREFIX_ROUND = 9
+
+#: Round-9 driver prefix (50 slots) — the second half of the two-rotation
+#: plan staged in round 8; CORRECTNESS_r08 landed and confirmed 49 of the
+#: r8 prefix's 50 slots, so this prefix now covers everything that round
+#: left unsampled:
+#:   * 1 RE-TEST at the head — domain_capped_docs, the single r8 red:
+#:     DuckDB's sum(BIGINT) -> HUGEINT canonicalizes as float64 in the
+#:     driver's pandas carrier vs Spark's int64 (equal values, different
+#:     hash). The oracle now CASTs to BIGINT (catalog/web_curation.py) and
+#:     a DESCRIBE sweep refuses hostile oracle carriers catalog-wide; this
+#:     slot is the external re-confirmation.
+#:   * 1 SENTINEL — q1_pricing_summary, driver-green r1-5 and r8,
+#:     untouched since; keeps old entries under external regression
+#:     coverage (the policy's second previously-confirmed entry is the
+#:     re-test above).
+#:   * 43 HOLDOVERS — the round-7 prefix's fresh entries (that snapshot
+#:     never ran): TPC-H completions q2/q12/q13/q16/q17/q19/q20/q21/q22,
+#:     the sketch + drift families, the graph trio, corpus-prep and
+#:     curation chains, streaming_session_window.
+#:   * 5 of the 6 round-8 family-redundant DEFERRALS: audio/video
+#:     near-dup, weighted_sample_per_lang, seasonal_decompose_interp,
+#:     bigram_lm_score. sample_per_group_lang stays out (the one slot
+#:     short): stratified sampling is covered by weighted_sample_docs
+#:     (driver-green r8) + weighted_sample_per_lang (this prefix), and it
+#:     is pinned locally by the strict gate + pytest.
+#: After THIS snapshot confirms, every oracle-exact entry except
+#: sample_per_group_lang has been externally sampled at least once. If
+#: CORRECTNESS_r09 fails to land, re-run THIS prefix in round 10 —
+#: never rotate past an unsampled prefix.
 #:
-#: ROUND-8 GROWTH FREEZE: the catalog holds at 228 entries this round —
-#: zero additions — so the confirmation gap stops growing and the two
-#: planned rotations (this prefix + the round-9 prefix above) cover every
-#: oracle-exact entry ever registered. New operators resume in round 9
-#: only up to that rotation's leftover headroom.
+#: GROWTH FREEZE HOLDS (round 9): the catalog stays at 228 entries until
+#: this rotation's snapshot confirms; additions resume in round 10 only
+#: up to rotation headroom.
 DRIVER_PREFIX = [
-    # re-tests (r6 type-contract reds, fixed in r7, never re-sampled)
-    "collect_set_priorities",
-    "multi_quantiles_quantity",
-    "window_range_rolling",
-    "q11_important_parts",
-    # sentinels (driver-green r1-5)
-    "q1_pricing_summary",
-    "window_topk_orders",
-    "streaming_dedup",
-    # fresh: never driver-checked, outside the r7 prefix
-    "winsorize_prices",
-    "ks_drift_values",
-    "quality_percentile_rank",
-    "cohort_retention_events",
-    "funnel_conversion_events",
-    "dedup_keep_best_docs",
-    "fuzzy_dedup_customers",
-    "edit_distance_join_customers",
-    "nb_lang_classifier",
-    "collocations_pmi_docs",
-    "bm25_search_docs",
-    "epoch_shuffle_docs",
-    "length_bucketed_batches_docs",
-    "temperature_mixture_sources",
-    "weighted_sample_docs",
-    "multimodal_image_neardup",
-    "compact_versioned_docs",
-    "incremental_neardup_docs",
-    "url_normalize_docs",
-    "domain_stats_docs",
     "domain_capped_docs",
-    "blocklist_filtered_docs",
-    "robots_filter_docs",
-    "html_strip_docs",
-    "html_links_docs",
-    "html_metadata_docs",
-    "html_main_content_docs",
-    "decode_bytes_docs",
-    "mojibake_repair_docs",
-    "sniff_mime_docs",
-    "unicode_nfc_docs",
-    "dedup_lines_docs",
-    "remove_common_lines_docs",
-    "script_profile_docs",
-    "split_sentences_docs",
-    "sentence_decontam_docs",
-    "quality_lr_score_docs",
-    "bpe_roundtrip_docs",
-    "warc_ingest_docs",
-    "webdataset_ingest_docs",
-    "image_exif_docs",
-    "image_autorotate_docs",
-    "corpus_datacard",
+    "q1_pricing_summary",
+    "q12_priority_lateness",
+    "q13_order_distribution",
+    "q16_supplier_count",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "q2_best_price_supplier",
+    "distinct_rollup_daily",
+    "heavy_hitter_types",
+    "incremental_agg_orders",
+    "unpivot_part_metrics",
+    "regr_price_quantity",
+    "fuzzy_match_names",
+    "continuous_aggregate_daily",
+    "window_distinct_running",
+    "cohort_retention",
+    "token_repetition",
+    "text_char_entropy",
+    "pagerank_parts",
+    "connected_components_parts",
+    "triangle_count_parts",
+    "funnel_view_click_purchase",
+    "unigram_lm_score",
+    "psi_drift_chars",
+    "robust_outliers_orders",
+    "cross_corpus_decontam",
+    "bloom_contaminated_docs",
+    "duplicate_spans_docs",
+    "strip_dup_spans_docs",
+    "vocab_top_tokens",
+    "encode_tokens_docs",
+    "ann_int8_topk",
+    "gopher_quality_docs",
+    "repetition_profile_docs",
+    "dsir_importance_docs",
+    "knn_join_embeddings",
+    "cms_event_counts",
+    "setsim_join_docs",
+    "token_budget_mixture",
+    "curation_quality_chain",
+    "streaming_session_window",
+    "multimodal_audio_neardup",
+    "multimodal_video_neardup",
+    "weighted_sample_per_lang",
+    "seasonal_decompose_interp_events",
+    "bigram_lm_score",
 ]
 
 

@@ -31,6 +31,15 @@ _HOSTS = [
 ]
 
 
+#: Memoized checkpointed synth-URL frames, keyed by (application id,
+#: analyzed input plan). ``localCheckpoint`` pins executor storage blocks
+#: for the session lifetime; without the cache every invocation of the ~8
+#: web entries leaked a fresh copy (round-8 ADVICE). One frame per
+#: distinct input (sf_dir x column set) bounds the session footprint to a
+#: handful of narrow ids+url tables.
+_SYNTH_CACHE: dict = {}
+
+
 def _with_synth_urls(df: DataFrame) -> DataFrame:
     """Deterministic URL per doc_id (pure column arithmetic, mirrored
     bit-for-bit by :data:`_URL_CTE`): Knuth-multiplier host slot, http on
@@ -61,9 +70,16 @@ def _with_synth_urls(df: DataFrame) -> DataFrame:
     # composition enough to blow the JIT method limit — domain_capped_docs
     # fell off whole-stage codegen to interpreted rows (2.7 s vs ~0.7 s
     # peers at sf0.01) before this cut. Narrow ids+url rows only.
-    return df.withColumn(
+    key = (df.sparkSession.sparkContext.applicationId,
+           df._jdf.queryExecution().analyzed().toString())
+    hit = _SYNTH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = df.withColumn(
         "url", F.concat(scheme, F.lit("://"), host, port, path, qs, frag)) \
         .localCheckpoint()
+    _SYNTH_CACHE[key] = out
+    return out
 
 
 #: DuckDB CTE producing (doc_id, lang, source, url, url_norm, domain):
@@ -157,7 +173,7 @@ def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("domain_capped_docs", _URL_CTE + """
     SELECT domain,
            count(*) AS n_kept,
-           sum(doc_id) AS kept_ids_sum
+           CAST(sum(doc_id) AS BIGINT) AS kept_ids_sum
     FROM (
         SELECT domain, doc_id,
                row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn

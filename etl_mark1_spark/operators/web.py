@@ -137,9 +137,15 @@ def with_normalized_urls(df: DataFrame, url_col: str = "url",
     (~1,200 regexp nodes in the optimized plan), which pushed fused join
     stages past the JIT's method-size limits and ran them at interpreted
     speed (measured 12.3 s -> 2.4 s on domain_capped_docs at sf0.1, 5x).
-    Same result: ``url_host`` already lowercases and strips port/userinfo,
-    and ``registered_domain`` treats a leading ``www`` as an ordinary
-    label. The host also lands in an intermediate column so
+    Near-same result: ``url_host`` already lowercases and strips
+    port/userinfo, and ``registered_domain`` treats a leading ``www`` as
+    an ordinary label — which diverges from the old normalized-host
+    derivation ONLY for degenerate hosts where ``www`` is itself one of
+    the final registrable labels: ``www.com`` now yields ``www.com``
+    (previously ``com`` after the www strip), ``www.co.uk`` now yields
+    ``www.co.uk``. The new behavior is the intended one (``www.com`` IS a
+    real registrable domain; pinned by a regression test) but it is not a
+    strict equivalence. The host also lands in an intermediate column so
     ``registered_domain``'s internal fan-out references an attribute
     (CollapseProject never inlines a non-cheap multi-referenced alias)."""
     hostcol = f"_{domain_col}_host"
@@ -287,10 +293,20 @@ def filter_robots_allowed(df: DataFrame, rules: DataFrame,
     Rule paths honor the RFC 9309 special characters: ``*`` matches any
     character run and a TRAILING ``$`` anchors the rule to the URL's end
     (a ``$`` anywhere else is literal, as is every regex metacharacter).
-    Precedence is the rule's octet length (wildcard characters count),
-    Allow winning ties. Plain prefix rules — the overwhelming majority in
-    real robots.txt — keep the cheap ``startswith`` path; only rules that
-    actually contain ``*``/``$`` pay a regex match.
+    Precedence is the rule's octet length — ``F.octet_length``, NOT
+    character count, so multi-byte UTF-8 rule paths rank correctly
+    against ASCII rules (wildcard characters count; Allow wins ties).
+    Plain prefix rules — the overwhelming majority in real robots.txt —
+    keep the cheap ``startswith`` path; only rules that actually contain
+    ``*``/``$`` pay a regex match.
+
+    The match target is ``path + '?' + query`` when the URL carries a
+    query string (RFC 9309 / Google's reference matcher
+    GetPathParamsQuery), never the bare path: rules containing ``?``
+    (``Disallow: /*?``, ``/search?q=``) must be able to match, and a
+    trailing-``$`` rule like ``/*.php$`` must NOT deny ``/x.php?p=1``
+    (its match target ends ``?p=1``, not ``.php``). Fragments stay
+    excluded. A bare-host URL still matches as ``/`` (plus its query).
 
     The join key is the EXACT URL host: RFC 9309 scopes robots.txt to
     one authority, so the rules table must be keyed by host as crawled
@@ -303,10 +319,14 @@ def filter_robots_allowed(df: DataFrame, rules: DataFrame,
     join there is no shuffle, no window, and no Python anywhere near the
     corpus."""
     host = url_host(F.col(url_col))
+    # path + ('?' + query) in one capture: everything after the authority
+    # up to the fragment. '/' is prepended when the path is empty (bare
+    # host, or a query directly after the host: 'https://h?a=1' -> '/?a=1').
     path = F.regexp_extract(F.col(url_col),
-                            r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)",
+                            r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)",
                             1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(path.startswith("/"), path) \
+        .otherwise(F.concat(F.lit("/"), path))
     # Translate each rule path to an anchored Java regex ON THE RULES SIDE
     # (tiny, pre-broadcast): strip a trailing '$' (the end anchor), escape
     # every regex metacharacter except '*', then '*' -> '.*'.
@@ -319,7 +339,7 @@ def filter_robots_allowed(df: DataFrame, rules: DataFrame,
                      F.when(has_end, F.lit("$")).otherwise(F.lit("")))
     per_domain = rules.groupBy(F.col(rules.columns[0]).alias("_rdomain")) \
         .agg(F.collect_list(F.struct(
-            F.length("path").alias("n"),
+            F.octet_length("path").alias("n"),
             (F.col("rule") == "allow").alias("is_allow"),
             F.col("path").alias("p"),
             (F.col("path").contains("*") | has_end).alias("wild"),

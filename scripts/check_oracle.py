@@ -89,6 +89,34 @@ def driver_hostile_fields(schema) -> list[str]:
     return bad
 
 
+def oracle_hostile_fields(con, sql: str) -> list[str]:
+    """DuckDB-side mirror of :func:`driver_hostile_fields` (the round-8
+    driver red: ``sum(BIGINT)`` returns HUGEINT, whose pandas carrier is
+    float64 while Spark's int64 hashes differently despite equal values —
+    and the local gate structurally cannot see it because ``fetchall()``
+    yields Python ints). ``DESCRIBE`` the oracle SQL — schema only, no
+    rows run — and refuse any output column whose DuckDB type the
+    driver's pandas canonicalizer carries non-portably: HUGEINT /
+    UHUGEINT (→ float64/object), DECIMAL wider than precision 18, and
+    list/struct/map containers."""
+    import re
+
+    bad = []
+    for row in con.execute(f"DESCRIBE {sql}").fetchall():
+        name, typ = row[0], row[1].upper()
+        if typ in ("HUGEINT", "UHUGEINT"):
+            bad.append(f"{name}: {typ}")
+            continue
+        m = re.match(r"DECIMAL\((\d+)", typ)
+        if m and int(m.group(1)) > 18:
+            bad.append(f"{name}: {typ}")
+            continue
+        if "[]" in typ or typ.startswith(("MAP(", "STRUCT(", "LIST(",
+                                          "UNION(")):
+            bad.append(f"{name}: {typ}")
+    return bad
+
+
 def row_set(columns: list[str], rows: list[tuple]) -> list[str]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -340,6 +368,14 @@ def main() -> int:
         # local PASS predicts a driver PASS — round 6's four driver reds
         # were exactly this class, and the old checker passed them.
         hostile = driver_hostile_fields(sdf.schema)
+        # Mirror the sweep on the ORACLE side (round-8 lesson:
+        # domain_capped_docs shipped a HUGEINT sum the Spark-only check
+        # could not see).
+        try:
+            hostile += [f"oracle {h}"
+                        for h in oracle_hostile_fields(con, oracles[name])]
+        except Exception as exc:
+            hostile.append(f"oracle DESCRIBE failed: {exc}")
         if hostile:
             print(f"FAIL  {name}: driver-hostile output columns: "
                   f"{', '.join(hostile)}")

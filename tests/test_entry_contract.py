@@ -62,14 +62,26 @@ def test_prefix_rotates_toward_unchecked_entries():
     plus a few previously-confirmed SENTINELS so old entries keep external
     regression coverage. Read the committed CORRECTNESS_r*.json snapshots
     and require both halves — as much fresh as the shrinking unchecked pool
-    allows, and at least two sentinels."""
+    allows, and at least two sentinels.
+
+    Only snapshots from rounds STRICTLY BEFORE the prefix's authoring
+    round (DRIVER_PREFIX_ROUND) count: the prefix is staged against what
+    was known when it was written, and the driver's snapshot for the
+    CURRENT round lands mid-round — globbing it in made this test fail
+    the moment CORRECTNESS_r08.json appeared on disk (round-8 lesson),
+    despite the rotation having executed exactly as planned."""
     import glob
     import json
+    import re
 
-    from etl_mark1_spark.catalog import DRIVER_PREFIX, ORACLE
+    from etl_mark1_spark.catalog import (DRIVER_PREFIX, DRIVER_PREFIX_ROUND,
+                                         ORACLE)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     snaps = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    snaps = [p for p in snaps
+             if int(re.search(r"_r(\d+)", os.path.basename(p)).group(1))
+             < DRIVER_PREFIX_ROUND]
     assert snaps, "committed correctness snapshots missing"
     checked: set[str] = set()
     for path in snaps:
@@ -110,3 +122,34 @@ def test_oracle_outputs_driver_safe_types(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"driver-hostile oracle outputs: {offenders}"
+
+
+def test_oracle_sql_outputs_driver_safe_types(sf_dir):
+    """The ORACLE-side mirror of the sweep above (round-8 driver red:
+    ``domain_capped_docs``'s ``sum(doc_id)`` returned DuckDB HUGEINT,
+    which the driver's pandas canonicalizer carries as float64 while
+    Spark's int64 hashes int — a value-hash mismatch on EQUAL values that
+    the Spark-schema sweep and the fetchall()-based local gate are both
+    structurally blind to). DESCRIBE every oracle SQL against DuckDB
+    views — schema only, no rows run — and refuse HUGEINT/UHUGEINT,
+    DECIMAL(>18), and container carriers."""
+    import duckdb
+
+    import scripts.check_oracle as co
+    from etl_mark1_spark.catalog import ORACLE, TABLES
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{name}.parquet')")
+    banded = {"approx_distinct_users", "hll_rollup_merge", "quartiles_approx",
+              "quantile_digest_merge", "streaming_hll_distinct",
+              "ann_lsh_topk", "ann_ivf_topk"}
+    offenders = {}
+    for name, sql in ORACLE.items():
+        if name in banded:
+            continue
+        bad = co.oracle_hostile_fields(con, sql)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"driver-hostile ORACLE output types: {offenders}"

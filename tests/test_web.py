@@ -67,6 +67,22 @@ def test_registered_domain(spark, host, domain):
     assert row.d == domain
 
 
+def test_domain_from_raw_host_degenerate_www(spark):
+    """Pin the INTENDED output for degenerate hosts where 'www' is itself
+    a registrable label (round-8 ADVICE): deriving domain from the RAW
+    host (the round-8 codegen fix) yields 'www.com' / 'www.co.uk' — the
+    correct registrable domains — where the old normalized-host path
+    stripped the www and yielded 'com' / 'co.uk'. The equivalence claim
+    in with_normalized_urls is deliberately NOT strict here."""
+    df = with_normalized_urls(spark.createDataFrame(
+        [("https://www.com/x",), ("https://www.co.uk/y",),
+         ("https://www.example.com/z",)], ["url"]))
+    got = {r.url: r.domain for r in df.collect()}
+    assert got == {"https://www.com/x": "www.com",
+                   "https://www.co.uk/y": "www.co.uk",
+                   "https://www.example.com/z": "example.com"}
+
+
 def test_with_normalized_urls_is_shuffle_free(spark):
     df = with_normalized_urls(
         spark.range(10).select(
@@ -229,15 +245,19 @@ def test_normalize_url_differential_grid(spark):
 def test_robots_match_differential_grid(spark):
     """Differential test of the column-side RFC 9309 decision against an
     independent pure-Python reference matcher: seeded random rule sets
-    (prefixes, '*' runs, trailing-'$' anchors, literal metacharacters,
-    allow/disallow mixes, octet-length ties) x generated URL paths, one
-    Spark job, row-for-row equality on the allow verdict."""
+    (prefixes, '*' runs, trailing-'$' anchors, literal metacharacters
+    INCLUDING '?', multi-byte UTF-8, allow/disallow mixes, octet-length
+    ties) x generated URLs with and without query strings, one Spark
+    job, row-for-row equality on the allow verdict. The reference
+    matches against path+query and ranks by OCTET length (round-9
+    ADVICE: feeding it the query-stripped path hid the '?'-rule and
+    '$'-vs-query bugs)."""
     import random
     import re as _re
 
     from etl_mark1_spark.operators.web import filter_robots_allowed
 
-    def ref_allowed(rules, path):
+    def ref_allowed(rules, target):
         best = None  # (octet length incl wildcards, is_allow)
         for rule, rpath in rules:
             has_end = rpath.endswith("$")
@@ -246,17 +266,18 @@ def test_robots_match_differential_grid(spark):
             if has_end:
                 pat += "$"
             if ("*" in rpath) or has_end:
-                hit = _re.search(pat, path) is not None
+                hit = _re.search(pat, target) is not None
             else:
-                hit = path.startswith(rpath)
+                hit = target.startswith(rpath)
             if hit:
-                key = (len(rpath), rule == "allow")
+                key = (len(rpath.encode()), rule == "allow")
                 if best is None or key > best:
                     best = key
         return True if best is None else best[1]
 
     rng = random.Random(20260815)
-    atoms = ["/a", "/b", "/cd", "x", "y", ".php", "*", "+", "."]
+    atoms = ["/a", "/b", "/cd", "x", "y", ".php", "*", "+", ".", "?q=",
+             "é"]
     def rand_path_rule():
         body = "/" + "".join(rng.choice(atoms) for _ in range(rng.randint(1, 4))).lstrip("/")
         return body + ("$" if rng.random() < 0.3 else "")
@@ -268,14 +289,17 @@ def test_robots_match_differential_grid(spark):
     for dom, rule, p in rule_rows:
         by_dom.setdefault(dom, []).append((rule, p))
 
-    url_atoms = ["/a", "/b", "/cd", "x", "y", ".php", "+", ".", "z"]
+    url_atoms = ["/a", "/b", "/cd", "x", "y", ".php", "+", ".", "z", "é"]
+    q_atoms = ["q=1", "x=y", "utm=z", "q=", ""]
     urls = []
     for i in range(400):
         dom = rng.choice(domains)
         path = "/" + "".join(rng.choice(url_atoms)
                              for _ in range(rng.randint(0, 5))).lstrip("/")
-        urls.append((i, f"https://{dom}{path}",
-                     ref_allowed(by_dom.get(dom, []), path)))
+        query = ("?" + rng.choice(q_atoms)) if rng.random() < 0.5 else ""
+        target = path + query
+        urls.append((i, f"https://{dom}{target}",
+                     ref_allowed(by_dom.get(dom, []), target)))
 
     rules_df = spark.createDataFrame(rule_rows,
                                      ["domain", "rule", "path"])
@@ -360,33 +384,70 @@ def test_domain_expression_tree_stays_bounded(spark, sf_dir):
 def test_robots_filter_wildcard_and_end_anchor(spark):
     """RFC 9309 special characters (round-8 ADVICE): '*' matches any run,
     a trailing '$' anchors to the URL end, other metacharacters are
-    literal; wildcard octets count toward longest-match precedence."""
+    literal; wildcard octets count toward longest-match precedence. The
+    match target is path+query (round-9 ADVICE): '/*.php$' must NOT deny
+    '/x.php?p=1', and rules containing '?' must be able to match."""
     from etl_mark1_spark.operators.web import (filter_robots_allowed,
                                                robots_rules)
 
     robots = spark.createDataFrame(
         [("s.example",
           "User-agent: *\n"
-          "Disallow: /*.php$\n"        # any path ending .php
+          "Disallow: /*.php$\n"        # any target ending .php
           "Disallow: /tmp*/\n"         # wildcard mid-rule
           "Allow: /tmpfiles/ok/\n"     # longer than /tmp*/ -> wins
-          "Disallow: /a$b/\n")],       # '$' mid-rule is literal
+          "Disallow: /a$b/\n"          # '$' mid-rule is literal
+          "Disallow: /search?q=\n")],  # '?' rules match path+query
         "domain string, robots_txt string")
     rules = robots_rules(robots, "anybot")
     urls = spark.createDataFrame(
         [(1, "https://s.example/index.php"),        # denied by /*.php$
-         (2, "https://s.example/index.php?x=1"),    # query cut: path ends .php
+         (2, "https://s.example/index.php?x=1"),    # target ends '?x=1',
+                                                    # NOT '.php' -> allowed
          (3, "https://s.example/index.phpx"),       # NOT anchored match
          (4, "https://s.example/tmpfiles/secret"),  # denied by /tmp*/
          (5, "https://s.example/tmpfiles/ok/f"),    # longer allow wins
          (6, "https://s.example/a$b/x"),            # literal '$' rule
-         (7, "https://s.example/aXb/x")],           # not the literal rule
+         (7, "https://s.example/aXb/x"),            # not the literal rule
+         (8, "https://s.example/search?q=spam"),    # denied by the '?' rule
+         (9, "https://s.example/search")]           # no query -> no match
+        , "doc_id bigint, url string")
+    flagged = {r.doc_id: r.robots_allowed
+               for r in filter_robots_allowed(urls, rules,
+                                              keep_denied=True).collect()}
+    assert flagged == {1: False, 2: True, 3: True, 4: False, 5: True,
+                       6: False, 7: True, 8: False, 9: True}
+
+
+def test_robots_filter_octet_length_precedence(spark):
+    """Rule precedence is OCTET length (RFC 9309), not character count: a
+    rule path with multi-byte UTF-8 outranks an ASCII rule of equal
+    character length. '/café' (5 chars, 6 octets) vs '/cafe7' (6 chars,
+    6 octets) tie on octets -> Allow wins; vs '/caf' prefix (4 octets)
+    the multi-byte rule is strictly longer."""
+    from etl_mark1_spark.operators.web import (filter_robots_allowed,
+                                               robots_rules)
+
+    robots = spark.createDataFrame(
+        [("s.example",
+          "User-agent: *\n"
+          "Disallow: /caf\n"           # 4 octets
+          "Allow: /café\n"),      # 6 octets -> wins on /café…
+         ("t.example",
+          "User-agent: *\n"
+          "Disallow: /xé\n"       # 4 octets
+          "Allow: /xab\n")],           # 4 octets: tie -> Allow wins
+        "domain string, robots_txt string")
+    rules = robots_rules(robots, "anybot")
+    urls = spark.createDataFrame(
+        [(1, "https://s.example/café/menu"),   # allow (6) > deny (4)
+         (2, "https://s.example/cafX/menu"),        # only deny matches
+         (3, "https://t.example/xéq")],        # deny 4 octets, no tie
         "doc_id bigint, url string")
     flagged = {r.doc_id: r.robots_allowed
                for r in filter_robots_allowed(urls, rules,
                                               keep_denied=True).collect()}
-    assert flagged == {1: False, 2: False, 3: True, 4: False, 5: True,
-                       6: False, 7: True}
+    assert flagged == {1: True, 2: False, 3: False}
 
 
 def test_robots_filter_broadcasts_and_stays_codegen(spark):
