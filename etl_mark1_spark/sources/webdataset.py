@@ -75,6 +75,22 @@ def iter_webdataset_samples(data: bytes) -> Iterator[tuple[str, dict]]:
         yield key, groups[key]
 
 
+def _shard_fs(path: str):
+    """(pyarrow filesystem, base path) for a shard-sink destination:
+    URIs (``s3://bucket/prefix``, ``gs://``, ``hdfs://``, ``file:///``)
+    resolve through ``pyarrow.fs.FileSystem.from_uri``; scheme-less
+    strings are local paths. Called independently on the driver (manifest
+    commit) and inside each executor task (shard writes) — pyarrow needs
+    no JVM bridge, so the same code runs on both sides."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
 def write_webdataset_shards(df: DataFrame, path: str,
                             members: dict[str, str],
                             num_shards: int = 64,
@@ -93,22 +109,25 @@ def write_webdataset_shards(df: DataFrame, path: str,
     ``shard-{K:05d}.tar``; nothing flows through the driver. Returns the
     manifest dict.
 
-    DEPLOYMENT REQUIREMENT: shard tars are written with a plain
-    executor-side ``open(path)`` while the driver writes the manifest, so
-    ``path`` must be a filesystem shared by driver AND executors (NFS,
-    Lustre, a FUSE-mounted object store) — on a multi-node cluster with
-    only node-local disks the shards would land scattered on executor
-    machines and the export would be silently incomplete. For direct
-    object-store output, route bytes through a storage client inside
-    ``build`` instead of ``open``. Each shard group is also materialized
-    in executor memory while its tar is built — size ``num_shards`` so
-    ``total_bytes / num_shards`` fits comfortably in one task."""
+    Writes go through ``pyarrow.fs`` (:func:`_shard_fs` — the Arrow
+    filesystem layer the Parquet scan path already ships), resolved from
+    the path's URI scheme ON EACH EXECUTOR: ``s3://`` / ``gs://`` /
+    ``abfs://`` / ``hdfs://`` (where libhdfs is present) or plain local
+    paths all work, with credentials from the task environment (IAM
+    role, env vars), so a multi-node cluster needs NO shared POSIX mount
+    — executors stream their shard tars straight to the object store
+    while the driver commits the manifest to the same location. (This
+    replaces the round-7 executor-side ``open()``, which silently
+    scattered shards across node-local disks without a shared mount.)
+    Each shard group is still materialized in executor memory while its
+    tar is built — size ``num_shards`` so ``total_bytes / num_shards``
+    fits comfortably in one task."""
     import json
-    import os
 
     from pyspark.sql import functions as F
 
-    os.makedirs(path, exist_ok=True)
+    fs, base = _shard_fs(path)
+    fs.create_dir(base, recursive=True)
     hcol = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
                   16, 10).cast("bigint")
     tagged = df.withColumn("_shard", (hcol % num_shards).cast("int"))
@@ -129,8 +148,12 @@ def write_webdataset_shards(df: DataFrame, path: str,
                     s[ext] = bytes(v) if not isinstance(v, (str, bytes)) \
                         else v
             samples.append(s)
-        out = os.path.join(path, f"shard-{shard:05d}.tar")
-        with open(out, "wb") as fh:
+        # resolve the filesystem INSIDE the task: executors have no py4j
+        # bridge, but pyarrow.fs is plain Python + C++ and ships with
+        # every PySpark worker
+        tfs, tbase = _shard_fs(path)
+        with tfs.open_output_stream(
+                f"{tbase}/shard-{shard:05d}.tar") as fh:
             fh.write(make_webdataset_tar(samples))
         return pd.DataFrame({"shard": [shard], "n": [len(samples)]})
 
@@ -146,8 +169,9 @@ def write_webdataset_shards(df: DataFrame, path: str,
                           for r in sorted(stats, key=lambda r: r.shard)},
         "members": {e: members[e] for e in exts},
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    with fs.open_output_stream(f"{base}/_manifest.json") as fh:
+        fh.write(json.dumps(manifest, indent=1, sort_keys=True)
+                 .encode("utf-8"))
     return manifest
 
 

@@ -97,6 +97,19 @@ NOTES = {
         "(domain, salt) shards, phase 2 merges shard survivors — the "
         "Zipf-head domain's rows spread over salts, so no single task "
         "sorts the whole head even at 10x"),
+    # round-9 additions (VERDICT task #6): the two similarity JOINS whose
+    # candidate generation 10x data stresses hardest
+    "edit_distance_join_customers": (
+        "FastSS deletion-neighborhood bucket join: each name explodes "
+        "into O(len^k) deletion variants, candidates meet on variant "
+        "equality — replica name universes are disjoint, so buckets stay "
+        "flat and candidate pairs scale linearly; verify is "
+        "candidate-bounded DP"),
+    "setsim_join_docs": (
+        "PPJoin prefix filtering: tokens rank by global frequency, only "
+        "the per-doc prefix explodes into the bucket join — replicas' "
+        "token universes shift so prefix buckets stay flat; length + "
+        "positional filters bound candidates before exact Jaccard"),
 }
 
 

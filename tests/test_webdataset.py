@@ -102,6 +102,33 @@ def test_write_webdataset_shards_roundtrip_and_determinism(spark, sf_dir,
     assert manifest["format"] == "webdataset"
 
 
+def test_write_webdataset_shards_via_fs_uri(spark, tmp_path):
+    """The sink resolves its destination through pyarrow.fs from the URI
+    scheme (round-9: replaces the executor-side open() that required a
+    shared POSIX mount): a file:// URI must produce byte-identical
+    shards + manifest to the plain-path spelling, through the same
+    FileSystem.from_uri code path an s3://bucket destination takes."""
+    import glob
+    import json as _json
+
+    from etl_mark1_spark.sources.webdataset import write_webdataset_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id bigint, text string")
+    plain = str(tmp_path / "plain")
+    via_uri = str(tmp_path / "uri")
+    m1 = write_webdataset_shards(df, plain, {"txt": "text"}, num_shards=4)
+    m2 = write_webdataset_shards(df, f"file://{via_uri}", {"txt": "text"},
+                                 num_shards=4)
+    assert m1 == m2
+    shards = sorted(glob.glob(plain + "/shard-*.tar"))
+    assert len(shards) == 4
+    for f1 in shards:
+        f2 = via_uri + "/" + f1.rsplit("/", 1)[1]
+        assert open(f1, "rb").read() == open(f2, "rb").read()
+    assert _json.load(open(via_uri + "/_manifest.json")) == m1
+
+
 def test_write_webdataset_null_members_skipped(spark, tmp_path):
     from etl_mark1_spark.sources.webdataset import write_webdataset_shards
 
