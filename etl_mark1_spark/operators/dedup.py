@@ -868,20 +868,49 @@ def edit_distance_join(left: DataFrame, right: DataFrame,
     ~C(len, k)); for long documents use the shingle-based families
     above. ``self_join=True`` dedups mirrored pairs via ``a < b`` (pass
     ``left`` twice). Returns (a, b, dist).
-    """
-    def variants(df, id_out, t_out):
-        return df.select(
-            F.col(id_col).alias(id_out), F.col(text_col).alias(t_out),
-            F.explode_outer(F.array_distinct(F.transform(
-                _deletion_variants(F.col(text_col), max_dist),
-                lambda v: F.xxhash64(v)))).alias("_v"))
 
-    lv = variants(left, "a", "_ta")
-    rv = variants(right, "b", "_tb")
-    cand = lv.join(rv, "_v")
+    DUPLICATE-COLLAPSE (round 9): the neighborhood explode and candidate
+    join run over DISTINCT strings, with ids expanded back by two plain
+    equi-joins at the end. Real corpora are exact-duplicate-heavy, and
+    candidate pairs grow with the PRODUCT of bucket sizes — v verbatim
+    copies of a string would pay v^2 candidate generation + verify for
+    pairs whose distance is already known (measured: 10 copies of every
+    sf0.1 customer name pushed the sf1 scaling probe past an hour; the
+    collapsed join is distance-work-linear in unique strings). Only the
+    final id expansion is pair-count sized, which is the output's own
+    size — no stage exceeds it.
+    """
+    lt = (left.select(F.col(text_col).alias("_ta"))
+          .where(F.col("_ta").isNotNull()).distinct())
+    rt = lt.select(F.col("_ta").alias("_tb")) if self_join else \
+        (right.select(F.col(text_col).alias("_tb"))
+         .where(F.col("_tb").isNotNull()).distinct())
+
+    def expl(df, t):
+        return df.select(F.col(t), F.explode(F.array_distinct(F.transform(
+            _deletion_variants(F.col(t), max_dist),
+            lambda v: F.xxhash64(v)))).alias("_v"))
+
+    cand = expl(lt, "_ta").join(expl(rt, "_tb"), "_v")
     if self_join:
-        cand = cand.filter(F.col("a") < F.col("b"))
+        # keep ta == tb too: distinct id pairs sharing one string are
+        # dist-0 matches the expansion below must still emit
+        cand = cand.filter(F.col("_ta") <= F.col("_tb"))
     dist = F.levenshtein("_ta", "_tb")
-    return (cand.select("a", "b", "_ta", "_tb").distinct()
-            .filter(dist <= max_dist)
-            .select("a", "b", dist.cast("bigint").alias("dist")))
+    matched = (cand.select("_ta", "_tb").distinct()
+               .filter(dist <= max_dist))
+    la = left.select(F.col(id_col).alias("a"),
+                     F.col(text_col).alias("_ta"))
+    rb = (left if self_join else right).select(
+        F.col(id_col).alias("b"), F.col(text_col).alias("_tb"))
+    out = matched.join(la, "_ta").join(rb, "_tb")
+    if self_join:
+        # same-string groups: keep each unordered id pair once (a < b);
+        # cross-string matches appear once per unordered pair already
+        # (the groups are disjoint) — canonicalize to id order
+        return (out.filter((F.col("_ta") < F.col("_tb"))
+                           | (F.col("a") < F.col("b")))
+                .select(F.least("a", "b").alias("a"),
+                        F.greatest("a", "b").alias("b"),
+                        dist.cast("bigint").alias("dist")))
+    return out.select("a", "b", dist.cast("bigint").alias("dist"))

@@ -13,7 +13,11 @@ bench set sees ten disjoint copies of the sf0.1 join graph:
   customer->orders->lineitem and part/supplier joins replicate without
   cross-replica edges (graph workloads get 10 independent co-order
   graphs, not one 10x-denser graph whose wedge counts would scale
-  superlinearly and say nothing about data scaling);
+  superlinearly and say nothing about data scaling); ``c_name`` gets
+  the same per-replica Caesar rotation as document text (round 9) —
+  verbatim copies would hand every name 9 exact duplicates, turning the
+  edit-distance join's scaling probe into the artificially quadratic
+  all-copies workload rather than "10x more names, same structure";
 - ``region``/``nation``: copied UNREPLICATED — they are bounded
   dimensions in any deployment; the fact side scales 10x against the
   same 25/5 dimension rows, which is exactly the 100 TB shape;
@@ -57,9 +61,15 @@ def main() -> None:
     for t in ("region", "nation"):
         copy(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
     copy("customer", f"""
-        SELECT c.c_custkey + r.i * {N_CUST} AS c_custkey, c.c_name,
+        WITH sh AS (
+          SELECT i, '{AL}{AL.upper()}' AS src,
+                 substr('{AL}{AL}', i + 1, 26)
+                   || substr('{AL.upper()}{AL.upper()}', i + 1, 26) AS dst
+          FROM generate_series(0, {REPLICAS - 1}) g(i))
+        SELECT c.c_custkey + sh.i * {N_CUST} AS c_custkey,
+               translate(c.c_name, sh.src, sh.dst) AS c_name,
                c.c_nationkey, c.c_acctbal, c.c_mktsegment
-        FROM read_parquet('{SRC}/customer.parquet') c, {rep}""")
+        FROM read_parquet('{SRC}/customer.parquet') c, sh""")
     copy("supplier", f"""
         SELECT s.s_suppkey + r.i * {N_SUPP} AS s_suppkey, s.s_name,
                s.s_nationkey, s.s_acctbal

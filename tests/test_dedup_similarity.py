@@ -797,6 +797,46 @@ def test_edit_distance_join_known_pairs(spark):
     assert got == {(10, 20): 0, (10, 21): 1}
 
 
+def test_edit_distance_join_duplicate_heavy_matches_naive(spark):
+    """Exact-duplicate-heavy corpora (the 100 TB reality the round-9
+    distinct-string collapse targets): many verbatim copies per string
+    must yield exactly the naive quadratic answer — every within-copy-set
+    pair at dist 0, every cross-set pair within the threshold, each
+    unordered id pair once with a < b — while the neighborhood join only
+    ever touches the unique strings."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from etl_mark1_spark.operators.dedup import edit_distance_join
+
+    base = ["node07", "node17", "node99", "other"]
+    rows = [(100 * t + c, text)  # 5 verbatim copies of each string
+            for t, text in enumerate(base) for c in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.a, r.b): r.dist for r in
+           edit_distance_join(df, df, max_dist=1, self_join=True).collect()}
+
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (cs != ct))
+        return d[len(t)]
+
+    naive = {(a, b): lev(ta, tb)
+             for (a, ta), (b, tb) in itertools.combinations(rows, 2)
+             if lev(ta, tb) <= 1}
+    naive = {(min(a, b), max(a, b)): d for (a, b), d in naive.items()}
+    assert got == naive
+    # 5 copies x 4 strings -> 4 * C(5,2) dist-0 pairs + 5*5 cross pairs
+    # for the one true dist-1 string pair (node07, node17)
+    assert sum(1 for d in got.values() if d == 0) == 4 * 10
+    assert sum(1 for d in got.values() if d == 1) == 25
+
+
 # -- incremental dedup-on-ingest (operators/incremental.py) -------------------
 
 def _inc_docs(spark, rows):
