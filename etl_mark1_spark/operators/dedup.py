@@ -770,9 +770,51 @@ def setsim_join(df: DataFrame, threshold: float = 0.6,
     vocabulary (unigram sets saturate); docs shorter than ``ngram``
     tokens drop out (they have no shingle set).
     """
+    # DUPLICATE-COLLAPSE (round 9, same reasoning as edit_distance_join):
+    # verbatim-duplicate documents carry IDENTICAL element sets, and
+    # prefix-join candidates grow with the PRODUCT of copy counts — v
+    # copies pay v^2 candidate + verify work for pairs that are
+    # definitionally jaccard 1.0. Collapse to DISTINCT TEXTS *before*
+    # tokenization (a plain string groupBy — cheaper than comparing
+    # shingle arrays, and it dedups the shingle/frequency/regroup work
+    # itself on duplicate-heavy corpora); the whole prefix/verify
+    # pipeline runs over one representative per text, ids expand back at
+    # the end, and same-text pairs are emitted directly at jaccard 1.0
+    # whenever the text yields a non-empty element set. Two different
+    # texts with an identical token SET ("a b" vs "b a") stay separate
+    # reps and pair up through the normal verify, unchanged. The narrow
+    # (rep, ids, qualifies) map is the only retained checkpoint — it
+    # fans out three ways (both expansion sides + the same-text pairs)
+    # and id-only rows are cheap to hold; same contract as the
+    # fingerprint frame in hamming_neardup above.
     docs = ensure_parallelism(df)
+
+    def _qualifies(tcol):
+        a = F.split(normalized_text(tcol), " ")
+        if ngram == 1:
+            return F.size(F.filter(a, lambda x: x != "")) >= 1
+        return F.size(a) >= ngram
+
+    groups = (docs.groupBy(F.col(text_col).alias("_t"))
+              .agg(F.min(id_col).alias("_rid"),
+                   F.collect_list(id_col).alias("_ids")))
+    idmap = groups.select(
+        "_rid", "_ids", _qualifies(F.col("_t")).alias("_q")) \
+        .localCheckpoint()
+    # AQE coalesces the collapse's tiny-BYTES output to one partition,
+    # which would serialize the CPU-heavy shingle explode + verify that
+    # hang off it (the AQE-size-vs-CPU cliff the graph entries hit in
+    # round 8; measured 9.1 s vs 3.5 s on the sf0.1 entry). Fan back out
+    # to cluster parallelism — a round-robin of the DISTINCT texts,
+    # bounded by the groupBy's own shuffle.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    reps = ensure_parallelism(
+        groups.select(F.col("_rid").alias(id_col),
+                      F.col("_t").alias(text_col)),
+        min_partitions=par)
+
     if ngram == 1:
-        elems = (docs.select(
+        elems = (reps.select(
             F.col(id_col),
             F.explode(F.split(normalized_text(F.col(text_col)), " "))
             .alias("tok"))
@@ -782,7 +824,7 @@ def setsim_join(df: DataFrame, threshold: float = 0.6,
         grams = F.transform(
             F.sequence(F.lit(1), F.size(arr) - F.lit(ngram - 1)),
             lambda i: F.concat_ws(" ", F.slice(arr, i, ngram)))
-        elems = (docs.filter(F.size(arr) >= ngram)
+        elems = (reps.filter(F.size(arr) >= ngram)
                  .select(F.col(id_col), F.explode(grams).alias("tok")))
     toks = elems.distinct()
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_f"))
@@ -817,9 +859,26 @@ def setsim_join(df: DataFrame, threshold: float = 0.6,
     # threshold on the UNROUNDED value: a pair rounding up across the
     # threshold is not covered by the prefix guarantee and the oracle
     # applies the same unrounded cut
-    return (cands.join(sa, "doc_a").join(sb, "doc_b")
-            .filter(jac >= threshold)
-            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+    rep_pairs = (cands.join(sa, "doc_a").join(sb, "doc_b")
+                 .filter(jac >= threshold)
+                 .select("doc_a", "doc_b",
+                         F.round(jac, 6).alias("jaccard")))
+
+    ia = idmap.select(F.col("_rid").alias("doc_a"),
+                      F.explode("_ids").alias("_ia"))
+    ib = idmap.select(F.col("_rid").alias("doc_b"),
+                      F.explode("_ids").alias("_ib"))
+    cross = (rep_pairs.join(ia, "doc_a").join(ib, "doc_b")
+             .select(F.least("_ia", "_ib").alias("doc_a"),
+                     F.greatest("_ia", "_ib").alias("doc_b"), "jaccard"))
+    dups = (idmap.filter("_q").filter(F.size("_ids") >= 2)
+            .select(F.explode("_ids").alias("_ia"), "_ids")
+            .select("_ia", F.explode("_ids").alias("_ib"))
+            .filter(F.col("_ia") < F.col("_ib"))
+            .select(F.col("_ia").alias("doc_a"),
+                    F.col("_ib").alias("doc_b"),
+                    F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(dups)
 
 
 # --------------------------------------------------------------------------
@@ -880,11 +939,20 @@ def edit_distance_join(left: DataFrame, right: DataFrame,
     final id expansion is pair-count sized, which is the output's own
     size — no stage exceeds it.
     """
-    lt = (left.select(F.col(text_col).alias("_ta"))
-          .where(F.col("_ta").isNotNull()).distinct())
+    # The distinct() outputs are tiny in BYTES, so AQE coalesces them to
+    # one partition — serializing the deletion-neighborhood explode and
+    # the candidate join behind it (the same AQE-size-vs-CPU cliff as in
+    # setsim_join). Fan the unique strings back out to cluster
+    # parallelism before the explode.
+    par = left.sparkSession.sparkContext.defaultParallelism
+    lt = ensure_parallelism(
+        left.select(F.col(text_col).alias("_ta"))
+        .where(F.col("_ta").isNotNull()).distinct(), min_partitions=par)
     rt = lt.select(F.col("_ta").alias("_tb")) if self_join else \
-        (right.select(F.col(text_col).alias("_tb"))
-         .where(F.col("_tb").isNotNull()).distinct())
+        ensure_parallelism(
+            right.select(F.col(text_col).alias("_tb"))
+            .where(F.col("_tb").isNotNull()).distinct(),
+            min_partitions=par)
 
     def expl(df, t):
         return df.select(F.col(t), F.explode(F.array_distinct(F.transform(

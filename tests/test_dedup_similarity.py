@@ -640,6 +640,41 @@ def test_setsim_join_randomized_bruteforce_parity(spark):
         assert got == want, f"threshold {thr}"
 
 
+def test_setsim_join_duplicate_heavy_matches_bruteforce(spark):
+    """Exact-duplicate-heavy corpora (the round-9 distinct-set collapse):
+    many verbatim copies per document must yield exactly the brute-force
+    answer — every within-copy-set pair at jaccard 1.0, cross-set pairs
+    at their true jaccard, each unordered id pair once — while the
+    prefix join only ever touches the distinct sets."""
+    from itertools import combinations
+
+    from etl_mark1_spark.operators.dedup import setsim_join
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "unrelated cooking words about pasta sauce tonight"]
+    rows = [(100 * t + c, txt)  # 4 verbatim copies of each document
+            for t, txt in enumerate(texts) for c in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in setsim_join(df, threshold=0.5).collect()}
+
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(rows, 2):
+        a, b = set(ta.split()), set(tb.split())
+        jac = len(a & b) / len(a | b)
+        if jac >= 0.5:
+            want[(min(ia, ib), max(ia, ib))] = round(jac, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    # 3 copy sets of 4 -> 3 * C(4,2) jaccard-1.0 pairs; the two fox
+    # variants share 7 of 9 distinct tokens across all 4x4 copy pairs
+    assert sum(1 for v in got.values() if v == 1.0) == 3 * 6
+    assert sum(1 for v in got.values()
+               if abs(v - 7 / 9) < 1e-6) == 16
+
+
 def test_dedup_keep_best_prefers_score_then_min_id(spark):
     from etl_mark1_spark.operators.dedup import dedup_keep_best
 
