@@ -837,16 +837,31 @@ def setsim_join(df: DataFrame, threshold: float = 0.6,
     prefix_len = size - F.ceil(size * F.lit(threshold)).cast("int") + 1
     prefixes = sets.select(
         F.col(id_col), size.alias("_n"),
-        F.explode(F.slice("_set", 1, prefix_len)).alias("tok"))
+        F.posexplode(F.slice("_set", 1, prefix_len)).alias("_p", "tok"))
 
     a = prefixes.select(F.col(id_col).alias("doc_a"),
-                        F.col("_n").alias("_na"), "tok")
+                        F.col("_n").alias("_na"),
+                        F.col("_p").alias("_pa"), "tok")
     b = prefixes.select(F.col(id_col).alias("doc_b"),
-                        F.col("_n").alias("_nb"), "tok")
+                        F.col("_n").alias("_nb"),
+                        F.col("_p").alias("_pb"), "tok")
+    # PPJoin POSITIONAL filter on top of prefix + length: with the sets
+    # frequency-ordered identically on both sides, a pair sharing a
+    # prefix token at (0-based) positions pa/pb can overlap in at most
+    # min(|a|-pa, |b|-pb) elements, while jaccard >= t requires overlap
+    # >= t/(1+t) * (|a|+|b|). The bound is LARGEST at the pair's first
+    # shared token, so filtering every shared occurrence and
+    # de-duplicating keeps exactly the pairs strict PPJoin keeps — full
+    # recall, fewer array_intersect verifies (the dominant stage).
+    overlap_req = F.lit(threshold / (1.0 + threshold)) \
+        * (F.col("_na") + F.col("_nb"))
+    overlap_ub = F.least(F.col("_na") - F.col("_pa"),
+                         F.col("_nb") - F.col("_pb"))
     cands = (a.join(b, "tok")
              .filter((F.col("doc_a") < F.col("doc_b"))
                      & (F.col("_nb") * F.lit(threshold) <= F.col("_na"))
-                     & (F.col("_na") * F.lit(threshold) <= F.col("_nb")))
+                     & (F.col("_na") * F.lit(threshold) <= F.col("_nb"))
+                     & (overlap_ub >= overlap_req))
              .select("doc_a", "doc_b").distinct())
 
     sa = sets.select(F.col(id_col).alias("doc_a"),
