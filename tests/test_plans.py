@@ -434,6 +434,19 @@ def test_edit_distance_join_has_no_cartesian(spark, sf_dir):
     assert "HashJoin" in plan
 
 
+def test_similarity_joins_fan_collapsed_frames_out(spark, sf_dir):
+    """The round-9 AQE size-vs-CPU cliff pin: both similarity joins
+    collapse to distinct strings whose output is tiny in BYTES, so AQE
+    coalesces it to one partition — serializing the CPU-heavy
+    deletion-neighborhood / shingle explode behind it (measured 7.6 s
+    vs 2.1 s on the sf0.1 edit-distance entry). The explicit
+    round-robin fan-out must stay in the plan: a ROUNDROBIN exchange
+    in each join's executed plan."""
+    for name in ("edit_distance_join_customers", "setsim_join_docs"):
+        plan = executed_plan(QUERIES[name](spark, sf_dir)).upper()
+        assert "ROUNDROBIN" in plan, f"{name}: collapsed-frame fan-out gone"
+
+
 def test_funnel_stages_share_user_partitioning(spark, sf_dir):
     """Every shuffle in the funnel hashes the user key (stage joins and
     aggregates co-partition); no window, no cartesian."""
