@@ -122,6 +122,15 @@ DRIVER_PREFIX_ROUND = 9
 #: GROWTH FREEZE HOLDS (round 9): the catalog stays at 228 entries until
 #: this rotation's snapshot confirms; additions resume in round 10 only
 #: up to rotation headroom.
+#:
+#: ROUND-10 PLAN (staged now for continuity): once CORRECTNESS_r09
+#: lands, build the next prefix as (a) any r9 reds at the head, (b) 2+
+#: previously-green sentinels, (c) sample_per_group_lang — after r9 the
+#: single never-sampled oracle-exact entry — and (d) new round-10
+#: additions up to the ~46-slot headroom; every new entry ships
+#: oracle-exact (or checker-golden with a one-line justification) and
+#: driver-safe on BOTH sides of the carrier sweeps. If CORRECTNESS_r09
+#: does NOT land, re-run THIS prefix unchanged and keep the freeze.
 DRIVER_PREFIX = [
     "domain_capped_docs",
     "q1_pricing_summary",
