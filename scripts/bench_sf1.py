@@ -110,6 +110,17 @@ NOTES = {
         "the per-doc prefix explodes into the bucket join — replicas' "
         "token universes shift so prefix buckets stay flat; length + "
         "positional filters bound candidates before exact Jaccard"),
+    "bpe_segment_docs": (
+        "merge chain applies as ranked map-side regexp passes over the "
+        "per-doc symbol string; linear in total text bytes, no shuffle "
+        "beyond the training it shares with bpe_train_merges"),
+    "multimodal_audio_neardup": (
+        "per-doc WAV synth + spectral fingerprint in mapInPandas "
+        "(embarrassingly parallel) + the shared banded-hamming bucket "
+        "join on 8-byte fingerprints; NB the entry synthesizes a FIXED "
+        "300-doc planted corpus (the oracle histogram is id arithmetic), "
+        "so this pair pins sf-independence (~1.0x) rather than growth — "
+        "the codec-CPU growth story is multimodal_video_frames' pair"),
 }
 
 
