@@ -110,6 +110,10 @@ NOTES = {
         "the per-doc prefix explodes into the bucket join — replicas' "
         "token universes shift so prefix buckets stay flat; length + "
         "positional filters bound candidates before exact Jaccard"),
+    "fuzzy_dedup_customers": (
+        "edit-distance edges (the duplicate-collapsed FastSS join) into "
+        "min-label components; replicas are disjoint name universes, so "
+        "edge counts and component sizes replicate rather than densify"),
     "bpe_segment_docs": (
         "merge chain applies as ranked map-side regexp passes over the "
         "per-doc symbol string; linear in total text bytes, no shuffle "
