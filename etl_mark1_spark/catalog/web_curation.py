@@ -70,8 +70,20 @@ def _with_synth_urls(df: DataFrame) -> DataFrame:
     # composition enough to blow the JIT method limit — domain_capped_docs
     # fell off whole-stage codegen to interpreted rows (2.7 s vs ~0.7 s
     # peers at sf0.01) before this cut. Narrow ids+url rows only.
+    # Cache key: the CANONICALIZED analyzed plan. The plain analyzed
+    # plan string embeds per-read expression ids (doc_id#2L vs doc_id#4L
+    # on byte-identical reads), so keying on it never hits and every
+    # invocation leaked one pinned localCheckpoint (round-10 ADVICE);
+    # canonicalization normalizes expression ids away, making identical
+    # reads of the same (sf_dir x column set) collide as intended.
+    # Canonicalization ALSO erases output names (aliases canonicalize
+    # nameless), so the schema joins the key — otherwise two reads
+    # differing only in a rename would share a frame with the wrong
+    # column names. tests/test_web_curation_cache.py asserts repeat
+    # invocations leave the persistent-RDD count flat.
     key = (df.sparkSession.sparkContext.applicationId,
-           df._jdf.queryExecution().analyzed().toString())
+           df.schema.simpleString(),
+           df._jdf.queryExecution().analyzed().canonicalized().toString())
     hit = _SYNTH_CACHE.get(key)
     if hit is not None:
         return hit

@@ -833,8 +833,23 @@ def setsim_join(df: DataFrame, threshold: float = 0.6,
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("_f", "tok"))),
                 lambda s: s["tok"]).alias("_set")))
+    # FLOAT-PRUNE SLACK (round 10, ADVICE): every prune below compares
+    # an INTEGER quantity (a set size or overlap count) against a double
+    # product like t*|x| or t/(1+t)*(|a|+|b|). Doubles round up: 0.8*35
+    # is 28.000000000000004, so a pair sitting EXACTLY on the threshold
+    # (jaccard == t with t representable) can fail a mathematically
+    # tight prune that the exact verify would keep — recall loss against
+    # the brute-force oracle (22 such (t, size) combos exist for common
+    # thresholds). Relax every prune by a slack that dwarfs double
+    # rounding (ulp-relative) yet stays far below 1, the integer
+    # quantum: prunes can then only OVER-admit, and the exact-jaccard
+    # verify remains the final word.
+    def _relaxed(x: Column) -> Column:
+        return x - x * F.lit(1e-12) - F.lit(1e-9)
+
     size = F.size("_set")
-    prefix_len = size - F.ceil(size * F.lit(threshold)).cast("int") + 1
+    prefix_len = size \
+        - F.ceil(_relaxed(size * F.lit(threshold))).cast("int") + 1
     prefixes = sets.select(
         F.col(id_col), size.alias("_n"),
         F.posexplode(F.slice("_set", 1, prefix_len)).alias("_p", "tok"))
@@ -859,9 +874,11 @@ def setsim_join(df: DataFrame, threshold: float = 0.6,
                          F.col("_nb") - F.col("_pb"))
     cands = (a.join(b, "tok")
              .filter((F.col("doc_a") < F.col("doc_b"))
-                     & (F.col("_nb") * F.lit(threshold) <= F.col("_na"))
-                     & (F.col("_na") * F.lit(threshold) <= F.col("_nb"))
-                     & (overlap_ub >= overlap_req))
+                     & (_relaxed(F.col("_nb") * F.lit(threshold))
+                        <= F.col("_na"))
+                     & (_relaxed(F.col("_na") * F.lit(threshold))
+                        <= F.col("_nb"))
+                     & (overlap_ub >= _relaxed(overlap_req)))
              .select("doc_a", "doc_b").distinct())
 
     sa = sets.select(F.col(id_col).alias("doc_a"),
@@ -919,7 +936,7 @@ def _deletion_variants(col: Column, k: int) -> Column:
     return out
 
 
-def edit_distance_join(left: DataFrame, right: DataFrame,
+def edit_distance_join(left: DataFrame, right: DataFrame | None = None,
                        text_col: str = "text", id_col: str = "doc_id",
                        max_dist: int = 1,
                        self_join: bool = False) -> DataFrame:
@@ -954,6 +971,18 @@ def edit_distance_join(left: DataFrame, right: DataFrame,
     final id expansion is pair-count sized, which is the output's own
     size — no stage exceeds it.
     """
+    # The self-join path derives BOTH sides from ``left``; a caller
+    # passing a genuinely different ``right`` with self_join=True would
+    # get a silent behavior change (round-10 ADVICE), so refuse it.
+    if self_join:
+        if right is not None and right is not left:
+            raise ValueError(
+                "edit_distance_join(self_join=True) compares `left` with "
+                "itself; pass right=None (or `left` again), not a "
+                "different frame")
+    elif right is None:
+        raise ValueError("edit_distance_join requires `right` unless "
+                         "self_join=True")
     # The distinct() outputs are tiny in BYTES, so AQE coalesces them to
     # one partition — serializing the deletion-neighborhood explode and
     # the candidate join behind it (the same AQE-size-vs-CPU cliff as in

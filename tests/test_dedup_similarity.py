@@ -1025,3 +1025,54 @@ def test_minhash_index_fans_out_compact_file_corpus(spark, sf_dir):
     plan = minhash_index(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "RoundRobinPartitioning" in plan
+
+
+def test_setsim_join_exact_threshold_boundary_pair(spark):
+    """A pair whose jaccard is EXACTLY the threshold must survive every
+    prune (round-10 ADVICE): doubles round 0.8*35 up to
+    28.000000000000004, so the tight length / prefix / positional
+    filters each rejected a qualifying subset pair (|a|=28 c |b|=35,
+    overlap 28, jaccard 28/35 == 0.8) before the exact verify could
+    keep it. The relaxed prunes may only over-admit."""
+    from etl_mark1_spark.operators.dedup import setsim_join
+
+    toks = [f"tok{i:02d}" for i in range(35)]
+    rows = [
+        (1, " ".join(toks[:28])),            # a strict subset of b
+        (2, " ".join(toks)),                 # the full 35-token set
+        (3, " ".join(toks[:31])),            # |a|+|b|=63 with overlap 28
+        (4, " ".join(toks[:28] + [f"only4x{i}" for i in range(4)])),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in setsim_join(df, threshold=0.8).collect()}
+
+    from itertools import combinations
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(rows, 2):
+        a, b = set(ta.split()), set(tb.split())
+        jac = len(a & b) / len(a | b)
+        if jac >= 0.8:
+            want[(ia, ib)] = round(jac, 6)
+    assert (1, 2) in want          # the boundary pair the prunes dropped
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_edit_distance_join_self_join_rejects_foreign_right(spark):
+    """self_join=True derives both sides from `left`; passing a
+    genuinely different `right` must raise, not silently ignore it
+    (round-10 ADVICE). right=None and right-is-left stay accepted."""
+    from etl_mark1_spark.operators.dedup import edit_distance_join
+
+    df = spark.createDataFrame([(1, "abc"), (2, "abd")],
+                               ["doc_id", "text"])
+    other = spark.createDataFrame([(9, "zzz")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="self_join"):
+        edit_distance_join(df, other, self_join=True)
+    with pytest.raises(ValueError, match="right"):
+        edit_distance_join(df)          # non-self join needs a right
+    pairs = {(r["a"], r["b"]) for r in
+             edit_distance_join(df, self_join=True).collect()}
+    assert pairs == {(1, 2)}
