@@ -628,3 +628,123 @@ def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 4)
     idx = minhash_index(history)
     return incremental_neardup(new, idx, history).orderBy("doc_id")
+
+
+_KEEP_FIRST_CTES = r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+          FROM d WHERE len(tk) >= 8),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 array_to_string(tk[i:i+7], ' ') AS gram
+          FROM p),
+    r AS (SELECT doc_id, i,
+                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, i)
+                   AS rn
+          FROM g),
+    h AS (SELECT doc_id, i FROM r WHERE rn > 1),
+    isl AS (SELECT doc_id, i,
+              max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM h),
+    isl2 AS (SELECT doc_id, i,
+               sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             FROM isl)
+"""
+
+
+@query("strip_spans_keep_first_docs", _KEEP_FIRST_CTES + """
+    , spans AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e
+                FROM isl2 GROUP BY doc_id, island),
+    tok AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM d),
+    tok2 AS (SELECT doc_id, CAST(i AS BIGINT) AS i, tk[i] AS tok FROM tok),
+    kept AS (SELECT t.doc_id, t.i, t.tok FROM tok2 t
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = t.doc_id
+                                 AND t.i BETWEEN s.s AND s.e))
+    SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
+    FROM d LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct
+                      FROM kept GROUP BY doc_id) k USING (doc_id)
+""")
+def strip_spans_keep_first_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact substring dedup (operators/spans.py:
+    strip_spans_keep_first, the RefinedWeb / Lee et al. policy): each
+    duplicated 8-token window keeps its corpus-wide FIRST occurrence
+    (smallest (doc_id, position)) and every later verbatim copy — cross-
+    document or a doc's own repetition — is merged into maximal spans
+    and cut, so the corpus retains exactly one copy of each boilerplate
+    run instead of losing all of them (the strip_dup_spans_docs
+    variant). Flagging is a per-gram row_number window on the same
+    gram-keyed shuffle as the count variant; islands and strip are
+    per-document. The oracle replays the rank/merge/cut token-by-token."""
+    from etl_mark1_spark.operators.spans import strip_spans_keep_first
+
+    return strip_spans_keep_first(t(spark, sf_dir, "documents"), n=8)
+
+
+@query("span_coverage_docs", _DUP_SPAN_CTES + """
+    , spans AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e
+                FROM isl2 GROUP BY doc_id, island)
+    SELECT d.doc_id,
+           CAST(len(d.tk) AS BIGINT) AS total_tokens,
+           CAST(sum(s.e - s.s + 1) AS BIGINT) AS dup_tokens,
+           round(CAST(sum(s.e - s.s + 1) AS DOUBLE) / len(d.tk), 6)
+             AS dup_frac
+    FROM spans s JOIN d USING (doc_id)
+    GROUP BY d.doc_id, len(d.tk)
+""")
+def span_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate pressure (operators/spans.py:
+    span_dedup_coverage): the fraction of each text inside a
+    cross-document duplicated span — the signal curation thresholds on
+    before choosing drop-document vs strip-span vs keep. Merged maximal
+    spans are summed, so overlapping windows count once; only documents
+    with at least one duplicated span appear. Span derivation is the
+    duplicate_spans_docs pipeline; the rollup adds one per-doc
+    aggregate."""
+    from etl_mark1_spark.operators.spans import span_dedup_coverage
+
+    return span_dedup_coverage(t(spark, sf_dir, "documents"),
+                               n=8, min_docs=2)
+
+
+@query("broadcast_decontam_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 11)) AS i
+          FROM d WHERE len(tk) >= 13),
+    g AS (SELECT doc_id, array_to_string(tk[i:i+12], ' ') AS gram
+          FROM p),
+    ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
+    SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
+    FROM g
+    WHERE doc_id % 17 <> 0 AND gram IN (SELECT gram FROM ref)
+    GROUP BY doc_id
+""")
+def broadcast_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free 13-gram decontamination (operators/dedup.py:
+    broadcast_ngram_decontam, the GPT-3/RefinedWeb n): the held-out
+    slice's (doc_id % 17 = 0) distinct grams are collected once —
+    eval-suite bounded, loudly refused beyond max_ref_grams — and
+    broadcast; every corpus document's hit count is decided INSIDE the
+    scan stage by an Arrow-batched set intersection, so the corpus
+    never hash-shuffles (pinned by a plan test). Membership is on gram
+    strings, no hash screen — nothing to confirm, oracle-exact. The
+    third point on the decontam cost curve after the exact semi-join
+    (shuffles both sides) and the Bloom screen (map-side filter, then
+    a confirm join)."""
+    from etl_mark1_spark.operators.dedup import broadcast_ngram_decontam
+
+    docs = t(spark, sf_dir, "documents")
+    return broadcast_ngram_decontam(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0), n=13)

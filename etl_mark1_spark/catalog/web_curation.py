@@ -281,3 +281,60 @@ def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = robots_rules(robots, "trainingbot")
     return filter_robots_allowed(urls, rules, keep_denied=True) \
         .select("doc_id", "url", "robots_allowed")
+
+
+#: Expected SURT key stated from the synthesis components (hosted CTE):
+#: reversed www-stripped lowercase host labels, ')', the /articles path
+#: (trailing slash always trimmed), then the sorted utm-free query —
+#: which for the synthesized single-param shapes is qs_norm itself.
+_SURT_EXPR = """
+    array_to_string(list_reverse(string_split(
+        CASE WHEN lower(h2.host) LIKE 'www.%' THEN substr(lower(h2.host), 5)
+             ELSE lower(h2.host) END, '.')), ',')
+    || ')/articles/' || CAST(u.doc_id % 1000 AS VARCHAR) || h2.qs_norm
+"""
+
+
+@query("surt_keys_docs", _URL_CTE + """
+    SELECT u.doc_id, u.url, """ + _SURT_EXPR + """ AS surt
+    FROM urls u JOIN hosted h2 ON u.doc_id = h2.doc_id
+""")
+def surt_keys_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT frontier keys (operators/web.py:surt_key — the Internet
+    Archive's Sort-friendly URI Reordering Transform): reversed host
+    labels + canonical path/query, so lexicographic order clusters a
+    crawl frontier by registrable domain (per-site politeness locality,
+    per-domain prefix-range scans). The Spark side runs the real parser
+    over the noisy synthesized URL (case, www, default ports, utm,
+    fragments, trailing slash, all eight host slots); the oracle states
+    the expected key from the synthesis components without parsing.
+    Pure codegen projection — 100 TB keys at scan speed."""
+    from etl_mark1_spark.operators.web import surt_key
+
+    docs = _with_synth_urls(t(spark, sf_dir, "documents").select("doc_id"))
+    return docs.select("doc_id", "url",
+                       surt_key(F.col("url")).alias("surt"))
+
+
+@query("url_frontier_docs", _URL_CTE + """
+    , keyed AS (
+      SELECT u.doc_id, """ + _SURT_EXPR + """ AS surt
+      FROM urls u JOIN hosted h2 ON u.doc_id = h2.doc_id)
+    SELECT surt,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_variants
+    FROM keyed GROUP BY surt
+""")
+def url_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier dedup (operators/web.py:url_frontier_dedup):
+    collapse scheme/case/www/port/utm/fragment/slash/param-order URL
+    variants onto their SURT key, keeping the smallest doc_id as the
+    canonical fetch and counting collapsed variants (doc_ids sharing a
+    host slot and article number mod 1000 collide by construction, so
+    n_variants > 1 rows exercise the merge). One hash aggregate on the
+    key, map-side partials, (key, id) rows only — page payloads never
+    shuffle."""
+    from etl_mark1_spark.operators.web import url_frontier_dedup
+
+    docs = _with_synth_urls(t(spark, sf_dir, "documents").select("doc_id"))
+    return url_frontier_dedup(docs)

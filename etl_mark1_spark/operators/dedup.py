@@ -24,6 +24,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -738,6 +739,74 @@ def minhash_cross_dedup(
             .select(F.col("src").alias(id_col),
                     F.col("ref").alias("matched_ref"),
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def broadcast_ngram_decontam(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    max_ref_grams: int = 5_000_000,
+) -> DataFrame:
+    """SHUFFLE-FREE document-level n-gram decontamination: flag every
+    corpus document sharing at least one word n-gram with a reference
+    corpus (eval suites / held-out sets; n=13 is the GPT-3/RefinedWeb
+    convention). Returns (id_col, n_hits) — n_hits = count of DISTINCT
+    reference grams the document contains — for contaminated docs only.
+
+    The point vs the join-based decontam family (ngram_contamination's
+    semi-join, bloom_semi_filter's screen-then-confirm): the CORPUS SIDE
+    NEVER SHUFFLES. The reference's distinct grams are collected once to
+    the driver — bounded by the reference's size, which for benchmark
+    decontam is the eval suite, orders of magnitude smaller than the
+    corpus; ``max_ref_grams`` refuses loudly beyond that regime — and
+    broadcast to executors via a TorrentBroadcast, and each document's
+    decision is made inside the scan stage by an Arrow-batched pandas
+    UDF doing set intersection on that doc's gram array. At 100 TB the
+    corpus cost is exactly one pass over the text with zero exchanges
+    (tests/test_dedup_similarity.py pins no-hashpartitioning in the
+    executed plan); re-running against a new benchmark re-reads but
+    never re-shuffles.
+
+    ORACLE-EXACT: membership is tested on the gram STRINGS themselves
+    (no hash screen), so there are no false positives to confirm away.
+    Both sides consider only documents with >= n tokens (shorter docs
+    have no full n-gram).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def full_grams(df: DataFrame) -> DataFrame:
+        toks = F.split(normalized_text(F.col(text_col)), " ")
+        return (df.filter(F.size(toks) >= n)
+                .select(F.col(id_col),
+                        word_ngrams(F.col(text_col), n).alias("_grams")))
+
+    ref_rows = (ensure_parallelism(reference)
+                .filter(F.size(F.split(normalized_text(F.col(text_col)),
+                                       " ")) >= n)
+                .select(F.explode(word_ngrams(F.col(text_col), n))
+                        .alias("gram"))
+                .distinct()
+                .limit(max_ref_grams + 1).collect())
+    if len(ref_rows) > max_ref_grams:
+        raise ValueError(
+            f"reference yields more than max_ref_grams={max_ref_grams} "
+            "distinct grams — that is corpus-scale, not eval-suite "
+            "scale; use ngram_contamination / bloom_semi_filter instead")
+    ref_set = frozenset(r["gram"] for r in ref_rows)
+    bc = corpus.sparkSession.sparkContext.broadcast(ref_set)
+
+    @pandas_udf("long")
+    def _hits(grams: pd.Series) -> pd.Series:
+        ref = bc.value
+        return grams.map(
+            lambda g: 0 if g is None else len(ref.intersection(g)))
+
+    out = (full_grams(ensure_parallelism(corpus))
+           .select(id_col, _hits(F.col("_grams")).alias("n_hits"))
+           .filter(F.col("n_hits") >= 1))
+    return out
 
 
 def setsim_join(df: DataFrame, threshold: float = 0.6,

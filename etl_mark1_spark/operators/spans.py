@@ -130,3 +130,94 @@ def strip_duplicate_spans(docs: DataFrame, text_col: str = "text",
                     F.when(F.col("_spans").isNull(),
                            normalized_text(F.col(text_col)))
                     .otherwise(F.concat_ws(" ", kept)).alias(out_col)))
+
+
+def _non_first_occurrences(docs: DataFrame, text_col: str, id_col: str,
+                           n: int) -> DataFrame:
+    """(id, i) of every n-token window that is NOT the corpus-wide first
+    occurrence of its gram — first = smallest (id, position), the order
+    Lee et al.'s suffix-array pass keeps. One shuffle on the gram; the
+    rank is a per-gram window whose state is bounded by that gram's
+    occurrence count (duplicated boilerplate is the long tail, and even
+    a license header repeated across half the corpus ranks in one
+    partition's sort — at 100 TB a gram hot enough to skew here is
+    exactly the chrome this operator exists to remove, so pre-hashing
+    to 8-byte keys and AQE skew-split keep the sort bounded)."""
+    grams = _positioned_grams(docs, text_col, id_col, n)
+    w = Window.partitionBy("gram").orderBy(id_col, "i")
+    return (grams
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(id_col, "i"))
+
+
+def strip_spans_keep_first(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 8,
+                           out_col: str = "clean_text") -> DataFrame:
+    """Exact substring dedup that KEEPS one copy of every duplicated
+    span (RefinedWeb / Lee et al. semantics): each n-token window keeps
+    its corpus-wide FIRST occurrence (smallest (id, position)) and every
+    later verbatim occurrence — in another document or later in the same
+    one — is flagged, merged into maximal spans per document, and cut.
+
+    This differs from :func:`strip_duplicate_spans`, which removes ALL
+    copies of a cross-document span (the aggressive variant): here the
+    corpus retains exactly one occurrence of the boilerplate, so no text
+    is globally lost — the training-data default. Returns
+    (id_col, out_col) with the normalized remaining text.
+
+    Shapes: the flag pass is one gram-keyed shuffle (row_number window
+    instead of duplicate_spans' countDistinct agg — same key, same
+    partitioning); islands-merge and strip are per-document exactly as
+    in strip_duplicate_spans. No Python, no driver data.
+    """
+    hits = _non_first_occurrences(docs, text_col, id_col, n)
+
+    w = Window.partitionBy(id_col).orderBy("i")
+    prev_end = F.max(F.col("i") + F.lit(n - 1)) \
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_end.isNull() | (F.col("i") > prev_end + 1), 1) \
+        .otherwise(0)
+    islands = (hits
+               .withColumn("_brk", brk)
+               .withColumn("_island", F.sum("_brk").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = (islands.groupBy(id_col, "_island")
+             .agg(F.min("i").alias("span_start"),
+                  (F.max("i") + F.lit(n - 1)).alias("span_end")))
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    kept = F.filter(
+        toks,
+        lambda tok, i0: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i0 + 1 >= s["span_start"]) & (i0 + 1 <= s["span_end"])
+        ))
+    return (docs.join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.when(F.col("_spans").isNull(),
+                           normalized_text(F.col(text_col)))
+                    .otherwise(F.concat_ws(" ", kept)).alias(out_col)))
+
+
+def span_dedup_coverage(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 8,
+                        min_docs: int = 2) -> DataFrame:
+    """Per-document boilerplate pressure: how much of each text sits
+    inside a cross-document duplicated span — the signal a curation run
+    thresholds on BEFORE deciding between drop-document, strip-span, or
+    keep (a doc that is 90% license header is a different animal from
+    one quoting a paragraph). Returns (id_col, total_tokens, dup_tokens,
+    dup_frac rounded to 6) for every document with at least one
+    duplicated span; dup_tokens sums the merged maximal spans, so
+    overlapping windows are not double-counted."""
+    spans = duplicate_spans(docs, text_col, id_col, n, min_docs)
+    toks = F.size(F.split(normalized_text(F.col(text_col)), " "))
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"))
+    return (docs.join(per_doc, id_col)
+            .select(id_col, toks.cast("bigint").alias("total_tokens"),
+                    "dup_tokens",
+                    F.round(F.col("dup_tokens") / toks.cast("double"), 6)
+                    .alias("dup_frac")))

@@ -40,6 +40,8 @@ __all__ = [
     "parse_robots_text",
     "robots_rules",
     "filter_robots_allowed",
+    "surt_key",
+    "url_frontier_dedup",
     "MULTI_PART_SUFFIXES",
 ]
 
@@ -102,11 +104,28 @@ def normalize_url(url: Column) -> Column:
                   F.concat(scheme, F.lit("://"), host, path, query_norm))
 
 
-def registered_domain(host: Column) -> Column:
-    """Registrable domain of a host: the last two labels, or the last
-    THREE when the final two form a multi-part public suffix
-    (``a.blog.example.co.uk`` -> ``example.co.uk``). Hosts with fewer
-    labels than that pass through unchanged. Pure array expressions."""
+def registered_domain(
+        host: Column,
+        suffixes: tuple[str, ...] = MULTI_PART_SUFFIXES) -> Column:
+    """Registrable domain of a host: one label more than the longest
+    public suffix the host ends in (``a.blog.example.co.uk`` ->
+    ``example.co.uk``; with ``k12.va.us`` in the table,
+    ``school.k12.va.us`` stays ``school.k12.va.us``). Hosts with fewer
+    labels than that pass through unchanged. Pure array expressions.
+
+    ``suffixes`` is the multi-label public-suffix table — two- and
+    three-label entries are supported; the built-in default
+    (:data:`MULTI_PART_SUFFIXES`) is a FIXTURE-SCOPED subset of the real
+    Public Suffix List (publicsuffix.org — ~9k rules, public data). A
+    production crawl passes the full PSL's multi-label entries here; the
+    expression shape (two bounded isin probes against a literal list,
+    fully codegen) is the same at any table size the PSL reaches."""
+    two = tuple(s for s in suffixes if s.count(".") == 1)
+    three = tuple(s for s in suffixes if s.count(".") == 2)
+    bad = [s for s in suffixes if s.count(".") not in (1, 2)]
+    if bad:
+        raise ValueError(f"suffix table entries must have 2 or 3 labels, "
+                         f"got {bad[:3]}")
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # try_element_at: ANSI element_at raises on out-of-bounds negative
@@ -117,10 +136,13 @@ def registered_domain(host: Column) -> Column:
     last3 = F.concat_ws(".", F.try_element_at(labels, F.lit(-3)),
                         F.try_element_at(labels, F.lit(-2)),
                         F.try_element_at(labels, F.lit(-1)))
-    is_multi = last2.isin(*MULTI_PART_SUFFIXES)
+    last4 = F.concat_ws(".", F.try_element_at(labels, F.lit(-4)), last3)
+    is_multi2 = last2.isin(*two) if two else F.lit(False)
+    is_multi3 = last3.isin(*three) if three else F.lit(False)
     return (F.when(host.isNull(), F.lit(None).cast("string"))
-            .when(is_multi & (n >= 3), last3)
-            .when(~is_multi & (n >= 2), last2)
+            .when(is_multi3 & (n >= 4), last4)
+            .when(~is_multi3 & is_multi2 & (n >= 3), last3)
+            .when(~is_multi3 & ~is_multi2 & (n >= 2), last2)
             .otherwise(host))
 
 
@@ -212,6 +234,68 @@ def filter_blocklist(df: DataFrame, blocked: DataFrame,
         F.broadcast(blocked.select(F.col(bcol).alias(domain_col))
                     .dropDuplicates()),
         domain_col, "left_anti")
+
+
+def surt_key(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform key (the Internet
+    Archive's public SURT convention): the host's labels reversed and
+    comma-joined, then ``)`` and the canonical path+query —
+    ``https://www.Example.co.uk/a?b=1`` -> ``uk,co,example)/a?b=1``.
+
+    Reversing the host makes lexicographic order group a crawl frontier
+    by registrable domain (all of example.co.uk's subdomains sort
+    adjacently), which is exactly what a range-partitioned 100 TB
+    frontier wants: one sort key gives per-site locality for politeness
+    scheduling AND prefix-range scans per domain. Canonicalization
+    matches :func:`normalize_url` (case, www, default ports via
+    url_host's port strip, fragments, utm params, trailing slash) with
+    one addition — query parameters are SORTED, so permutations of the
+    same params collide. Scheme is dropped (http/https duplicates
+    collide), per SURT convention. Pure regexp/array built-ins, fully
+    codegen — map-side at scan speed. NULL for non-URL strings."""
+    host = url_host(url)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+
+    path = F.regexp_extract(
+        url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")) \
+        .otherwise(F.regexp_replace(path, r"/$", ""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    ))
+    query_norm = F.when(F.size(kept) > 0,
+                        F.concat(F.lit("?"), F.array_join(kept, "&"))) \
+        .otherwise(F.lit(""))
+    return F.when(host.isNotNull() & (host != ""),
+                  F.concat(rev, F.lit(")"), path, query_norm))
+
+
+def url_frontier_dedup(df: DataFrame, url_col: str = "url",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Crawl-frontier URL deduplication: collapse every URL variant
+    (scheme, case, www, default port, utm params, fragment, trailing
+    slash, query-param order) to its SURT key and keep ONE canonical
+    row per key — the dedup a frontier runs before scheduling fetches,
+    where variant explosion is the classic crawler trap.
+
+    Returns (surt, canonical_id, n_variants): the smallest ``id_col``
+    claims the key (deterministic winner) and ``n_variants`` counts the
+    collapsed rows. One hash aggregate on the key with map-side
+    partials — variants of one URL are overwhelmingly emitted close
+    together in a crawl, so most collapse before the shuffle; the
+    shuffled rows are (key, id) pairs, never the page payloads. NULL
+    keys (non-URL strings) are dropped, not grouped into a mega-key."""
+    key = surt_key(F.col(url_col))
+    return (df.select(key.alias("surt"), F.col(id_col))
+            .where(F.col("surt").isNotNull())
+            .groupBy("surt")
+            .agg(F.min(id_col).cast("bigint").alias("canonical_id"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_variants")))
 
 
 def parse_robots_text(robots_txt: str | None,

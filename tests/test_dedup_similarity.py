@@ -1076,3 +1076,50 @@ def test_edit_distance_join_self_join_rejects_foreign_right(spark):
     pairs = {(r["a"], r["b"]) for r in
              edit_distance_join(df, self_join=True).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_broadcast_decontam_flags_planted_leak(spark):
+    """A corpus doc embedding a reference 13-gram verbatim is flagged
+    with the right distinct-gram count; clean docs are absent."""
+    from etl_mark1_spark.operators.dedup import broadcast_ngram_decontam
+
+    bench_q = ("what is the capital of france and when was it founded "
+               "by the romans exactly")                       # 15 tokens
+    corpus = spark.createDataFrame([
+        (1, f"intro text {bench_q} closing remark"),          # leaked
+        (2, "a completely clean document with plenty of words but "
+            "no overlap with any benchmark question at all here"),
+        (3, "short doc"),                                     # < n tokens
+        (4, bench_q),                                         # exact copy
+    ], ["doc_id", "text"])
+    ref = spark.createDataFrame([(100, bench_q)], ["doc_id", "text"])
+
+    got = {r["doc_id"]: r["n_hits"] for r in
+           broadcast_ngram_decontam(corpus, ref, n=13).collect()}
+    # the 15-token question yields 3 distinct 13-grams; both leaky docs
+    # contain all of them
+    assert got == {1: 3, 4: 3}
+
+
+def test_broadcast_decontam_corpus_side_never_hash_shuffles(spark, sf_dir):
+    """The operator's contract: the corpus decision is made in the scan
+    stage — no hash/range exchange anywhere in the executed plan (the
+    only allowed exchange is the round-robin fan-out)."""
+    from etl_mark1_spark.operators.dedup import broadcast_ngram_decontam
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 50 == 0)
+    out = broadcast_ngram_decontam(docs.filter(F.col("doc_id") % 50 != 0),
+                                   ref, n=13)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan.lower(), plan[:3000]
+    assert "rangepartitioning" not in plan.lower(), plan[:3000]
+
+
+def test_broadcast_decontam_refuses_corpus_scale_reference(spark, sf_dir):
+    from etl_mark1_spark.operators.dedup import broadcast_ngram_decontam
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="max_ref_grams"):
+        broadcast_ngram_decontam(docs, docs, n=13, max_ref_grams=10)

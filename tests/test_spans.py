@@ -146,3 +146,46 @@ def test_spans_randomized_python_reference_parity(spark):
         if cur:
             want.append((i, cur[0], cur[1], cur[1] - cur[0] + 1))
     assert got == sorted(want)
+
+
+def test_keep_first_retains_earliest_occurrence(docs):
+    """RefinedWeb-style keep-first: the corpus-wide first occurrence of
+    each duplicated span survives; every later verbatim copy is cut."""
+    from etl_mark1_spark.operators.spans import strip_spans_keep_first
+
+    got = {r["doc_id"]: r["clean_text"]
+           for r in strip_spans_keep_first(docs, n=8).collect()}
+    # doc1 holds the first occurrence of SHARED -> fully retained
+    assert got[1] == f"{SHARED} tail1 x y z"
+    # doc2's SHARED copy is cut, but its SHARED2 is the FIRST occurrence
+    # (position 11 beats doc3's position 1 on doc order) and survives
+    assert got[2] == f"head2 mid {SHARED2}"
+    assert got[3] == "only"
+    assert got[5] == ""
+    assert got[4] == "no duplicated content here at all friends today ok"
+    assert got[6] == "short doc"
+
+
+def test_keep_first_strips_within_doc_repeats(spark):
+    """Unlike the cross-document variant, keep-first also removes a
+    document's OWN later repetition of a span (the suffix-array
+    semantics: any second verbatim occurrence goes)."""
+    from etl_mark1_spark.operators.spans import strip_spans_keep_first
+
+    d = spark.createDataFrame([(1, f"{SHARED} {SHARED}")],
+                              ["doc_id", "text"])
+    got = strip_spans_keep_first(d, n=8).collect()
+    assert got[0]["clean_text"] == SHARED
+
+
+def test_coverage_counts_merged_spans_once(docs):
+    from etl_mark1_spark.operators.spans import span_dedup_coverage
+
+    got = {r["doc_id"]: (r["total_tokens"], r["dup_tokens"], r["dup_frac"])
+           for r in span_dedup_coverage(docs, n=8).collect()}
+    assert got == {
+        1: (12, 8, round(8 / 12, 6)),
+        2: (18, 16, round(16 / 18, 6)),
+        3: (9, 8, round(8 / 9, 6)),
+        5: (8, 8, 1.0),
+    }

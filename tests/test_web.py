@@ -478,3 +478,92 @@ def test_robots_filter_step_operator(spark):
         "params": {"robots": {"s.example": "User-agent: *\nDisallow: /no/"},
                    "user_agent": "trainingbot"}}])
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_surt_key_canonicalizes_variants(spark):
+    """Every crawl-variant axis collapses: scheme, case, www, default
+    port, utm params, fragment, trailing slash, query-param ORDER."""
+    from etl_mark1_spark.operators.web import surt_key
+
+    urls = [
+        "https://www.Example.co.uk/a/b?x=1&b=2",
+        "http://example.co.uk:80/a/b/?b=2&x=1#frag",
+        "HTTPS://EXAMPLE.CO.UK:443/a/b?utm_source=s&b=2&x=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r[0] for r in df.select(surt_key(F.col("url"))).collect()}
+    assert got == {"uk,co,example)/a/b?b=2&x=1"}
+
+
+def test_surt_key_root_path_and_non_url(spark):
+    from etl_mark1_spark.operators.web import surt_key
+
+    df = spark.createDataFrame(
+        [("https://news.portal.org",), ("not a url",), (None,)], ["url"])
+    got = [r[0] for r in df.select(surt_key(F.col("url"))).collect()]
+    assert got == ["org,portal,news)/", None, None]
+
+
+def test_url_frontier_dedup_keeps_min_id_per_key(spark):
+    from etl_mark1_spark.operators.web import url_frontier_dedup
+
+    rows = [
+        (7, "https://www.site.com/p?id=1&utm_x=t"),
+        (3, "http://site.com/p/?id=1"),        # same frontier key
+        (5, "https://site.com/p?id=2"),        # different query value
+        (9, "garbage"),                        # dropped, not mega-key'd
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {r["surt"]: (r["canonical_id"], r["n_variants"])
+           for r in url_frontier_dedup(df).collect()}
+    assert got == {"com,site)/p?id=1": (3, 2),
+                   "com,site)/p?id=2": (5, 1)}
+
+
+def test_registered_domain_caller_suffix_table(spark):
+    """Multi-label TLDs OUTSIDE the built-in fixture subset resolve
+    correctly when the caller supplies its own PSL-derived table,
+    including three-label suffixes (k12.va.us, pref.aichi.jp)."""
+    from etl_mark1_spark.operators.web import registered_domain
+
+    table = ("co.uk", "k12.va.us", "pref.aichi.jp")
+    hosts = [
+        ("www.school.k12.va.us", "school.k12.va.us"),
+        ("a.b.school.k12.va.us", "school.k12.va.us"),
+        ("k12.va.us", "k12.va.us"),            # bare suffix: pass-through
+        ("www.pref.aichi.jp", "www.pref.aichi.jp"),  # www is registrable
+        ("deep.blog.example.co.uk", "example.co.uk"),
+        ("plain.example.net", "example.net"),
+        ("localhost", "localhost"),
+    ]
+    df = spark.createDataFrame(hosts, ["host", "want"])
+    got = df.select("host", "want",
+                    registered_domain(F.col("host"), table).alias("got")) \
+        .collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["host"], r["got"], r["want"])
+
+
+def test_registered_domain_rejects_malformed_suffix_table(spark):
+    from etl_mark1_spark.operators.web import registered_domain
+
+    with pytest.raises(ValueError, match="2 or 3 labels"):
+        registered_domain(F.col("host"), ("uk",))
+
+
+def test_registered_domain_default_table_unchanged(spark):
+    """The default table must keep the round-8 pinned behavior bit-for-
+    bit (green driver entries depend on it)."""
+    from etl_mark1_spark.operators.web import registered_domain
+
+    hosts = [
+        ("blog.example.co.uk", "example.co.uk"),
+        ("www.com", "www.com"),
+        ("www.co.uk", "www.co.uk"),
+        ("cdn.portal.org", "portal.org"),
+        ("single", "single"),
+    ]
+    df = spark.createDataFrame(hosts, ["host", "want"])
+    for r in df.select("want", registered_domain(F.col("host"))
+                       .alias("got")).collect():
+        assert r["got"] == r["want"]
