@@ -88,100 +88,84 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
 #: rounds STRICTLY BEFORE this one when classifying prefix entries as
 #: fresh vs sentinel (the round-8 lesson: globbing ALL snapshots made the
 #: meta-test fail the moment the current round's snapshot landed on disk).
-DRIVER_PREFIX_ROUND = 9
+DRIVER_PREFIX_ROUND = 10
 
-#: Round-9 driver prefix (50 slots) — the second half of the two-rotation
-#: plan staged in round 8; CORRECTNESS_r08 landed and confirmed 49 of the
-#: r8 prefix's 50 slots, so this prefix now covers everything that round
-#: left unsampled:
-#:   * 1 RE-TEST at the head — domain_capped_docs, the single r8 red:
-#:     DuckDB's sum(BIGINT) -> HUGEINT canonicalizes as float64 in the
-#:     driver's pandas carrier vs Spark's int64 (equal values, different
-#:     hash). The oracle now CASTs to BIGINT (catalog/web_curation.py) and
-#:     a DESCRIBE sweep refuses hostile oracle carriers catalog-wide; this
-#:     slot is the external re-confirmation.
-#:   * 1 SENTINEL — q1_pricing_summary, driver-green r1-5 and r8,
-#:     untouched since; keeps old entries under external regression
-#:     coverage (the policy's second previously-confirmed entry is the
-#:     re-test above).
-#:   * 43 HOLDOVERS — the round-7 prefix's fresh entries (that snapshot
-#:     never ran): TPC-H completions q2/q12/q13/q16/q17/q19/q20/q21/q22,
-#:     the sketch + drift families, the graph trio, corpus-prep and
-#:     curation chains, streaming_session_window.
-#:   * 5 of the 6 round-8 family-redundant DEFERRALS: audio/video
-#:     near-dup, weighted_sample_per_lang, seasonal_decompose_interp,
-#:     bigram_lm_score. sample_per_group_lang stays out (the one slot
-#:     short): stratified sampling is covered by weighted_sample_docs
-#:     (driver-green r8) + weighted_sample_per_lang (this prefix), and it
-#:     is pinned locally by the strict gate + pytest.
-#: After THIS snapshot confirms, every oracle-exact entry except
-#: sample_per_group_lang has been externally sampled at least once. If
-#: CORRECTNESS_r09 fails to land, re-run THIS prefix in round 10 —
+#: Round-10 driver prefix (50 slots). CORRECTNESS_r09 landed fully green
+#: (50/50), so per the staged plan there are no re-tests; the composition:
+#:   * 2 SENTINELS at the head — q1_pricing_summary (green r1-5, r8, r9)
+#:     and domain_capped_docs (the r8 red, externally re-confirmed green
+#:     in r9) — previously-confirmed entries kept under external
+#:     regression coverage.
+#:   * sample_per_group_lang — after r9 the single oracle-exact entry
+#:     never driver-sampled; this slot closes the brief's literal bar
+#:     (every oracle-exact entry ever registered gets a green driver row).
+#:   * 5 NEW round-10 entries (growth freeze lifted as promised):
+#:     strip_spans_keep_first_docs, span_coverage_docs,
+#:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs — each
+#:     oracle-exact and dual-carrier-swept at birth.
+#:   * 42 STALE-SENTINEL refreshers: the previously-green entries with
+#:     the OLDEST external confirmation (last hash-confirmed in r1, then
+#:     r5; alphabetical within group) — three rounds of prefix rotation
+#:     toward fresh entries left 100+ entries unconfirmed since r5, and
+#:     with the never-sampled pool now down to 6 names the best use of
+#:     the remaining slots is refreshing the oldest external evidence.
+#: If CORRECTNESS_r10 fails to land, re-run THIS prefix in round 11 —
 #: never rotate past an unsampled prefix.
 #:
-#: GROWTH FREEZE HOLDS (round 9): the catalog stays at 228 entries until
-#: this rotation's snapshot confirms; additions resume in round 10 only
-#: up to rotation headroom.
-#:
-#: ROUND-10 PLAN (staged now for continuity): once CORRECTNESS_r09
-#: lands, build the next prefix as (a) any r9 reds at the head, (b) 2+
-#: previously-green sentinels, (c) sample_per_group_lang — after r9 the
-#: single never-sampled oracle-exact entry — and (d) new round-10
-#: additions up to the ~46-slot headroom; every new entry ships
-#: oracle-exact (or checker-golden with a one-line justification) and
-#: driver-safe on BOTH sides of the carrier sweeps. If CORRECTNESS_r09
-#: does NOT land, re-run THIS prefix unchanged and keep the freeze.
+#: ROUND-11 PLAN: (a) any r10 reds at the head, (b) 2+ sentinels,
+#: (c) new round-11 additions, (d) continue the stale-refresh sweep
+#: (next-oldest previously-green entries).
 DRIVER_PREFIX = [
-    "domain_capped_docs",
     "q1_pricing_summary",
-    "q12_priority_lateness",
-    "q13_order_distribution",
-    "q16_supplier_count",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "q2_best_price_supplier",
-    "distinct_rollup_daily",
-    "heavy_hitter_types",
-    "incremental_agg_orders",
-    "unpivot_part_metrics",
-    "regr_price_quantity",
-    "fuzzy_match_names",
-    "continuous_aggregate_daily",
-    "window_distinct_running",
-    "cohort_retention",
-    "token_repetition",
-    "text_char_entropy",
-    "pagerank_parts",
-    "connected_components_parts",
-    "triangle_count_parts",
-    "funnel_view_click_purchase",
-    "unigram_lm_score",
-    "psi_drift_chars",
-    "robust_outliers_orders",
-    "cross_corpus_decontam",
-    "bloom_contaminated_docs",
-    "duplicate_spans_docs",
-    "strip_dup_spans_docs",
-    "vocab_top_tokens",
-    "encode_tokens_docs",
-    "ann_int8_topk",
-    "gopher_quality_docs",
-    "repetition_profile_docs",
-    "dsir_importance_docs",
-    "knn_join_embeddings",
-    "cms_event_counts",
-    "setsim_join_docs",
-    "token_budget_mixture",
-    "curation_quality_chain",
-    "streaming_session_window",
-    "multimodal_audio_neardup",
-    "multimodal_video_neardup",
-    "weighted_sample_per_lang",
-    "seasonal_decompose_interp_events",
-    "bigram_lm_score",
+    "domain_capped_docs",
+    "sample_per_group_lang",
+    "strip_spans_keep_first_docs",
+    "span_coverage_docs",
+    "broadcast_decontam_docs",
+    "surt_keys_docs",
+    "url_frontier_docs",
+    "array_ops_embeddings",
+    "date_parts",
+    "events_json_extract",
+    "percentile_by_status",
+    "pivot_linestatus",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q6_forecast_revenue",
+    "string_funcs",
+    "aggregate_global",
+    "anti_join_customers",
+    "chunk_documents_overlap",
+    "contamination_ngram",
+    "cube_agg",
+    "curation_chunks",
+    "curation_pipeline",
+    "dedup_distinct",
+    "dedup_exact_documents",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+    "events_hourly",
+    "events_window_sliding",
+    "events_window_tumbling",
+    "except_nations",
+    "filter_derive",
+    "grouping_sets",
+    "intersect_nations",
+    "pack_sequences_global",
+    "pack_sequences_lang",
+    "pii_redact",
+    "pipeline_etl",
+    "quality_profile_customer",
+    "rebalance_mixture_sources",
+    "rename_cast_project",
+    "rollup_agg",
+    "semi_join_customers",
+    "snapshot_diff_orders",
+    "sql_join_q3",
+    "sql_q5_region_revenue",
+    "stratified_sample_lang",
+    "streaming_bloom_filter",
 ]
 
 
