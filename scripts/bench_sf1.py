@@ -125,6 +125,36 @@ NOTES = {
         "300-doc planted corpus (the oracle histogram is id arithmetic), "
         "so this pair pins sf-independence (~1.0x) rather than growth — "
         "the codec-CPU growth story is multimodal_video_frames' pair"),
+    # round-10 additions (VERDICT task #5): state, global prefix-sum, and
+    # deliberate skew — the shapes 10x stresses differently from scans
+    "streaming_restart_drain": (
+        "write stream to checkpoint, kill, restart, drain the backlog: "
+        "state store rows scale with distinct keys and the drained "
+        "micro-batches with input rows; both linear, restore cost is "
+        "checkpoint-size-bounded"),
+    "pack_sequences_global": (
+        "two-phase global prefix sum (per-partition subtotals broadcast "
+        "back) then map-side bin assignment; the only all-to-one step "
+        "carries one row per partition, so 10x data = 10x map work, "
+        "constant coordination"),
+    "skewed_join_aqe": (
+        "deliberate Zipf-head key join; AQE skew-join splits the head "
+        "key's partition at runtime, so the worst task stays bounded "
+        "and 10x data spreads over more splits instead of one 10x task"),
+    # round-10 new-entry pairs
+    "strip_spans_keep_first_docs": (
+        "gram-keyed shuffle with a per-gram rank window (first occurrence "
+        "wins) + per-doc islands merge + map-side strip; Caesar-disjoint "
+        "replicas keep gram groups flat so the window state is constant "
+        "per gram"),
+    "broadcast_decontam_docs": (
+        "reference grams collected once (the 10x reference slice makes "
+        "the broadcast 10x, still eval-suite-bounded) and the corpus "
+        "decision is map-side set intersection — zero corpus shuffles at "
+        "any scale"),
+    "url_frontier_docs": (
+        "codegen SURT key + one hash aggregate with map-side partials; "
+        "the shuffle carries (key, id) pairs only"),
 }
 
 

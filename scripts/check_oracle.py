@@ -546,6 +546,75 @@ def _check_bpe_segment(con, rows: list[dict]) -> list[str]:
     return bad[:3]
 
 
+def _ref_bilinear_mean(img, width: int, height: int) -> float:
+    """Independent restatement of the bilinear-resample contract
+    (pixel-center sampling, src = (dst + 0.5) * scale - 0.5, edge
+    clamp), written per-output-pixel rather than vectorized so it does
+    not share code shape with the operator: returns the mean of the
+    resized image."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.float64)
+    h, w = arr.shape[:2]
+    total = 0.0
+    cnt = 0
+    for dy in range(height):
+        sy = min(max((dy + 0.5) * h / height - 0.5, 0.0), h - 1)
+        y0, fy = int(sy), sy - int(sy)
+        y1 = min(y0 + 1, h - 1)
+        for dx in range(width):
+            sx = min(max((dx + 0.5) * w / width - 0.5, 0.0), w - 1)
+            x0, fx = int(sx), sx - int(sx)
+            x1 = min(x0 + 1, w - 1)
+            px = (arr[y0, x0] * (1 - fx) * (1 - fy)
+                  + arr[y0, x1] * fx * (1 - fy)
+                  + arr[y1, x0] * (1 - fx) * fy
+                  + arr[y1, x1] * fx * fy)
+            px = np.clip(np.round(px), 0, 255)
+            total += float(np.mean(px))
+            cnt += 1
+    return total / cnt
+
+
+def _check_resize_images(con, rows: list[dict]) -> list[str]:
+    """Checker-golden for multimodal_resize_images (round-10 graduation
+    from rows-only): the chain is JPEG decode -> bilinear 12x10 -> BMP
+    re-encode -> re-decode, so expected stats are RE-DERIVED FROM THE
+    SYNTHESIS BRANCH: the id-seeded gradient the JPEG attach documents,
+    resampled by the independent per-pixel bilinear above. Dims must be
+    exactly 12x10 (the BMP re-decode leg is exact); the mean pixel must
+    land within 3.0 of the synthesis-derived mean (quality-95 JPEG on
+    smooth gradients deviates <= 2.0 per the decode band, and bilinear
+    is a convex combination so it cannot amplify that; +1.0 covers the
+    resampler's round-to-uint8). The average hash is not compared —
+    threshold pixels flip under quantization (same policy as the JPEG
+    decode band)."""
+    import numpy as np
+
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    valid = {i for (i,) in con.execute(
+        "SELECT doc_id FROM documents").fetchall()}
+    if len(rows) != min(200, n_docs):
+        return [f"row count {len(rows)} != {min(200, n_docs)}"]
+    bad = []
+    for r in rows:
+        i = r["doc_id"]
+        if i not in valid:
+            bad.append(f"doc {i}: not a documents id")
+            continue
+        if (r["width"], r["height"]) != (12, 10):
+            bad.append(f"doc {i}: dims {r['width']}x{r['height']} "
+                       f"!= 12x10")
+            continue
+        w, h, red, g, b = _synth_gradient(i)
+        src = np.stack([red, g, b], axis=-1).astype(np.uint8)
+        exp = _ref_bilinear_mean(src, 12, 10)
+        if abs(r["mean_pixel"] - exp) > 3.0:
+            bad.append(f"doc {i}: resized mean {r['mean_pixel']} off "
+                       f"synthesis-derived {round(exp, 3)} by > 3.0")
+    return bad[:3]
+
+
 #: Entries whose check is an independent CHECKER-SIDE recomputation
 #: (no SQL engine exposes zlib / eigendecomposition / codecs / FFT /
 #: iterative BPE): the callable gets (duckdb_con, result rows as dicts)
@@ -562,19 +631,17 @@ GOLDEN_CHECKS = {
     "audio_spectral_wav": _check_audio_spectral,
     "bpe_train_merges": _check_bpe_train,
     "bpe_segment_docs": _check_bpe_segment,
+    # round-10 graduation (formerly rows-only): expected resize stats
+    # re-derived from the synthesis branch + an independent resampler
+    "multimodal_resize_images": _check_resize_images,
 }
 
-#: The 3 entries that remain rows-only HERE, with why (each is pinned
+#: The 2 entries that remain rows-only HERE, with why (each is pinned
 #: elsewhere by committed goldens and/or differential tests):
 #:   multimodal_image_features — the FAKE-codec plumbing entry: its stats
 #:     derive from raw payload bytes by construction, so a recomputation
 #:     would restate the same byte arithmetic, not verify anything new;
 #:     the REAL decode path it shares is golden-checked above 4 ways.
-#:   multimodal_resize_images — decode -> bilinear 12x10 -> BMP re-encode
-#:     -> re-decode; an independent recomputation would have to reproduce
-#:     the JPEG decode bit-for-bit first (lossy input). The resampler
-#:     itself is pinned by exact tests (tests/test_multimodal.py) and the
-#:     re-decode leg is covered by the BMP golden above.
 #:   multimodal_video_frames — frame sampling over MJPEG AVI; container
 #:     round-trip + sampling math are exact-tested, the JPEG leg is
 #:     band-checked above; a full checker-side AVI mirror would vendored-
