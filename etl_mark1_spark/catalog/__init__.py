@@ -99,11 +99,13 @@ DRIVER_PREFIX_ROUND = 10
 #:   * sample_per_group_lang — after r9 the single oracle-exact entry
 #:     never driver-sampled; this slot closes the brief's literal bar
 #:     (every oracle-exact entry ever registered gets a green driver row).
-#:   * 5 NEW round-10 entries (growth freeze lifted as promised):
+#:   * 8 NEW round-10 entries (growth freeze lifted as promised):
 #:     strip_spans_keep_first_docs, span_coverage_docs,
-#:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs — each
-#:     oracle-exact and dual-carrier-swept at birth.
-#:   * 42 STALE-SENTINEL refreshers: the previously-green entries with
+#:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs,
+#:     token_index_stats_docs, decontam_rate_by_source,
+#:     crawl_delay_domains — each oracle-exact and dual-carrier-swept
+#:     at birth.
+#:   * 39 STALE-SENTINEL refreshers: the previously-green entries with
 #:     the OLDEST external confirmation (last hash-confirmed in r1, then
 #:     r5; alphabetical within group) — three rounds of prefix rotation
 #:     toward fresh entries left 100+ entries unconfirmed since r5, and
@@ -124,6 +126,9 @@ DRIVER_PREFIX = [
     "broadcast_decontam_docs",
     "surt_keys_docs",
     "url_frontier_docs",
+    "token_index_stats_docs",
+    "decontam_rate_by_source",
+    "crawl_delay_domains",
     "array_ops_embeddings",
     "date_parts",
     "events_json_extract",
@@ -163,9 +168,6 @@ DRIVER_PREFIX = [
     "semi_join_customers",
     "snapshot_diff_orders",
     "sql_join_q3",
-    "sql_q5_region_revenue",
-    "stratified_sample_lang",
-    "streaming_bloom_filter",
 ]
 
 

@@ -748,3 +748,51 @@ def broadcast_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return broadcast_ngram_decontam(
         docs.filter(F.col("doc_id") % 17 != 0),
         docs.filter(F.col("doc_id") % 17 == 0), n=13)
+
+
+@query("decontam_rate_by_source", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 11)) AS i
+          FROM d WHERE len(tk) >= 13),
+    g AS (SELECT doc_id, array_to_string(tk[i:i+12], ' ') AS gram
+          FROM p),
+    ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+    hit AS (SELECT DISTINCT doc_id FROM g
+            WHERE doc_id % 17 <> 0 AND gram IN (SELECT gram FROM ref))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM hit))
+                AS BIGINT) AS n_contaminated,
+           round(CAST(count(*) FILTER (WHERE doc_id IN
+                      (SELECT doc_id FROM hit)) AS DOUBLE) / count(*), 6)
+             AS rate
+    FROM documents
+    WHERE doc_id % 17 <> 0
+    GROUP BY source
+""")
+def decontam_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination REPORT a curation run publishes: per-source
+    document counts, contaminated counts (>= one shared 13-gram with
+    the held-out slice), and the rate — the roll-up that decides
+    whether a source is dropped wholesale or only its flagged docs.
+    Rides broadcast_ngram_decontam's shuffle-free flags; the rollup is
+    one hash aggregate on source."""
+    from etl_mark1_spark.operators.dedup import broadcast_ngram_decontam
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    hits = broadcast_ngram_decontam(
+        corpus, docs.filter(F.col("doc_id") % 17 == 0), n=13) \
+        .select("doc_id", F.lit(1).alias("_hit"))
+    return (corpus.join(hits, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                 .cast("bigint").alias("n_contaminated"))
+            .withColumn("rate", F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_docs"),
+                6)))

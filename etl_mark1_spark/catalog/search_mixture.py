@@ -529,3 +529,36 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+@query("token_index_stats_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(tk) AS token FROM d),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           round(ln((nd - count(*) + 0.5) / (count(*) + 0.5) + 1), 6) AS idf
+    FROM tok, n
+    WHERE token <> ''
+    GROUP BY token, nd
+    HAVING count(*) >= 25
+""")
+def token_index_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index dictionary stats (operators/corpus.py:
+    token_index_stats over inverted_index): per-token document
+    frequency, posting range, and BM25 idf for tokens in >= 25 docs.
+    Postings stay ROWS (token, doc_id) — a posting-list column would
+    concentrate a stopword's corpus-wide set in one task — and every
+    rollup aggregate is algebraic (count/min/max), so map-side partials
+    collapse stopwords before the shuffle. The reference's search
+    surface stops at SQL LIKE; this is the build side of bm25_search's
+    scorer."""
+    from etl_mark1_spark.operators.corpus import token_index_stats
+
+    return token_index_stats(t(spark, sf_dir, "documents"), min_df=25)

@@ -338,3 +338,45 @@ def url_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _with_synth_urls(t(spark, sf_dir, "documents").select("doc_id"))
     return url_frontier_dedup(docs)
+
+
+@query("crawl_delay_domains", """
+    WITH ds AS (SELECT DISTINCT doc_id % 100 AS d FROM documents)
+    SELECT 'site' || CAST(d AS VARCHAR) || '.example' AS domain,
+           CASE WHEN d % 3 = 0 THEN 0.5 * (d % 4)
+                WHEN d % 11 <> 7 THEN CAST(1 + d % 5 AS DOUBLE)
+                ELSE NULL END AS crawl_delay
+    FROM ds
+""")
+def crawl_delay_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness table for the frontier scheduler (operators/web.py:
+    robots_crawl_delays): per-domain Crawl-delay under RFC 9309 group
+    selection — a trainingbot-specific group's delay overrides the *
+    group's (and its ABSENCE of one yields NULL, no fallback), the
+    minimum wins within a group, and domains whose robots state no
+    delay surface NULL. The synthesized robots bodies branch on the
+    domain index (every 3rd domain gets a specific group, every 11th-
+    mod-7 * group omits its delay); the oracle states the selected
+    delay from the same arithmetic without parsing."""
+    from etl_mark1_spark.operators.web import robots_crawl_delays
+
+    d = t(spark, sf_dir, "documents") \
+        .select((F.col("doc_id") % 100).alias("d")).distinct()
+    star_delay = F.when(
+        F.col("d") % 11 != 7,
+        F.concat(F.lit("Crawl-delay: "),
+                 (F.col("d") % 5 + 1).cast("string"), F.lit("\n"))
+    ).otherwise(F.lit(""))
+    tb_group = F.when(
+        F.col("d") % 3 == 0,
+        F.concat(F.lit("\nUser-agent: trainingbot\nAllow: /\n"
+                       "Crawl-delay: "),
+                 ((F.col("d") % 4).cast("double") * 0.5).cast("string"),
+                 F.lit("\n"))
+    ).otherwise(F.lit(""))
+    robots = d.select(
+        F.concat(F.lit("site"), F.col("d").cast("string"),
+                 F.lit(".example")).alias("domain"),
+        F.concat(F.lit("User-agent: *\nDisallow: /tmp/\n"),
+                 star_delay, tb_group).alias("robots_txt"))
+    return robots_crawl_delays(robots, "trainingbot")

@@ -995,3 +995,50 @@ def _register_steps() -> None:
 
 
 _register_steps()
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Postings of an inverted index as ROWS: one (token, doc_id) per
+    distinct token occurrence, the form search infrastructure builds
+    from (write it partitioned/bucketed by token and a term lookup is a
+    partition-pruned scan). Deliberately NOT a posting-LIST column: a
+    stopword's list would concentrate its entire corpus-wide posting
+    set in one task's aggregation state, while rows shard it like any
+    other key. One explode + one distinct shuffle; tokens come from the
+    normalized (lowercased, whitespace-collapsed) text."""
+    from etl_mark1_spark.functions.text import normalized_text
+    from etl_mark1_spark.operators.dedup import ensure_parallelism
+
+    return (ensure_parallelism(df)
+            .select(F.col(id_col),
+                    F.explode(F.split(normalized_text(F.col(text_col)),
+                                      " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .distinct())
+
+
+def token_index_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_df: int = 1) -> DataFrame:
+    """Per-token index statistics over the postings: document frequency,
+    posting range (min/max doc id), and the BM25 idf
+    ``ln((N - df + 0.5) / (df + 0.5) + 1)`` — the dictionary side of the
+    inverted index, and the stats a query planner or BM25 scorer loads.
+
+    Every aggregate is ALGEBRAIC (count/min/max with map-side partials),
+    so a stopword's millions of postings collapse inside each task
+    before the shuffle — this is why the entry carries no posting-list
+    column (see :func:`inverted_index`). N is one bounded driver count.
+    Returns (token, df, min_doc, max_doc, idf) for tokens with
+    ``df >= min_df``."""
+    n_docs = df.select(id_col).distinct().count()
+    postings = inverted_index(df, text_col, id_col)
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    return (postings.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+                 F.min(id_col).cast("bigint").alias("min_doc"),
+                 F.max(id_col).cast("bigint").alias("max_doc"))
+            .filter(F.col("df") >= min_df)
+            .withColumn("idf", F.round(idf, 6)))

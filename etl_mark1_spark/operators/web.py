@@ -38,7 +38,9 @@ __all__ = [
     "domain_cap",
     "filter_blocklist",
     "parse_robots_text",
+    "parse_robots_crawl_delay",
     "robots_rules",
+    "robots_crawl_delays",
     "filter_robots_allowed",
     "surt_key",
     "url_frontier_dedup",
@@ -341,6 +343,77 @@ def parse_robots_text(robots_txt: str | None,
     if exact:
         return [x for r in exact for x in r]
     return [x for a, r in groups if "*" in a for x in r]
+
+
+def parse_robots_crawl_delay(robots_txt: str | None,
+                             user_agent: str) -> float | None:
+    """Crawl-delay of the group RFC 9309's selection picks (exact
+    product-token match beats ``*``; consecutive ``User-agent`` lines
+    share a group). Crawl-delay is a de-facto extension, not part of
+    RFC 9309 — this follows the common crawler convention: the delay
+    belongs to its group, the MINIMUM wins when a selected group states
+    several (politeness never relaxes by repetition), non-numeric or
+    negative values are ignored, and None means the selected group (or
+    the whole file) states no delay. Group selection mirrors
+    :func:`parse_robots_text` — a specific-group match with no delay
+    line yields None, it does NOT fall back to ``*``'s delay (the
+    specific group overrides the generic one in full)."""
+    if not robots_txt:
+        return None
+    agent = user_agent.lower()
+    groups: list[tuple[list[str], list[float]]] = []
+    agents: list[str] = []
+    delays: list[float] = []
+    in_header = False
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_header:
+                if agents:
+                    groups.append((agents, delays))
+                agents, delays = [], []
+                in_header = True
+            agents.append(value.lower())
+        else:
+            in_header = False
+            if field == "crawl-delay":
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                if d >= 0:
+                    delays.append(d)
+    if agents:
+        groups.append((agents, delays))
+    exact = [d for a, ds in groups if agent in a for d in ds]
+    chosen = exact if any(agent in a for a, _ in groups) \
+        else [d for a, ds in groups if "*" in a for d in ds]
+    return min(chosen) if chosen else None
+
+
+def robots_crawl_delays(robots: DataFrame, user_agent: str,
+                        domain_col: str = "domain",
+                        text_col: str = "robots_txt") -> DataFrame:
+    """(domain, crawl_delay) for one crawler identity — the politeness
+    table a frontier scheduler joins against its SURT-sorted queue.
+    Same shape as :func:`robots_rules`: KB bodies, one per domain,
+    mapInPandas, broadcast-sized output."""
+    schema = f"{domain_col} string, crawl_delay double"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [(dom, parse_robots_crawl_delay(txt, user_agent))
+                    for dom, txt in zip(pdf[domain_col], pdf[text_col])]
+            yield pd.DataFrame(rows, columns=[domain_col, "crawl_delay"])
+
+    return robots.select(domain_col, text_col).mapInPandas(run, schema)
 
 
 def robots_rules(robots: DataFrame, user_agent: str,

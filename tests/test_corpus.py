@@ -900,3 +900,26 @@ def test_bpe_decode_inverts_segmentation(spark):
         assert out[2] == "row row row your boat"
         assert out[3] == ""
         assert out[4] == ""
+
+
+def test_token_index_stats_matches_manual(spark):
+    from etl_mark1_spark.operators.corpus import (inverted_index,
+                                                  token_index_stats)
+    import math
+
+    rows = [(1, "apple banana apple"), (2, "banana cherry"),
+            (3, "Banana  apple"), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    postings = {(r["token"], r["doc_id"])
+                for r in inverted_index(df).collect()}
+    assert postings == {("apple", 1), ("banana", 1), ("banana", 2),
+                        ("cherry", 2), ("banana", 3), ("apple", 3)}
+
+    got = {r["token"]: (r["df"], r["min_doc"], r["max_doc"], r["idf"])
+           for r in token_index_stats(df, min_df=2).collect()}
+    n = 4  # distinct doc ids, including the null-text doc
+
+    def idf(dfreq):
+        return round(math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1), 6)
+
+    assert got == {"apple": (2, 1, 3, idf(2)), "banana": (3, 1, 3, idf(3))}

@@ -567,3 +567,50 @@ def test_registered_domain_default_table_unchanged(spark):
     for r in df.select("want", registered_domain(F.col("host"))
                        .alias("got")).collect():
         assert r["got"] == r["want"]
+
+
+def test_parse_robots_crawl_delay_group_selection():
+    from etl_mark1_spark.operators.web import parse_robots_crawl_delay
+
+    txt = """
+User-agent: *
+Disallow: /tmp/
+Crawl-delay: 10
+
+User-agent: trainingbot
+Allow: /
+Crawl-delay: 2.5
+Crawl-delay: 1.5
+"""
+    # specific group wins; min of its several delays
+    assert parse_robots_crawl_delay(txt, "trainingbot") == 1.5
+    assert parse_robots_crawl_delay(txt, "otherbot") == 10.0
+
+
+def test_parse_robots_crawl_delay_edge_cases():
+    from etl_mark1_spark.operators.web import parse_robots_crawl_delay
+
+    # a SELECTED specific group without a delay does not inherit *'s
+    txt = "User-agent: *\nCrawl-delay: 9\n\nUser-agent: tb\nAllow: /\n"
+    assert parse_robots_crawl_delay(txt, "tb") is None
+    # non-numeric and negative values are ignored
+    txt2 = "User-agent: *\nCrawl-delay: fast\nCrawl-delay: -3\n"
+    assert parse_robots_crawl_delay(txt2, "tb") is None
+    assert parse_robots_crawl_delay(None, "tb") is None
+    assert parse_robots_crawl_delay("", "tb") is None
+    # shared-header groups: both agents get the group's delay
+    txt3 = "User-agent: a\nUser-agent: b\nCrawl-delay: 4\n"
+    assert parse_robots_crawl_delay(txt3, "B") == 4.0
+
+
+def test_robots_crawl_delays_frame(spark):
+    from etl_mark1_spark.operators.web import robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nCrawl-delay: 3\n"),
+         ("b.example", "User-agent: *\nDisallow: /x\n"),
+         ("c.example", None)],
+        "domain string, robots_txt string")
+    got = {r["domain"]: r["crawl_delay"]
+           for r in robots_crawl_delays(robots, "tb").collect()}
+    assert got == {"a.example": 3.0, "b.example": None, "c.example": None}
