@@ -136,18 +136,29 @@ def _non_first_occurrences(docs: DataFrame, text_col: str, id_col: str,
                            n: int) -> DataFrame:
     """(id, i) of every n-token window that is NOT the corpus-wide first
     occurrence of its gram — first = smallest (id, position), the order
-    Lee et al.'s suffix-array pass keeps. One shuffle on the gram; the
-    rank is a per-gram window whose state is bounded by that gram's
-    occurrence count (duplicated boilerplate is the long tail, and even
-    a license header repeated across half the corpus ranks in one
-    partition's sort — at 100 TB a gram hot enough to skew here is
-    exactly the chrome this operator exists to remove, so pre-hashing
-    to 8-byte keys and AQE skew-split keep the sort bounded)."""
+    Lee et al.'s suffix-array pass keeps.
+
+    Deliberately NOT a per-gram row_number window: window partitions get
+    neither map-side partials nor AQE skew-splitting, so a license
+    header repeated across half a 100 TB corpus would sort its entire
+    occurrence set in ONE task — and hot grams are exactly what this
+    operator exists to find. Instead the first occurrence is an
+    ALGEBRAIC min over the (id, position) struct (partial aggregation
+    collapses each task's copies of a hot gram to one row before the
+    shuffle), kept only for grams seen >= 2 times, and flagged
+    occurrences fall out of an equi-join back on the gram — a join AQE
+    CAN skew-split. Same two-exchange budget as the window formulation,
+    no per-gram sort anywhere."""
     grams = _positioned_grams(docs, text_col, id_col, n)
-    w = Window.partitionBy("gram").orderBy(id_col, "i")
-    return (grams
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > 1)
+    firsts = (grams.groupBy("gram")
+              .agg(F.min(F.struct(F.col(id_col).alias("_fid"),
+                                  F.col("i").alias("_fi"))).alias("_f"),
+                   F.count(F.lit(1)).alias("_cnt"))
+              .filter(F.col("_cnt") >= 2)
+              .select("gram", "_f"))
+    return (grams.join(firsts, "gram")
+            .filter((F.col(id_col) != F.col("_f._fid"))
+                    | (F.col("i") != F.col("_f._fi")))
             .select(id_col, "i"))
 
 
