@@ -380,3 +380,56 @@ def crawl_delay_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("User-agent: *\nDisallow: /tmp/\n"),
                  star_delay, tb_group).alias("robots_txt"))
     return robots_crawl_delays(robots, "trainingbot")
+
+
+@query("sitemap_frontier_docs", """
+    SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS domain,
+           'https://site' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example/articles/' || CAST(doc_id AS VARCHAR) AS loc,
+           CASE WHEN doc_id % 4 <> 0
+                THEN '2026-' || lpad(CAST(1 + doc_id % 9 AS VARCHAR), 2, '0')
+                     || '-15' END AS lastmod,
+           CASE WHEN doc_id % 3 = 0 THEN (doc_id % 10) / 10.0 END AS priority
+    FROM documents
+""")
+def sitemap_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier seeding from XML sitemaps (operators/web.py:
+    sitemap_urls): each of 20 synthetic domains publishes a sitemap
+    whose <url> entries mix optional fields (every 4th doc omits
+    <lastmod>, only every 3rd carries <priority>) — the alignment trap
+    parallel-xpath parsers fail; the per-block parser must recover each
+    entry's OWN fields. The Spark side BUILDS the XML per domain (an
+    ordered string_agg of the per-doc blocks) and parses it back; the
+    oracle states every row from the synthesis arithmetic without
+    touching XML. Parsing is regexp/array built-ins — map-side."""
+    from etl_mark1_spark.operators.web import sitemap_urls
+
+    did = F.col("doc_id")
+    dom = F.concat(F.lit("site"), (did % 20).cast("string"),
+                   F.lit(".example"))
+    lastmod = F.when(
+        did % 4 != 0,
+        F.concat(F.lit("<lastmod>2026-"),
+                 F.lpad((did % 9 + 1).cast("string"), 2, "0"),
+                 F.lit("-15</lastmod>"))).otherwise(F.lit(""))
+    prio = F.when(
+        did % 3 == 0,
+        F.concat(F.lit("<priority>"),
+                 ((did % 10) / F.lit(10.0)).cast("string"),
+                 F.lit("</priority>"))).otherwise(F.lit(""))
+    block = F.concat(
+        F.lit("<url><loc>https://"), dom, F.lit("/articles/"),
+        did.cast("string"), F.lit("</loc>"), lastmod, prio,
+        F.lit("</url>"))
+    sitemaps = (t(spark, sf_dir, "documents")
+                .select(dom.alias("domain"), did.alias("doc_id"),
+                        block.alias("_blk"))
+                .groupBy("domain")
+                .agg(F.concat(
+                    F.lit('<?xml version="1.0"?><urlset>'),
+                    F.concat_ws("", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("doc_id", "_blk"))),
+                        lambda s: s["_blk"])),
+                    F.lit("</urlset>")).alias("sitemap_xml")))
+    return sitemap_urls(sitemaps)

@@ -44,6 +44,8 @@ __all__ = [
     "filter_robots_allowed",
     "surt_key",
     "url_frontier_dedup",
+    "sitemap_urls",
+    "sitemap_index_locs",
     "MULTI_PART_SUFFIXES",
 ]
 
@@ -343,6 +345,57 @@ def parse_robots_text(robots_txt: str | None,
     if exact:
         return [x for r in exact for x in r]
     return [x for a, r in groups if "*" in a for x in r]
+
+
+def sitemap_urls(df: DataFrame, xml_col: str = "sitemap_xml",
+                 domain_col: str = "domain") -> DataFrame:
+    """Parse XML sitemaps (sitemaps.org protocol) into frontier-seed
+    rows: one (domain, loc, lastmod, priority) per ``<url>`` entry,
+    missing optional elements surfacing as NULL. Feed the output
+    through :func:`surt_key` / :func:`url_frontier_dedup` and join
+    :func:`robots_crawl_delays` and the frontier is seeded, deduped,
+    and politeness-scheduled.
+
+    Parsing is per-``<url>``-block (regexp_extract_all + explode, then
+    per-block field extraction) rather than per-document xpath arrays —
+    ``xpath(xml, '//loc')`` and ``xpath(xml, '//lastmod')`` return
+    MISALIGNED arrays the moment one entry omits an optional tag, the
+    classic parallel-xpath bug. All JVM-side regexp/array built-ins:
+    a million sitemap files parse at scan speed, no shuffle. Sitemap
+    INDEX files (``<sitemapindex>``) are ignored by the ``<url>``
+    pattern — run :func:`sitemap_index_locs` over them to find the
+    member sitemaps first."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<url\s*>(.*?)</url\s*>"), 1)
+
+    def field(tag: str) -> Column:
+        return F.nullif(
+            F.regexp_extract("_b", rf"(?s)<{tag}\s*>\s*(.*?)\s*</{tag}\s*>",
+                             1),
+            F.lit(""))
+
+    return (df.select(F.col(domain_col), F.explode(blocks).alias("_b"))
+            .select(domain_col,
+                    field("loc").alias("loc"),
+                    field("lastmod").alias("lastmod"),
+                    field("priority").try_cast("double").alias("priority"))
+            .where(F.col("loc").isNotNull()))
+
+
+def sitemap_index_locs(df: DataFrame, xml_col: str = "sitemap_xml",
+                       domain_col: str = "domain") -> DataFrame:
+    """Member-sitemap locations from ``<sitemapindex>`` files: one
+    (domain, sitemap_loc) per ``<sitemap>`` entry — the recursion step
+    a crawler runs before :func:`sitemap_urls`. Same per-block shape;
+    map-side."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<sitemap\s*>(.*?)</sitemap\s*>"), 1)
+    loc = F.nullif(
+        F.regexp_extract("_b", r"(?s)<loc\s*>\s*(.*?)\s*</loc\s*>", 1),
+        F.lit(""))
+    return (df.select(F.col(domain_col), F.explode(blocks).alias("_b"))
+            .select(domain_col, loc.alias("sitemap_loc"))
+            .where(F.col("sitemap_loc").isNotNull()))
 
 
 def parse_robots_crawl_delay(robots_txt: str | None,

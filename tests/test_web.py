@@ -614,3 +614,54 @@ def test_robots_crawl_delays_frame(spark):
     got = {r["domain"]: r["crawl_delay"]
            for r in robots_crawl_delays(robots, "tb").collect()}
     assert got == {"a.example": 3.0, "b.example": None, "c.example": None}
+
+
+def test_sitemap_urls_optional_fields_stay_aligned(spark):
+    """The misalignment trap: entry 1 has all fields, entry 2 omits
+    lastmod, entry 3 omits priority — each row must keep ITS OWN
+    values (parallel-xpath arrays would shift them)."""
+    from etl_mark1_spark.operators.web import sitemap_urls
+
+    xml = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.example/1</loc>
+       <lastmod>2026-01-01</lastmod><priority>0.9</priority></url>
+  <url><loc>https://a.example/2</loc><priority>0.3</priority></url>
+  <url><loc>https://a.example/3</loc><lastmod>2026-03-03</lastmod></url>
+  <url><lastmod>2026-04-04</lastmod></url>
+</urlset>"""
+    df = spark.createDataFrame([("a.example", xml)],
+                               ["domain", "sitemap_xml"])
+    got = sorted((r["loc"], r["lastmod"], r["priority"])
+                 for r in sitemap_urls(df).collect())
+    assert got == [
+        ("https://a.example/1", "2026-01-01", 0.9),
+        ("https://a.example/2", None, 0.3),
+        ("https://a.example/3", "2026-03-03", None),
+    ]  # the loc-less entry is dropped
+
+
+def test_sitemap_index_locs(spark):
+    from etl_mark1_spark.operators.web import sitemap_index_locs
+
+    xml = """<sitemapindex>
+  <sitemap><loc>https://a.example/s1.xml</loc>
+           <lastmod>2026-01-01</lastmod></sitemap>
+  <sitemap><loc>https://a.example/s2.xml</loc></sitemap>
+</sitemapindex>"""
+    df = spark.createDataFrame([("a.example", xml)],
+                               ["domain", "sitemap_xml"])
+    got = {r["sitemap_loc"] for r in sitemap_index_locs(df).collect()}
+    assert got == {"https://a.example/s1.xml", "https://a.example/s2.xml"}
+
+
+def test_sitemap_urls_bad_priority_and_empty(spark):
+    from etl_mark1_spark.operators.web import sitemap_urls
+
+    xml = ("<urlset><url><loc>https://x/1</loc>"
+           "<priority>high</priority></url></urlset>")
+    df = spark.createDataFrame([("x", xml), ("y", "not xml"), ("z", None)],
+                               ["domain", "sitemap_xml"])
+    got = sitemap_urls(df).collect()
+    assert len(got) == 1
+    assert got[0]["loc"] == "https://x/1" and got[0]["priority"] is None
