@@ -99,13 +99,14 @@ DRIVER_PREFIX_ROUND = 10
 #:   * sample_per_group_lang — after r9 the single oracle-exact entry
 #:     never driver-sampled; this slot closes the brief's literal bar
 #:     (every oracle-exact entry ever registered gets a green driver row).
-#:   * 9 NEW round-10 entries (growth freeze lifted as promised):
+#:   * 10 NEW round-10 entries (growth freeze lifted as promised):
 #:     strip_spans_keep_first_docs, span_coverage_docs,
 #:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs,
 #:     token_index_stats_docs, decontam_rate_by_source,
-#:     crawl_delay_domains, sitemap_frontier_docs — each oracle-exact
-#:     and dual-carrier-swept at birth.
-#:   * 38 STALE-SENTINEL refreshers: the previously-green entries with
+#:     crawl_delay_domains, sitemap_frontier_docs,
+#:     frontier_schedule_docs — each oracle-exact and dual-carrier-swept
+#:     at birth.
+#:   * 37 STALE-SENTINEL refreshers: the previously-green entries with
 #:     the OLDEST external confirmation (last hash-confirmed in r1, then
 #:     r5; alphabetical within group) — three rounds of prefix rotation
 #:     toward fresh entries left 100+ entries unconfirmed since r5, and
@@ -130,6 +131,7 @@ DRIVER_PREFIX = [
     "decontam_rate_by_source",
     "crawl_delay_domains",
     "sitemap_frontier_docs",
+    "frontier_schedule_docs",
     "array_ops_embeddings",
     "date_parts",
     "events_json_extract",
@@ -167,7 +169,6 @@ DRIVER_PREFIX = [
     "rename_cast_project",
     "rollup_agg",
     "semi_join_customers",
-    "snapshot_diff_orders",
 ]
 
 

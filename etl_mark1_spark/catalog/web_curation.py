@@ -433,3 +433,71 @@ def sitemap_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda s: s["_blk"])),
                     F.lit("</urlset>")).alias("sitemap_xml")))
     return sitemap_urls(sitemaps)
+
+
+@query("frontier_schedule_docs", """
+    WITH ds AS (SELECT doc_id % 20 AS d, doc_id FROM documents),
+    agg AS (SELECT d,
+                   CAST(count(*) AS BIGINT) AS n_seeded,
+                   CAST(count(DISTINCT doc_id % 400) AS BIGINT) AS n_unique
+            FROM ds GROUP BY d),
+    del AS (SELECT DISTINCT d,
+                   CASE WHEN d % 3 = 0 THEN 0.5 * (d % 4)
+                        WHEN d % 11 <> 7 THEN CAST(1 + d % 5 AS DOUBLE)
+                        END AS crawl_delay
+            FROM ds)
+    SELECT 'site' || CAST(a.d AS VARCHAR) || '.example' AS domain,
+           n_seeded, n_unique, crawl_delay,
+           round(n_unique * coalesce(crawl_delay, 1.0) / 60.0, 6)
+             AS est_minutes
+    FROM agg a JOIN del USING (d)
+""")
+def frontier_schedule_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier chain COMPOSED end-to-end: sitemap-shaped seeds
+    (each domain's locs collide on doc_id mod 400 — variant pressure)
+    -> SURT canonicalization -> per-domain unique-fetch counts ->
+    politeness join against RFC 9309 crawl delays -> the fetch-time
+    estimate a scheduler budgets with (unique fetches x delay, default
+    1 s). Every stage is the real operator (surt_key,
+    robots_crawl_delays); the oracle restates the whole chain from the
+    synthesis arithmetic. One aggregate + one broadcast-sized politeness
+    join — payloads never shuffle."""
+    from etl_mark1_spark.operators.web import (robots_crawl_delays,
+                                               surt_key)
+
+    did = F.col("doc_id")
+    d = (did % 20)
+    dom = F.concat(F.lit("site"), d.cast("string"), F.lit(".example"))
+    loc = F.concat(F.lit("https://"), dom, F.lit("/articles/"),
+                   (did % 400).cast("string"))
+    seeds = t(spark, sf_dir, "documents").select(
+        dom.alias("domain"), surt_key(loc).alias("_surt"))
+    agg = (seeds.groupBy("domain")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_seeded"),
+                F.countDistinct("_surt").cast("bigint").alias("n_unique")))
+
+    dd = t(spark, sf_dir, "documents") \
+        .select((F.col("doc_id") % 20).alias("d")).distinct()
+    star_delay = F.when(
+        F.col("d") % 11 != 7,
+        F.concat(F.lit("Crawl-delay: "),
+                 (F.col("d") % 5 + 1).cast("string"), F.lit("\n"))
+    ).otherwise(F.lit(""))
+    tb_group = F.when(
+        F.col("d") % 3 == 0,
+        F.concat(F.lit("\nUser-agent: trainingbot\nAllow: /\n"
+                       "Crawl-delay: "),
+                 ((F.col("d") % 4).cast("double") * 0.5).cast("string"),
+                 F.lit("\n"))
+    ).otherwise(F.lit(""))
+    robots = dd.select(
+        F.concat(F.lit("site"), F.col("d").cast("string"),
+                 F.lit(".example")).alias("domain"),
+        F.concat(F.lit("User-agent: *\nDisallow: /tmp/\n"),
+                 star_delay, tb_group).alias("robots_txt"))
+    delays = robots_crawl_delays(robots, "trainingbot")
+
+    return (agg.join(F.broadcast(delays), "domain")
+            .withColumn("est_minutes", F.round(
+                F.col("n_unique") * F.coalesce(F.col("crawl_delay"),
+                                               F.lit(1.0)) / 60.0, 6)))

@@ -39,8 +39,10 @@ __all__ = [
     "filter_blocklist",
     "parse_robots_text",
     "parse_robots_crawl_delay",
+    "parse_robots_sitemaps",
     "robots_rules",
     "robots_crawl_delays",
+    "robots_sitemap_locs",
     "filter_robots_allowed",
     "surt_key",
     "url_frontier_dedup",
@@ -447,6 +449,47 @@ def parse_robots_crawl_delay(robots_txt: str | None,
     chosen = exact if any(agent in a for a, _ in groups) \
         else [d for a, ds in groups if "*" in a for d in ds]
     return min(chosen) if chosen else None
+
+
+def parse_robots_sitemaps(robots_txt: str | None) -> list[str]:
+    """``Sitemap:`` URLs from a robots.txt body — the standard sitemap
+    DISCOVERY mechanism. Per the sitemaps.org protocol the field is NOT
+    group-scoped: every ``Sitemap:`` line in the file applies regardless
+    of user-agent, so no group selection happens here (contrast
+    :func:`parse_robots_crawl_delay`). Order is preserved, duplicates
+    kept (the caller's frontier dedup collapses them)."""
+    if not robots_txt:
+        return []
+    out = []
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
+def robots_sitemap_locs(robots: DataFrame,
+                        domain_col: str = "domain",
+                        text_col: str = "robots_txt") -> DataFrame:
+    """(domain, sitemap_loc) discovery rows from a per-domain robots
+    table — feed into :func:`sitemap_index_locs` / :func:`sitemap_urls`
+    to complete robots -> sitemap -> frontier seeding. mapInPandas over
+    KB bodies, map-side."""
+    schema = f"{domain_col} string, sitemap_loc string"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [(dom, loc)
+                    for dom, txt in zip(pdf[domain_col], pdf[text_col])
+                    for loc in parse_robots_sitemaps(txt)]
+            yield pd.DataFrame(rows, columns=[domain_col, "sitemap_loc"])
+
+    return robots.select(domain_col, text_col).mapInPandas(run, schema)
 
 
 def robots_crawl_delays(robots: DataFrame, user_agent: str,

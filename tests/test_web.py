@@ -665,3 +665,33 @@ def test_sitemap_urls_bad_priority_and_empty(spark):
     got = sitemap_urls(df).collect()
     assert len(got) == 1
     assert got[0]["loc"] == "https://x/1" and got[0]["priority"] is None
+
+
+def test_parse_robots_sitemaps_not_group_scoped():
+    from etl_mark1_spark.operators.web import parse_robots_sitemaps
+
+    txt = """User-agent: a
+Sitemap: https://x/s1.xml
+Disallow: /p
+
+User-agent: *
+Sitemap: https://x/s2.xml  # trailing comment
+Sitemap: https://x/s1.xml
+"""
+    # every Sitemap line applies, order kept, duplicate kept
+    assert parse_robots_sitemaps(txt) == [
+        "https://x/s1.xml", "https://x/s2.xml", "https://x/s1.xml"]
+    assert parse_robots_sitemaps(None) == []
+    assert parse_robots_sitemaps("Sitemap:\nSitemap: ") == []
+
+
+def test_robots_sitemap_locs_frame(spark):
+    from etl_mark1_spark.operators.web import robots_sitemap_locs
+
+    robots = spark.createDataFrame(
+        [("a.example", "Sitemap: https://a.example/s.xml\nUser-agent: *\n"),
+         ("b.example", "User-agent: *\nDisallow: /")],
+        "domain string, robots_txt string")
+    got = {(r["domain"], r["sitemap_loc"])
+           for r in robots_sitemap_locs(robots).collect()}
+    assert got == {("a.example", "https://a.example/s.xml")}
