@@ -107,6 +107,13 @@ HEADLINE = [
     # rollup, representing web curation (shuffle-free map path)
     "incremental_neardup_docs",
     "domain_stats_docs",
+    # round-10 additions: shuffle-free broadcast decontam (the corpus
+    # side's whole cost is one scan — the plan test pins zero hash
+    # exchanges) and keep-first exact substring dedup (algebraic
+    # min-per-gram flagging + per-doc islands), representing the new
+    # decontam and span families
+    "broadcast_decontam_docs",
+    "strip_spans_keep_first_docs",
 ]
 
 
