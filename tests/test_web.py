@@ -695,3 +695,39 @@ def test_robots_sitemap_locs_frame(spark):
     got = {(r["domain"], r["sitemap_loc"])
            for r in robots_sitemap_locs(robots).collect()}
     assert got == {("a.example", "https://a.example/s.xml")}
+
+
+def test_sitemap_urls_randomized_roundtrip(spark):
+    """Differential fuzz: random entries with random optional fields,
+    whitespace padding, and tag spacing must parse back exactly."""
+    import random
+
+    from etl_mark1_spark.operators.web import sitemap_urls
+
+    rng = random.Random(100)
+    domains = []
+    want = set()
+    for d in range(8):
+        dom = f"d{d}.example"
+        blocks = []
+        for u in range(rng.randrange(0, 6)):
+            loc = f"https://{dom}/p{u}"
+            lastmod = (f"2026-0{rng.randrange(1, 10)}-01"
+                       if rng.random() < 0.5 else None)
+            prio = (round(rng.randrange(0, 11) / 10, 1)
+                    if rng.random() < 0.5 else None)
+            ws = " " * rng.randrange(0, 3) + "\n" * rng.randrange(0, 2)
+            b = f"<url{' ' if rng.random() < 0.3 else ''}><loc>{ws}{loc}{ws}</loc>"
+            if lastmod:
+                b += f"<lastmod>{lastmod}</lastmod>"
+            if prio is not None:
+                b += f"<priority>{prio}</priority>"
+            b += "</url>"
+            blocks.append(b)
+            want.add((dom, loc, lastmod,
+                      float(prio) if prio is not None else None))
+        domains.append((dom, "<urlset>" + "\n".join(blocks) + "</urlset>"))
+    df = spark.createDataFrame(domains, ["domain", "sitemap_xml"])
+    got = {(r["domain"], r["loc"], r["lastmod"], r["priority"])
+           for r in sitemap_urls(df).collect()}
+    assert got == want
