@@ -796,3 +796,71 @@ def decontam_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rate", F.round(
                 F.col("n_contaminated").cast("double") / F.col("n_docs"),
                 6)))
+
+
+@query("corpus_datacard_sources", r"""
+    WITH d AS (
+      SELECT source, lang, n_chars, md5(text) AS th,
+             len(list_filter(
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                        'g'))), ' '),
+                 x -> x <> '')) AS toks
+      FROM documents),
+    s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             round(CAST(sum(toks) AS DOUBLE) / count(*), 4) AS avg_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT th) AS BIGINT) AS distinct_texts,
+             round(CAST(count(*) FILTER (WHERE toks < 20) AS DOUBLE)
+                   / count(*), 6) AS pct_short,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM d GROUP BY source),
+    lc AS (
+      SELECT source, lang, count(*) AS c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rn
+      FROM documents GROUP BY source, lang)
+    SELECT s.*, lc.lang AS top_lang
+    FROM s JOIN lc ON s.source = lc.source AND lc.rn = 1
+""")
+def corpus_datacard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datacard a training run publishes per source: document and
+    token counts, average length, language spread and the dominant
+    language, the short-doc fraction, total bytes-ish (chars), and the
+    distinct-text count (the instant exact-dedup-rate signal). One hash
+    aggregate over the scan carries every algebraic stat with map-side
+    partials; distinct texts are counted through md5 so the shuffle
+    carries 32-byte digests, never document bodies (both engines hash
+    identically, so the count stays oracle-exact); the dominant
+    language is a broadcast-sized (source, lang) rollup with a
+    deterministic count-then-name tie-break."""
+    from etl_mark1_spark.functions.text import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(
+        F.split(normalized_text(F.col("text")), " "), lambda x: x != ""))
+    s = (docs.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum(toks).cast("bigint").alias("n_tokens"),
+              F.countDistinct("lang").cast("bigint").alias("n_langs"),
+              F.countDistinct(F.md5("text")).cast("bigint")
+              .alias("distinct_texts"),
+              F.sum(F.when(toks < 20, 1).otherwise(0)).alias("_n_short"),
+              F.sum("n_chars").cast("bigint").alias("total_chars"))
+         .withColumn("avg_tokens", F.round(
+             F.col("n_tokens").cast("double") / F.col("n_docs"), 4))
+         .withColumn("pct_short", F.round(
+             F.col("_n_short").cast("double") / F.col("n_docs"), 6))
+         .drop("_n_short"))
+    w = Window.partitionBy("source").orderBy(F.desc("_c"), F.col("lang"))
+    top = (docs.groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("_c"))
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select("source", F.col("lang").alias("top_lang")))
+    return (s.join(F.broadcast(top), "source")
+            .select("source", "n_docs", "n_tokens", "avg_tokens",
+                    "n_langs", "distinct_texts", "pct_short",
+                    "total_chars", "top_lang"))
