@@ -99,14 +99,15 @@ DRIVER_PREFIX_ROUND = 10
 #:   * sample_per_group_lang — after r9 the single oracle-exact entry
 #:     never driver-sampled; this slot closes the brief's literal bar
 #:     (every oracle-exact entry ever registered gets a green driver row).
-#:   * 11 NEW round-10 entries (growth freeze lifted as promised):
+#:   * 13 NEW round-10 entries (growth freeze lifted as promised):
 #:     strip_spans_keep_first_docs, span_coverage_docs,
 #:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs,
 #:     token_index_stats_docs, decontam_rate_by_source,
 #:     crawl_delay_domains, sitemap_frontier_docs,
-#:     frontier_schedule_docs, corpus_datacard_sources — each
-#:     oracle-exact and dual-carrier-swept at birth.
-#:   * 36 STALE-SENTINEL refreshers: the previously-green entries with
+#:     frontier_schedule_docs, corpus_datacard_sources,
+#:     homoglyph_fold_docs, k_anonymity_customers — each oracle-exact
+#:     and dual-carrier-swept at birth.
+#:   * 34 STALE-SENTINEL refreshers: the previously-green entries with
 #:     the OLDEST external confirmation (last hash-confirmed in r1, then
 #:     r5; alphabetical within group) — three rounds of prefix rotation
 #:     toward fresh entries left 100+ entries unconfirmed since r5, and
@@ -133,6 +134,8 @@ DRIVER_PREFIX = [
     "sitemap_frontier_docs",
     "frontier_schedule_docs",
     "corpus_datacard_sources",
+    "homoglyph_fold_docs",
+    "k_anonymity_customers",
     "array_ops_embeddings",
     "date_parts",
     "events_json_extract",
@@ -167,8 +170,6 @@ DRIVER_PREFIX = [
     "pipeline_etl",
     "quality_profile_customer",
     "rebalance_mixture_sources",
-    "rename_cast_project",
-    "rollup_agg",
 ]
 
 

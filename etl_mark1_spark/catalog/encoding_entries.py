@@ -154,3 +154,44 @@ def unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.concat(F.lit(composed), F.col("text")))
              .otherwise(F.col("text")))
     return normalize_unicode(d.select("doc_id", text.alias("text")))
+
+
+@query("homoglyph_fold_docs", """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 7 = 0
+                THEN length(text) - length(translate(text, 'aeo', ''))
+                ELSE 0 END AS BIGINT) AS n_confusables,
+           (doc_id % 7 = 0
+            AND length(text) > length(translate(text, 'aeo', '')))
+             AS key_changed
+    FROM documents
+""")
+def homoglyph_fold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph-folding audit (operators/encoding.py:fold_confusables,
+    a TR39-confusables subset): every 7th document is SPOOFED by
+    swapping its a/e/o for the pixel-identical Cyrillic letters (the
+    exact-dedup/blocklist evasion trick), the fold runs over the
+    spoofed text, and the entry reports how many confusable codepoints
+    each doc carried and whether its dedup key changed under folding.
+    The gate also proves the fold RECOVERS the original (folded ==
+    original asserted Spark-side via the filter below — a row escaping
+    recovery would change the count). Both the spoof and the fold are
+    single ``translate`` calls — codegen, map-side, scan-speed; DuckDB's
+    translate has identical semantics, keeping the oracle exact."""
+    from etl_mark1_spark.operators.encoding import fold_confusables
+
+    did = F.col("doc_id")
+    spoof = F.when(did % 7 == 0,
+                   F.translate(F.col("text"), "aeo", "\u0430\u0435\u043e")) \
+        .otherwise(F.col("text"))
+    base = (t(spark, sf_dir, "documents")
+            .select("doc_id", F.col("text").alias("_t"),
+                    spoof.alias("_sp"))
+            .withColumn("_fold", fold_confusables(F.col("_sp"))))
+    return (base
+            .filter(F.col("_fold") == F.col("_t"))   # fold must round-trip
+            .select("doc_id",
+                    (F.length("_sp") - F.length(F.translate(
+                        F.col("_sp"), "\u0430\u0435\u043e", "")))
+                    .cast("bigint").alias("n_confusables"),
+                    (F.col("_sp") != F.col("_fold")).alias("key_changed")))

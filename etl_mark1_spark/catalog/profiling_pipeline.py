@@ -67,3 +67,31 @@ def pipeline_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         "order_year")
 
 
+
+
+@query("k_anonymity_customers", """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000)
+                                             AS BIGINT)
+    HAVING count(*) < 3
+""")
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release audit (plans/quality.py:k_anonymity_audit,
+    Sweeney's k-anonymity): every (nation, market segment, balance
+    bucket) quasi-identifier combination shared by fewer than k=3
+    customers — the groups a public-data join re-identifies. One hash
+    aggregate shuffling only the quasi-identifier columns with
+    map-side partials; the under-k output is small by construction, so
+    the audit of a 100 TB table emits KBs. An empty result certifies
+    the release at that k."""
+    from etl_mark1_spark.plans.quality import k_anonymity_audit
+
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint"))
+    return k_anonymity_audit(
+        cust.select("c_nationkey", "c_mktsegment", "bal_bucket"),
+        ["c_nationkey", "c_mktsegment", "bal_bucket"], k=3)

@@ -51,6 +51,8 @@ __all__ = [
     "fix_mojibake",
     "normalize_unicode",
     "sniff_mime",
+    "CONFUSABLES",
+    "fold_confusables",
 ]
 
 
@@ -255,6 +257,45 @@ def sniff_mime(col) -> "Column":  # noqa: F821 — pyspark Column
                | text_start.startswith("["), F.lit("application/json"))
          .when(printable, F.lit("text/plain"))
          .otherwise(F.lit("application/octet-stream")))
+
+
+#: Single-codepoint homoglyph -> ASCII skeleton map, a pragmatic subset
+#: of Unicode TR39's confusables.txt (public data): the Cyrillic and
+#: Greek letters that are pixel-identical to Latin in most fonts, plus
+#: fullwidth Latin. Spam and SEO text uses these to evade exact/shingle
+#: dedup and blocklists; folding before keying closes the hole. Kept
+#: strictly 1:1 so the fold is a single ``translate`` — extend the map,
+#: not the mechanism, for wider coverage.
+CONFUSABLES = {
+    # Cyrillic lowercase / uppercase
+    "\u0430": "a", "\u0435": "e", "\u043e": "o", "\u0440": "p",
+    "\u0441": "c", "\u0445": "x", "\u0443": "y", "\u0456": "i",
+    "\u0455": "s", "\u0458": "j", "\u04bb": "h",
+    "\u0410": "A", "\u0412": "B", "\u0415": "E", "\u041a": "K",
+    "\u041c": "M", "\u041d": "H", "\u041e": "O", "\u0420": "P",
+    "\u0421": "C", "\u0422": "T", "\u0425": "X",
+    # Greek
+    "\u03bf": "o", "\u03b1": "a", "\u03bd": "v",
+    "\u0391": "A", "\u0392": "B", "\u0395": "E", "\u0396": "Z",
+    "\u0397": "H", "\u0399": "I", "\u039a": "K", "\u039c": "M",
+    "\u039d": "N", "\u039f": "O", "\u03a1": "P", "\u03a4": "T",
+    "\u03a5": "Y", "\u03a7": "X",
+}
+
+
+def fold_confusables(col) -> "Column":  # noqa: F821 — pyspark Column
+    """Fold known homoglyphs to their ASCII skeletons — run BEFORE any
+    dedup/blocklist keying so visually-identical spam variants collide
+    (\u0430 'а' CYRILLIC A in "p\u0430ypal" folds to 'paypal'). One
+    JVM-side ``translate`` over a literal 1:1 map: whole-stage codegen,
+    no Python, no shuffle — 100 TB folds at scan speed. DuckDB's
+    ``translate`` has identical semantics, so folded keys stay
+    oracle-exact."""
+    from pyspark.sql import functions as F
+
+    src = "".join(CONFUSABLES)
+    dst = "".join(CONFUSABLES.values())
+    return F.translate(col, src, dst)
 
 
 def _register_steps() -> None:

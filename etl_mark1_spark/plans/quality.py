@@ -351,3 +351,21 @@ def pii_scan(df: DataFrame, columns: list[str] | None = None,
         F.col("r.n_hits").cast("bigint").alias("n_hits"),
         F.round(F.col("r.n_hits") / F.greatest(F.col("_n"), F.lit(1)), 6)
         .alias("hit_rate"))
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
+                      k: int = 5) -> DataFrame:
+    """Privacy audit before a dataset release: every quasi-identifier
+    combination shared by FEWER than ``k`` rows (Sweeney's k-anonymity
+    — groups below k re-identify individuals by joining public data on
+    the quasi-identifiers). Returns the under-k combos with their group
+    size; an empty result certifies the release at that k.
+
+    One hash aggregate on the quasi-identifier tuple with map-side
+    partials — the under-k output is small by construction (it counts
+    rare combos), so the audit of a 100 TB table emits KBs. The
+    aggregate shuffles only the quasi-identifier columns, never full
+    rows."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+            .filter(F.col("group_size") < k))

@@ -247,3 +247,31 @@ def test_normalize_unicode_step_registered():
          "assert 'normalize_unicode' in STEP_OPERATORS; print('ok')"],
         capture_output=True, text=True, cwd="/root/repo")
     assert out.stdout.strip() == "ok", out.stderr
+
+
+def test_fold_confusables_collides_spoofed_variants(spark):
+    from pyspark.sql import functions as F
+
+    from etl_mark1_spark.operators.encoding import fold_confusables
+
+    rows = [
+        (1, "pаypal login"),          # Cyrillic а
+        (2, "paypal login"),
+        (3, "Ρаssword"),          # Greek Rho + Cyrillic а
+        (4, "plain ascii stays put"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["folded"] for r in df.select(
+        "doc_id", fold_confusables(F.col("text")).alias("folded"))
+        .collect()}
+    assert got[1] == got[2] == "paypal login"
+    assert got[3] == "Password"
+    assert got[4] == "plain ascii stays put"
+
+
+def test_fold_confusables_map_is_one_to_one():
+    from etl_mark1_spark.operators.encoding import CONFUSABLES
+
+    assert all(len(s) == 1 and len(d) == 1
+               for s, d in CONFUSABLES.items())
+    assert len(set(CONFUSABLES)) == len(CONFUSABLES)

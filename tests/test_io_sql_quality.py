@@ -510,3 +510,16 @@ def test_csv_header_sniffing_headerless_numeric(spark, tmp_path):
         "id", "name"]
     forced = read_file(spark, str(p), file_format="csv", header=True)
     assert forced.count() == 2
+
+
+def test_k_anonymity_audit_flags_small_groups(spark):
+    from etl_mark1_spark.plans.quality import k_anonymity_audit
+
+    rows = [("us", "a"), ("us", "a"), ("us", "a"),
+            ("de", "a"), ("de", "b")]
+    df = spark.createDataFrame(rows, ["country", "segment"])
+    got = {(r["country"], r["segment"]): r["group_size"]
+           for r in k_anonymity_audit(df, ["country", "segment"],
+                                      k=3).collect()}
+    assert got == {("de", "a"): 1, ("de", "b"): 1}
+    assert k_anonymity_audit(df, ["country", "segment"], k=1).count() == 0
