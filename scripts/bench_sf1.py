@@ -155,6 +155,16 @@ NOTES = {
     "url_frontier_docs": (
         "codegen SURT key + one hash aggregate with map-side partials; "
         "the shuffle carries (key, id) pairs only"),
+    "corpus_datacard_sources": (
+        "one algebraic hash agg per source (distinct texts via md5 "
+        "digests, never bodies) + a broadcast-sized top-lang rollup; "
+        "linear in docs"),
+    "k_anonymity_customers": (
+        "one hash agg on the quasi-identifier tuple; under-k output "
+        "small by construction"),
+    "homoglyph_fold_docs": (
+        "two codegen translate passes over the text column; map-side, "
+        "linear in bytes"),
 }
 
 
