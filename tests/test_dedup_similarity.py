@@ -1123,3 +1123,42 @@ def test_broadcast_decontam_refuses_corpus_scale_reference(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError, match="max_ref_grams"):
         broadcast_ngram_decontam(docs, docs, n=13, max_ref_grams=10)
+
+
+def test_setsim_join_boundary_rich_thresholds(spark):
+    """Randomized parity at thresholds chosen so exact-boundary pairs
+    (jaccard == t precisely) occur naturally: a small vocabulary makes
+    ratios like 1/2, 2/3, 3/4, 4/5 common, which is exactly where the
+    pre-round-10 tight prunes dropped qualifying pairs."""
+    import random
+    from itertools import combinations
+
+    from etl_mark1_spark.operators.dedup import setsim_join
+
+    rng = random.Random(9)
+    vocab = [f"v{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(2, 10)
+        rows.append((i, " ".join(rng.sample(vocab, k))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for t in (0.5, 2 / 3, 0.75, 0.8):
+        got = {(r["doc_a"], r["doc_b"]) for r in
+               setsim_join(df, threshold=t).collect()}
+        want = set()
+        boundary = 0
+        for (ia, ta), (ib, tb) in combinations(rows, 2):
+            a, b = set(ta.split()), set(tb.split())
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                want.add((ia, ib))
+                if jac == t:
+                    boundary += 1
+        assert got == want, (t, got ^ want)
+    # the generator must actually produce boundary pairs at 0.5
+    t = 0.5
+    assert sum(
+        1 for (ia, ta), (ib, tb) in combinations(rows, 2)
+        if len(set(ta.split()) & set(tb.split()))
+        / len(set(ta.split()) | set(tb.split())) == t) > 0

@@ -189,3 +189,51 @@ def test_coverage_counts_merged_spans_once(docs):
         3: (9, 8, round(8 / 9, 6)),
         5: (8, 8, 1.0),
     }
+
+
+def test_keep_first_randomized_python_reference_parity(spark):
+    """Seeded randomized corpus with repeated phrase blocks (across AND
+    within docs): strip_spans_keep_first must match a direct Python
+    reference of the rank>1 flag / island merge / strip pipeline."""
+    import random
+    from collections import defaultdict
+
+    from etl_mark1_spark.operators.spans import strip_spans_keep_first
+
+    rng = random.Random(77)
+    n = 8
+    blocks = [" ".join(f"k{k}w{j}" for j in range(9)) for k in range(3)]
+    rows = []
+    for i in range(22):
+        parts = [f"u{i}x{j}" for j in range(rng.randint(2, 7))]
+        for _ in range(rng.randint(0, 3)):    # up to 3 inserts, repeats OK
+            parts.insert(rng.randrange(len(parts) + 1), rng.choice(blocks))
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["clean_text"]
+           for r in strip_spans_keep_first(df, n=n).collect()}
+
+    # reference: global first occurrence per gram by (doc, pos); every
+    # later occurrence flags its window, merge per-doc islands, strip
+    toks = {i: t.split() for i, t in rows}
+    first = {}
+    for i in sorted(toks):
+        tl = toks[i]
+        for s in range(len(tl) - n + 1):
+            g = " ".join(tl[s:s + n])
+            if g not in first:
+                first[g] = (i, s)
+    flagged = defaultdict(list)
+    for i in sorted(toks):
+        tl = toks[i]
+        for s in range(len(tl) - n + 1):
+            if first[" ".join(tl[s:s + n])] != (i, s):
+                flagged[i].append(s + 1)        # 1-based
+    want = {}
+    for i, tl in toks.items():
+        remove = set()
+        for s in flagged[i]:
+            remove.update(range(s, s + n))
+        want[i] = " ".join(t for j, t in enumerate(tl, 1)
+                           if j not in remove)
+    assert got == want
