@@ -398,3 +398,71 @@ def fuzzy_dedup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                self_join=True) \
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     return _cluster_min_label(cust.select("c_custkey"), edges, "c_custkey")
+
+
+@query("dup_cluster_histogram", """
+    WITH RECURSIVE
+    named AS (
+        SELECT c_custkey,
+               substr(md5(CAST(c_custkey % 450 AS VARCHAR)), 1, 10) AS base,
+               CAST(floor(c_custkey / 450) AS INT) AS j
+        FROM customer),
+    ents AS (
+        SELECT c_custkey,
+               substr(base, 1, j) || 'z' || substr(base, j + 2) AS name
+        FROM named),
+    ed AS (SELECT a.c_custkey AS da, b.c_custkey AS db
+           FROM ents a JOIN ents b
+             ON a.c_custkey < b.c_custkey
+            AND levenshtein(a.name, b.name) <= 2),
+    sym AS (SELECT da AS a, db AS b FROM ed UNION SELECT db, da FROM ed),
+    nodes AS (SELECT c_custkey AS node FROM ents),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+        WHERE r.label < s.b
+    ),
+    clusters AS (SELECT node, min(label) AS cluster_id
+                 FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS sz
+              FROM clusters GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz
+""")
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT a curation run reads before committing to a
+    dedup pass: the cluster-size histogram of the edit-distance entity
+    graph. TPC-H-style sequential names chain into one giant component
+    (every consecutive serial is distance 1 — the degenerate case), so
+    the entry PLANTS a realistic entity universe instead: each customer
+    key joins a family around an md5-hex base name (random enough that
+    families sit far apart) perturbed at one member-specific position —
+    families of size 3 and 4 whose members are pairwise distance 2.
+    FastSS k=2 candidates -> exact levenshtein edges -> min-label
+    components -> two grouped counts; the oracle replays the identical
+    synthesis and a recursive closure over the all-pairs graph. At
+    100 TB the histogram is tiny by construction and the join is the
+    duplicate-collapsed FastSS bucket join, never all-pairs."""
+    from etl_mark1_spark.operators.dedup import (_cluster_min_label,
+                                                 edit_distance_join)
+
+    key = F.col("c_custkey")
+    base = F.substring(F.md5((key % 450).cast("string")), 1, 10)
+    j = F.floor(key / 450).cast("int")
+    name = F.concat(F.substring(base, 1, j),
+                    F.lit("z"),
+                    base.substr(j + 2, F.lit(9)))
+    ents = t(spark, sf_dir, "customer").select(
+        "c_custkey", name.alias("name"))
+    edges = edit_distance_join(ents, text_col="name",
+                               id_col="c_custkey", max_dist=2,
+                               self_join=True) \
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    clusters = _cluster_min_label(ents.select("c_custkey"), edges,
+                                  "c_custkey")
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .groupBy(F.col("_sz").cast("bigint").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters")))
