@@ -99,15 +99,16 @@ DRIVER_PREFIX_ROUND = 10
 #:   * sample_per_group_lang — after r9 the single oracle-exact entry
 #:     never driver-sampled; this slot closes the brief's literal bar
 #:     (every oracle-exact entry ever registered gets a green driver row).
-#:   * 13 NEW round-10 entries (growth freeze lifted as promised):
+#:   * 14 NEW round-10 entries (growth freeze lifted as promised):
 #:     strip_spans_keep_first_docs, span_coverage_docs,
 #:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs,
 #:     token_index_stats_docs, decontam_rate_by_source,
 #:     crawl_delay_domains, sitemap_frontier_docs,
 #:     frontier_schedule_docs, corpus_datacard_sources,
-#:     homoglyph_fold_docs, k_anonymity_customers — each oracle-exact
-#:     and dual-carrier-swept at birth.
-#:   * 34 STALE-SENTINEL refreshers: the previously-green entries with
+#:     homoglyph_fold_docs, k_anonymity_customers,
+#:     dup_cluster_histogram — each oracle-exact and
+#:     dual-carrier-swept at birth.
+#:   * 33 STALE-SENTINEL refreshers: the previously-green entries with
 #:     the OLDEST external confirmation (last hash-confirmed in r1, then
 #:     r5; alphabetical within group) — three rounds of prefix rotation
 #:     toward fresh entries left 100+ entries unconfirmed since r5, and
@@ -136,6 +137,7 @@ DRIVER_PREFIX = [
     "corpus_datacard_sources",
     "homoglyph_fold_docs",
     "k_anonymity_customers",
+    "dup_cluster_histogram",
     "array_ops_embeddings",
     "date_parts",
     "events_json_extract",
@@ -169,7 +171,6 @@ DRIVER_PREFIX = [
     "pii_redact",
     "pipeline_etl",
     "quality_profile_customer",
-    "rebalance_mixture_sources",
 ]
 
 
