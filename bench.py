@@ -114,6 +114,10 @@ HEADLINE = [
     # decontam and span families
     "broadcast_decontam_docs",
     "strip_spans_keep_first_docs",
+    # round-10 addition (second tranche): distinct-gram novelty scoring
+    # (deduped explode -> gram-level min -> join back), representing the
+    # residual-duplication audit family
+    "ngram_novelty_docs",
 ]
 
 

@@ -81,6 +81,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     script_entries,
     sentence_entries,
     webdataset_entries,
+    training_audit,
 )
 
 #: Round number that authored the prefix below: the rotation meta-test in
@@ -99,16 +100,19 @@ DRIVER_PREFIX_ROUND = 10
 #:   * sample_per_group_lang — after r9 the single oracle-exact entry
 #:     never driver-sampled; this slot closes the brief's literal bar
 #:     (every oracle-exact entry ever registered gets a green driver row).
-#:   * 14 NEW round-10 entries (growth freeze lifted as promised):
+#:   * 20 NEW round-10 entries (growth freeze lifted as promised):
 #:     strip_spans_keep_first_docs, span_coverage_docs,
 #:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs,
 #:     token_index_stats_docs, decontam_rate_by_source,
 #:     crawl_delay_domains, sitemap_frontier_docs,
 #:     frontier_schedule_docs, corpus_datacard_sources,
 #:     homoglyph_fold_docs, k_anonymity_customers,
-#:     dup_cluster_histogram — each oracle-exact and
+#:     dup_cluster_histogram, plus the second tranche
+#:     (catalog/training_audit.py): token_budget_waterfill,
+#:     readability_docs, pii_luhn_docs, ngram_novelty_docs,
+#:     oov_rate_docs, invisible_chars_docs — each oracle-exact and
 #:     dual-carrier-swept at birth.
-#:   * 33 STALE-SENTINEL refreshers: the previously-green entries with
+#:   * 27 STALE-SENTINEL refreshers: the previously-green entries with
 #:     the OLDEST external confirmation (last hash-confirmed in r1, then
 #:     r5; alphabetical within group) — three rounds of prefix rotation
 #:     toward fresh entries left 100+ entries unconfirmed since r5, and
@@ -138,6 +142,12 @@ DRIVER_PREFIX = [
     "homoglyph_fold_docs",
     "k_anonymity_customers",
     "dup_cluster_histogram",
+    "token_budget_waterfill",
+    "readability_docs",
+    "pii_luhn_docs",
+    "ngram_novelty_docs",
+    "oov_rate_docs",
+    "invisible_chars_docs",
     "array_ops_embeddings",
     "date_parts",
     "events_json_extract",
@@ -165,12 +175,6 @@ DRIVER_PREFIX = [
     "except_nations",
     "filter_derive",
     "grouping_sets",
-    "intersect_nations",
-    "pack_sequences_global",
-    "pack_sequences_lang",
-    "pii_redact",
-    "pipeline_etl",
-    "quality_profile_customer",
 ]
 
 

@@ -1,0 +1,274 @@
+"""Training-corpus audit entries (round 10, second tranche): exact
+water-filling budget allocation, readability scoring, Luhn-validated
+payment-card PII, n-gram novelty, OOV rate, and invisible-codepoint
+stripping — the release-audit and mixture-design surface a training-data
+pipeline runs after dedup/decontam and before sharding.
+
+Every entry is oracle-exact and follows the catalog's output-typing
+convention (scalar carriers, BIGINT counts, rounded doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.catalog._registry import query, t
+
+#: the invisible codepoints, injected as literal characters into the
+#: DuckDB oracle regexes (RE2 has no \uhhhh escape; literal codepoints
+#: inside a character class work in both engines). Must stay in sync
+#: with operators/encoding.py:INVISIBLE_CLASS.
+_INV = "\u200b\u200c\u200d\u2060\ufeff\u00ad"
+
+
+@query("token_budget_waterfill", r"""
+    WITH c AS (
+      SELECT source,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END)
+               AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    r AS (SELECT source, n_tokens,
+                 row_number() OVER (ORDER BY n_tokens, source) AS i,
+                 sum(n_tokens) OVER (ORDER BY n_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+                 count(*) OVER () AS m
+          FROM c),
+    k AS (SELECT max(CASE WHEN s + n_tokens * (m - i) <= 27000
+                          THEN i END) AS istar,
+                 max(CASE WHEN s + n_tokens * (m - i) <= 27000
+                          THEN s END) AS sstar,
+                 max(m) AS mm
+          FROM r),
+    f AS (SELECT source, n_tokens,
+                 round(CASE WHEN istar IS NULL THEN 27000 * 1.0 / mm
+                            WHEN istar < mm
+                            THEN (27000 - sstar) * 1.0 / (mm - istar)
+                       END, 6) AS cap
+          FROM r, k)
+    SELECT source, n_tokens, cap,
+           round(CASE WHEN cap IS NULL THEN n_tokens * 1.0
+                      ELSE least(n_tokens * 1.0, cap) END, 6)
+             AS alloc_tokens
+    FROM f
+""")
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact water-filling of a 27k-token global budget across sources
+    (operators/corpus.py:waterfill_budget): one cap ``c`` with
+    ``sum min(n_s, c) = budget``, found closed-form on the sorted
+    per-source aggregate — no iteration, no driver loop. The fixture corpus
+    carries ~27.2k tokens, so at sf0.01 the knee lands MID-distribution
+    (small sources survive whole, large ones are trimmed) — the branch
+    worth pinning; the unit tests cover the all-capped and
+    everything-fits arms against a brute-force reference. The oracle replays the knee construction with window
+    functions over the identical aggregate."""
+    from etl_mark1_spark.operators.corpus import waterfill_budget
+
+    return waterfill_budget(t(spark, sf_dir, "documents"), budget=27000)
+
+
+@query("readability_docs", r"""
+    WITH d AS (SELECT doc_id,
+                      replace(text, ' table ', ' table. ') AS tx
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CASE WHEN length(trim(tx)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(tx), '\s+'))
+                 END AS w,
+                 greatest(len(regexp_extract_all(tx, '[.!?]+')), 1) AS s,
+                 len(regexp_extract_all(lower(tx), '[aeiouy]+')) AS sy
+          FROM d)
+    SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(sy AS BIGINT) AS n_syllables,
+           round(CASE WHEN w > 0 THEN 206.835 - 1.015 * (w * 1.0 / s)
+                      - 84.6 * (sy * 1.0 / w) END, 4) AS flesch
+    FROM m
+""")
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document
+    (functions/text.py:flesch_reading_ease): vowel-group syllables,
+    terminator-run sentences, whitespace words — all codegen'd regex
+    counts in ONE scan, no shuffle at any size. The synthetic corpus has
+    no sentence terminators, so the entry plants them deterministically
+    (every ' table ' becomes ' table. ') with the same literal replace
+    on both engines; the formula's fixed operation order keeps the
+    double bit-identical before the round."""
+    from etl_mark1_spark.functions.text import (flesch_reading_ease,
+                                                sentence_count,
+                                                syllable_count,
+                                                whitespace_token_count)
+
+    tx = F.replace(F.col("text"), F.lit(" table "), F.lit(" table. "))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        whitespace_token_count(tx).cast("bigint").alias("n_words"),
+        sentence_count(tx).cast("bigint").alias("n_sentences"),
+        syllable_count(tx).cast("bigint").alias("n_syllables"),
+        F.round(flesch_reading_ease(tx), 4).alias("flesch"))
+
+
+@query("pii_luhn_docs", r"""
+    WITH d AS (
+      SELECT doc_id, text
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' card 4539578763621486' ELSE '' END
+             || CASE WHEN doc_id % 13 = 1
+                     THEN ' acct 5555555555554444' ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                     THEN ' ref 4539578763621487' ELSE '' END
+             || CASE WHEN doc_id % 19 = 0
+                     THEN ' id 378282246310005' ELSE '' END AS tx
+      FROM documents),
+    c AS (SELECT doc_id, unnest(regexp_extract_all(tx, '[0-9]{13,19}'))
+                 AS num
+          FROM d),
+    v AS (SELECT doc_id,
+                 (length(num) >= 13 AND
+                  list_sum(list_transform(range(1, length(num) + 1),
+                    i -> CASE WHEN i % 2 = 0 THEN
+                           CASE WHEN CAST(substr(reverse(num), i, 1)
+                                          AS INT) * 2 > 9
+                                THEN CAST(substr(reverse(num), i, 1)
+                                          AS INT) * 2 - 9
+                                ELSE CAST(substr(reverse(num), i, 1)
+                                          AS INT) * 2 END
+                         ELSE CAST(substr(reverse(num), i, 1) AS INT)
+                         END)) % 10 = 0) AS ok
+          FROM c)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+    FROM v GROUP BY doc_id
+""")
+def pii_luhn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card PII audit (operators/corpus.py:scan_card_numbers):
+    every 13-19 digit run, Luhn-validated — the checksum is what
+    separates redaction-worthy card numbers from card-shaped noise, so
+    the entry plants BOTH kinds (three Luhn-valid test numbers on
+    doc_id mod 13/13/19 residues, one checksum-broken near-miss on mod
+    17) and the oracle recomputes the checksum digit-by-digit with list
+    lambdas. Spark side is a pure array expression inside the scan — no
+    explode, no shuffle, no UDF."""
+    from etl_mark1_spark.operators.corpus import scan_card_numbers
+
+    tx = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 13 == 0,
+               " card 4539578763621486").otherwise(""),
+        F.when(F.col("doc_id") % 13 == 1,
+               " acct 5555555555554444").otherwise(""),
+        F.when(F.col("doc_id") % 17 == 0,
+               " ref 4539578763621487").otherwise(""),
+        F.when(F.col("doc_id") % 19 == 0,
+               " id 378282246310005").otherwise(""))
+    docs = t(spark, sf_dir, "documents").select("doc_id",
+                                                tx.alias("text"))
+    return scan_card_numbers(docs)
+
+
+@query("ngram_novelty_docs", r"""
+    WITH t0 AS (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents),
+    p AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+          FROM t0 WHERE len(w) >= 5),
+    dg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+           FROM p),
+    f AS (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram)
+    SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(avg(CASE WHEN f.first_doc = dg.doc_id
+                          THEN 1.0 ELSE 0.0 END), 6) AS novel_frac
+    FROM dg JOIN f USING (gram) GROUP BY dg.doc_id
+""")
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-5-gram novelty per document
+    (operators/corpus.py:ngram_novelty): the fraction of a document's
+    distinct 5-grams first seen (min doc id) in that document — the
+    residual-duplication score quality filters threshold on after span
+    dedup. Spark ships grams as 8-byte xxhash64 keys (the keying cannot
+    change min-doc attribution, so the oracle's raw-string replay still
+    matches); one deduped explode, one gram-level min, one join back."""
+    from etl_mark1_spark.operators.corpus import ngram_novelty
+
+    return ngram_novelty(t(spark, sf_dir, "documents"), n=5)
+
+
+@query("oov_rate_docs", r"""
+    WITH tk AS (SELECT doc_id,
+                       unnest(list_filter(
+                         string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS tok
+                FROM documents),
+    v AS (SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM tk GROUP BY tok
+            ORDER BY c DESC, tok LIMIT 10)),
+    s AS (SELECT doc_id, count(*) AS n_tokens,
+                 sum(CASE WHEN tok IN (SELECT tok FROM v)
+                          THEN 0 ELSE 1 END) AS n_oov
+          FROM tk GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_oov * 1.0 / greatest(n_tokens, 1), 6) AS oov_rate
+    FROM s
+""")
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-10 tokens
+    (operators/corpus.py:oov_rate) — the tokenizer-fit diagnostic. The
+    top-k vocabulary comes from one counted-and-capped aggregation
+    (TakeOrderedAndProject, deterministic count-then-token tie-break —
+    the fixture corpus ties exactly at the rank-10 boundary, which is
+    the case worth pinning), then broadcasts into a map-side membership
+    test over each document's token array: phase 2 adds no shuffle."""
+    from etl_mark1_spark.operators.corpus import oov_rate
+
+    return oov_rate(t(spark, sf_dir, "documents"), vocab_size=10)
+
+
+@query("invisible_chars_docs", rf"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN chr(65279) ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN replace(text, ' ', ' ' || chr(8203))
+                  ELSE text END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN chr(173) || 'tail' ELSE '' END AS tx
+      FROM documents),
+    m AS (SELECT doc_id,
+                 length(tx)
+                 - length(regexp_replace(tx, '[{_INV}]', '', 'g'))
+                   AS n_invisible,
+                 length(regexp_replace(tx, '[{_INV}]', '', 'g'))
+                   AS clean_chars
+          FROM d)
+    SELECT doc_id, CAST(n_invisible AS BIGINT) AS n_invisible,
+           CAST(clean_chars AS BIGINT) AS clean_chars
+    FROM m WHERE n_invisible > 0
+""")
+def invisible_chars_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-codepoint audit (operators/encoding.py:strip_invisible /
+    invisible_count): zero-width space/joiner/non-joiner, word joiner,
+    BOM, soft hyphen — the dedup-evasion characters that must be
+    stripped before any hashing or blocklist keying. The entry plants
+    three evasion shapes (ZWSP after every space, a BOM prefix, a
+    soft-hyphen suffix) on different doc_id residues so overlaps occur,
+    then reports per-document invisible counts and the cleaned length.
+    One codegen'd regexp per side; the counts are codepoint-based so
+    both engines agree."""
+    from etl_mark1_spark.operators.encoding import (invisible_count,
+                                                    strip_invisible)
+
+    tx = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, "\ufeff").otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.replace(F.col("text"), F.lit(" "),
+                         F.lit(" \u200b"))).otherwise(F.col("text")),
+        F.when(F.col("doc_id") % 11 == 0, "\u00adtail").otherwise(""))
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    invisible_count(tx).cast("bigint")
+                    .alias("n_invisible"),
+                    F.length(strip_invisible(tx)).cast("bigint")
+                    .alias("clean_chars"))
+            .filter(F.col("n_invisible") > 0))

@@ -422,3 +422,39 @@ def script_profile(df, text_col: str = "text", id_col: str = "doc_id"):
         dominant_script(text_col).alias("dominant_script"),
         *[c.cast("int").alias(f"{n}_chars") for n, c in counts.items()],
         total.cast("int").alias("scripted_chars"))
+
+
+def syllable_count(col: Column | str) -> Column:
+    """Heuristic English syllable count: the number of vowel GROUPS
+    (``[aeiouy]+`` runs, lowercased) — the standard cheap estimator the
+    readability formulas were fitted against. One codegen'd regex scan;
+    summing per-word groups equals counting groups over the whole text,
+    so no tokenization is needed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"),
+                                       F.lit(0)))
+
+
+def sentence_count(col: Column | str) -> Column:
+    """Sentence count as terminator runs (``[.!?]+``), floored at 1 so
+    unterminated text counts as a single sentence instead of dividing
+    by zero downstream."""
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0)))
+    return F.greatest(runs, F.lit(1))
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading ease, ``206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words)`` (Flesch 1948) over the whitespace word
+    count, terminator-run sentence count, and vowel-group syllable
+    count above — the length-and-density readability screen corpus
+    quality reports bucket on (higher = simpler text). NULL for empty
+    text. Pure column arithmetic in one scan; the fixed operation order
+    makes the double result bit-identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = whitespace_token_count(c).cast("double")
+    return F.when(words > 0,
+                  F.lit(206.835)
+                  - F.lit(1.015) * (words / sentence_count(c))
+                  - F.lit(84.6) * (syllable_count(c) / words))

@@ -1042,3 +1042,171 @@ def token_index_stats(df: DataFrame, text_col: str = "text",
                  F.max(id_col).cast("bigint").alias("max_doc"))
             .filter(F.col("df") >= min_df)
             .withColumn("idf", F.round(idf, 6)))
+
+
+def waterfill_budget(df: DataFrame, budget: int,
+                     strata_col: str = "source",
+                     text_col: str = "text") -> DataFrame:
+    """Exact water-filling allocation of a global token budget across
+    strata: find the single cap ``c`` with ``sum_s min(n_s, c) = budget``
+    and allocate ``min(n_s, c)`` to each stratum — the closed-form answer
+    to "trim the over-represented sources, keep the small ones whole"
+    that a mixture designer otherwise eyeballs (the same knee-finding
+    construction as max-min fair bandwidth allocation).
+
+    Solved EXACTLY, no iteration: sort the per-stratum counts ascending,
+    take prefix sums; stratum ``i`` (1-based, ``m`` strata) survives
+    uncapped iff ``S_i + n_i * (m - i) <= budget`` (filling everyone
+    else to at least ``n_i`` still fits). With ``i*`` the largest such
+    index, ``c = (budget - S_{i*}) / (m - i*)``. When the corpus already
+    fits the budget the cap is NULL and every allocation is ``n_s``.
+
+    Scale shape: one shuffle for the per-stratum token counts (map-side
+    partials); the sort, prefix-sum window, and knee scalar all run on
+    the AGGREGATED frame — rows = number of strata, not corpus size. The
+    knee scalar broadcasts back onto that same tiny frame.
+
+    Returns (strata_col, n_tokens, cap, alloc_tokens); ``cap`` and
+    ``alloc_tokens`` are rounded doubles (the cap is generally
+    fractional)."""
+    from etl_mark1_spark.functions.text import whitespace_token_count
+
+    counts = (df.groupBy(strata_col)
+              .agg(F.sum(whitespace_token_count(F.col(text_col)))
+                   .cast("bigint").alias("n_tokens")))
+    w = Window.orderBy("n_tokens", strata_col)
+    ranked = (counts
+              .withColumn("_i", F.row_number().over(w))
+              .withColumn("_s", F.sum("n_tokens").over(w)))
+    m = Window.partitionBy()
+    ranked = ranked.withColumn("_m", F.max("_i").over(m))
+    uncapped = (F.col("_s")
+                + F.col("n_tokens") * (F.col("_m") - F.col("_i"))
+                <= F.lit(budget))
+    knee = (ranked
+            .select(F.max(F.when(uncapped, F.col("_i"))).alias("_istar"),
+                    F.max(F.when(uncapped, F.col("_s"))).alias("_sstar"),
+                    F.max("_m").alias("_mm")))
+    cap = F.when(
+        F.col("_istar").isNull(),
+        (F.lit(budget) - F.lit(0)) / F.col("_mm")).otherwise(
+        F.when(F.col("_istar") < F.col("_mm"),
+               (F.lit(budget) - F.col("_sstar"))
+               / (F.col("_mm") - F.col("_istar"))))
+    out = (ranked.crossJoin(F.broadcast(knee))
+           .withColumn("cap", F.round(cap, 6))
+           .withColumn(
+               "alloc_tokens",
+               F.round(F.when(F.col("cap").isNull(),
+                              F.col("n_tokens").cast("double"))
+                       .otherwise(F.least(F.col("n_tokens").cast("double"),
+                                          F.col("cap"))), 6)))
+    return out.select(strata_col, "n_tokens", "cap", "alloc_tokens")
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn checksum validity of a digit string, as a pure column
+    expression: from the RIGHTMOST digit, double every second digit
+    (subtracting 9 when the double exceeds 9) and require the sum to be
+    divisible by 10 — the checksum every real payment-card number
+    carries, and the filter that separates card-shaped noise (order ids,
+    timestamps) from redaction-worthy PII. JVM-side ``aggregate`` over a
+    generated index sequence; no UDF."""
+    rev = F.reverse(col)
+    n = F.length(col)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0),
+        lambda acc, i: acc + F.when(
+            i % 2 == 0,
+            F.when(F.substring(rev, i, 1).cast("int") * 2 > 9,
+                   F.substring(rev, i, 1).cast("int") * 2 - 9)
+            .otherwise(F.substring(rev, i, 1).cast("int") * 2))
+        .otherwise(F.substring(rev, i, 1).cast("int")))
+    return (n >= 13) & (total % 10 == 0)
+
+
+def scan_card_numbers(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Payment-card PII audit: extract every 13-19 digit run, validate
+    each with the Luhn checksum, and report per-document candidate and
+    valid counts — the release-blocking scan a corpus runs before
+    shipping (a bare ``[0-9]{16}`` regex flags ~10x more false positives
+    than Luhn survivors; redact the survivors, keep the rest).
+
+    Map-side only: regex extraction and the checksum are column
+    expressions inside the document scan; the per-document counts are
+    array aggregates, so there is NO explode and NO shuffle — the output
+    is a projection of the scan. Returns (id_col, n_candidates, n_valid)
+    for documents with at least one candidate."""
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(r"[0-9]{13,19}"),
+                                 F.lit(0))
+    valid = F.filter(cands, luhn_valid)
+    return (df.select(
+        F.col(id_col),
+        F.size(cands).cast("bigint").alias("n_candidates"),
+        F.size(valid).cast("bigint").alias("n_valid"))
+        .filter(F.col("n_candidates") > 0))
+
+
+def ngram_novelty(df: DataFrame, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word n-grams whose corpus-wide first occurrence (minimum doc id) is
+    this document — 1.0 for genuinely fresh text, near 0 for boilerplate
+    re-statements. The keep-first-order complement of span dedup: instead
+    of rewriting text it SCORES residual duplication, which is the signal
+    quality filters threshold on.
+
+    Scale shape: one exploded (doc, gram) scan deduped map-side; grams
+    travel as 8-byte ``xxhash64`` keys, never strings (the hash choice
+    cannot change the output — any collision-free keying yields the same
+    min-doc attribution, so the oracle replays raw gram strings while
+    Spark ships fixed-width keys). NO gram-level join back: a gram is
+    novel for exactly the doc that is its min, so the min-per-gram
+    aggregate REGROUPED BY ITS VALUE yields each doc's novel count
+    directly, and the result is a join of two doc-cardinality aggregates
+    — the corpus-sized frame is shuffled only by gram and by doc, never
+    joined at gram granularity. Returns (id_col, n_grams, novel_frac
+    rounded to 6)."""
+    grams = (df.select(
+        F.col(id_col),
+        F.explode(word_ngram_col(F.col(text_col), n)).alias("_gram"))
+        .select(id_col, F.xxhash64("_gram").alias("_g"))
+        .distinct())
+    totals = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    novel = (grams.groupBy("_g").agg(F.min(id_col).alias(id_col))
+             .groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_novel")))
+    return (totals.join(novel, id_col, "left")
+            .select(id_col, "n_grams",
+                    F.round(F.coalesce(F.col("_novel"), F.lit(0))
+                            / F.col("n_grams"), 6).alias("novel_frac")))
+
+
+def oov_rate(df: DataFrame, vocab_size: int = 10, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` tokens (count DESC, token ASC tie-break): the
+    tokenizer-fit diagnostic — a stratum whose OOV rate spikes is text
+    the vocabulary (and so the tokenizer) underserves.
+
+    Two phases, both bounded: (1) corpus token counts with map-side
+    partials, capped to ``vocab_size`` rows via TakeOrderedAndProject —
+    no global sort; (2) the vocabulary broadcasts into a map-side
+    membership test over each document's token array — counting per-doc
+    occurrences directly in the scan, so phase 2 adds NO shuffle and no
+    explode. Returns (id_col, n_tokens, oov_rate rounded to 6)."""
+    vocab = [r["token"] for r in
+             build_vocab(df, text_col=text_col, min_count=1,
+                         max_size=vocab_size).collect()]
+    vocab_arr = F.array([F.lit(v) for v in sorted(vocab)])
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    oov = F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))
+    return (df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(F.size(oov) / F.greatest(F.size(toks), F.lit(1)), 6)
+        .alias("oov_rate"))
+        .filter(F.col("n_tokens") > 0))

@@ -298,6 +298,32 @@ def fold_confusables(col) -> "Column":  # noqa: F821 — pyspark Column
     return F.translate(col, src, dst)
 
 
+#: Zero-width and other invisible codepoints used to EVADE dedup and
+#: blocklists (a ZWSP inside a spam phrase defeats exact hashing and
+#: literal matching while rendering identically): zero-width space /
+#: non-joiner / joiner, word joiner, BOM/ZWNBSP, and the soft hyphen.
+INVISIBLE_CLASS = "[\u200b\u200c\u200d\u2060\ufeff\u00ad]"
+
+
+def strip_invisible(col) -> "Column":  # noqa: F821 — pyspark Column
+    """Remove invisible codepoints (see :data:`INVISIBLE_CLASS`) — run
+    alongside :func:`fold_confusables` before any dedup/decontam keying
+    so evasion variants collide with their visible forms. One codegen'd
+    ``regexp_replace``; scan speed at 100 TB, no shuffle."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, INVISIBLE_CLASS, "")
+
+
+def invisible_count(col) -> "Column":  # noqa: F821 — pyspark Column
+    """How many invisible codepoints the value carries (char count
+    delta against :func:`strip_invisible` — counts codepoints because
+    ``length`` is codepoint-based in both Spark and DuckDB)."""
+    from pyspark.sql import functions as F
+
+    return F.length(col) - F.length(strip_invisible(col))
+
+
 def _register_steps() -> None:
     from etl_mark1_spark.operators.steps import register_operator
 

@@ -1,0 +1,170 @@
+"""Unit tests for the round-10 second-tranche audit operators:
+water-filling budgets, Luhn card scanning, readability, n-gram novelty,
+OOV rate, and invisible-codepoint stripping."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.corpus import (luhn_valid, ngram_novelty,
+                                              oov_rate, scan_card_numbers,
+                                              waterfill_budget)
+
+
+def _brute_waterfill(counts: dict[str, int], budget: int) -> dict:
+    """Independent reference: binary-search the cap instead of the
+    closed-form knee, then allocate min(n, cap)."""
+    total = sum(counts.values())
+    if total <= budget:
+        return {"cap": None, "alloc": {s: float(n)
+                                       for s, n in counts.items()}}
+    lo, hi = 0.0, float(max(counts.values()))
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(n, mid) for n in counts.values()) < budget:
+            lo = mid
+        else:
+            hi = mid
+    cap = (lo + hi) / 2
+    return {"cap": cap,
+            "alloc": {s: min(float(n), cap) for s, n in counts.items()}}
+
+
+def _docs_with_tokens(spark, counts: dict[str, int]):
+    """One row per stratum whose text carries exactly n whitespace
+    tokens."""
+    rows = [(s, " ".join(["tok"] * n)) for s, n in counts.items()]
+    return spark.createDataFrame(rows, ["source", "text"])
+
+
+@pytest.mark.parametrize("counts,budget", [
+    # knee in the middle: small strata survive whole, big ones trimmed
+    ({"a": 10, "b": 100, "c": 1000, "d": 5000}, 2000),
+    # budget below m * n_min: every stratum capped (istar is NULL)
+    ({"a": 50, "b": 60, "c": 70}, 90),
+    # everything fits: NULL cap, alloc = n
+    ({"a": 5, "b": 7}, 1000),
+    # knee exactly at a stratum boundary
+    ({"a": 10, "b": 20, "c": 30}, 40),
+])
+def test_waterfill_matches_bruteforce(spark, counts, budget):
+    out = {r["source"]: r for r in
+           waterfill_budget(_docs_with_tokens(spark, counts),
+                            budget=budget).collect()}
+    ref = _brute_waterfill(counts, budget)
+    assert set(out) == set(counts)
+    for s, n in counts.items():
+        assert out[s]["n_tokens"] == n
+        assert out[s]["alloc_tokens"] == pytest.approx(
+            ref["alloc"][s], abs=1e-4)
+        if ref["cap"] is None:
+            assert out[s]["cap"] is None
+        else:
+            assert out[s]["cap"] == pytest.approx(ref["cap"], abs=1e-4)
+    if ref["cap"] is not None:
+        assert sum(r["alloc_tokens"] for r in out.values()) == \
+            pytest.approx(budget, abs=1e-3)
+
+
+def test_luhn_valid_known_numbers(spark):
+    cases = [("4539578763621486", True),    # visa test number
+             ("5555555555554444", True),    # mastercard test number
+             ("378282246310005", True),     # amex test number (15 digits)
+             ("6011111111111117", True),    # discover test number
+             ("4539578763621487", False),   # checksum broken by one
+             ("1234567890123456", False),
+             ("123456789012", False)]       # 12 digits: too short
+    df = spark.createDataFrame([(n,) for n, _ in cases], ["num"])
+    got = {r["num"]: r["ok"] for r in
+           df.select("num", luhn_valid(F.col("num")).alias("ok"))
+           .collect()}
+    for num, expect in cases:
+        assert got[num] is expect, num
+
+
+def test_scan_card_numbers_counts_and_filter(spark):
+    df = spark.createDataFrame([
+        (1, "pay 4539578763621486 or 4539578763621487 today"),
+        (2, "no digits here"),
+        (3, "id 999 then 5555555555554444"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scan_card_numbers(df).collect()}
+    assert set(got) == {1, 3}          # doc 2 has no candidates
+    assert got[1]["n_candidates"] == 2 and got[1]["n_valid"] == 1
+    assert got[3]["n_candidates"] == 1 and got[3]["n_valid"] == 1
+
+
+def test_ngram_novelty_attribution(spark):
+    # doc 1: 6 words -> 4 distinct 3-grams, all first-seen (novel 1.0);
+    # doc 2 repeats doc 1's first 5 words (3 old grams) then diverges
+    # with 2 fresh grams -> 2/5 novel.
+    df = spark.createDataFrame([
+        (1, "a b c d e f"),
+        (2, "a b c d e x y"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert got[1]["n_grams"] == 4 and got[1]["novel_frac"] == 1.0
+    assert got[2]["n_grams"] == 5
+    assert got[2]["novel_frac"] == pytest.approx(0.4)
+
+
+def test_ngram_novelty_short_docs_dropped(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert set(got) == {2} and got[2]["n_grams"] == 1
+
+
+def test_oov_rate_against_hand_count(spark):
+    # corpus counts: a=4, b=3, c=2, d=1 -> top-2 vocab {a, b}
+    df = spark.createDataFrame([
+        (1, "a a b c"),
+        (2, "a b b d"),
+        (3, "a c"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in oov_rate(df, vocab_size=2).collect()}
+    assert got[1]["oov_rate"] == pytest.approx(0.25)   # c
+    assert got[2]["oov_rate"] == pytest.approx(0.25)   # d
+    assert got[3]["oov_rate"] == pytest.approx(0.5)    # c
+
+
+def test_strip_invisible_roundtrip(spark):
+    from etl_mark1_spark.operators.encoding import (invisible_count,
+                                                    strip_invisible)
+    dirty = "﻿pay­pal ze​ro‌‍ wo⁠rd"
+    clean = "paypal zero word"
+    df = spark.createDataFrame([(dirty,), (clean,)], ["text"])
+    got = df.select(
+        strip_invisible(F.col("text")).alias("clean"),
+        invisible_count(F.col("text")).alias("n")).collect()
+    assert got[0]["clean"] == clean and got[0]["n"] == 6
+    assert got[1]["clean"] == clean and got[1]["n"] == 0
+
+
+def test_flesch_reading_ease_hand_computed(spark):
+    from etl_mark1_spark.functions.text import flesch_reading_ease
+    text = "The cat sat on the mat. It was happy!"
+    # words=9, sentences=2, vowel groups: e,a,a,o,e,a,i,a,a,y = 10
+    expect = 206.835 - 1.015 * (9 / 2) - 84.6 * (10 / 9)
+    df = spark.createDataFrame([(text,), ("",)], ["text"])
+    got = df.select(
+        flesch_reading_ease(F.col("text")).alias("f")).collect()
+    assert got[0]["f"] == pytest.approx(expect, abs=1e-9)
+    assert got[1]["f"] is None
+
+
+def test_waterfill_fuzz_against_bruteforce(spark):
+    import random
+    rnd = random.Random(10)
+    for trial in range(5):
+        m = rnd.randint(1, 8)
+        counts = {f"s{i}": rnd.randint(1, 500) for i in range(m)}
+        budget = rnd.randint(1, sum(counts.values()) + 100)
+        out = {r["source"]: r["alloc_tokens"] for r in
+               waterfill_budget(_docs_with_tokens(spark, counts),
+                                budget=budget).collect()}
+        ref = _brute_waterfill(counts, budget)
+        for s in counts:
+            assert out[s] == pytest.approx(ref["alloc"][s], abs=1e-3), \
+                (trial, counts, budget)
