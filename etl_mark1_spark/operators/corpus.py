@@ -1157,25 +1157,29 @@ def ngram_novelty(df: DataFrame, n: int = 5, text_col: str = "text",
     of rewriting text it SCORES residual duplication, which is the signal
     quality filters threshold on.
 
-    Scale shape: one exploded (doc, gram) scan deduped map-side; grams
-    travel as 8-byte ``xxhash64`` keys, never strings (the hash choice
-    cannot change the output — any collision-free keying yields the same
-    min-doc attribution, so the oracle replays raw gram strings while
-    Spark ships fixed-width keys). NO gram-level join back: a gram is
-    novel for exactly the doc that is its min, so the min-per-gram
-    aggregate REGROUPED BY ITS VALUE yields each doc's novel count
-    directly, and the result is a join of two doc-cardinality aggregates
-    — the corpus-sized frame is shuffled only by gram and by doc, never
-    joined at gram granularity. Returns (id_col, n_grams, novel_frac
-    rounded to 6)."""
-    grams = (df.select(
-        F.col(id_col),
-        F.explode(word_ngram_col(F.col(text_col), n)).alias("_gram"))
-        .select(id_col, F.xxhash64("_gram").alias("_g"))
-        .distinct())
-    totals = grams.groupBy(id_col).agg(
+    Scale shape: within-document gram dedup happens IN-ROW
+    (``array_distinct`` over the gram array in the scan — no
+    (doc, gram) distinct shuffle), grams travel as 8-byte ``xxhash64``
+    keys, never strings (the keying cannot change the output — any
+    collision-free keying yields the same min-doc attribution, so the
+    oracle replays raw gram strings), and the gram GENERATION — the
+    dominant CPU cost, higher-order expressions outside codegen — runs
+    exactly ONCE: both consumers hang off one explicit ``repartition``
+    exchange (totals recount by doc; gram-level min-doc regrouped by
+    its value for the novel counts), which Spark's ReuseExchange
+    serves to both without re-evaluating the scan. Profiled the
+    alternatives at sf0.1: any shape that references the gram array
+    from two subplans re-runs the generation and doubles the wall
+    clock. Returns (id_col, n_grams, novel_frac rounded to 6)."""
+    ex = (df.select(F.col(id_col),
+                    F.explode(F.array_distinct(
+                        word_ngram_col(F.col(text_col), n)))
+                    .alias("_gram"))
+          .select(F.col(id_col), F.xxhash64("_gram").alias("_g"))
+          .repartition("_g"))
+    totals = ex.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams"))
-    novel = (grams.groupBy("_g").agg(F.min(id_col).alias(id_col))
+    novel = (ex.groupBy("_g").agg(F.min(id_col).alias(id_col))
              .groupBy(id_col)
              .agg(F.count(F.lit(1)).cast("bigint").alias("_novel")))
     return (totals.join(novel, id_col, "left")

@@ -470,3 +470,16 @@ def test_epoch_shuffle_windows_partition_by_shard(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
     assert specs and all("shard" in s for s in specs), specs
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_ngram_novelty_reuses_gram_exchange(spark, sf_dir):
+    """The gram generation (higher-order exprs outside codegen) is the
+    entry's dominant CPU cost; both consumers — per-doc totals and the
+    gram-level min — must hang off ONE repartition exchange. A plan
+    that evaluates the gram pipeline twice doubled the sf0.1 wall clock
+    when measured (round 10). AQE applies exchange reuse at runtime, so
+    materialize first and assert on the final adaptive plan."""
+    df = QUERIES["ngram_novelty_docs"](spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "ReusedExchange" in plan, plan
