@@ -272,3 +272,91 @@ def invisible_chars_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.length(strip_invisible(tx)).cast("bigint")
                     .alias("clean_chars"))
             .filter(F.col("n_invisible") > 0))
+
+
+@query("containment_join_docs", r"""
+    WITH t0 AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                    'g'))), ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+          FROM t0 WHERE len(tk) >= 3),
+    d AS (SELECT doc_id,
+                 list_distinct(list(array_to_string(tk[i:i+2], ' '))) AS s
+          FROM p GROUP BY doc_id),
+    tk2 AS (SELECT doc_id, unnest(s) AS tok FROM d),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM tk2 a JOIN tk2 b
+               ON a.tok = b.tok AND a.doc_id <> b.doc_id),
+    j AS (SELECT doc_a, doc_b,
+                 CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                 / CAST(len(x.s) AS DOUBLE) AS cont
+          FROM cand JOIN d x ON x.doc_id = cand.doc_a
+                    JOIN d y ON y.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, round(cont, 6) AS containment
+    FROM j WHERE cont >= 0.8
+""")
+def containment_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed set-containment self-join at 0.8 over 3-gram shingles
+    (operators/dedup.py:containment_join) — the quote/excerpt detector:
+    a chunk embedded in a larger document has tiny Jaccard but
+    containment ~1, so this is the dedup granularity the symmetric
+    joins miss. The ORACLE evaluates containment over EVERY
+    co-occurring directed pair with no prefix or positional filter, so
+    any pair the filters wrongly prune fails the comparison — the same
+    recall-proof structure as setsim_join_docs."""
+    from etl_mark1_spark.operators.dedup import containment_join
+
+    return containment_join(t(spark, sf_dir, "documents"),
+                            threshold=0.8, ngram=3)
+
+
+@query("tokenizer_fertility_lang", r"""
+    WITH d AS (
+      SELECT lang,
+             text || ' v' || CAST(doc_id AS VARCHAR) || '.2 #'
+                  || CAST(doc_id % 7 AS VARCHAR) AS tx
+      FROM documents),
+    m AS (SELECT lang,
+                 CASE WHEN length(trim(tx)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(tx), '\s+'))
+                 END AS ws,
+                 len(regexp_extract_all(tx,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+                 length(tx) AS ch
+          FROM d)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS n_words,
+           CAST(sum(bpe) AS BIGINT) AS n_tokens,
+           round(sum(bpe) * 1.0 / sum(ws), 6) AS fertility,
+           round(sum(ch) * 1.0 / sum(bpe), 6) AS chars_per_token
+    FROM m GROUP BY lang
+""")
+def tokenizer_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word plus chars per token (functions/text.py:bpe_ish_token_count) —
+    the standard multilingual-tokenizer fit diagnostic (a language with
+    high fertility is underserved by the vocabulary and pays more
+    sequence length per word). The fixture text is pure lowercase words
+    (fertility would pin at 1.0), so the entry plants digits and
+    punctuation deterministically per doc; all aggregates are algebraic
+    sums — one shuffle at language cardinality."""
+    from etl_mark1_spark.functions.text import (bpe_ish_token_count,
+                                                whitespace_token_count)
+
+    tx = F.concat(F.col("text"), F.lit(" v"),
+                  F.col("doc_id").cast("string"), F.lit(".2 #"),
+                  (F.col("doc_id") % 7).cast("string"))
+    d = t(spark, sf_dir, "documents").select(
+        "lang", whitespace_token_count(tx).alias("_ws"),
+        bpe_ish_token_count(tx).alias("_bpe"),
+        F.length(tx).alias("_ch"))
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("_ws").cast("bigint").alias("n_words"),
+                 F.sum("_bpe").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum("_bpe") / F.sum("_ws"), 6)
+                 .alias("fertility"),
+                 F.round(F.sum("_ch") / F.sum("_bpe"), 6)
+                 .alias("chars_per_token")))

@@ -1005,6 +1005,124 @@ def setsim_join(df: DataFrame, threshold: float = 0.6,
     return cross.unionByName(dups)
 
 
+def containment_join(df: DataFrame, threshold: float = 0.8,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     ngram: int = 3) -> DataFrame:
+    """EXACT all-pairs set-CONTAINMENT self-join: every DIRECTED pair
+    (doc_a, doc_b) with ``|Sa ∩ Sb| / |Sa| >= threshold`` — doc_a's
+    shingle set (near-)contained in doc_b's. This is the asymmetric
+    relation Jaccard structurally misses: a quote, excerpt, or chunk
+    embedded in a much larger document has tiny Jaccard (the union is
+    dominated by the big side) but containment ~1, and a dedup pass
+    that only thresholds Jaccard ships the duplicated excerpt.
+
+    Same exactness contract and scaffolding as :func:`setsim_join`
+    (duplicate-collapse before tokenization; frequency-ordered sets;
+    exact set arithmetic as the final word; float-relaxed prunes that
+    can only over-admit), with the filters adapted to the directed
+    predicate: the PROBE side explodes only its prefix of length
+    ``|A| - ceil(t*|A|) + 1`` (a qualifying pair must share a prefix
+    element — rarest-first ordering keeps those postings short), while
+    the INDEXED side must expose its full set (containment puts no
+    lower bound on ``|B|/|A|``, so there is no length filter — the
+    inherent cost of containment joins), and the positional prune
+    ``pa + min(|A|-pa, |B|-pb) >= t*|A|`` bounds the overlap by what
+    can still follow the first shared element plus everything that
+    preceded it. Returns (doc_a, doc_b, containment), a != b, BOTH
+    directions when both qualify; identical texts emit 1.0 directly."""
+    docs = ensure_parallelism(df)
+
+    def _qualifies(tcol):
+        a = F.split(normalized_text(tcol), " ")
+        if ngram == 1:
+            return F.size(F.filter(a, lambda x: x != "")) >= 1
+        return F.size(a) >= ngram
+
+    groups = (docs.groupBy(F.col(text_col).alias("_t"))
+              .agg(F.min(id_col).alias("_rid"),
+                   F.collect_list(id_col).alias("_ids")))
+    idmap = groups.select(
+        "_rid", "_ids", _qualifies(F.col("_t")).alias("_q")) \
+        .localCheckpoint()
+    # same AQE-size-vs-CPU fan-out as setsim_join (the collapse output
+    # is tiny in bytes but feeds the CPU-heavy shingle stages)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    reps = ensure_parallelism(
+        groups.select(F.col("_rid").alias(id_col),
+                      F.col("_t").alias(text_col)),
+        min_partitions=par)
+
+    if ngram == 1:
+        elems = (reps.select(
+            F.col(id_col),
+            F.explode(F.split(normalized_text(F.col(text_col)), " "))
+            .alias("tok"))
+            .filter(F.col("tok") != ""))
+    else:
+        arr = F.split(normalized_text(F.col(text_col)), " ")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - F.lit(ngram - 1)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, ngram)))
+        elems = (reps.filter(F.size(arr) >= ngram)
+                 .select(F.col(id_col), F.explode(grams).alias("tok")))
+    toks = elems.distinct()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_f"))
+    sets = (toks.join(F.broadcast(freq), "tok")
+            .groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_f", "tok"))),
+                lambda s: s["tok"]).alias("_set")))
+
+    def _relaxed(x: Column) -> Column:
+        # float-prune slack, same derivation as setsim_join: prunes may
+        # only over-admit; the exact verify decides
+        return x - x * F.lit(1e-12) - F.lit(1e-9)
+
+    size = F.size("_set")
+    prefix_len = size \
+        - F.ceil(_relaxed(size * F.lit(threshold))).cast("int") + 1
+    a = sets.select(
+        F.col(id_col).alias("doc_a"), size.alias("_na"),
+        F.posexplode(F.slice("_set", 1, prefix_len)).alias("_pa", "tok"))
+    b = sets.select(
+        F.col(id_col).alias("doc_b"), size.alias("_nb"),
+        F.posexplode("_set").alias("_pb", "tok"))
+    overlap_ub = F.col("_pa") + F.least(F.col("_na") - F.col("_pa"),
+                                        F.col("_nb") - F.col("_pb"))
+    cands = (a.join(b, "tok")
+             .filter((F.col("doc_a") != F.col("doc_b"))
+                     & (overlap_ub
+                        >= _relaxed(F.col("_na") * F.lit(threshold))))
+             .select("doc_a", "doc_b").distinct())
+
+    sa = sets.select(F.col(id_col).alias("doc_a"),
+                     F.col("_set").alias("_seta"))
+    sb = sets.select(F.col(id_col).alias("doc_b"),
+                     F.col("_set").alias("_setb"))
+    cont = (F.size(F.array_intersect("_seta", "_setb")).cast("double")
+            / F.size("_seta").cast("double"))
+    rep_pairs = (cands.join(sa, "doc_a").join(sb, "doc_b")
+                 .filter(cont >= threshold)
+                 .select("doc_a", "doc_b",
+                         F.round(cont, 6).alias("containment")))
+
+    ia = idmap.select(F.col("_rid").alias("doc_a"),
+                      F.explode("_ids").alias("_ia"))
+    ib = idmap.select(F.col("_rid").alias("doc_b"),
+                      F.explode("_ids").alias("_ib"))
+    cross = (rep_pairs.join(ia, "doc_a").join(ib, "doc_b")
+             .select(F.col("_ia").alias("doc_a"),
+                     F.col("_ib").alias("doc_b"), "containment"))
+    dups = (idmap.filter("_q").filter(F.size("_ids") >= 2)
+            .select(F.explode("_ids").alias("_ia"), "_ids")
+            .select("_ia", F.explode("_ids").alias("_ib"))
+            .filter(F.col("_ia") != F.col("_ib"))
+            .select(F.col("_ia").alias("doc_a"),
+                    F.col("_ib").alias("doc_b"),
+                    F.lit(1.0).alias("containment")))
+    return cross.unionByName(dups)
+
+
 # --------------------------------------------------------------------------
 # Edit-distance (levenshtein) join — FastSS deletion neighborhoods
 # --------------------------------------------------------------------------

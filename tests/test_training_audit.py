@@ -168,3 +168,67 @@ def test_waterfill_fuzz_against_bruteforce(spark):
         for s in counts:
             assert out[s] == pytest.approx(ref["alloc"][s], abs=1e-3), \
                 (trial, counts, budget)
+
+
+def test_containment_detects_embedded_excerpt(spark):
+    """The asymmetry that motivates the operator: a short doc embedded
+    in a long one has high containment (short -> long) but low Jaccard,
+    and the reverse direction must NOT qualify."""
+    from etl_mark1_spark.operators.dedup import containment_join
+
+    small = "alpha beta gamma delta"
+    big = small + " " + " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame([(1, small), (2, big)],
+                               ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in containment_join(df, threshold=0.9,
+                                     ngram=1).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_join_randomized_bruteforce_parity(spark):
+    """Seeded randomized corpus: the prefix + positional filters must
+    reproduce the brute-force directed containment join exactly at
+    several thresholds (same recall-proof structure as the setsim
+    fuzz)."""
+    import random
+    from itertools import permutations
+
+    from etl_mark1_spark.operators.dedup import containment_join
+
+    rng = random.Random(103)
+    pool = [f"tok{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choices(pool, k=rng.randint(3, 14))))
+            for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def toks(t):
+        return set(t.split())
+
+    for thr in (0.5, 0.7, 0.9):
+        got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in
+               containment_join(df, threshold=thr, ngram=1).collect()}
+        want = {}
+        for (ia, ta), (ib, tb) in permutations(rows, 2):
+            a, b = toks(ta), toks(tb)
+            cont = len(a & b) / len(a)
+            if cont >= thr:
+                want[(ia, ib)] = round(cont, 6)
+        assert set(got) == set(want), f"threshold {thr}"
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (thr, k)
+
+
+def test_containment_duplicate_heavy_both_directions(spark):
+    """Verbatim copies emit containment 1.0 in BOTH directions (the
+    relation is reflexive-symmetric on identical sets), and the
+    collapse must not drop cross-set directed pairs."""
+    from etl_mark1_spark.operators.dedup import containment_join
+
+    small = "alpha beta gamma"
+    big = small + " extra words beyond the quote here"
+    rows = [(1, small), (2, small), (3, big)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           containment_join(df, threshold=0.95, ngram=1).collect()}
+    assert got == {(1, 2), (2, 1), (1, 3), (2, 3)}
