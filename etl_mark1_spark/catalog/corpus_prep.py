@@ -821,5 +821,4 @@ def length_bucketed_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", whitespace_token_count("text").cast("long")
         .alias("n_tokens"))
     return (length_bucketed_batches(docs, budget=256)
-            .select("doc_id", "n_tokens", "bucket", "batch_idx")
-            .orderBy("doc_id"))
+            .select("doc_id", "n_tokens", "bucket", "batch_idx"))

@@ -179,8 +179,7 @@ def cross_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     benchmark = docs.filter(F.col("doc_id") % 20 == 0)
-    return minhash_cross_dedup(docs, benchmark, threshold=0.8) \
-        .orderBy("doc_id")
+    return minhash_cross_dedup(docs, benchmark, threshold=0.8)
 
 
 @query("bloom_contaminated_docs", r"""
@@ -627,7 +626,7 @@ def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = docs.filter(F.col("doc_id") % 5 != 4)
     new = docs.filter(F.col("doc_id") % 5 == 4)
     idx = minhash_index(history)
-    return incremental_neardup(new, idx, history).orderBy("doc_id")
+    return incremental_neardup(new, idx, history)
 
 
 _KEEP_FIRST_CTES = r"""

@@ -152,8 +152,7 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = image_neardup(imgs, max_hamming=4)
     return (clusters.groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n"))
-            .groupBy("n").agg(F.count(F.lit(1)).alias("clusters"))
-            .orderBy("n"))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("clusters")))
 
 
 @query("multimodal_audio_neardup", oracle=_neardup_truth_sql(300))
@@ -175,8 +174,7 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = audio_neardup(wavs, max_hamming=6)
     return (clusters.groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n"))
-            .groupBy("n").agg(F.count(F.lit(1)).alias("clusters"))
-            .orderBy("n"))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("clusters")))
 
 
 @query("multimodal_video_neardup", oracle=_neardup_truth_sql(150))
@@ -198,8 +196,7 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = video_neardup(vids, max_hamming=4, min_match_frac=0.8)
     return (clusters.groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n"))
-            .groupBy("n").agg(F.count(F.lit(1)).alias("clusters"))
-            .orderBy("n"))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("clusters")))
 
 
 @query("bpe_train_merges")

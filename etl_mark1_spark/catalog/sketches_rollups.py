@@ -61,8 +61,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return hll_estimate_over(hll_rollup(ev, ["event_type"], "user_id"),
-                             ["event_type"]) \
-        .orderBy("event_type")
+                             ["event_type"])
 
 
 @query("hll_rollup_merge")
@@ -78,7 +77,7 @@ def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     daily = hll_rollup(ev, ["day", "event_type"], "user_id")
-    return hll_estimate_over(daily, ["event_type"]).orderBy("event_type")
+    return hll_estimate_over(daily, ["event_type"])
 
 
 @query("incremental_agg_orders", """

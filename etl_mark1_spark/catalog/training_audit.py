@@ -360,3 +360,71 @@ def tokenizer_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("fertility"),
                  F.round(F.sum("_ch") / F.sum("_bpe"), 6)
                  .alias("chars_per_token")))
+
+
+@query("release_audit_sources", r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             text || CASE WHEN doc_id % 13 = 0
+                          THEN ' card 4539578763621486' ELSE '' END
+                  || CASE WHEN doc_id % 17 = 0
+                          THEN ' ref 4539578763621487' ELSE '' END AS tx
+      FROM documents),
+    luhn AS (
+      SELECT doc_id,
+             max(CASE WHEN length(num) >= 13 AND
+                  list_sum(list_transform(range(1, length(num) + 1),
+                    i -> CASE WHEN i % 2 = 0 THEN
+                           CASE WHEN CAST(substr(reverse(num), i, 1)
+                                          AS INT) * 2 > 9
+                                THEN CAST(substr(reverse(num), i, 1)
+                                          AS INT) * 2 - 9
+                                ELSE CAST(substr(reverse(num), i, 1)
+                                          AS INT) * 2 END
+                         ELSE CAST(substr(reverse(num), i, 1) AS INT)
+                         END)) % 10 = 0 THEN 1 ELSE 0 END) AS has_card
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(tx, '[0-9]{13,19}')) AS num
+            FROM d)
+      GROUP BY doc_id),
+    m AS (SELECT d.doc_id, d.source,
+                 coalesce(luhn.has_card, 0) AS has_card,
+                 CASE WHEN length(trim(d.tx)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(d.tx), '\s+'))
+                 END AS w,
+                 greatest(len(regexp_extract_all(d.tx, '[.!?]+')), 1) AS s,
+                 len(regexp_extract_all(lower(d.tx), '[aeiouy]+')) AS sy
+          FROM d LEFT JOIN luhn ON luhn.doc_id = d.doc_id)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(has_card) AS BIGINT) AS n_card_docs,
+           round(avg(CASE WHEN w > 0 THEN 206.835 - 1.015 * (w * 1.0 / s)
+                          - 84.6 * (sy * 1.0 / w) END), 4) AS mean_flesch
+    FROM m GROUP BY source
+""")
+def release_audit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-source release audit — the one-frame report a
+    release manager reads before shipping a shard set: document volume,
+    Luhn-confirmed card-number carriers (the redaction-blocking PII
+    class; same planted residues as ``pii_luhn_docs``), and mean
+    readability. Everything computes inside the document scan (the card
+    flag is a map-side array expression, readability is regex counts),
+    so the whole audit is ONE shuffle at source cardinality; the oracle
+    recomposes all three signals independently."""
+    from etl_mark1_spark.functions.text import flesch_reading_ease
+    from etl_mark1_spark.operators.corpus import luhn_valid
+
+    tx = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 13 == 0,
+               " card 4539578763621486").otherwise(""),
+        F.when(F.col("doc_id") % 17 == 0,
+               " ref 4539578763621487").otherwise(""))
+    cands = F.regexp_extract_all(tx, F.lit(r"[0-9]{13,19}"), F.lit(0))
+    has_card = (F.size(F.filter(cands, luhn_valid)) > 0).cast("int")
+    d = t(spark, sf_dir, "documents").select(
+        "source", has_card.alias("_card"),
+        flesch_reading_ease(tx).alias("_flesch"))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("_card").cast("bigint").alias("n_card_docs"),
+                 F.round(F.avg("_flesch"), 4).alias("mean_flesch")))

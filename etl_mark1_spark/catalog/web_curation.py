@@ -178,8 +178,7 @@ def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct("lang").alias("n_langs"),
-                 F.min("doc_id").alias("first_doc"))
-            .orderBy("domain"))
+                 F.min("doc_id").alias("first_doc")))
 
 
 @query("domain_capped_docs", _URL_CTE + """
@@ -206,8 +205,7 @@ def domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = domain_cap(with_normalized_urls(docs), cap=100)
     return (capped.groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_kept"),
-                 F.sum("doc_id").alias("kept_ids_sum"))
-            .orderBy("domain"))
+                 F.sum("doc_id").alias("kept_ids_sum")))
 
 
 @query("blocklist_filtered_docs", _URL_CTE + """
@@ -227,8 +225,8 @@ def blocklist_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = spark.createDataFrame(
         [("spamcdn.biz",), ("knowledge.net",)], ["domain"])
     kept = filter_blocklist(with_normalized_urls(docs), blocked)
-    return (kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy("domain"))
+    return kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"))
 
 
 _ROBOTS_SITE0 = """# site0 policy
