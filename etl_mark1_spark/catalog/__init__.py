@@ -100,7 +100,7 @@ DRIVER_PREFIX_ROUND = 10
 #:   * sample_per_group_lang — after r9 the single oracle-exact entry
 #:     never driver-sampled; this slot closes the brief's literal bar
 #:     (every oracle-exact entry ever registered gets a green driver row).
-#:   * 23 NEW round-10 entries (growth freeze lifted as promised):
+#:   * 25 NEW round-10 entries (growth freeze lifted as promised):
 #:     strip_spans_keep_first_docs, span_coverage_docs,
 #:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs,
 #:     token_index_stats_docs, decontam_rate_by_source,
@@ -111,9 +111,10 @@ DRIVER_PREFIX_ROUND = 10
 #:     (catalog/training_audit.py): token_budget_waterfill,
 #:     readability_docs, pii_luhn_docs, ngram_novelty_docs,
 #:     oov_rate_docs, invisible_chars_docs, containment_join_docs,
-#:     tokenizer_fertility_lang, release_audit_sources — each
+#:     tokenizer_fertility_lang, release_audit_sources,
+#:     key_skew_report_events, shard_plan_sources — each
 #:     oracle-exact and dual-carrier-swept at birth.
-#:   * 24 STALE-SENTINEL refreshers: the previously-green entries with
+#:   * 22 STALE-SENTINEL refreshers: the previously-green entries with
 #:     the OLDEST external confirmation (last hash-confirmed in r1, then
 #:     r5; alphabetical within group) — three rounds of prefix rotation
 #:     toward fresh entries left 100+ entries unconfirmed since r5, and
@@ -152,6 +153,8 @@ DRIVER_PREFIX = [
     "containment_join_docs",
     "tokenizer_fertility_lang",
     "release_audit_sources",
+    "key_skew_report_events",
+    "shard_plan_sources",
     "array_ops_embeddings",
     "date_parts",
     "events_json_extract",
@@ -174,8 +177,6 @@ DRIVER_PREFIX = [
     "doc_fingerprint",
     "embedding_cosine_topk",
     "events_hourly",
-    "events_window_sliding",
-    "events_window_tumbling",
 ]
 
 

@@ -428,3 +428,53 @@ def release_audit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("_card").cast("bigint").alias("n_card_docs"),
                  F.round(F.avg("_flesch"), 4).alias("mean_flesch")))
+
+
+@query("key_skew_report_events", """
+    WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY user_id),
+    s AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM c),
+    r AS (SELECT key, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, key)
+                      AS BIGINT) AS rank
+          FROM c)
+    SELECT rank, key, cnt,
+           round(cnt * 1.0 / total, 6) AS share,
+           round(cnt * nkeys * 1.0 / total, 6) AS skew_ratio
+    FROM r, s WHERE rank <= 5
+""")
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnostic (operators/skew.py:key_skew_report):
+    top-5 user_id keys by event count with corpus share and
+    mean-load ratio — the report that decides whether a key needs
+    salting (salted_aggregate/salted_join) or AQE skew-join absorbs
+    it, run BEFORE committing a 100 TB shuffle to that key. One
+    map-side-partial count; top-k compiles to TakeOrderedAndProject;
+    the summary scalars broadcast onto the 5-row frame."""
+    from etl_mark1_spark.operators.skew import key_skew_report
+
+    return key_skew_report(t(spark, sf_dir, "events"), "user_id",
+                           top_k=5)
+
+
+@query("shard_plan_sources", """
+    SELECT source,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(ceil(sum(strlen(text)) / 65536.0) AS BIGINT)
+             AS n_shards,
+           round(sum(strlen(text))
+                 / ceil(sum(strlen(text)) / 65536.0), 2)
+             AS mean_shard_bytes
+    FROM documents GROUP BY source
+""")
+def shard_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-count sizing pass (sources/writers.py:plan_shards) at a
+    64 KiB fixture target: per-source byte volume, rows, ceil-division
+    shard count, and the resulting mean shard size — run before
+    write_training_shards so shards land near the loader-friendly
+    target. One algebraic aggregation at source cardinality."""
+    from etl_mark1_spark.sources.writers import plan_shards
+
+    return plan_shards(t(spark, sf_dir, "documents"),
+                       target_bytes=65536)

@@ -10,7 +10,7 @@ key space, partially aggregate per (key, salt), then merge partials per key
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: merge function for each partial aggregate
@@ -69,3 +69,32 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     replicated = right.crossJoin(salts)
     return (salted_left.join(replicated, [*keys, "_salt"], how)
             .drop("_salt"))
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Skew diagnostic for a prospective shuffle key: the top-``top_k``
+    keys by row count with their corpus share and their ratio to the
+    mean per-key load — the report that decides, BEFORE a 100 TB
+    shuffle, whether a key needs salting (`salted_aggregate` /
+    `salted_join`) or AQE skew-join can absorb it (rule of thumb: a
+    head key holding >> 1/parallelism of the rows will straggle).
+
+    One per-key count with map-side partials; the summary scalars
+    (total rows, key cardinality) aggregate that key-cardinality frame
+    and broadcast back onto it; top-k is orderBy+limit, which compiles
+    to TakeOrderedAndProject (per-partition heaps, no global sort).
+    Returns (rank, key, cnt, share, skew_ratio) — ``skew_ratio`` is the
+    key's count over the mean per-key count."""
+    counts = (df.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    summary = counts.agg(F.sum("cnt").alias("_total"),
+                         F.count(F.lit(1)).alias("_nkeys"))
+    top = counts.orderBy(F.desc("cnt"), "key").limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), "key")
+    return (top.crossJoin(F.broadcast(summary))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select("rank", "key", "cnt",
+                    F.round(F.col("cnt") / F.col("_total"), 6)
+                    .alias("share"),
+                    F.round(F.col("cnt") * F.col("_nkeys")
+                            / F.col("_total"), 6).alias("skew_ratio")))

@@ -256,3 +256,32 @@ def write_training_shards(df: DataFrame, path: str, num_shards: int = 64,
     with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+def plan_shards(df: DataFrame, target_bytes: int,
+                strata_col: str = "source",
+                bytes_col: str | None = None,
+                text_col: str = "text") -> DataFrame:
+    """Shard-count planner: per stratum, the byte volume, the shard
+    count ``ceil(bytes / target_bytes)``, and the resulting mean shard
+    size — the sizing pass a writer runs BEFORE ``write_training_shards``
+    so shards land near the target instead of inheriting whatever the
+    upstream partitioning produced (oversized shards straggle loaders;
+    undersized ones multiply object-store requests). Byte volume is
+    ``octet_length`` of the payload column unless a precomputed
+    ``bytes_col`` is given. One algebraic aggregation at stratum
+    cardinality; map-side partials collapse the corpus."""
+    from pyspark.sql import functions as F
+
+    size = (F.col(bytes_col) if bytes_col
+            else F.octet_length(F.col(text_col)))
+    return (df.groupBy(strata_col)
+            .agg(F.sum(size).cast("bigint").alias("n_bytes"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select(strata_col, "n_bytes", "n_rows",
+                    F.ceil(F.col("n_bytes") / F.lit(target_bytes))
+                    .cast("bigint").alias("n_shards"),
+                    F.round(F.col("n_bytes")
+                            / F.ceil(F.col("n_bytes")
+                                     / F.lit(target_bytes)), 2)
+                    .alias("mean_shard_bytes")))

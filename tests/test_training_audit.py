@@ -232,3 +232,29 @@ def test_containment_duplicate_heavy_both_directions(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in
            containment_join(df, threshold=0.95, ngram=1).collect()}
     assert got == {(1, 2), (2, 1), (1, 3), (2, 3)}
+
+
+def test_key_skew_report_hand_counts(spark):
+    from etl_mark1_spark.operators.skew import key_skew_report
+    # counts: a=5, b=3, c=1, d=1 -> total 10, 4 keys, mean 2.5
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = {r["rank"]: r for r in
+           key_skew_report(df, "k", top_k=2).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["key"] == "a" and got[1]["cnt"] == 5
+    assert got[1]["share"] == pytest.approx(0.5)
+    assert got[1]["skew_ratio"] == pytest.approx(2.0)   # 5 / 2.5
+    assert got[2]["key"] == "b"
+    assert got[2]["skew_ratio"] == pytest.approx(1.2)   # 3 / 2.5
+
+
+def test_plan_shards_ceil_division(spark):
+    from etl_mark1_spark.sources.writers import plan_shards
+    rows = [("s1", "x" * 100)] * 3 + [("s2", "y" * 10)]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {r["source"]: r for r in
+           plan_shards(df, target_bytes=250).collect()}
+    assert got["s1"]["n_bytes"] == 300 and got["s1"]["n_shards"] == 2
+    assert got["s1"]["mean_shard_bytes"] == pytest.approx(150.0)
+    assert got["s2"]["n_bytes"] == 10 and got["s2"]["n_shards"] == 1
