@@ -100,7 +100,7 @@ DRIVER_PREFIX_ROUND = 10
 #:   * sample_per_group_lang — after r9 the single oracle-exact entry
 #:     never driver-sampled; this slot closes the brief's literal bar
 #:     (every oracle-exact entry ever registered gets a green driver row).
-#:   * 25 NEW round-10 entries (growth freeze lifted as promised):
+#:   * 28 NEW round-10 entries (growth freeze lifted as promised):
 #:     strip_spans_keep_first_docs, span_coverage_docs,
 #:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs,
 #:     token_index_stats_docs, decontam_rate_by_source,
@@ -112,9 +112,11 @@ DRIVER_PREFIX_ROUND = 10
 #:     readability_docs, pii_luhn_docs, ngram_novelty_docs,
 #:     oov_rate_docs, invisible_chars_docs, containment_join_docs,
 #:     tokenizer_fertility_lang, release_audit_sources,
-#:     key_skew_report_events, shard_plan_sources — each
-#:     oracle-exact and dual-carrier-swept at birth.
-#:   * 22 STALE-SENTINEL refreshers: the previously-green entries with
+#:     key_skew_report_events, shard_plan_sources,
+#:     dedup_survivorship_docs, embedding_norm_shards,
+#:     embedding_dim_variance — each oracle-exact and
+#:     dual-carrier-swept at birth.
+#:   * 19 STALE-SENTINEL refreshers: the previously-green entries with
 #:     the OLDEST external confirmation (last hash-confirmed in r1, then
 #:     r5; alphabetical within group) — three rounds of prefix rotation
 #:     toward fresh entries left 100+ entries unconfirmed since r5, and
@@ -155,6 +157,9 @@ DRIVER_PREFIX = [
     "release_audit_sources",
     "key_skew_report_events",
     "shard_plan_sources",
+    "dedup_survivorship_docs",
+    "embedding_norm_shards",
+    "embedding_dim_variance",
     "array_ops_embeddings",
     "date_parts",
     "events_json_extract",
@@ -174,9 +179,6 @@ DRIVER_PREFIX = [
     "curation_pipeline",
     "dedup_distinct",
     "dedup_exact_documents",
-    "doc_fingerprint",
-    "embedding_cosine_topk",
-    "events_hourly",
 ]
 
 

@@ -478,3 +478,110 @@ def shard_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return plan_shards(t(spark, sf_dir, "documents"),
                        target_bytes=65536)
+
+
+@query("dedup_survivorship_docs", """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'boilerplate notice variant '
+                       || CAST(doc_id % 7 AS VARCHAR)
+                  ELSE text END AS tx
+      FROM documents),
+    g AS (SELECT tx, CAST(min(doc_id) AS BIGINT) AS survivor,
+                 CAST(count(*) AS BIGINT) AS n_copies,
+                 CAST((count(*) - 1) * strlen(tx) AS BIGINT)
+                   AS bytes_saved
+          FROM d GROUP BY tx)
+    SELECT survivor, n_copies, bytes_saved
+    FROM g WHERE n_copies > 1
+""")
+def dedup_survivorship_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup survivorship report: per duplicate cluster, the
+    keep-first survivor id, the copy count, and the bytes the dedup
+    pass reclaims — the accounting a storage owner reads next to the
+    dedup run itself. The fixture corpus has no verbatim duplicates, so
+    the entry plants seven boilerplate clusters on doc_id residues
+    (both engines replay the synthesis). One hash aggregation keyed on
+    the text (at 100 TB: key on the md5 digest so bodies never carry
+    through the shuffle — corpus_datacard_sources does exactly that);
+    the n_copies > 1 filter bounds the output to actual clusters."""
+    tx = F.when(F.col("doc_id") % 11 == 0,
+                F.concat(F.lit("boilerplate notice variant "),
+                         (F.col("doc_id") % 7).cast("string"))) \
+        .otherwise(F.col("text"))
+    return (t(spark, sf_dir, "documents").select(
+        "doc_id", tx.alias("_tx"))
+        .groupBy("_tx")
+        .agg(F.min("doc_id").cast("bigint").alias("survivor"),
+             F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("survivor", "n_copies",
+                ((F.col("n_copies") - 1) * F.octet_length("_tx"))
+                .cast("bigint").alias("bytes_saved")))
+
+
+@query("embedding_norm_shards", """
+    WITH n AS (
+      SELECT vec_id % 4 AS shard,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(nrm), 6) AS mean_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n GROUP BY shard
+""")
+def embedding_norm_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm audit per ingest shard (vec_id mod 4 stands in
+    for the producing encoder shard): a shard whose norms collapse to 0
+    or blow up marks a broken encoder run BEFORE the vectors poison an
+    ANN index. The norm is a JVM-side ``aggregate`` fold inside the
+    scan (float -> double cast first, so both engines square identical
+    doubles in identical order); one shuffle at shard cardinality."""
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return (emb.select((F.col("vec_id") % 4).cast("bigint").alias("shard"),
+                       nrm.alias("_n"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.round(F.avg("_n"), 6).alias("mean_norm"),
+                 F.round(F.min("_n"), 6).alias("min_norm"),
+                 F.round(F.max("_n"), 6).alias("max_norm")))
+
+
+@query("embedding_dim_variance", """
+    WITH p AS (
+      SELECT r.i AS dim, CAST(t.embedding[r.i + 1] AS DOUBLE) AS v
+      FROM embeddings t, (SELECT unnest(range(64)) AS i) r),
+    s AS (SELECT dim, count(*) AS n, sum(v) AS sv, sum(v * v) AS svv
+          FROM p GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(sv / n, 6) AS mean,
+           round(svv / n - (sv / n) * (sv / n), 6) AS variance
+    FROM s
+""")
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding column — the
+    dead-dimension audit (a coordinate with ~0 variance carries no
+    signal; PCA and product-quantization codebooks degrade silently on
+    such dims). One posexplode + one 64-group aggregation of algebraic
+    sums; the variance derives from (n, sum, sumsq) partials, so the
+    shuffle carries three doubles per dimension regardless of corpus
+    size. Rounded to 6: the engines accumulate in different orders."""
+    emb = t(spark, sf_dir, "embeddings")
+    p = emb.select(F.posexplode("embedding").alias("dim", "_v")) \
+        .select("dim", F.col("_v").cast("double").alias("_v"))
+    return (p.groupBy(F.col("dim").cast("bigint").alias("dim"))
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s"),
+                 F.sum(F.col("_v") * F.col("_v")).alias("_ss"))
+            .select("dim",
+                    F.round(F.col("_s") / F.col("_n"), 6).alias("mean"),
+                    F.round(F.col("_ss") / F.col("_n")
+                            - (F.col("_s") / F.col("_n"))
+                            * (F.col("_s") / F.col("_n")), 6)
+                    .alias("variance")))

@@ -107,6 +107,7 @@ GLOBAL_WINDOW_OK = {
     "train_test_split": "split-fraction check frame (bounded)",
     "token_index_stats_docs": "dictionary stats ranked at vocab cardinality",
     "encode_tokens_docs": "vocab rank over the max_size-capped table (1000)",
+    "key_skew_report_events": "rank over the TakeOrdered top-k (<= top_k rows)",
 }
 
 TABLE_WIDTHS = {

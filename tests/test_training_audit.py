@@ -258,3 +258,48 @@ def test_plan_shards_ceil_division(spark):
     assert got["s1"]["n_bytes"] == 300 and got["s1"]["n_shards"] == 2
     assert got["s1"]["mean_shard_bytes"] == pytest.approx(150.0)
     assert got["s2"]["n_bytes"] == 10 and got["s2"]["n_shards"] == 1
+
+
+def test_dedup_survivorship_report(spark):
+    rows = [(1, "same text"), (2, "same text"), (5, "same text"),
+            (3, "unique one"), (4, "other text"), (9, "other text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["survivor"]: r for r in
+           spark.createDataFrame(
+               df.groupBy("text")
+               .agg(F.min("doc_id").cast("bigint").alias("survivor"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+               .filter(F.col("n_copies") > 1)
+               .select("survivor", "n_copies",
+                       ((F.col("n_copies") - 1)
+                        * F.octet_length("text")).cast("bigint")
+                       .alias("bytes_saved")).collect())
+           .collect()}
+    assert set(got) == {1, 4}
+    assert got[1]["n_copies"] == 3
+    assert got[1]["bytes_saved"] == 2 * len("same text")
+    assert got[4]["n_copies"] == 2
+
+
+def test_embedding_norm_and_variance_hand_computed(spark):
+    import math
+    rows = [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0]),
+            (3, [6.0, 8.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    nrm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    got = {r["vec_id"]: r["n"] for r in
+           df.select("vec_id", nrm.alias("n")).collect()}
+    assert got[0] == pytest.approx(5.0) and got[3] == pytest.approx(10.0)
+    assert got[1] == 0.0 and got[2] == pytest.approx(math.sqrt(2))
+    # per-dim variance: dim0 values [3,0,1,6] -> mean 2.5, var 5.25
+    p = (df.select(F.posexplode("embedding").alias("dim", "v"))
+         .groupBy("dim")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+              F.sum(F.col("v") * F.col("v")).alias("ss"))
+         .select("dim", (F.col("ss") / F.col("n")
+                         - (F.col("s") / F.col("n")) ** 2).alias("var")))
+    var = {r["dim"]: r["var"] for r in p.collect()}
+    assert var[0] == pytest.approx(5.25)
+    assert var[1] == pytest.approx(9.6875)  # [4,0,1,8]: 20.25 - 3.25^2
