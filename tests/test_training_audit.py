@@ -303,3 +303,66 @@ def test_embedding_norm_and_variance_hand_computed(spark):
     var = {r["dim"]: r["var"] for r in p.collect()}
     assert var[0] == pytest.approx(5.25)
     assert var[1] == pytest.approx(9.6875)  # [4,0,1,8]: 20.25 - 3.25^2
+
+
+def test_luhn_hypothesis_vs_pure_python(spark):
+    """Property test: the column expression agrees with a direct
+    pure-Python Luhn implementation on arbitrary digit strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def luhn_py(s):
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return len(s) >= 13 and tot % 10 == 0
+
+    collected = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.text(alphabet="0123456789", min_size=1, max_size=19))
+    def gather(s):
+        collected.append(s)
+
+    gather()
+    df = spark.createDataFrame([(s,) for s in set(collected)], ["num"])
+    got = {r["num"]: r["ok"] for r in
+           df.select("num", luhn_valid(F.col("num")).alias("ok"))
+           .collect()}
+    for s, ok in got.items():
+        assert ok is luhn_py(s), s
+
+
+def test_waterfill_hypothesis_invariants(spark):
+    """Property test: allocations never exceed counts, never exceed the
+    cap, and sum to min(budget, total) within float tolerance."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=2000),
+                    min_size=1, max_size=10),
+           st.integers(min_value=1, max_value=25000))
+    def gather(ns, budget):
+        cases.append((tuple(ns), budget))
+
+    gather()
+    for ns, budget in set(cases):
+        counts = {f"s{i}": n for i, n in enumerate(ns)}
+        out = waterfill_budget(_docs_with_tokens(spark, counts),
+                               budget=budget).collect()
+        total = sum(ns)
+        allocs = {r["source"]: r["alloc_tokens"] for r in out}
+        assert set(allocs) == set(counts)
+        for s, n in counts.items():
+            assert allocs[s] <= n + 1e-6, (ns, budget)
+        got_sum = sum(allocs.values())
+        assert got_sum == pytest.approx(min(budget, total), abs=1e-2), \
+            (ns, budget)
