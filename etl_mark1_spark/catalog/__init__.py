@@ -100,7 +100,7 @@ DRIVER_PREFIX_ROUND = 10
 #:   * sample_per_group_lang — after r9 the single oracle-exact entry
 #:     never driver-sampled; this slot closes the brief's literal bar
 #:     (every oracle-exact entry ever registered gets a green driver row).
-#:   * 28 NEW round-10 entries (growth freeze lifted as promised):
+#:   * 30 NEW round-10 entries (growth freeze lifted as promised):
 #:     strip_spans_keep_first_docs, span_coverage_docs,
 #:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs,
 #:     token_index_stats_docs, decontam_rate_by_source,
@@ -114,9 +114,10 @@ DRIVER_PREFIX_ROUND = 10
 #:     tokenizer_fertility_lang, release_audit_sources,
 #:     key_skew_report_events, shard_plan_sources,
 #:     dedup_survivorship_docs, embedding_norm_shards,
-#:     embedding_dim_variance — each oracle-exact and
+#:     embedding_dim_variance, dialog_turns_docs,
+#:     dialog_hygiene_docs — each oracle-exact and
 #:     dual-carrier-swept at birth.
-#:   * 19 STALE-SENTINEL refreshers: the previously-green entries with
+#:   * 17 STALE-SENTINEL refreshers: the previously-green entries with
 #:     the OLDEST external confirmation (last hash-confirmed in r1, then
 #:     r5; alphabetical within group) — three rounds of prefix rotation
 #:     toward fresh entries left 100+ entries unconfirmed since r5, and
@@ -160,6 +161,8 @@ DRIVER_PREFIX = [
     "dedup_survivorship_docs",
     "embedding_norm_shards",
     "embedding_dim_variance",
+    "dialog_turns_docs",
+    "dialog_hygiene_docs",
     "array_ops_embeddings",
     "date_parts",
     "events_json_extract",
@@ -177,8 +180,6 @@ DRIVER_PREFIX = [
     "cube_agg",
     "curation_chunks",
     "curation_pipeline",
-    "dedup_distinct",
-    "dedup_exact_documents",
 ]
 
 

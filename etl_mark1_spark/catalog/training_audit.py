@@ -585,3 +585,116 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - (F.col("_s") / F.col("_n"))
                             * (F.col("_s") / F.col("_n")), 6)
                     .alias("variance")))
+
+
+_DIALOG_SYNTH_SQL = """
+      SELECT doc_id,
+             'user: ' || substr(text, 1, 80)
+             || ' assistant: ' || substr(text, 81, 80)
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' assistant: ' || substr(text, 161, 30)
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' user: ' || substr(text, 191, 40)
+                     ELSE '' END AS tx
+      FROM documents"""
+
+
+def _dialog_synth_col():
+    """The Spark mirror of _DIALOG_SYNTH_SQL: two guaranteed turns per
+    doc, a planted assistant-assistant alternation violation on the
+    mod-5 residue, and a third user turn on the mod-3 residue (both
+    residues together exercise overlap)."""
+    return F.concat(
+        F.lit("user: "), F.substring("text", 1, 80),
+        F.lit(" assistant: "), F.substring("text", 81, 80),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" assistant: "),
+                        F.substring("text", 161, 30))).otherwise(""),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" user: "),
+                        F.substring("text", 191, 40))).otherwise(""))
+
+
+@query("dialog_turns_docs", rf"""
+    WITH d AS ({_DIALOG_SYNTH_SQL}),
+    m AS (SELECT doc_id,
+                 string_split(regexp_replace(tx,
+                   '\b(user|assistant): ', chr(1) || '\1: ', 'g'),
+                   chr(1)) AS parts
+          FROM d),
+    p AS (SELECT doc_id, parts, unnest(range(1, len(parts))) AS i
+          FROM m),
+    t AS (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
+                 parts[i + 1] AS part
+          FROM p
+          WHERE regexp_matches(parts[i + 1], '^(user|assistant): ')),
+    u AS (SELECT doc_id, turn_idx,
+                 regexp_extract(part, '^(user|assistant): ', 1) AS role,
+                 trim(regexp_replace(part, '^(user|assistant): ', ''))
+                   AS utterance
+          FROM t)
+    SELECT doc_id, turn_idx, role, utterance,
+           CAST(CASE WHEN length(utterance) = 0 THEN 0
+                ELSE len(string_split_regex(utterance, '\s+')) END
+             AS BIGINT) AS n_words
+    FROM u
+""")
+def dialog_turns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-transcript parsing
+    (operators/sentences.py:parse_dialog_turns): 'role: utterance'
+    dialogs exploded to one row per turn — the shape turn-level
+    filtering, alternation checks, and loss masking all consume. The
+    sentinel-insert-then-split segmentation is deliberately
+    lookahead-free so the RE2-based oracle replays it exactly; all the
+    regexp work rides the scan, and the only plan operator beyond the
+    projection is the posexplode."""
+    from etl_mark1_spark.operators.sentences import parse_dialog_turns
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _dialog_synth_col().alias("text"))
+    return parse_dialog_turns(docs)
+
+
+@query("dialog_hygiene_docs", rf"""
+    WITH d AS ({_DIALOG_SYNTH_SQL}),
+    m AS (SELECT doc_id,
+                 string_split(regexp_replace(tx,
+                   '\b(user|assistant): ', chr(1) || '\1: ', 'g'),
+                   chr(1)) AS parts
+          FROM d),
+    p AS (SELECT doc_id, parts, unnest(range(1, len(parts))) AS i
+          FROM m),
+    t AS (SELECT doc_id, i AS turn_idx,
+                 regexp_extract(parts[i + 1],
+                                '^(user|assistant): ', 1) AS role
+          FROM p
+          WHERE regexp_matches(parts[i + 1], '^(user|assistant): ')),
+    v AS (SELECT doc_id, turn_idx, role,
+                 lag(role) OVER (PARTITION BY doc_id
+                                 ORDER BY turn_idx) AS prev
+          FROM t)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(CASE WHEN arg_min(role, turn_idx) = 'user'
+                THEN 1 ELSE 0 END AS INT) AS opens_user,
+           CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_violations
+    FROM v GROUP BY doc_id
+""")
+def dialog_hygiene_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialog hygiene per transcript
+    (operators/sentences.py:dialog_alternation_report): turn count,
+    user-opening flag, and alternation violations (consecutive
+    same-role turns — the planted assistant-assistant residue), the
+    screen an instruction pipeline runs before chat-template encoding.
+    One per-doc aggregation over the exploded turns; the ordered
+    collect carries (turn_idx, role) pairs only."""
+    from etl_mark1_spark.operators.sentences import (
+        dialog_alternation_report, parse_dialog_turns)
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _dialog_synth_col().alias("text"))
+    rep = dialog_alternation_report(parse_dialog_turns(docs))
+    return rep.select("doc_id", "n_turns",
+                      F.col("opens_user").cast("int").alias("opens_user"),
+                      "n_violations")

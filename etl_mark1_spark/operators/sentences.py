@@ -108,3 +108,62 @@ def _register_steps() -> None:
 
 
 _register_steps()
+
+
+def parse_dialog_turns(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       roles: tuple[str, ...] = ("user", "assistant"),
+                       ) -> DataFrame:
+    """Split ``role: utterance`` transcripts into one row per turn —
+    the first step of every instruction-tuning pipeline (turn-level
+    filtering, role-alternation checks, and loss masking all need the
+    transcript EXPLODED, not the flat string).
+
+    Marker detection inserts a \\x01 sentinel before each ``role:``
+    label and splits on it — deliberately NOT a lookahead split,
+    because RE2 engines (DuckDB, Go) have no lookahead, and the oracle
+    must replay the exact segmentation. Everything is codegen'd regexp
+    work inside the scan plus one posexplode; no shuffle, no UDF.
+    Returns (id_col, turn_idx 1-based, role, utterance, n_words);
+    text before the first marker (or docs with no marker) yields no
+    rows."""
+    alt = "|".join(roles)
+    marked = F.regexp_replace(F.col(text_col),
+                              rf"\b({alt}): ", "\x01$1: ")
+    parts = F.split(marked, "\x01")
+    turns = (df.select(F.col(id_col),
+                       F.posexplode(parts).alias("_i", "_part"))
+             .filter(F.col("_part").rlike(rf"^({alt}): ")))
+    role = F.regexp_extract("_part", rf"^({alt}): ", 1)
+    utter = F.trim(F.regexp_replace("_part", rf"^({alt}): ", ""))
+    from etl_mark1_spark.functions.text import whitespace_token_count
+
+    return turns.select(
+        F.col(id_col), F.col("_i").cast("bigint").alias("turn_idx"),
+        role.alias("role"), utter.alias("utterance"),
+        whitespace_token_count(utter).cast("bigint").alias("n_words"))
+
+
+def dialog_alternation_report(turns: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Per-transcript dialog hygiene from the exploded turns: turn
+    count, whether the transcript opens with the user, and the number
+    of ALTERNATION VIOLATIONS (consecutive same-role turns — the
+    artifact that corrupts chat-template training). One per-doc
+    aggregation; the violation count compares each turn's role to the
+    previous via an ordered collect, so the shuffle carries (role,
+    turn_idx) pairs only."""
+    pairs = (turns.groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+                  F.array_sort(F.collect_list(
+                      F.struct("turn_idx", "role"))).alias("_seq")))
+    viol = F.size(F.filter(
+        F.zip_with(F.slice("_seq", 1, F.size("_seq") - 1),
+                   F.slice("_seq", 2, F.size("_seq") - 1),
+                   lambda a, b: a["role"] == b["role"]),
+        lambda x: x))
+    return pairs.select(
+        F.col(id_col), "n_turns",
+        (F.element_at("_seq", 1)["role"] == "user").alias("opens_user"),
+        F.when(F.size("_seq") >= 2, viol).otherwise(0)
+        .cast("bigint").alias("n_violations"))

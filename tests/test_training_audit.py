@@ -366,3 +366,39 @@ def test_waterfill_hypothesis_invariants(spark):
         got_sum = sum(allocs.values())
         assert got_sum == pytest.approx(min(budget, total), abs=1e-2), \
             (ns, budget)
+
+
+def test_parse_dialog_turns_segments_and_roles(spark):
+    from etl_mark1_spark.operators.sentences import parse_dialog_turns
+    df = spark.createDataFrame([
+        (1, "user: hello there assistant: hi user: bye"),
+        (2, "no markers at all"),
+        (3, "preamble text user: question assistant: answer words"),
+    ], ["doc_id", "text"])
+    got = {(r["doc_id"], r["turn_idx"]): r for r in
+           parse_dialog_turns(df).collect()}
+    assert {(k[0]) for k in got} == {1, 3}          # doc 2: no rows
+    assert got[(1, 1)]["role"] == "user"
+    assert got[(1, 1)]["utterance"] == "hello there"
+    assert got[(1, 2)]["role"] == "assistant"
+    assert got[(1, 3)]["utterance"] == "bye"
+    # text before the first marker is dropped, turns still 1-based
+    assert got[(3, 1)]["utterance"] == "question"
+    assert got[(3, 2)]["n_words"] == 2
+
+
+def test_dialog_alternation_report_flags_violations(spark):
+    from etl_mark1_spark.operators.sentences import (
+        dialog_alternation_report, parse_dialog_turns)
+    df = spark.createDataFrame([
+        (1, "user: a assistant: b user: c"),            # clean
+        (2, "user: a assistant: b assistant: c"),       # 1 violation
+        (3, "assistant: a user: b user: c user: d"),    # opens wrong, 2
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dialog_alternation_report(parse_dialog_turns(df)).collect()}
+    assert got[1]["n_turns"] == 3 and got[1]["n_violations"] == 0
+    assert got[1]["opens_user"] is True
+    assert got[2]["n_violations"] == 1
+    assert got[3]["opens_user"] is False
+    assert got[3]["n_violations"] == 2
