@@ -698,3 +698,117 @@ def dialog_hygiene_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select("doc_id", "n_turns",
                       F.col("opens_user").cast("int").alias("opens_user"),
                       "n_violations")
+
+
+#: literal chat-template / tokenizer control sequences whose presence in
+#: pretraining text corrupts template handling (or marks template
+#: leakage from synthetic data): scan BEFORE training, strip or drop.
+SPECIAL_TOKENS = ("<|endoftext|>", "<|im_start|>", "</s>", "<s>",
+                  "[INST]", "<<SYS>>")
+
+
+@query("special_token_scan_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 21 = 0
+                          THEN ' <|endoftext|> tail' ELSE '' END
+                  || CASE WHEN doc_id % 23 = 0
+                          THEN ' says [INST] loudly' ELSE '' END
+                  || CASE WHEN doc_id % 25 = 0
+                          THEN ' x</s><s>y' ELSE '' END AS tx
+      FROM documents),
+    m AS (SELECT doc_id,
+                 array_to_string(list_filter([
+                     CASE WHEN contains(tx, '<|endoftext|>')
+                          THEN '<|endoftext|>' END,
+                     CASE WHEN contains(tx, '<|im_start|>')
+                          THEN '<|im_start|>' END,
+                     CASE WHEN contains(tx, '</s>') THEN '</s>' END,
+                     CASE WHEN contains(replace(tx, '</s>', ''), '<s>')
+                          THEN '<s>' END,
+                     CASE WHEN contains(tx, '[INST]') THEN '[INST]' END,
+                     CASE WHEN contains(tx, '<<SYS>>') THEN '<<SYS>>' END
+                   ], x -> x IS NOT NULL), ',') AS tokens_found
+          FROM d)
+    SELECT doc_id, tokens_found,
+           CAST(len(string_split(tokens_found, ',')) AS BIGINT) AS n_kinds
+    FROM m WHERE tokens_found <> ''
+""")
+def special_token_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special-token contamination scan: documents carrying literal
+    chat-template / tokenizer control sequences (planted on three
+    residues, including the '</s><s>' adjacency whose '<s>' must NOT
+    also fire on the substring inside '</s>' — the membership test
+    masks '</s>' out first). All literal `contains` checks inside the
+    scan; output is the sorted comma-joined token list per affected
+    doc, a scalar carrier per the catalog convention."""
+    tx = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 21 == 0,
+               " <|endoftext|> tail").otherwise(""),
+        F.when(F.col("doc_id") % 23 == 0,
+               " says [INST] loudly").otherwise(""),
+        F.when(F.col("doc_id") % 25 == 0, " x</s><s>y").otherwise(""))
+    masked = F.replace(tx, F.lit("</s>"), F.lit(""))
+    found = F.filter(F.array(
+        F.when(tx.contains("<|endoftext|>"), "<|endoftext|>"),
+        F.when(tx.contains("<|im_start|>"), "<|im_start|>"),
+        F.when(tx.contains("</s>"), "</s>"),
+        F.when(masked.contains("<s>"), "<s>"),
+        F.when(tx.contains("[INST]"), "[INST]"),
+        F.when(tx.contains("<<SYS>>"), "<<SYS>>")),
+        lambda x: x.isNotNull())
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.array_join(found, ",").alias("tokens_found"),
+                    F.size(found).cast("bigint").alias("n_kinds"))
+            .filter(F.col("n_kinds") > 0))
+
+
+@query("code_blocks_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0 THEN
+                    substr(text, 1, 50) || ' ```' || substr(text, 51, 30)
+                    || '``` ' || substr(text, 81, 40)
+                  WHEN doc_id % 6 = 3 THEN
+                    '```' || substr(text, 1, 20) || '``` mid '
+                    || '```' || substr(text, 21, 10) || '```'
+                  ELSE text END AS tx
+      FROM documents),
+    m AS (SELECT doc_id,
+                 regexp_extract_all(tx, '```[^`]*```') AS blocks
+          FROM d)
+    SELECT doc_id,
+           CAST(len(blocks) AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN len(blocks) = 0 THEN 0
+                ELSE list_sum(list_transform(blocks,
+                     b -> length(b) - 6)) END AS BIGINT) AS block_chars
+    FROM m WHERE len(blocks) > 0
+""")
+def code_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fenced code-block extraction stats: block count and inner
+    character volume per document (fences planted on two residues, one
+    with two blocks) — the split a code-aware pipeline makes before
+    routing code and prose to different quality filters. One codegen'd
+    ``regexp_extract_all`` with a negated-class body (portable to RE2 —
+    no non-greedy needed); counts are array expressions in the scan, no
+    explode, no shuffle."""
+    tx = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(F.substring("text", 1, 50), F.lit(" ```"),
+                 F.substring("text", 51, 30), F.lit("``` "),
+                 F.substring("text", 81, 40))) \
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("```"), F.substring("text", 1, 20),
+                       F.lit("``` mid ```"),
+                       F.substring("text", 21, 10), F.lit("```"))) \
+        .otherwise(F.col("text"))
+    blocks = F.regexp_extract_all(tx, F.lit(r"```[^`]*```"), F.lit(0))
+    chars = F.aggregate(blocks, F.lit(0).cast("bigint"),
+                        lambda acc, b: acc + F.length(b) - 6)
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.size(blocks).cast("bigint").alias("n_blocks"),
+                    chars.alias("block_chars"))
+            .filter(F.col("n_blocks") > 0))

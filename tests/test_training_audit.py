@@ -402,3 +402,37 @@ def test_dialog_alternation_report_flags_violations(spark):
     assert got[2]["n_violations"] == 1
     assert got[3]["opens_user"] is False
     assert got[3]["n_violations"] == 2
+
+
+def test_special_token_scan_masks_substring_overlap(spark):
+    """'<s>' must not fire on the substring inside '</s>'."""
+    from etl_mark1_spark.catalog.training_audit import special_token_scan_docs  # noqa: F401
+    df = spark.createDataFrame(
+        [(1, "ends with </s> only"),
+         (2, "has <s> open marker"),
+         (3, "both </s><s> adjacent"),
+         (4, "clean text")], ["doc_id", "text"])
+    tx = F.col("text")
+    masked = F.replace(tx, F.lit("</s>"), F.lit(""))
+    found = F.filter(F.array(
+        F.when(tx.contains("</s>"), "</s>"),
+        F.when(masked.contains("<s>"), "<s>")),
+        lambda x: x.isNotNull())
+    got = {r["doc_id"]: r["f"] for r in
+           df.select("doc_id", F.array_join(found, ",").alias("f"))
+           .collect()}
+    assert got[1] == "</s>"          # no false '<s>' from the substring
+    assert got[2] == "<s>"
+    assert got[3] == "</s>,<s>"
+    assert got[4] == ""
+
+
+def test_code_block_extraction_counts(spark):
+    tx = "pre ```a b c``` mid ```xy``` post"
+    blocks = F.regexp_extract_all(F.lit(tx), F.lit(r"```[^`]*```"),
+                                  F.lit(0))
+    chars = F.aggregate(blocks, F.lit(0).cast("bigint"),
+                        lambda acc, b: acc + F.length(b) - 6)
+    r = spark.range(1).select(F.size(blocks).alias("n"),
+                              chars.alias("c")).collect()[0]
+    assert r["n"] == 2 and r["c"] == len("a b c") + len("xy")
