@@ -100,7 +100,7 @@ DRIVER_PREFIX_ROUND = 10
 #:   * sample_per_group_lang — after r9 the single oracle-exact entry
 #:     never driver-sampled; this slot closes the brief's literal bar
 #:     (every oracle-exact entry ever registered gets a green driver row).
-#:   * 32 NEW round-10 entries (growth freeze lifted as promised):
+#:   * 33 NEW round-10 entries (growth freeze lifted as promised):
 #:     strip_spans_keep_first_docs, span_coverage_docs,
 #:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs,
 #:     token_index_stats_docs, decontam_rate_by_source,
@@ -116,9 +116,9 @@ DRIVER_PREFIX_ROUND = 10
 #:     dedup_survivorship_docs, embedding_norm_shards,
 #:     embedding_dim_variance, dialog_turns_docs,
 #:     dialog_hygiene_docs, special_token_scan_docs,
-#:     code_blocks_docs — each oracle-exact and
-#:     dual-carrier-swept at birth.
-#:   * 15 STALE-SENTINEL refreshers: the previously-green entries with
+#:     code_blocks_docs, streaming_interval_join — each oracle-exact
+#:     and dual-carrier-swept at birth.
+#:   * 14 STALE-SENTINEL refreshers: the previously-green entries with
 #:     the OLDEST external confirmation (last hash-confirmed in r1, then
 #:     r5; alphabetical within group) — three rounds of prefix rotation
 #:     toward fresh entries left 100+ entries unconfirmed since r5, and
@@ -166,6 +166,7 @@ DRIVER_PREFIX = [
     "dialog_hygiene_docs",
     "special_token_scan_docs",
     "code_blocks_docs",
+    "streaming_interval_join",
     "array_ops_embeddings",
     "date_parts",
     "events_json_extract",
@@ -180,7 +181,6 @@ DRIVER_PREFIX = [
     "anti_join_customers",
     "chunk_documents_overlap",
     "contamination_ngram",
-    "cube_agg",
 ]
 
 

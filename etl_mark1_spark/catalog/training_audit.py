@@ -812,3 +812,45 @@ def code_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size(blocks).cast("bigint").alias("n_blocks"),
                     chars.alias("block_chars"))
             .filter(F.col("n_blocks") > 0))
+
+
+@query("streaming_interval_join", """
+    SELECT v.event_id AS view_event, c.event_id AS click_event,
+           v.user_id AS user_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+    FROM events v JOIN events c
+      ON v.event_type = 'view' AND c.event_type = 'click'
+     AND c.user_id = v.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+""")
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join
+    (streaming/events.py:interval_join_streams): clicks attributed to
+    same-user views within 2 hours, both sides live streams — the
+    missing member of the streaming family next to the stream-static
+    enrich. The time-bounded condition plus dual watermarks is what
+    bounds the state store (buffered views expire once the click
+    watermark passes view.ts + 2h), so at 100 TB/day state is sized by
+    the attribution window, not the stream. AvailableNow over the
+    bounded fixture delivers everything in-watermark, so append-mode
+    output equals the batch interval join — the oracle."""
+    from etl_mark1_spark.streaming.events import (interval_join_streams,
+                                                  read_events_stream,
+                                                  run_available_now)
+
+    path = f"{sf_dir}/events.parquet"
+    views = (read_events_stream(spark, path)
+             .filter(F.col("event_type") == "view")
+             .select("event_id", "ts", "user_id"))
+    clicks = (read_events_stream(spark, path)
+              .filter(F.col("event_type") == "click")
+              .select("event_id", "ts", "user_id"))
+    joined = interval_join_streams(views, clicks, upper="2 hours")
+    out = joined.select(
+        F.col("event_id").alias("view_event"),
+        F.col("event_id_r").alias("click_event"),
+        F.col("user_id"),
+        (F.unix_micros("ts_r") - F.unix_micros("ts")).cast("bigint")
+        .alias("gap_us"))
+    return run_available_now(out, table_name="stream_ivjoin_out",
+                             output_mode="append")

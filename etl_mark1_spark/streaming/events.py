@@ -605,3 +605,26 @@ def dedup_ingest_sink(stream_df: DataFrame, corpus_dir: str,
              .trigger(availableNow=True)
              .start())
     query.awaitTermination()
+
+
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          on_col: str = "user_id",
+                          upper: str = "2 hours",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream INNER interval join: right-side rows matched to
+    left-side rows of the same key whose timestamp falls in
+    ``[left.ts, left.ts + upper]`` — the view->click attribution shape.
+    Both sides carry watermarks and the join condition is time-bounded,
+    which is exactly what lets Structured Streaming BOUND THE STATE
+    STORE: a buffered left row is dropped once the right watermark
+    passes ``left.ts + upper``, so state is O(events within the
+    interval window), not O(stream). Returns the joined frame with the
+    right side's columns suffixed ``_r``; callers project."""
+    lw = left.withWatermark("ts", watermark)
+    rw = right.withWatermark("ts", watermark).select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns])
+    cond = ((F.col(on_col) == F.col(f"{on_col}_r"))
+            & (F.col("ts_r") >= F.col("ts"))
+            & (F.col("ts_r") <= F.col("ts")
+               + F.expr(f"INTERVAL {upper}")))
+    return lw.join(rw, cond, "inner")

@@ -436,3 +436,31 @@ def test_code_block_extraction_counts(spark):
     r = spark.range(1).select(F.size(blocks).alias("n"),
                               chars.alias("c")).collect()[0]
     assert r["n"] == 2 and r["c"] == len("a b c") + len("xy")
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir):
+    """AvailableNow stream-stream interval join must equal the batch
+    interval join on the bounded fixture (everything in-watermark)."""
+    from etl_mark1_spark.catalog.training_audit import \
+        streaming_interval_join
+
+    got = {(r["view_event"], r["click_event"]): r["gap_us"]
+           for r in streaming_interval_join(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    v = ev.filter(F.col("event_type") == "view") \
+        .select(F.col("event_id").alias("ve"), F.col("ts").alias("vt"),
+                F.col("user_id").alias("vu"))
+    c = ev.filter(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("ce"), F.col("ts").alias("ct"),
+                F.col("user_id").alias("cu"))
+    want = {(r["ve"], r["ce"]):
+            r["g"] for r in v.join(
+                c, (F.col("vu") == F.col("cu"))
+                & (F.col("ct") >= F.col("vt"))
+                & (F.col("ct") <= F.col("vt") + F.expr(
+                    "INTERVAL 2 HOURS")))
+            .select("ve", "ce", (F.unix_micros("ct")
+                                 - F.unix_micros("vt"))
+                    .cast("bigint").alias("g")).collect()}
+    assert got == want and len(got) > 0
