@@ -461,10 +461,10 @@ def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(ceil(sum(strlen(text)) / 65536.0) AS BIGINT)
+           CAST(greatest(ceil(sum(strlen(text)) / 65536.0), 1) AS BIGINT)
              AS n_shards,
            round(sum(strlen(text))
-                 / ceil(sum(strlen(text)) / 65536.0), 2)
+                 / greatest(ceil(sum(strlen(text)) / 65536.0), 1), 2)
              AS mean_shard_bytes
     FROM documents GROUP BY source
 """)
@@ -557,7 +557,8 @@ def embedding_norm_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_dim_variance", """
     WITH p AS (
       SELECT r.i AS dim, CAST(t.embedding[r.i + 1] AS DOUBLE) AS v
-      FROM embeddings t, (SELECT unnest(range(64)) AS i) r),
+      FROM embeddings t,
+           LATERAL (SELECT unnest(range(len(t.embedding))) AS i) r),
     s AS (SELECT dim, count(*) AS n, sum(v) AS sv, sum(v * v) AS svv
           FROM p GROUP BY dim)
     SELECT CAST(dim AS BIGINT) AS dim,
@@ -619,7 +620,7 @@ def _dialog_synth_col():
 @query("dialog_turns_docs", rf"""
     WITH d AS ({_DIALOG_SYNTH_SQL}),
     m AS (SELECT doc_id,
-                 string_split(regexp_replace(tx,
+                 string_split(regexp_replace(replace(tx, chr(1), ''),
                    '\b(user|assistant): ', chr(1) || '\1: ', 'g'),
                    chr(1)) AS parts
           FROM d),
@@ -659,7 +660,7 @@ def dialog_turns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dialog_hygiene_docs", rf"""
     WITH d AS ({_DIALOG_SYNTH_SQL}),
     m AS (SELECT doc_id,
-                 string_split(regexp_replace(tx,
+                 string_split(regexp_replace(replace(tx, chr(1), ''),
                    '\b(user|assistant): ', chr(1) || '\1: ', 'g'),
                    chr(1)) AS parts
           FROM d),

@@ -1111,7 +1111,12 @@ def luhn_valid(col: Column) -> Column:
     divisible by 10 — the checksum every real payment-card number
     carries, and the filter that separates card-shaped noise (order ids,
     timestamps) from redaction-worthy PII. JVM-side ``aggregate`` over a
-    generated index sequence; no UDF."""
+    generated index sequence; no UDF.
+
+    Returns a DEFINITE boolean for arbitrary input: a leading all-digit
+    guard short-circuits non-digit strings to false (without it the
+    per-digit ``cast('int')`` yields NULL, which would propagate through
+    the aggregate and surface as NULL instead of false)."""
     rev = F.reverse(col)
     n = F.length(col)
     total = F.aggregate(
@@ -1122,7 +1127,7 @@ def luhn_valid(col: Column) -> Column:
                    F.substring(rev, i, 1).cast("int") * 2 - 9)
             .otherwise(F.substring(rev, i, 1).cast("int") * 2))
         .otherwise(F.substring(rev, i, 1).cast("int")))
-    return (n >= 13) & (total % 10 == 0)
+    return (n >= 13) & col.rlike("^[0-9]+$") & (total % 10 == 0)
 
 
 def scan_card_numbers(df: DataFrame, text_col: str = "text",

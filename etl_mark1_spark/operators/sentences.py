@@ -122,14 +122,16 @@ def parse_dialog_turns(df: DataFrame, text_col: str = "text",
     Marker detection inserts a \\x01 sentinel before each ``role:``
     label and splits on it — deliberately NOT a lookahead split,
     because RE2 engines (DuckDB, Go) have no lookahead, and the oracle
-    must replay the exact segmentation. Everything is codegen'd regexp
-    work inside the scan plus one posexplode; no shuffle, no UDF.
+    must replay the exact segmentation. Pre-existing \\x01 characters
+    in the input are stripped first so adversarial text cannot
+    mis-segment turns. Everything is codegen'd regexp work inside the
+    scan plus one posexplode; no shuffle, no UDF.
     Returns (id_col, turn_idx 1-based, role, utterance, n_words);
     text before the first marker (or docs with no marker) yields no
     rows."""
     alt = "|".join(roles)
-    marked = F.regexp_replace(F.col(text_col),
-                              rf"\b({alt}): ", "\x01$1: ")
+    sanitized = F.regexp_replace(F.col(text_col), "\x01", "")
+    marked = F.regexp_replace(sanitized, rf"\b({alt}): ", "\x01$1: ")
     parts = F.split(marked, "\x01")
     turns = (df.select(F.col(id_col),
                        F.posexplode(parts).alias("_i", "_part"))

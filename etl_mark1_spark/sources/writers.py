@@ -275,13 +275,15 @@ def plan_shards(df: DataFrame, target_bytes: int,
 
     size = (F.col(bytes_col) if bytes_col
             else F.octet_length(F.col(text_col)))
+    # A zero-byte stratum (all-empty payloads) still needs ONE shard —
+    # ceil(0/target)=0 would yield n_shards=0 and a NULL mean, which no
+    # writer downstream can act on; greatest(…, 1) pins the floor.
+    n_shards = F.greatest(
+        F.ceil(F.col("n_bytes") / F.lit(target_bytes)), F.lit(1))
     return (df.groupBy(strata_col)
             .agg(F.sum(size).cast("bigint").alias("n_bytes"),
                  F.count(F.lit(1)).cast("bigint").alias("n_rows"))
             .select(strata_col, "n_bytes", "n_rows",
-                    F.ceil(F.col("n_bytes") / F.lit(target_bytes))
-                    .cast("bigint").alias("n_shards"),
-                    F.round(F.col("n_bytes")
-                            / F.ceil(F.col("n_bytes")
-                                     / F.lit(target_bytes)), 2)
+                    n_shards.cast("bigint").alias("n_shards"),
+                    F.round(F.col("n_bytes") / n_shards, 2)
                     .alias("mean_shard_bytes")))

@@ -64,7 +64,6 @@ GLOBAL_SORT_OK = {
 GLOBAL_WINDOW_OK = {
     "token_budget_waterfill": "knee scan over the per-stratum aggregate",
     "temperature_mixture_sources": "min over the per-stratum aggregate",
-    "rebalance_mixture_sources": "min over the per-stratum aggregate",
     "histogram_prices": "cumulative counts over the bucket aggregate",
     "ks_drift_values": "CDF steps over the merged distinct-value frame",
     "psi_drift_chars": "bucket shares over the bucket aggregate",

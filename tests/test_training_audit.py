@@ -464,3 +464,47 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir):
                                  - F.unix_micros("vt"))
                     .cast("bigint").alias("g")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_luhn_valid_definite_boolean_on_nondigits(spark):
+    """Round-10 ADVICE: non-digit input must yield false, never NULL
+    (the per-digit cast('int') would otherwise propagate NULL through
+    the aggregate)."""
+    cases = ["4539-5787-6362-1486",      # digits + separators
+             "abcdefghijklmnop",         # 16 non-digits
+             "45395787636214x6",         # one alpha in a 16-run
+             ""]                         # empty string
+    df = spark.createDataFrame([(s,) for s in cases], ["num"])
+    got = df.select(luhn_valid(F.col("num")).alias("ok")).collect()
+    assert all(r["ok"] is False for r in got)
+
+
+def test_parse_dialog_turns_strips_preexisting_sentinel(spark):
+    """Round-10 ADVICE: input text already containing \\x01 must not
+    mis-segment turns — the sentinel is stripped before insertion."""
+    from etl_mark1_spark.operators.sentences import parse_dialog_turns
+    df = spark.createDataFrame([
+        (1, "user: hel\x01lo assistant: wor\x01ld end"),
+        (2, "\x01user: leading sentinel assistant: ok"),
+    ], ["doc_id", "text"])
+    got = {(r["doc_id"], r["turn_idx"]): r for r in
+           parse_dialog_turns(df).collect()}
+    assert got[(1, 1)]["utterance"] == "hello"
+    assert got[(1, 2)]["utterance"] == "world end"
+    assert got[(2, 1)]["utterance"] == "leading sentinel"
+    assert got[(2, 2)]["role"] == "assistant"
+    assert max(k[1] for k in got if k[0] == 1) == 2
+
+
+def test_plan_shards_zero_byte_stratum_gets_one_shard(spark):
+    """Round-10 ADVICE: a stratum whose payloads are all empty must
+    plan n_shards=1 with a definite mean, not 0 shards and NULL."""
+    from etl_mark1_spark.sources.writers import plan_shards
+    rows = [("s1", "x" * 100), ("empty", ""), ("empty", "")]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {r["source"]: r for r in
+           plan_shards(df, target_bytes=250).collect()}
+    assert got["empty"]["n_bytes"] == 0
+    assert got["empty"]["n_shards"] == 1
+    assert got["empty"]["mean_shard_bytes"] == pytest.approx(0.0)
+    assert got["s1"]["n_shards"] == 1
