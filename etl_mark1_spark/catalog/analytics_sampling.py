@@ -411,12 +411,15 @@ def fuzzy_dedup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey,
                substr(base, 1, j) || 'z' || substr(base, j + 2) AS name
         FROM named),
-    ed AS (SELECT a.c_custkey AS da, b.c_custkey AS db
-           FROM ents a JOIN ents b
-             ON a.c_custkey < b.c_custkey
+    reps AS (SELECT name, min(c_custkey) AS rep_id,
+                    count(*) AS n_members
+             FROM ents GROUP BY name),
+    ed AS (SELECT a.rep_id AS da, b.rep_id AS db
+           FROM reps a JOIN reps b
+             ON a.rep_id < b.rep_id
             AND levenshtein(a.name, b.name) <= 2),
     sym AS (SELECT da AS a, db AS b FROM ed UNION SELECT db, da FROM ed),
-    nodes AS (SELECT c_custkey AS node FROM ents),
+    nodes AS (SELECT rep_id AS node FROM reps),
     reach(node, label) AS (
         SELECT node, node FROM nodes
         UNION
@@ -425,8 +428,9 @@ def fuzzy_dedup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     clusters AS (SELECT node, min(label) AS cluster_id
                  FROM reach GROUP BY node),
-    sizes AS (SELECT cluster_id, count(*) AS sz
-              FROM clusters GROUP BY cluster_id)
+    sizes AS (SELECT c.cluster_id, sum(r.n_members) AS sz
+              FROM clusters c JOIN reps r ON r.rep_id = c.node
+              GROUP BY c.cluster_id)
     SELECT CAST(sz AS BIGINT) AS cluster_size,
            CAST(count(*) AS BIGINT) AS n_clusters
     FROM sizes GROUP BY sz
@@ -442,8 +446,19 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     families of size 3 and 4 whose members are pairwise distance 2.
     FastSS k=2 candidates -> exact levenshtein edges -> min-label
     components -> two grouped counts; the oracle replays the identical
-    synthesis and a recursive closure over the all-pairs graph. At
-    100 TB the histogram is tiny by construction and the join is the
+    synthesis and a recursive closure over the rep graph.
+
+    REPRESENTATIVE GRAPH (round 11): exact-duplicate members are
+    distance 0, so component structure over CUSTOMERS equals component
+    structure over UNIQUE NAMES with each name weighted by its member
+    count. The old shape materialized every C(v, 2) same-name id pair
+    just to throw the pairs into connected components — quadratic in
+    copies, and the board's worst 10x ratio (13.4x). Now one groupBy
+    collapses customers to (name, rep_id, n_members); the FastSS join
+    and min-label run at unique-name cardinality (scale-invariant for
+    this synthesis), and cluster sizes are SUM(n_members) — the only
+    corpus-sized work left is the initial aggregation. At 100 TB the
+    histogram is tiny by construction and the join is the
     duplicate-collapsed FastSS bucket join, never all-pairs."""
     from etl_mark1_spark.operators.dedup import (_cluster_min_label,
                                                  edit_distance_join)
@@ -456,13 +471,19 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     base.substr(j + 2, F.lit(9)))
     ents = t(spark, sf_dir, "customer").select(
         "c_custkey", name.alias("name"))
-    edges = edit_distance_join(ents, text_col="name",
+    reps = ents.groupBy("name").agg(
+        F.min("c_custkey").alias("c_custkey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    edges = edit_distance_join(reps.select("c_custkey", "name"),
+                               text_col="name",
                                id_col="c_custkey", max_dist=2,
                                self_join=True) \
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    clusters = _cluster_min_label(ents.select("c_custkey"), edges,
+    clusters = _cluster_min_label(reps.select("c_custkey"), edges,
                                   "c_custkey")
-    return (clusters.groupBy("cluster_id")
-            .agg(F.count(F.lit(1)).alias("_sz"))
+    return (clusters.join(reps.select("c_custkey", "n_members"),
+                          "c_custkey")
+            .groupBy("cluster_id")
+            .agg(F.sum("n_members").alias("_sz"))
             .groupBy(F.col("_sz").cast("bigint").alias("cluster_size"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters")))
