@@ -749,6 +749,43 @@ def broadcast_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 17 == 0), n=13)
 
 
+@query("broadcast_decontam_fixed_ref", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 11)) AS i
+          FROM d WHERE len(tk) >= 13),
+    g AS (SELECT doc_id, array_to_string(tk[i:i+12], ' ') AS gram
+          FROM p),
+    ref AS (SELECT DISTINCT gram FROM g
+            WHERE doc_id % 17 = 0 AND doc_id <= 5000)
+    SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
+    FROM g
+    WHERE NOT (doc_id % 17 = 0 AND doc_id <= 5000)
+      AND gram IN (SELECT gram FROM ref)
+    GROUP BY doc_id
+""")
+def broadcast_decontam_fixed_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """broadcast_decontam_docs with a FIXED-SIZE reference slice
+    (doc_id % 17 = 0 AND doc_id <= 5000) — the PRODUCTION decontam
+    shape: the held-out eval suite is a constant, only the corpus
+    grows. The sibling entry's 10x scale pair scaled the reference
+    slice with the corpus, so it measured broadcast-set growth the
+    operator's own contract says cannot happen; this entry's pair
+    measures the claim that matters — constant broadcast set, linear
+    map-side scan, no shuffle of corpus text. Identical to the sibling
+    at sf0.1 (every doc_id there is <= 5000); at the 10x replica
+    dataset the reference stays replica 0's slice."""
+    from etl_mark1_spark.operators.dedup import broadcast_ngram_decontam
+
+    docs = t(spark, sf_dir, "documents")
+    ref = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") <= 5000)
+    return broadcast_ngram_decontam(docs.filter(~ref),
+                                    docs.filter(ref), n=13)
+
+
 @query("decontam_rate_by_source", r"""
     WITH d AS (
       SELECT doc_id,
