@@ -194,6 +194,71 @@ def ivf_topk(assigned_df: DataFrame, centroids: list[list[float]],
     return cosine_topk(pruned, query, k, vec_col, id_col)
 
 
+# -- IVF index lifecycle: persist / reopen / incremental add ----------------
+
+def ivf_index_write(assigned: DataFrame, centroids: list[list[float]],
+                    path: str, mode: str = "overwrite") -> None:
+    """Persist an IVF index: the assigned vectors land partitioned by
+    ``_centroid`` (a probe then reads nprobe DIRECTORIES — partition
+    pruning, no corpus scan; tests/test_indexing.py asserts the pruned
+    plan), and the centroid table rides alongside as a k-row parquet.
+    ``mode="append"`` adds a batch that was assigned with
+    :func:`ivf_assign` against the SAME centroids — partition layout
+    aligns automatically because the centroid id is the partition key."""
+    spark = assigned.sparkSession
+    assigned.write.mode(mode).partitionBy("_centroid") \
+        .parquet(f"{path}/vectors")
+    if mode == "overwrite":
+        rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        spark.createDataFrame(rows, "_centroid int, center array<double>") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{path}/centroids")
+
+
+def ivf_index_read(spark, path: str):
+    """Reopen a persisted IVF index -> (assigned_df, centroids). The
+    centroid table is k rows — one bounded collect."""
+    assigned = spark.read.parquet(f"{path}/vectors")
+    cents = spark.read.parquet(f"{path}/centroids") \
+        .orderBy("_centroid").collect()
+    return assigned, [list(r["center"]) for r in cents]
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to their nearest EXISTING centroid (squared-L2
+    argmin, lowest-id tie-break) without refitting — the incremental-add
+    half of the IVF lifecycle: a daily embedding batch joins a persisted
+    index at O(batch * k) map-side expression work (the k distance
+    aggregates are literal-array zip_with sums inside the scan; no UDF,
+    no shuffle, no MLlib model object needed at ingest time).
+
+    Re-clustering cadence is the caller's policy; the standard operating
+    point (FAISS-style IVF) tolerates drift until mean within-list
+    distance degrades, then rebuilds with :func:`ivf_build`."""
+    if not centroids:
+        raise ValueError("ivf_assign needs at least one centroid")
+    v = _as_double(F.col(vec_col))
+
+    def dist2(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    darr = F.array(*[dist2(c) for c in centroids])
+    nearest = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return df.withColumn("_centroid", nearest)
+
+
+def ivf_index_append(spark, path: str, new_vecs: DataFrame,
+                     vec_col: str = "embedding") -> None:
+    """Incremental add: assign ``new_vecs`` against the index's OWN
+    persisted centroids and append — O(batch), history untouched."""
+    _, centroids = ivf_index_read(spark, path)
+    ivf_index_write(ivf_assign(new_vecs, centroids, vec_col), centroids,
+                    path, mode="append")
+
+
 # -- int8 quantization ------------------------------------------------------
 
 def _int8_scale(col: Column) -> Column:

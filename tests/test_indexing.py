@@ -1,0 +1,203 @@
+"""Inverted-index lifecycle (operators/indexing.py) and IVF index
+persistence/incremental-add (operators/similarity.py): build/merge
+identities, partition-pruned lookups, doubling search for the longest
+duplicated span."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.indexing import (build_postings,
+                                                conjunctive_search,
+                                                longest_dup_span,
+                                                lookup_term,
+                                                merge_dictionaries,
+                                                merge_postings,
+                                                postings_dictionary,
+                                                read_postings_index,
+                                                write_postings_index)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown cat sleeps"),
+    (3, "a lazy dog and a lazy cat"),
+    (4, "fox fox fox"),
+    (5, "completely unrelated words here"),
+]
+
+
+def _docs(spark, rows=None):
+    return spark.createDataFrame(rows or DOCS, ["doc_id", "text"])
+
+
+def _as_dict(df):
+    return {(r["token"], r.get("doc_id", None) if hasattr(r, "get")
+             else r["doc_id"] if "doc_id" in r.__fields__ else None): r
+            for r in df.collect()}
+
+
+def test_build_postings_term_frequencies(spark):
+    got = {(r["token"], r["doc_id"]): r["tf"]
+           for r in build_postings(_docs(spark)).collect()}
+    assert got[("the", 1)] == 2
+    assert got[("fox", 4)] == 3
+    assert got[("fox", 1)] == 1
+    assert ("", 1) not in got
+
+
+def test_merge_of_disjoint_shards_equals_direct_build(spark):
+    """merge(build(A), build(B), ...) == build(A ∪ B) — the identity
+    that makes per-batch index builds composable. Randomized sharding."""
+    rng = random.Random(7)
+    rows = [(i, " ".join(rng.choice(["alpha", "beta", "gamma", "delta"])
+                         for _ in range(rng.randint(1, 12))))
+            for i in range(1, 41)]
+    df = _docs(spark, rows)
+    direct = {(r["token"], r["doc_id"]): r["tf"]
+              for r in build_postings(df).collect()}
+    shards = [build_postings(df.filter(F.col("doc_id") % 3 == k))
+              for k in range(3)]
+    merged = {(r["token"], r["doc_id"]): r["tf"]
+              for r in merge_postings(*shards).collect()}
+    assert merged == direct
+    d_direct = {r["token"]: (r["df"], r["cf"]) for r in
+                postings_dictionary(build_postings(df)).collect()}
+    d_merged = {r["token"]: (r["df"], r["cf"]) for r in
+                merge_dictionaries(
+                    *[postings_dictionary(s) for s in shards]).collect()}
+    assert d_merged == d_direct
+
+
+def test_merge_postings_reaggregates_reingested_doc(spark):
+    """A doc indexed in two segments must re-sum, not duplicate."""
+    seg = build_postings(_docs(spark, [(1, "fox fox")]))
+    merged = {r["token"]: r["tf"]
+              for r in merge_postings(seg, seg).collect()}
+    assert merged == {"fox": 4}
+
+
+def test_persisted_index_lookup_prunes_partitions(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    write_postings_index(build_postings(_docs(spark)), path, num_buckets=8)
+    idx = read_postings_index(spark, path)
+    hits = lookup_term(idx, "lazy", num_buckets=8)
+    got = {(r["doc_id"]): r["tf"] for r in hits.collect()}
+    assert got == {1: 1, 3: 2}
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan, plan
+
+
+def test_persisted_index_append_segment(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    write_postings_index(build_postings(_docs(spark)), path, num_buckets=8)
+    write_postings_index(
+        build_postings(_docs(spark, [(9, "lazy summer")])), path,
+        num_buckets=8)
+    idx = read_postings_index(spark, path)
+    got = {r["doc_id"]: r["tf"]
+           for r in lookup_term(idx, "lazy", num_buckets=8).collect()}
+    assert got == {1: 1, 3: 2, 9: 1}
+
+
+def test_conjunctive_search_all_terms_ranked(spark):
+    got = [(r["doc_id"], r["score"]) for r in
+           conjunctive_search(build_postings(_docs(spark)),
+                              ["lazy", "dog"]).orderBy("doc_id").collect()]
+    # docs 1 and 3 contain both; doc 3 scores 2+1=3, doc 1 scores 1+1=2
+    assert got == [(1, 2), (3, 3)]
+    top = conjunctive_search(build_postings(_docs(spark)),
+                             ["lazy", "dog"], top_k=1).collect()
+    assert [(r["doc_id"], r["score"]) for r in top] == [(3, 3)]
+    assert conjunctive_search(build_postings(_docs(spark)),
+                              ["lazy", "unrelated"]).count() == 0
+
+
+def test_longest_dup_span_finds_planted_run(spark):
+    common = "one two three four five six seven"
+    rows = [(1, f"prefix {common} suffix a"),
+            (2, f"other start {common} tail"),
+            (3, "no overlap at all whatsoever"),
+            (4, "one two three unrelated continuation")]
+    out = longest_dup_span(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["span"] == common and r["n_words"] == 7
+    assert r["n_docs"] == 2 and r["min_doc"] == 1
+
+
+def test_longest_dup_span_no_duplicates_is_empty(spark):
+    rows = [(1, "alpha beta"), (2, "gamma delta")]
+    out = longest_dup_span(_docs(spark, rows))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["span", "n_words", "n_docs", "min_doc"]
+
+
+def test_longest_dup_span_whole_doc_duplicate(spark):
+    rows = [(1, "exact copy of text"), (2, "exact copy of text"),
+            (3, "noise")]
+    out = longest_dup_span(_docs(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["n_words"] == 4
+    assert out[0]["span"] == "exact copy of text"
+
+
+# -- IVF lifecycle -----------------------------------------------------------
+
+def _vec_rows(rng, n, dim=8, offset=0):
+    return [(offset + i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n)]
+
+
+def test_ivf_assign_matches_numpy_argmin(spark):
+    import numpy as np
+    from etl_mark1_spark.operators.similarity import ivf_assign
+
+    rng = random.Random(11)
+    cents = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(5)]
+    rows = _vec_rows(rng, 40)
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {r["vec_id"]: r["_centroid"]
+           for r in ivf_assign(df, cents).collect()}
+    c = np.array(cents)
+    for vid, vec in rows:
+        want = int(np.argmin(((c - np.array(vec)) ** 2).sum(axis=1)))
+        assert got[vid] == want, vid
+
+
+def test_ivf_persist_append_probe_round_trip(spark, tmp_path):
+    from etl_mark1_spark.operators.similarity import (cosine_topk,
+                                                      ivf_build,
+                                                      ivf_index_append,
+                                                      ivf_index_read,
+                                                      ivf_index_write,
+                                                      ivf_topk)
+
+    rng = random.Random(23)
+    base_rows = _vec_rows(rng, 60)
+    delta_rows = _vec_rows(rng, 15, offset=100)
+    base = spark.createDataFrame(base_rows,
+                                 "vec_id int, embedding array<double>")
+    delta = spark.createDataFrame(delta_rows,
+                                  "vec_id int, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    assigned, cents = ivf_build(base, num_centroids=4, seed=1)
+    ivf_index_write(assigned, cents, path)
+    ivf_index_append(spark, path, delta)
+    reopened, cents2 = ivf_index_read(spark, path)
+    for got_c, want_c in zip(cents2, cents):
+        assert got_c == pytest.approx(want_c)
+    assert reopened.count() == 75
+    # full probe (nprobe = k centroids) must equal exact brute force
+    # over base ∪ delta — persistence and append lose nothing
+    q = [0.3] * 8
+    everything = base.unionByName(delta)
+    want = [(r["vec_id"], r["similarity"])
+            for r in cosine_topk(everything, q, k=5).collect()]
+    got = [(r["vec_id"], r["similarity"])
+           for r in ivf_topk(reopened, cents2, q, k=5, nprobe=4).collect()]
+    assert got == want
+    # probe plan prunes the _centroid partitions
+    pruned = ivf_topk(reopened, cents2, q, k=5, nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_centroid" in plan
