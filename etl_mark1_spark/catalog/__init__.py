@@ -82,6 +82,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     sentence_entries,
     webdataset_entries,
     training_audit,
+    index_lifecycle,
 )
 
 #: Round number that authored the prefix below: the rotation meta-test in
@@ -89,98 +90,86 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
 #: rounds STRICTLY BEFORE this one when classifying prefix entries as
 #: fresh vs sentinel (the round-8 lesson: globbing ALL snapshots made the
 #: meta-test fail the moment the current round's snapshot landed on disk).
-DRIVER_PREFIX_ROUND = 10
+DRIVER_PREFIX_ROUND = 11
 
-#: Round-10 driver prefix (50 slots). CORRECTNESS_r09 landed fully green
-#: (50/50), so per the staged plan there are no re-tests; the composition:
-#:   * 2 SENTINELS at the head — q1_pricing_summary (green r1-5, r8, r9)
-#:     and domain_capped_docs (the r8 red, externally re-confirmed green
-#:     in r9) — previously-confirmed entries kept under external
-#:     regression coverage.
-#:   * sample_per_group_lang — after r9 the single oracle-exact entry
-#:     never driver-sampled; this slot closes the brief's literal bar
-#:     (every oracle-exact entry ever registered gets a green driver row).
-#:   * 33 NEW round-10 entries (growth freeze lifted as promised):
-#:     strip_spans_keep_first_docs, span_coverage_docs,
-#:     broadcast_decontam_docs, surt_keys_docs, url_frontier_docs,
-#:     token_index_stats_docs, decontam_rate_by_source,
-#:     crawl_delay_domains, sitemap_frontier_docs,
-#:     frontier_schedule_docs, corpus_datacard_sources,
-#:     homoglyph_fold_docs, k_anonymity_customers,
-#:     dup_cluster_histogram, plus the second tranche
-#:     (catalog/training_audit.py): token_budget_waterfill,
-#:     readability_docs, pii_luhn_docs, ngram_novelty_docs,
-#:     oov_rate_docs, invisible_chars_docs, containment_join_docs,
-#:     tokenizer_fertility_lang, release_audit_sources,
-#:     key_skew_report_events, shard_plan_sources,
-#:     dedup_survivorship_docs, embedding_norm_shards,
-#:     embedding_dim_variance, dialog_turns_docs,
-#:     dialog_hygiene_docs, special_token_scan_docs,
-#:     code_blocks_docs, streaming_interval_join — each oracle-exact
+#: Round-11 driver prefix (50 slots). CORRECTNESS_r10 landed fully green
+#: (50/50), so there are no re-tests; composition per the staged round-11
+#: plan (NOTES_r10.md):
+#:   * 2 SENTINELS at the head — q1_pricing_summary (green r1-5, r8-r10)
+#:     and domain_capped_docs (green r9-r10) — previously-confirmed
+#:     entries kept under external regression coverage.
+#:   * 7 NEW round-11 entries: broadcast_decontam_fixed_ref (the
+#:     production-shape fixed-reference decontam pair) and the
+#:     retrieval-index lifecycle tranche (catalog/index_lifecycle.py):
+#:     index_build_tf_docs, index_merge_parity_docs,
+#:     index_incremental_docs, search_conjunctive_docs,
+#:     longest_dup_span_docs, ivf_incremental_topk — each oracle-exact
 #:     and dual-carrier-swept at birth.
-#:   * 14 STALE-SENTINEL refreshers: the previously-green entries with
-#:     the OLDEST external confirmation (last hash-confirmed in r1, then
-#:     r5; alphabetical within group) — three rounds of prefix rotation
-#:     toward fresh entries left 100+ entries unconfirmed since r5, and
-#:     with the never-sampled pool now down to 6 names the best use of
-#:     the remaining slots is refreshing the oldest external evidence.
-#: If CORRECTNESS_r10 fails to land, re-run THIS prefix in round 11 —
+#:   * 41 STALE-SENTINEL refreshers — the staged refresh queue: the 15
+#:     refreshers swapped out of the round-10 prefix to make room for
+#:     the second tranche (doc_fingerprint ... rebalance_mixture_sources),
+#:     then the next-oldest r1/r5 backlog block (rename_cast_project ...
+#:     window_running_sum), then the first three of the five remaining
+#:     (cube_agg, curation_chunks, curation_pipeline). After this round
+#:     the stale backlog is 2 names (dedup_distinct,
+#:     dedup_exact_documents) — ONE rotation from empty.
+#: If CORRECTNESS_r11 fails to land, re-run THIS prefix in round 12 —
 #: never rotate past an unsampled prefix.
 #:
-#: ROUND-11 PLAN: (a) any r10 reds at the head, (b) 2+ sentinels,
-#: (c) new round-11 additions, (d) continue the stale-refresh sweep
-#: (next-oldest previously-green entries).
+#: ROUND-12 PLAN: (a) any r11 reds at the head, (b) 2+ sentinels,
+#: (c) new round-12 additions, (d) dedup_distinct + dedup_exact_documents
+#: (the backlog's last two), (e) next-oldest refreshers (r6+).
 DRIVER_PREFIX = [
     "q1_pricing_summary",
     "domain_capped_docs",
-    "sample_per_group_lang",
-    "strip_spans_keep_first_docs",
-    "span_coverage_docs",
-    "broadcast_decontam_docs",
-    "surt_keys_docs",
-    "url_frontier_docs",
-    "token_index_stats_docs",
-    "decontam_rate_by_source",
-    "crawl_delay_domains",
-    "sitemap_frontier_docs",
-    "frontier_schedule_docs",
-    "corpus_datacard_sources",
-    "homoglyph_fold_docs",
-    "k_anonymity_customers",
-    "dup_cluster_histogram",
-    "token_budget_waterfill",
-    "readability_docs",
-    "pii_luhn_docs",
-    "ngram_novelty_docs",
-    "oov_rate_docs",
-    "invisible_chars_docs",
-    "containment_join_docs",
-    "tokenizer_fertility_lang",
-    "release_audit_sources",
-    "key_skew_report_events",
-    "shard_plan_sources",
-    "dedup_survivorship_docs",
-    "embedding_norm_shards",
-    "embedding_dim_variance",
-    "dialog_turns_docs",
-    "dialog_hygiene_docs",
-    "special_token_scan_docs",
-    "code_blocks_docs",
-    "streaming_interval_join",
-    "array_ops_embeddings",
-    "date_parts",
-    "events_json_extract",
-    "percentile_by_status",
-    "pivot_linestatus",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q6_forecast_revenue",
-    "string_funcs",
-    "aggregate_global",
-    "anti_join_customers",
-    "chunk_documents_overlap",
-    "contamination_ngram",
+    "broadcast_decontam_fixed_ref",
+    "index_build_tf_docs",
+    "index_merge_parity_docs",
+    "index_incremental_docs",
+    "search_conjunctive_docs",
+    "longest_dup_span_docs",
+    "ivf_incremental_topk",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+    "events_hourly",
+    "events_window_sliding",
+    "events_window_tumbling",
+    "except_nations",
+    "filter_derive",
+    "grouping_sets",
+    "intersect_nations",
+    "pack_sequences_global",
+    "pack_sequences_lang",
+    "pii_redact",
+    "pipeline_etl",
+    "quality_profile_customer",
+    "rebalance_mixture_sources",
+    "rename_cast_project",
+    "rollup_agg",
+    "semi_join_customers",
+    "snapshot_diff_orders",
+    "sql_join_q3",
+    "sql_q5_region_revenue",
+    "stratified_sample_lang",
+    "streaming_bloom_filter",
+    "streaming_enrich_count",
+    "streaming_hourly",
+    "streaming_restart_drain",
+    "streaming_window_sliding",
+    "string_ops",
+    "text_lang_id",
+    "text_quality",
+    "text_stats",
+    "text_tokens_bpe",
+    "tfidf_top_terms",
+    "train_test_split",
+    "trim_drop_dedup",
+    "union_all_merge",
+    "window_lag_lead",
+    "window_running_sum",
+    "cube_agg",
+    "curation_chunks",
+    "curation_pipeline",
 ]
 
 

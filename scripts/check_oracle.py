@@ -615,6 +615,60 @@ def _check_resize_images(con, rows: list[dict]) -> list[str]:
     return bad[:3]
 
 
+def _check_video_frames(con, rows: list[dict]) -> list[str]:
+    """Checker-golden for multimodal_video_frames (round-11 graduation
+    from rows-only, the same construction as the resize graduation):
+    expected stats are RE-DERIVED FROM THE SYNTHESIS BRANCH, not from a
+    checker-side AVI decoder. attach_avi_media documents the per-id
+    geometry (w = 16 + i%4*8, h = 16 + (i//2)%3*8), frame count
+    (3 + i%4), rate (2 + i%3), and per-frame pixel formula; the sampler
+    contract fixes the timestamp grid (t = 0, 1000, ... < n*1000//fps)
+    and the nearest-frame index (min(t*fps//1000, n-1)). So for every
+    output row the checker knows EXACTLY which synthesized frame was
+    decoded: dims and the (doc, t) row-set must match exactly, and the
+    decoded mean pixel must land within 1.0 of the formula's mean
+    (quality-90 JPEG on these gradients deviates <= 0.29, measured over
+    60+ ids; the band leaves 3x headroom). The average hash is not
+    compared — threshold pixels flip under quantization (same policy as
+    the JPEG decode band)."""
+    import numpy as np
+
+    ids = [i for (i,) in con.execute(
+        "SELECT doc_id FROM documents").fetchall()]
+    expect = {}
+    for i in ids:
+        i = int(i)
+        w, h = 16 + (i % 4) * 8, 16 + ((i // 2) % 3) * 8
+        n_frames, fps = 3 + i % 4, 2 + i % 3
+        dur_ms = n_frames * 1000 // fps
+        yy, xx = np.mgrid[0:h, 0:w]
+        t = 0
+        while t == 0 or t < dur_ms:
+            f = min(t * fps // 1000, n_frames - 1)
+            px = np.stack([
+                (xx * 8 + f * 40 + i) % 256,
+                (yy * 8 + f * 23) % 256,
+                np.full((h, w), (i * 7 + f * 11) % 256),
+            ], axis=-1)
+            expect[(i, t)] = (w, h, float(px.astype(float).mean()))
+            t += 1000
+    got_keys = {(r["doc_id"], r["frame_ms"]) for r in rows}
+    if got_keys != set(expect):
+        return [f"sampled (doc, ms) grid differs: "
+                f"{len(got_keys ^ set(expect))} rows off"]
+    bad = []
+    for r in rows:
+        w, h, mean = expect[(r["doc_id"], r["frame_ms"])]
+        if (r["width"], r["height"]) != (w, h):
+            bad.append(f"doc {r['doc_id']}@{r['frame_ms']}ms: dims "
+                       f"{r['width']}x{r['height']} != {w}x{h}")
+        elif abs(r["mean_pixel"] - mean) > 1.0:
+            bad.append(f"doc {r['doc_id']}@{r['frame_ms']}ms: mean "
+                       f"{r['mean_pixel']} off synthesis-derived "
+                       f"{round(mean, 3)} by > 1.0")
+    return bad[:3]
+
+
 #: Entries whose check is an independent CHECKER-SIDE recomputation
 #: (no SQL engine exposes zlib / eigendecomposition / codecs / FFT /
 #: iterative BPE): the callable gets (duckdb_con, result rows as dicts)
@@ -634,18 +688,17 @@ GOLDEN_CHECKS = {
     # round-10 graduation (formerly rows-only): expected resize stats
     # re-derived from the synthesis branch + an independent resampler
     "multimodal_resize_images": _check_resize_images,
+    # round-11 graduation (formerly rows-only): per-(doc, timestamp)
+    # frame stats re-derived from the synthesis formula + sampling math
+    "multimodal_video_frames": _check_video_frames,
 }
 
-#: The 2 entries that remain rows-only HERE, with why (each is pinned
+#: The 1 entry that remains rows-only HERE, with why (it is pinned
 #: elsewhere by committed goldens and/or differential tests):
 #:   multimodal_image_features — the FAKE-codec plumbing entry: its stats
 #:     derive from raw payload bytes by construction, so a recomputation
 #:     would restate the same byte arithmetic, not verify anything new;
 #:     the REAL decode path it shares is golden-checked above 4 ways.
-#:   multimodal_video_frames — frame sampling over MJPEG AVI; container
-#:     round-trip + sampling math are exact-tested, the JPEG leg is
-#:     band-checked above; a full checker-side AVI mirror would vendored-
-#:     codec-duplicate rather than independently verify.
 
 
 def main() -> int:
