@@ -499,3 +499,71 @@ def frontier_schedule_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("est_minutes", F.round(
                 F.col("n_unique") * F.coalesce(F.col("crawl_delay"),
                                                F.lit(1.0)) / 60.0, 6)))
+
+
+@query("psl_registered_domains", """
+    WITH h AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS v,
+             CAST(doc_id // 8 % 50 AS VARCHAR) AS g
+      FROM documents),
+    synth AS (
+      SELECT doc_id,
+             CASE v
+               WHEN 0 THEN 'www.blog.site' || g || '.co.uk'
+               WHEN 1 THEN 'school' || g || '.k12.va.us'
+               WHEN 2 THEN 'a.b.school' || g || '.k12.va.us'
+               WHEN 3 THEN 'www.shop' || g || '.biz' || g || '.ck'
+               WHEN 4 THEN 'sub' || g || '.www.ck'
+               WHEN 5 THEN 'a' || g || '.ward.city.kawasaki.jp'
+               WHEN 6 THEN 'x' || g || '.co.kawasaki.jp'
+               ELSE 'deep.sub.example' || g || '.com'
+             END AS host,
+             CASE v
+               WHEN 0 THEN 'site' || g || '.co.uk'
+               WHEN 1 THEN 'school' || g || '.k12.va.us'
+               WHEN 2 THEN 'school' || g || '.k12.va.us'
+               WHEN 3 THEN 'shop' || g || '.biz' || g || '.ck'
+               WHEN 4 THEN 'www.ck'
+               WHEN 5 THEN 'city.kawasaki.jp'
+               WHEN 6 THEN 'x' || g || '.co.kawasaki.jp'
+               ELSE 'example' || g || '.com'
+             END AS domain
+      FROM h)
+    SELECT doc_id, host, domain FROM synth
+""")
+def psl_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Public-Suffix-List semantics under external confirmation
+    (operators/web.py:registered_domain_psl over the vendored snapshot,
+    operators/psl_data.py): the synthesized host battery walks every
+    rule class — 2-label literal (co.uk), 3-label literal (k12.va.us),
+    wildcard TLD (*.ck), wildcard 3rd-level (*.kawasaki.jp), both
+    exception shapes (!www.ck, !city.kawasaki.jp), and the default
+    last-two-labels rule. The oracle does NOT re-run any resolver: it
+    STATES the expected registrable domain per branch from the synthesis
+    arithmetic, so a green row confirms the whole cascade (longest match
+    first, exceptions beat wildcards) byte-for-byte. The resolver is one
+    bounded literal-isin CASE — scan-speed codegen at any corpus size,
+    and the same plan shape with the canonical 9k-rule PSL loaded via
+    psl_data.parse_psl."""
+    from etl_mark1_spark.operators.web import registered_domain_psl
+
+    g = (F.col("doc_id") / 8).cast("long") % 50
+    g = g.cast("string")
+    v = (F.col("doc_id") % 8).cast("int")
+    host = (F.when(v == 0, F.concat(F.lit("www.blog.site"), g,
+                                    F.lit(".co.uk")))
+            .when(v == 1, F.concat(F.lit("school"), g, F.lit(".k12.va.us")))
+            .when(v == 2, F.concat(F.lit("a.b.school"), g,
+                                   F.lit(".k12.va.us")))
+            .when(v == 3, F.concat(F.lit("www.shop"), g, F.lit(".biz"), g,
+                                   F.lit(".ck")))
+            .when(v == 4, F.concat(F.lit("sub"), g, F.lit(".www.ck")))
+            .when(v == 5, F.concat(F.lit("a"), g,
+                                   F.lit(".ward.city.kawasaki.jp")))
+            .when(v == 6, F.concat(F.lit("x"), g, F.lit(".co.kawasaki.jp")))
+            .otherwise(F.concat(F.lit("deep.sub.example"), g,
+                                F.lit(".com"))))
+    docs = t(spark, sf_dir, "documents").select("doc_id",
+                                                host.alias("host"))
+    return docs.select("doc_id", "host",
+                       registered_domain_psl(F.col("host")).alias("domain"))

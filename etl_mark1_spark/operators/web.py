@@ -34,6 +34,7 @@ __all__ = [
     "normalize_url",
     "url_host",
     "registered_domain",
+    "registered_domain_psl",
     "with_normalized_urls",
     "domain_cap",
     "filter_blocklist",
@@ -150,6 +151,62 @@ def registered_domain(
             .when(~is_multi3 & is_multi2 & (n >= 3), last3)
             .when(~is_multi3 & ~is_multi2 & (n >= 2), last2)
             .otherwise(host))
+
+
+def registered_domain_psl(host: Column, rules=None) -> Column:
+    """Registrable domain under FULL Public Suffix List semantics:
+    literal rules (2- and 3-label), wildcard rules (``*.ck``,
+    ``*.kawasaki.jp`` — every immediate child of the base is a public
+    suffix), and exception rules (``!www.ck`` — the name itself is
+    registrable despite a covering wildcard). Longest match wins, the
+    PSL algorithm's cascade, compiled to the same bounded literal-isin
+    codegen shape as :func:`registered_domain` — table size changes the
+    isin list length, never the plan.
+
+    ``rules`` is an ``operators/psl_data.py:PslRules`` — by default the
+    vendored snapshot (:data:`~etl_mark1_spark.operators.psl_data.
+    VENDORED_RULES`, ~450 high-traffic rules, honestly documented as a
+    SUBSET); a production crawl parses the canonical
+    ``public_suffix_list.dat`` with ``psl_data.parse_psl`` and passes it
+    here, same plan shape. Unlisted suffixes fall back to the PSL's own
+    default rule (registrable = last two labels)."""
+    from etl_mark1_spark.operators.psl_data import VENDORED_RULES
+
+    r = rules if rules is not None else VENDORED_RULES
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def last(k: int) -> Column:
+        return F.concat_ws(".", *[F.try_element_at(labels, F.lit(-i))
+                                  for i in range(k, 0, -1)])
+
+    last1, last2, last3, last4 = (F.try_element_at(labels, F.lit(-1)),
+                                  last(2), last(3), last(4))
+
+    def isin(col: Column, values: frozenset) -> Column:
+        return col.isin(*sorted(values)) if values else F.lit(False)
+
+    # base of a candidate wildcard match: the two labels ABOVE the
+    # wildcard's child (for *.kawasaki.jp the child is labels[-3])
+    wc2_base = last(2)          # matches "kawasaki.jp" when n >= 3
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        # exceptions first (they exempt a name from a covering wildcard)
+        .when(isin(last3, r.exceptions3) & (n >= 3), last3)
+        .when(isin(last2, r.exceptions2) & (n >= 2), last2)
+        # wildcard rules: suffix is one label deeper than the base
+        .when(isin(wc2_base, r.wildcards2) & (n >= 4), last4)
+        .when(isin(wc2_base, r.wildcards2) & (n == 3), host)
+        .when(isin(last1, r.wildcards1) & (n >= 3), last3)
+        .when(isin(last1, r.wildcards1) & (n == 2), host)
+        # literal rules, longest first
+        .when(isin(last3, r.literals3) & (n >= 4), last4)
+        .when(isin(last3, r.literals3) & (n == 3), host)
+        .when(isin(last2, r.literals2) & (n >= 3), last3)
+        .when(isin(last2, r.literals2) & (n == 2), host)
+        # the PSL default rule: registrable = last two labels
+        .when(n >= 2, last2)
+        .otherwise(host))
 
 
 def with_normalized_urls(df: DataFrame, url_col: str = "url",

@@ -731,3 +731,97 @@ def test_sitemap_urls_randomized_roundtrip(spark):
     got = {(r["domain"], r["loc"], r["lastmod"], r["priority"])
            for r in sitemap_urls(df).collect()}
     assert got == want
+
+
+def test_registered_domain_psl_full_semantics(spark):
+    """Round-10 VERDICT item: full PSL rule semantics — literal,
+    wildcard (*.ck, *.kawasaki.jp), and exception (!www.ck,
+    !city.kawasaki.jp) rules, longest match first, default rule
+    fallback — against the vendored snapshot."""
+    from etl_mark1_spark.operators.web import registered_domain_psl
+
+    cases = [
+        ("a.blog.example.co.uk", "example.co.uk"),    # literal2
+        ("school.k12.va.us", "school.k12.va.us"),     # literal3, n==3
+        ("www.school.k12.va.us", "school.k12.va.us"),  # literal3, n==4
+        ("example.com", "example.com"),                # default rule
+        ("deep.sub.example.com", "example.com"),       # default rule
+        ("single", "single"),                          # no dot
+        # wildcard *.ck: every 2nd level is a public suffix
+        ("www.shop.biz.ck", "shop.biz.ck"),
+        ("biz.ck", "biz.ck"),                          # == the suffix
+        # exception !www.ck beats the wildcard
+        ("www.ck", "www.ck"),
+        ("sub.www.ck", "www.ck"),
+        # wildcard *.kawasaki.jp (city 4th-level registries)
+        ("x.co.kawasaki.jp", "x.co.kawasaki.jp"),
+        ("a.x.co.kawasaki.jp", "x.co.kawasaki.jp"),
+        # exception !city.kawasaki.jp
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("ward.city.kawasaki.jp", "city.kawasaki.jp"),
+        # jp prefecture literal2
+        ("site.pref.aichi.jp", "pref.aichi.jp"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases],
+                               "host string")
+    got = {r["host"]: r["dom"] for r in df.select(
+        "host", registered_domain_psl(F.col("host")).alias("dom"))
+        .collect()}
+    for host, want in cases:
+        assert got[host] == want, (host, got[host], want)
+
+
+def test_parse_psl_official_format():
+    """The parser accepts the canonical public_suffix_list.dat syntax:
+    comments, section markers, wildcards, exceptions; private section
+    dropped by default; deep rules surfaced in .skipped, not lost."""
+    from etl_mark1_spark.operators.psl_data import parse_psl
+
+    sample = """
+// ===BEGIN ICANN DOMAINS===
+com
+// United Kingdom
+co.uk
+k12.va.us
+*.ck
+!www.ck
+*.kawasaki.jp
+!city.kawasaki.jp
+a.very.deep.rule
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+// ===END PRIVATE DOMAINS===
+"""
+    rules = parse_psl(sample)
+    assert "co.uk" in rules.literals2
+    assert "k12.va.us" in rules.literals3
+    assert "ck" in rules.wildcards1
+    assert "kawasaki.jp" in rules.wildcards2
+    assert "www.ck" in rules.exceptions2
+    assert "city.kawasaki.jp" in rules.exceptions3
+    assert "github.io" not in rules.literals2      # private dropped
+    assert rules.skipped == ("a.very.deep.rule",)
+    private = parse_psl(sample, icann_only=False)
+    assert "github.io" in private.literals2
+
+
+def test_registered_domain_psl_matches_legacy_on_literals(spark):
+    """With a literals-only rule set the full resolver and the legacy
+    fixture-scoped helper agree on every host shape."""
+    from etl_mark1_spark.operators.psl_data import PslRules
+    from etl_mark1_spark.operators.web import (MULTI_PART_SUFFIXES,
+                                               registered_domain,
+                                               registered_domain_psl)
+
+    rules = PslRules(literals2=frozenset(MULTI_PART_SUFFIXES))
+    hosts = ["a.b.example.co.uk", "example.co.uk", "co.uk", "x.com",
+             "a.b.c.d.com.au", "plain", "sub.example.org"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = df.select(
+        registered_domain(F.col("host")).alias("legacy"),
+        registered_domain_psl(F.col("host"), rules).alias("full"))
+    mismatches = out.filter(
+        ~F.col("legacy").eqNullSafe(F.col("full"))).collect()
+    assert not mismatches, mismatches
