@@ -118,6 +118,12 @@ HEADLINE = [
     # (deduped explode -> gram-level min -> join back), representing the
     # residual-duplication audit family
     "ngram_novelty_docs",
+    # round-11 additions: inverted-index segment merge (three shard
+    # builds + union re-aggregation — the index-lifecycle family) and
+    # the doubling search for the longest duplicated word span (log
+    # probes, each a hash-gram aggregation with a limit(1) short-circuit)
+    "index_merge_parity_docs",
+    "longest_dup_span_docs",
 ]
 
 

@@ -98,30 +98,31 @@ DRIVER_PREFIX_ROUND = 11
 #:   * 2 SENTINELS at the head — q1_pricing_summary (green r1-5, r8-r10)
 #:     and domain_capped_docs (green r9-r10) — previously-confirmed
 #:     entries kept under external regression coverage.
-#:   * 8 NEW round-11 entries: broadcast_decontam_fixed_ref (the
+#:   * 9 NEW round-11 entries: broadcast_decontam_fixed_ref (the
 #:     production-shape fixed-reference decontam pair) and the
 #:     retrieval-index lifecycle tranche (catalog/index_lifecycle.py):
 #:     index_build_tf_docs, index_merge_parity_docs,
 #:     index_incremental_docs, search_conjunctive_docs,
-#:     longest_dup_span_docs, ivf_incremental_topk — plus
+#:     longest_dup_span_docs, ivf_incremental_topk,
+#:     phrase_search_docs (positional postings) — plus
 #:     psl_registered_domains (full PSL wildcard/exception semantics
 #:     over the vendored snapshot, catalog/web_curation.py) — each
 #:     oracle-exact and dual-carrier-swept at birth.
-#:   * 40 STALE-SENTINEL refreshers — the staged refresh queue: the 15
+#:   * 39 STALE-SENTINEL refreshers — the staged refresh queue: the 15
 #:     refreshers swapped out of the round-10 prefix to make room for
 #:     the second tranche (doc_fingerprint ... rebalance_mixture_sources),
 #:     then the next-oldest r1/r5 backlog block (rename_cast_project ...
-#:     window_running_sum), then cube_agg and curation_chunks from the
-#:     five remaining. After this round the stale backlog is 3 names
-#:     (curation_pipeline, dedup_distinct, dedup_exact_documents) —
+#:     window_running_sum), then cube_agg from the five remaining. After
+#:     this round the stale backlog is 4 names (curation_chunks,
+#:     curation_pipeline, dedup_distinct, dedup_exact_documents) —
 #:     ONE rotation from empty.
 #: If CORRECTNESS_r11 fails to land, re-run THIS prefix in round 12 —
 #: never rotate past an unsampled prefix.
 #:
 #: ROUND-12 PLAN: (a) any r11 reds at the head, (b) 2+ sentinels,
-#: (c) new round-12 additions, (d) curation_pipeline + dedup_distinct +
-#: dedup_exact_documents (the backlog's last three), (e) next-oldest
-#: refreshers (r6+).
+#: (c) new round-12 additions, (d) curation_chunks + curation_pipeline +
+#: dedup_distinct + dedup_exact_documents (the backlog's last four),
+#: (e) next-oldest refreshers (r6+).
 DRIVER_PREFIX = [
     "q1_pricing_summary",
     "domain_capped_docs",
@@ -133,6 +134,7 @@ DRIVER_PREFIX = [
     "longest_dup_span_docs",
     "ivf_incremental_topk",
     "psl_registered_domains",
+    "phrase_search_docs",
     "doc_fingerprint",
     "embedding_cosine_topk",
     "events_hourly",
@@ -172,7 +174,6 @@ DRIVER_PREFIX = [
     "window_lag_lead",
     "window_running_sum",
     "cube_agg",
-    "curation_chunks",
 ]
 
 

@@ -226,3 +226,34 @@ def ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_index_append(spark, tdir, delta.select("vec_id", "embedding"))
     reopened, cents2 = ivf_index_read(spark, tdir)
     return ivf_topk(reopened, cents2, qv, k=10, nprobe=len(cents2))
+
+
+@query("phrase_search_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+          FROM d WHERE len(tk) >= 2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM p WHERE tk[i] = 'table' AND tk[i + 1] = 'hash'
+    GROUP BY doc_id
+""")
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phrase query over positional postings
+    (operators/indexing.py:build_positional_postings + phrase_search):
+    per-document occurrence counts of the phrase "table hash" — the
+    query granularity tf postings cannot answer (bag-of-words matches
+    "hash ... table" too). The anchor construction costs one pushed
+    isin scan filter + one (doc, anchor) aggregation — work scales with
+    the query terms' posting sizes, never the corpus; repeated-token
+    phrases are covered by the slot fan-out (pinned in
+    tests/test_indexing.py). The oracle scans token arrays positionally
+    — the from-first-principles restatement."""
+    from etl_mark1_spark.operators.indexing import (
+        build_positional_postings, phrase_search)
+
+    return phrase_search(
+        build_positional_postings(t(spark, sf_dir, "documents")),
+        ["table", "hash"])

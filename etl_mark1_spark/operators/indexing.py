@@ -160,6 +160,57 @@ def conjunctive_search(postings: DataFrame, terms: list[str],
     return hits
 
 
+def build_positional_postings(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Positional postings: one (token, doc_id, pos) row per occurrence,
+    1-based token position — the index granularity phrase and proximity
+    queries need (tf postings can only answer bag-of-words). Rows, not
+    per-doc position arrays, for the same stopword-sharding reason as
+    :func:`build_postings`; one posexplode, no aggregation (the position
+    IS the payload)."""
+    from etl_mark1_spark.functions.text import normalized_text
+    from etl_mark1_spark.operators.dedup import ensure_parallelism
+
+    return (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(F.split(normalized_text(F.col(text_col)),
+                                         " ")).alias("_p0", "token"))
+            .filter(F.col("token") != "")
+            .select("token", "doc_id",
+                    (F.col("_p0") + 1).cast("bigint").alias("pos")))
+
+
+def phrase_search(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """EXACT phrase occurrences from positional postings: documents
+    where ``phrase``'s tokens appear at consecutive positions, with the
+    occurrence count. The classic anchor trick, no per-term self-join
+    chain: each surviving posting fans out to the phrase slots its token
+    could fill (a bounded literal-array filter — repeated tokens in the
+    phrase are handled, "the cat the" fans "the" to slots 0 and 2), is
+    rebased to ``anchor = pos - slot``, and an anchor where ALL slots
+    check in is a match. One pushed isin scan filter + one (doc, anchor)
+    aggregation + one per-doc rollup; cost scales with the query terms'
+    posting sizes, never the corpus. Returns (doc_id, n_matches)."""
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    terms = [t.lower() for t in phrase]
+    arr = F.array(*[F.lit(t) for t in terms])
+    slots = F.filter(
+        F.sequence(F.lit(0), F.lit(len(terms) - 1)),
+        lambda i: F.try_element_at(arr, (i + 1).cast("int"))
+        == F.col("token"))
+    anchored = (postings.filter(F.col("token").isin(list(set(terms))))
+                .select("doc_id", "pos", F.explode(slots).alias("_slot"))
+                .select("doc_id",
+                        (F.col("pos") - F.col("_slot")).alias("_anchor"),
+                        "_slot"))
+    full = (anchored.groupBy("doc_id", "_anchor")
+            .agg(F.count_distinct("_slot").alias("_n"))
+            .filter((F.col("_n") == len(terms)) & (F.col("_anchor") >= 1)))
+    return (full.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches")))
+
+
 # --------------------------------------------------------------------------
 # Longest duplicated word span — doubling search over word n-grams
 # --------------------------------------------------------------------------

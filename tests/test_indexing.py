@@ -201,3 +201,31 @@ def test_ivf_persist_append_probe_round_trip(spark, tmp_path):
     pruned = ivf_topk(reopened, cents2, q, k=5, nprobe=2)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_centroid" in plan
+
+
+def test_positional_postings_positions(spark):
+    from etl_mark1_spark.operators.indexing import build_positional_postings
+    got = {(r["token"], r["doc_id"], r["pos"]) for r in
+           build_positional_postings(
+               _docs(spark, [(1, "a b a")])).collect()}
+    assert got == {("a", 1, 1), ("b", 1, 2), ("a", 1, 3)}
+
+
+def test_phrase_search_exact_and_repeated_tokens(spark):
+    from etl_mark1_spark.operators.indexing import (
+        build_positional_postings, phrase_search)
+    rows = [(1, "the cat the dog the cat the"),   # "the cat the" at 1 and 5
+            (2, "the cat sat"),                   # no "the cat the"
+            (3, "cat the cat the cat"),           # at 2 (the cat the)
+            (4, "x the cat the y the cat the")]   # at 2 and 6
+    p = build_positional_postings(_docs(spark, rows))
+    got = {r["doc_id"]: r["n_matches"] for r in
+           phrase_search(p, ["the", "cat", "the"]).collect()}
+    assert got == {1: 2, 3: 1, 4: 2}
+    got2 = {r["doc_id"]: r["n_matches"] for r in
+            phrase_search(p, ["the", "cat"]).collect()}
+    assert got2 == {1: 2, 2: 1, 3: 2, 4: 2}
+    single = {r["doc_id"]: r["n_matches"] for r in
+              phrase_search(p, ["cat"]).collect()}
+    assert single == {1: 2, 2: 1, 3: 3, 4: 2}
+    assert phrase_search(p, ["absent", "words"]).count() == 0
