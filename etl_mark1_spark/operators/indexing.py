@@ -215,34 +215,37 @@ def phrase_search(postings: DataFrame, phrase: list[str]) -> DataFrame:
 # Longest duplicated word span — doubling search over word n-grams
 # --------------------------------------------------------------------------
 
-def _span_exists(df: DataFrame, length: int, text_col: str,
-                 id_col: str) -> bool:
+def _span_exists(tokens: DataFrame, length: int, id_col: str) -> bool:
     """Does any word span of exactly ``length`` occur in >= 2 distinct
-    documents? One bounded probe: grams are md5-hashed (narrow shuffle
-    rows), grouped, and the FIRST qualifying group short-circuits via
-    limit(1) — the collect is at most one row."""
-    grams = _spans_of(df, length, text_col, id_col, hashed=True)
+    documents? One bounded probe over the pre-tokenized frame: grams are
+    md5-hashed (narrow shuffle rows), grouped, and the FIRST qualifying
+    group short-circuits via limit(1) — the collect is at most one
+    row."""
+    grams = _spans_of(tokens, length, id_col, hashed=True)
     return bool(grams.groupBy("gram")
                 .agg(F.count_distinct(id_col).alias("_nd"))
                 .filter(F.col("_nd") >= 2).limit(1).collect())
 
 
-def _spans_of(df: DataFrame, length: int, text_col: str, id_col: str,
-              hashed: bool) -> DataFrame:
+def _tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from etl_mark1_spark.functions.text import normalized_text
 
     tk = F.split(normalized_text(F.col(text_col)), " ")
-    n = F.size(tk)
+    return df.select(F.col(id_col), tk.alias("_tk"),
+                     F.size(tk).alias("_n"))
+
+
+def _spans_of(tokens: DataFrame, length: int, id_col: str,
+              hashed: bool) -> DataFrame:
     span = F.array_join(F.slice(F.col("_tk"), F.col("_i"), length), " ")
-    out = (df.select(F.col(id_col), tk.alias("_tk"), n.alias("_n"))
-           .filter(F.col("_n") >= length)
-           .select(F.col(id_col),
-                   F.explode(F.sequence(
-                       F.lit(1), F.col("_n") - length + 1)).alias("_i"),
-                   F.col("_tk"))
-           .select(F.col(id_col),
-                   (F.md5(span) if hashed else span).alias("gram")))
-    return out
+    return (tokens
+            .filter(F.col("_n") >= length)
+            .select(F.col(id_col),
+                    F.explode(F.sequence(
+                        F.lit(1), F.col("_n") - length + 1)).alias("_i"),
+                    F.col("_tk"))
+            .select(F.col(id_col),
+                    (F.md5(span) if hashed else span).alias("gram")))
 
 
 def longest_dup_span(df: DataFrame, text_col: str = "text",
@@ -262,25 +265,38 @@ def longest_dup_span(df: DataFrame, text_col: str = "text",
     aggregation with a limit(1) short-circuit. O(log max_len) probes,
     each linear in corpus words; no probe materializes span text (grams
     travel md5-hashed), only the FINAL projection at the answer length
-    rebuilds real strings. Returns every span of the maximal length:
+    rebuilds real strings. The tokenized corpus is localCheckpoint'd
+    ONCE and shared by all probes (re-running normalize+split per probe
+    measured ~2x the whole operator at sf0.1); the checkpoint is
+    token-array sized — CALLER-OWNED STORAGE, same convention as
+    dedup's ``_cluster_min_label``: consume the result, then
+    ``release_checkpoint(result, deep=True)`` (or close the session).
+    Returns every span of the maximal length:
     (span, n_words, n_docs, min_doc); empty frame if nothing repeats.
     """
+    from etl_mark1_spark.operators.dedup import ensure_parallelism
+
+    tokens = ensure_parallelism(
+        _tokenize(df, text_col, id_col)).localCheckpoint()
     lo = 1
-    if not _span_exists(df, lo, text_col, id_col):
+    if not _span_exists(tokens, lo, id_col):
+        from etl_mark1_spark.operators.dedup import release_checkpoint
+
+        release_checkpoint(tokens)
         schema = "span string, n_words bigint, n_docs bigint, min_doc bigint"
         return df.sparkSession.createDataFrame([], schema)
     # doubling: find the first power-of-two length with NO duplicate
     hi = 2
-    while hi <= max_len and _span_exists(df, hi, text_col, id_col):
+    while hi <= max_len and _span_exists(tokens, hi, id_col):
         lo, hi = hi, hi * 2
     # invariant: dup exists at lo, none at hi; binary search the edge
     while hi - lo > 1:
         mid = (lo + hi) // 2
-        if _span_exists(df, mid, text_col, id_col):
+        if _span_exists(tokens, mid, id_col):
             lo = mid
         else:
             hi = mid
-    spans = _spans_of(df, lo, text_col, id_col, hashed=False)
+    spans = _spans_of(tokens, lo, id_col, hashed=False)
     return (spans.groupBy("gram")
             .agg(F.count_distinct(id_col).alias("n_docs"),
                  F.min(id_col).cast("bigint").alias("min_doc"))
