@@ -98,31 +98,43 @@ DRIVER_PREFIX_ROUND = 11
 #:   * 2 SENTINELS at the head — q1_pricing_summary (green r1-5, r8-r10)
 #:     and domain_capped_docs (green r9-r10) — previously-confirmed
 #:     entries kept under external regression coverage.
-#:   * 9 NEW round-11 entries: broadcast_decontam_fixed_ref (the
+#:   * 10 NEW round-11 entries: broadcast_decontam_fixed_ref (the
 #:     production-shape fixed-reference decontam pair) and the
 #:     retrieval-index lifecycle tranche (catalog/index_lifecycle.py):
 #:     index_build_tf_docs, index_merge_parity_docs,
 #:     index_incremental_docs, search_conjunctive_docs,
 #:     longest_dup_span_docs, ivf_incremental_topk,
-#:     phrase_search_docs (positional postings) — plus
+#:     phrase_search_docs (positional postings), l_diversity_customers
+#:     (the leak k-anonymity alone misses) — plus
 #:     psl_registered_domains (full PSL wildcard/exception semantics
 #:     over the vendored snapshot, catalog/web_curation.py) — each
 #:     oracle-exact and dual-carrier-swept at birth.
-#:   * 39 STALE-SENTINEL refreshers — the staged refresh queue: the 15
+#:   * 6 FIRST-TIME HASH CONFIRMATIONS: simhash_docs, minhash_neardup,
+#:     ngram_jaccard_neardup, simhash_neardup, embedding_neardup,
+#:     semantic_dedup_embeddings — the near-dup core was driver-sampled
+#:     only in rounds 1-3 as rows-only (err: no_oracle) and gained exact
+#:     recursive-CTE oracles LATER; no driver row has ever hash-checked
+#:     them. Never-hash-confirmed oracle-exact entries outrank stale
+#:     refreshers under the rotation policy, so they take the last
+#:     refresher slots this round.
+#:   * 32 STALE-SENTINEL refreshers — the staged refresh queue: the 15
 #:     refreshers swapped out of the round-10 prefix to make room for
 #:     the second tranche (doc_fingerprint ... rebalance_mixture_sources),
 #:     then the next-oldest r1/r5 backlog block (rename_cast_project ...
-#:     window_running_sum), then cube_agg from the five remaining. After
-#:     this round the stale backlog is 4 names (curation_chunks,
+#:     text_stats, text_tokens_bpe). After this round the stale backlog
+#:     is 11 names (tfidf_top_terms ... cube_agg displaced by the
+#:     first-time-confirmation block, plus curation_chunks,
 #:     curation_pipeline, dedup_distinct, dedup_exact_documents) —
-#:     ONE rotation from empty.
+#:     still ONE healthy rotation from empty.
 #: If CORRECTNESS_r11 fails to land, re-run THIS prefix in round 12 —
 #: never rotate past an unsampled prefix.
 #:
 #: ROUND-12 PLAN: (a) any r11 reds at the head, (b) 2+ sentinels,
-#: (c) new round-12 additions, (d) curation_chunks + curation_pipeline +
-#: dedup_distinct + dedup_exact_documents (the backlog's last four),
-#: (e) next-oldest refreshers (r6+).
+#: (c) new round-12 additions, (d) the 11-name backlog (tfidf_top_terms,
+#: train_test_split, trim_drop_dedup, union_all_merge, window_lag_lead,
+#: window_running_sum, cube_agg, curation_chunks, curation_pipeline,
+#: dedup_distinct, dedup_exact_documents), (e) next-oldest refreshers
+#: (r6 era: conditional_exprs, corpus_stats, corr_stats, ...).
 DRIVER_PREFIX = [
     "q1_pricing_summary",
     "domain_capped_docs",
@@ -135,6 +147,13 @@ DRIVER_PREFIX = [
     "ivf_incremental_topk",
     "psl_registered_domains",
     "phrase_search_docs",
+    "l_diversity_customers",
+    "simhash_docs",
+    "minhash_neardup",
+    "ngram_jaccard_neardup",
+    "simhash_neardup",
+    "embedding_neardup",
+    "semantic_dedup_embeddings",
     "doc_fingerprint",
     "embedding_cosine_topk",
     "events_hourly",
@@ -167,13 +186,6 @@ DRIVER_PREFIX = [
     "text_quality",
     "text_stats",
     "text_tokens_bpe",
-    "tfidf_top_terms",
-    "train_test_split",
-    "trim_drop_dedup",
-    "union_all_merge",
-    "window_lag_lead",
-    "window_running_sum",
-    "cube_agg",
 ]
 
 

@@ -257,3 +257,31 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(
         build_positional_postings(t(spark, sf_dir, "documents")),
         ["table", "hash"])
+
+
+@query("l_diversity_customers", """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                AS BIGINT) AS n_sensitive
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 8
+""")
+def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit (plans/quality.py:l_diversity_audit —
+    Machanavajjhala et al.'s refinement of the k-anonymity entry): a
+    (nation, market segment) group can be k-anonymous yet leak if its
+    sensitive attribute (balance bucket) is near-constant; this flags
+    groups with fewer than l=8 distinct buckets. One hash aggregate
+    shuffling only quasi + sensitive columns, map-side partials,
+    failing-output small by construction — the companion row the
+    release_audit datacard cites next to the under-k report."""
+    from etl_mark1_spark.plans.quality import l_diversity_audit
+
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint"))
+    return l_diversity_audit(
+        cust.select("c_nationkey", "c_mktsegment", "bal_bucket"),
+        ["c_nationkey", "c_mktsegment"], "bal_bucket", l=8)

@@ -369,3 +369,24 @@ def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
     return (df.groupBy(*quasi_cols)
             .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
             .filter(F.col("group_size") < k))
+
+
+def l_diversity_audit(df: DataFrame, quasi_cols: list[str],
+                      sensitive_col: str, l: int = 2) -> DataFrame:
+    """The follow-up audit k-anonymity alone cannot make (Machanavajjhala
+    et al., "l-Diversity: Privacy Beyond k-Anonymity"): a quasi-identifier
+    group can be large yet still leak — if every row in it shares ONE
+    sensitive value, the join attack learns that value without singling
+    anyone out. Flags every group whose sensitive attribute takes fewer
+    than ``l`` distinct values. Returns the failing combos with group
+    size and distinct-sensitive count; empty certifies the release at
+    that l (given the k audit also passes).
+
+    Same shape discipline as :func:`k_anonymity_audit`: one hash
+    aggregate with map-side partials, shuffling only the quasi +
+    sensitive columns; the failing output is small by construction."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"),
+                 F.count_distinct(F.col(sensitive_col)).cast("bigint")
+                 .alias("n_sensitive"))
+            .filter(F.col("n_sensitive") < l))

@@ -229,3 +229,45 @@ def test_phrase_search_exact_and_repeated_tokens(spark):
               phrase_search(p, ["cat"]).collect()}
     assert single == {1: 2, 2: 1, 3: 3, 4: 2}
     assert phrase_search(p, ["absent", "words"]).count() == 0
+
+
+def test_phrase_search_hypothesis_vs_python(spark):
+    """Randomized parity: phrase_search over positional postings must
+    equal a from-first-principles Python scan on random small-alphabet
+    docs (small alphabet so phrases repeat and overlap)."""
+    from etl_mark1_spark.operators.indexing import (
+        build_positional_postings, phrase_search)
+
+    rng = random.Random(101)
+    alpha = ["a", "b", "c"]
+    for trial in range(6):
+        rows = [(i, " ".join(rng.choice(alpha)
+                             for _ in range(rng.randint(1, 14))))
+                for i in range(1, 16)]
+        phrase = [rng.choice(alpha)
+                  for _ in range(rng.randint(1, 3))]
+        want = {}
+        for i, text in rows:
+            toks = text.split()
+            n = sum(1 for p in range(len(toks) - len(phrase) + 1)
+                    if toks[p:p + len(phrase)] == phrase)
+            if n:
+                want[i] = n
+        p = build_positional_postings(_docs(spark, rows))
+        got = {r["doc_id"]: r["n_matches"]
+               for r in phrase_search(p, phrase).collect()}
+        assert got == want, (trial, phrase, rows)
+
+
+def test_l_diversity_audit_flags_low_diversity_groups(spark):
+    from etl_mark1_spark.plans.quality import l_diversity_audit
+
+    rows = [("g1", "x"), ("g1", "x"), ("g1", "x"),   # 1 sensitive value
+            ("g2", "x"), ("g2", "y"),                # 2 values
+            ("g3", "x"), ("g3", "y"), ("g3", "z")]   # 3 values
+    df = spark.createDataFrame(rows, ["quasi", "sens"])
+    got = {r["quasi"]: (r["group_size"], r["n_sensitive"]) for r in
+           l_diversity_audit(df, ["quasi"], "sens", l=3).collect()}
+    # g1 is 3-anonymous yet fails diversity; g3 passes
+    assert got == {"g1": (3, 1), "g2": (2, 2)}
+    assert l_diversity_audit(df, ["quasi"], "sens", l=1).count() == 0
