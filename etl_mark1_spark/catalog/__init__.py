@@ -98,14 +98,16 @@ DRIVER_PREFIX_ROUND = 11
 #:   * 2 SENTINELS at the head — q1_pricing_summary (green r1-5, r8-r10)
 #:     and domain_capped_docs (green r9-r10) — previously-confirmed
 #:     entries kept under external regression coverage.
-#:   * 10 NEW round-11 entries: broadcast_decontam_fixed_ref (the
+#:   * 12 NEW round-11 entries: broadcast_decontam_fixed_ref (the
 #:     production-shape fixed-reference decontam pair) and the
 #:     retrieval-index lifecycle tranche (catalog/index_lifecycle.py):
 #:     index_build_tf_docs, index_merge_parity_docs,
 #:     index_incremental_docs, search_conjunctive_docs,
 #:     longest_dup_span_docs, ivf_incremental_topk,
 #:     phrase_search_docs (positional postings), l_diversity_customers
-#:     (the leak k-anonymity alone misses) — plus
+#:     (the leak k-anonymity alone misses), loss_mask_spans_docs (SFT
+#:     loss-mask offsets), blocklist_scan_docs (Aho-Corasick dictionary
+#:     scan) — plus
 #:     psl_registered_domains (full PSL wildcard/exception semantics
 #:     over the vendored snapshot, catalog/web_curation.py) — each
 #:     oracle-exact and dual-carrier-swept at birth.
@@ -117,24 +119,25 @@ DRIVER_PREFIX_ROUND = 11
 #:     them. Never-hash-confirmed oracle-exact entries outrank stale
 #:     refreshers under the rotation policy, so they take the last
 #:     refresher slots this round.
-#:   * 32 STALE-SENTINEL refreshers — the staged refresh queue: the 15
+#:   * 30 STALE-SENTINEL refreshers — the staged refresh queue: the 15
 #:     refreshers swapped out of the round-10 prefix to make room for
 #:     the second tranche (doc_fingerprint ... rebalance_mixture_sources),
 #:     then the next-oldest r1/r5 backlog block (rename_cast_project ...
-#:     text_stats, text_tokens_bpe). After this round the stale backlog
-#:     is 11 names (tfidf_top_terms ... cube_agg displaced by the
-#:     first-time-confirmation block, plus curation_chunks,
-#:     curation_pipeline, dedup_distinct, dedup_exact_documents) —
-#:     still ONE healthy rotation from empty.
+#:     text_quality). After this round the stale backlog is 13 names
+#:     (text_stats, text_tokens_bpe, tfidf_top_terms ... cube_agg
+#:     displaced by new entries and the first-time-confirmation block,
+#:     plus curation_chunks, curation_pipeline, dedup_distinct,
+#:     dedup_exact_documents) — still ONE healthy rotation from empty.
 #: If CORRECTNESS_r11 fails to land, re-run THIS prefix in round 12 —
 #: never rotate past an unsampled prefix.
 #:
 #: ROUND-12 PLAN: (a) any r11 reds at the head, (b) 2+ sentinels,
-#: (c) new round-12 additions, (d) the 11-name backlog (tfidf_top_terms,
-#: train_test_split, trim_drop_dedup, union_all_merge, window_lag_lead,
-#: window_running_sum, cube_agg, curation_chunks, curation_pipeline,
-#: dedup_distinct, dedup_exact_documents), (e) next-oldest refreshers
-#: (r6 era: conditional_exprs, corpus_stats, corr_stats, ...).
+#: (c) new round-12 additions, (d) the 13-name backlog (text_stats,
+#: text_tokens_bpe, tfidf_top_terms, train_test_split, trim_drop_dedup,
+#: union_all_merge, window_lag_lead, window_running_sum, cube_agg,
+#: curation_chunks, curation_pipeline, dedup_distinct,
+#: dedup_exact_documents), (e) next-oldest refreshers (r6 era:
+#: conditional_exprs, corpus_stats, corr_stats, ...).
 DRIVER_PREFIX = [
     "q1_pricing_summary",
     "domain_capped_docs",
@@ -148,6 +151,8 @@ DRIVER_PREFIX = [
     "psl_registered_domains",
     "phrase_search_docs",
     "l_diversity_customers",
+    "loss_mask_spans_docs",
+    "blocklist_scan_docs",
     "simhash_docs",
     "minhash_neardup",
     "ngram_jaccard_neardup",
@@ -184,8 +189,6 @@ DRIVER_PREFIX = [
     "string_ops",
     "text_lang_id",
     "text_quality",
-    "text_stats",
-    "text_tokens_bpe",
 ]
 
 

@@ -855,3 +855,86 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_us"))
     return run_available_now(out, table_name="stream_ivjoin_out",
                              output_mode="append")
+
+
+@query("loss_mask_spans_docs", rf"""
+    WITH d AS ({_DIALOG_SYNTH_SQL}),
+    m AS (SELECT doc_id,
+                 string_split(regexp_replace(replace(tx, chr(1), ''),
+                   '\b(user|assistant): ', chr(1) || '\1: ', 'g'),
+                   chr(1)) AS parts
+          FROM d),
+    p AS (SELECT doc_id, parts, unnest(range(1, len(parts))) AS i
+          FROM m),
+    t AS (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
+                 regexp_extract(parts[i + 1],
+                                '^(user|assistant): ', 1) AS role,
+                 trim(regexp_replace(parts[i + 1],
+                                     '^(user|assistant): ', ''))
+                   AS utterance
+          FROM p
+          WHERE regexp_matches(parts[i + 1], '^(user|assistant): ')),
+    r AS (SELECT doc_id, turn_idx, role, utterance,
+                 length(role) + 2 + length(utterance) + 1 AS rlen
+          FROM t),
+    s AS (SELECT doc_id, turn_idx, role,
+                 coalesce(sum(rlen) OVER (
+                     PARTITION BY doc_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) + length(role) + 2 AS start_char,
+                 length(utterance) AS ulen
+          FROM r)
+    SELECT doc_id, turn_idx,
+           CAST(start_char AS BIGINT) AS start_char,
+           CAST(start_char + ulen AS BIGINT) AS end_char
+    FROM s WHERE role = 'assistant'
+""")
+def loss_mask_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask table (operators/sentences.py:loss_mask_spans):
+    [start, end) character offsets of every ASSISTANT utterance in the
+    canonical "role: utterance\\n" rendering — the collator input that
+    confines loss to assistant tokens without re-tokenizing per epoch.
+    Offsets are a per-document running sum over the exploded turns
+    (window partitioned by the doc key — tasks scale with documents,
+    a transcript's turns are bounded); the oracle replays the rendering
+    arithmetic with a SQL window."""
+    from etl_mark1_spark.operators.sentences import (loss_mask_spans,
+                                                     parse_dialog_turns)
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _dialog_synth_col().alias("text"))
+    return loss_mask_spans(parse_dialog_turns(docs))
+
+
+@query("blocklist_scan_docs", r"""
+    WITH pats(term) AS (
+      VALUES ('table hash'), ('slow key'), ('vector small'),
+             ('hash'), ('spark'), ('zz missing phrase')),
+    d AS (SELECT doc_id,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tx
+          FROM documents),
+    m AS (SELECT doc_id, term FROM d, pats
+          WHERE position(term IN tx) > 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           min(term) AS first_term
+    FROM m GROUP BY doc_id
+""")
+def blocklist_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-scan safety pass (operators/matching.py:
+    multi_pattern_scan — Aho-Corasick over a broadcast automaton): per
+    document, how many of the banned phrases occur and the smallest
+    matched one. The pattern set deliberately nests ('hash' inside
+    'table hash') so the automaton's suffix-link outputs are exercised
+    under external confirmation, and includes an absent phrase. Scan
+    cost is O(doc_len + matches) INDEPENDENT of dictionary size — the
+    naive contains()-OR alternative grows the codegen tree with every
+    term (the round-8 expression-size cliff) and pays O(terms x
+    doc_len); at a 10k-phrase production blocklist only the automaton
+    shape survives. No shuffle: the report is a projection of the
+    corpus scan."""
+    from etl_mark1_spark.operators.matching import multi_pattern_scan
+
+    return multi_pattern_scan(
+        t(spark, sf_dir, "documents"),
+        ["table hash", "slow key", "vector small", "hash", "spark",
+         "zz missing phrase"])

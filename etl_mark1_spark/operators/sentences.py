@@ -169,3 +169,39 @@ def dialog_alternation_report(turns: DataFrame,
         (F.element_at("_seq", 1)["role"] == "user").alias("opens_user"),
         F.when(F.size("_seq") >= 2, viol).otherwise(0)
         .cast("bigint").alias("n_violations"))
+
+
+def loss_mask_spans(turns: DataFrame, id_col: str = "doc_id",
+                    train_role: str = "assistant",
+                    sep_len: int = 1) -> DataFrame:
+    """Character-offset loss-mask table for instruction tuning: given
+    exploded turns (:func:`parse_dialog_turns`), the [start_char,
+    end_char) span of every TRAINABLE turn's utterance in the canonical
+    rendering ``"role: utterance" + sep`` per turn — the table an SFT
+    pipeline feeds the collator so loss lands only on ``train_role``
+    tokens (training on user turns teaches the model to ask itself
+    questions; masking by re-tokenizing downstream instead of carrying
+    offsets re-does this work per epoch).
+
+    Offsets are a running sum of prior rendered-turn lengths — one
+    per-document window ordered by turn_idx (partitioned by the doc key,
+    so tasks scale with documents, never a global sort; a transcript's
+    turns are bounded). ``sep_len`` is the byte length of the join
+    separator the renderer uses (1 for "\\n"). Returns (id_col,
+    turn_idx, start_char, end_char) for ``train_role`` turns; end_char
+    excludes the separator."""
+    from pyspark.sql import Window
+
+    rendered_len = (F.length("role") + F.lit(2) + F.length("utterance")
+                    + F.lit(sep_len))
+    w = (Window.partitionBy(id_col).orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    turn_start = F.coalesce(F.sum(rendered_len).over(w), F.lit(0))
+    utter_start = turn_start + F.length("role") + F.lit(2)
+    return (turns
+            .withColumn("start_char", utter_start.cast("bigint"))
+            .withColumn("end_char",
+                        (utter_start + F.length("utterance"))
+                        .cast("bigint"))
+            .filter(F.col("role") == train_role)
+            .select(F.col(id_col), "turn_idx", "start_char", "end_char"))
