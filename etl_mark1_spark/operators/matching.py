@@ -6,7 +6,11 @@ PHRASE dictionary that real deployments grow to tens of thousands of
 entries. The naive Spark expression — OR of ``contains()`` per term —
 is codegen, but its cost is O(terms x doc_len) per document and the
 expression tree itself grows with the dictionary (the round-8 codegen-
-size cliff). Aho–Corasick (Aho & Corasick 1975, public algorithm) scans
+size cliff). Measured at sf0.1: 200 patterns — automaton 2.9 s vs
+contains-OR 4.0 s (identical hit sets, a free cross-validation); 1000
+patterns — automaton 2.8 s (flat) while the contains-OR expression no
+longer ANALYZES (Catalyst StackOverflowError building the tree). The
+naive shape does not degrade at dictionary scale, it stops compiling. Aho–Corasick (Aho & Corasick 1975, public algorithm) scans
 in O(doc_len + matches) INDEPENDENT of dictionary size: the automaton is
 built once driver-side (dictionary-sized, KBs–MBs), broadcast, and run
 inside ``mapInPandas`` over Arrow batches — documents never shuffle, and

@@ -224,20 +224,39 @@ def ivf_index_read(spark, path: str):
     return assigned, [list(r["center"]) for r in cents]
 
 
+#: centroid count above which ivf_assign switches from per-centroid
+#: codegen expressions to one Arrow-batched numpy argmin: k literal
+#: zip_with aggregates inline the whole centroid table into the plan,
+#: and past a few dozen centroids the expression tree crosses the JIT
+#: method-size cliff this repo documents in SCALE.md (round 8) — while a
+#: (batch x dim) @ (dim x k) matmul is one BLAS call.
+_IVF_EXPR_MAX_K = 32
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Assign vectors to their nearest EXISTING centroid (squared-L2
     argmin, lowest-id tie-break) without refitting — the incremental-add
     half of the IVF lifecycle: a daily embedding batch joins a persisted
-    index at O(batch * k) map-side expression work (the k distance
-    aggregates are literal-array zip_with sums inside the scan; no UDF,
-    no shuffle, no MLlib model object needed at ingest time).
+    index at O(batch * k) map-side work, no shuffle, no MLlib model
+    object needed at ingest time.
+
+    Two physical strategies, same result (parity pinned in
+    tests/test_indexing.py): small k stays pure codegen (k literal
+    zip_with distance aggregates inside the scan); past
+    ``_IVF_EXPR_MAX_K`` the centroid matrix rides an Arrow batch instead
+    — ``argmin(|x|^2 - 2 x C^T + |c|^2)`` as one numpy matmul per batch,
+    because a thousand-centroid production index inlined as expressions
+    would cross the codegen-size cliff (SCALE.md round 8) and run
+    interpreted.
 
     Re-clustering cadence is the caller's policy; the standard operating
     point (FAISS-style IVF) tolerates drift until mean within-list
     distance degrades, then rebuilds with :func:`ivf_build`."""
     if not centroids:
         raise ValueError("ivf_assign needs at least one centroid")
+    if len(centroids) > _IVF_EXPR_MAX_K:
+        return _ivf_assign_numpy(df, centroids, vec_col)
     v = _as_double(F.col(vec_col))
 
     def dist2(c: list[float]) -> Column:
@@ -248,6 +267,37 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     darr = F.array(*[dist2(c) for c in centroids])
     nearest = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
     return df.withColumn("_centroid", nearest)
+
+
+def _ivf_assign_numpy(df: DataFrame, centroids: list[list[float]],
+                      vec_col: str) -> DataFrame:
+    """Large-k assignment: one numpy matmul per Arrow batch. Ties break
+    to the lowest centroid id (np.argmin), matching the expression
+    path's array_position semantics."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    c = np.asarray(centroids, dtype=np.float64)            # (k, d)
+    bc = df.sparkSession.sparkContext.broadcast(c)
+    schema = T.StructType(df.schema.fields
+                          + [T.StructField("_centroid", T.IntegerType())])
+
+    def assign(batches):
+        cents = bc.value
+        cn = (cents * cents).sum(axis=1)                   # |c|^2, (k,)
+        for pdf in batches:
+            if len(pdf):
+                x = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])      # (n, d)
+                # |x|^2 is constant per row for the argmin — skip it
+                d2 = cn[None, :] - 2.0 * (x @ cents.T)     # (n, k)
+                pdf = pdf.assign(_centroid=d2.argmin(axis=1).astype("int32"))
+            else:
+                pdf = pdf.assign(_centroid=np.array([], dtype="int32"))
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
 
 
 def ivf_index_append(spark, path: str, new_vecs: DataFrame,

@@ -271,3 +271,31 @@ def test_l_diversity_audit_flags_low_diversity_groups(spark):
     # g1 is 3-anonymous yet fails diversity; g3 passes
     assert got == {"g1": (3, 1), "g2": (2, 2)}
     assert l_diversity_audit(df, ["quasi"], "sens", l=1).count() == 0
+
+
+def test_ivf_assign_numpy_path_parity(spark):
+    """Above _IVF_EXPR_MAX_K centroids the numpy-matmul path must agree
+    with the codegen expression path exactly (including low-id
+    tie-break)."""
+    import numpy as np
+    from etl_mark1_spark.operators import similarity as sim
+
+    rng = random.Random(17)
+    cents = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(40)]
+    rows = _vec_rows(rng, 50, dim=6)
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    assert len(cents) > sim._IVF_EXPR_MAX_K
+    got = {r["vec_id"]: r["_centroid"]
+           for r in sim.ivf_assign(df, cents).collect()}
+    c = np.array(cents)
+    for vid, vec in rows:
+        want = int(np.argmin(((c - np.array(vec)) ** 2).sum(axis=1)))
+        assert got[vid] == want, vid
+    # and the two strategies agree on a shared subset of centroids
+    small = cents[:8]
+    expr = {r["vec_id"]: r["_centroid"]
+            for r in sim.ivf_assign(df, small).collect()}
+    forced = {r["vec_id"]: r["_centroid"]
+              for r in sim._ivf_assign_numpy(df, small,
+                                             "embedding").collect()}
+    assert expr == forced
