@@ -10,8 +10,10 @@ size cliff). Measured at sf0.1: 200 patterns — automaton 2.9 s vs
 contains-OR 4.0 s (identical hit sets, a free cross-validation); 1000
 patterns — automaton 2.8 s (flat) while the contains-OR expression no
 longer ANALYZES (Catalyst StackOverflowError building the tree). The
-naive shape does not degrade at dictionary scale, it stops compiling. Aho–Corasick (Aho & Corasick 1975, public algorithm) scans
-in O(doc_len + matches) INDEPENDENT of dictionary size: the automaton is
+naive shape does not degrade at dictionary scale, it stops compiling.
+
+Aho–Corasick (Aho & Corasick 1975, public algorithm) scans in
+O(doc_len + matches) INDEPENDENT of dictionary size: the automaton is
 built once driver-side (dictionary-sized, KBs–MBs), broadcast, and run
 inside ``mapInPandas`` over Arrow batches — documents never shuffle, and
 the dictionary never re-parses per row.
