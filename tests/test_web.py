@@ -825,3 +825,75 @@ def test_registered_domain_psl_matches_legacy_on_literals(spark):
     mismatches = out.filter(
         ~F.col("legacy").eqNullSafe(F.col("full"))).collect()
     assert not mismatches, mismatches
+
+
+def test_registered_domain_psl_fuzz_vs_python_reference(spark):
+    """Differential fuzz: random rule sets (literals, wildcards,
+    exceptions) and random hosts vs an independent pure-Python
+    implementation of the PSL algorithm (longest match, exceptions
+    beat wildcards, default rule)."""
+    import random
+
+    from etl_mark1_spark.operators.psl_data import PslRules
+    from etl_mark1_spark.operators.web import registered_domain_psl
+
+    def py_registrable(host, rules):
+        labels = host.split(".")
+        n = len(labels)
+        def last(k):
+            return ".".join(labels[-k:])
+        # matching suffix length per rule class (None = no match)
+        best = 1                                  # default rule: the TLD
+        if n >= 3 and last(3) in rules.exceptions3:
+            best = 2                              # exception: suffix is
+                                                  # one label SHORTER
+        elif n >= 2 and last(2) in rules.exceptions2:
+            best = 1
+        else:
+            cands = []
+            # wildcard *.X.Y: suffix = <any>.X.Y (3 labels)
+            if n >= 3 and last(2) in rules.wildcards2:
+                cands.append(3)
+            # wildcard *.X: suffix = <any>.X (2 labels)
+            if n >= 2 and labels[-1] in rules.wildcards1:
+                cands.append(2)
+            if n >= 3 and last(3) in rules.literals3:
+                cands.append(3)
+            if n >= 2 and last(2) in rules.literals2:
+                cands.append(2)
+            best = max(cands, default=1)
+        want = best + 1
+        if n < want:
+            return host
+        return last(want)
+
+    rng = random.Random(77)
+    tlds = ["aa", "bb", "cc"]
+    mids = ["co", "k12", "x"]
+    names = ["alpha", "beta", "gamma", "www", "city"]
+    for trial in range(25):
+        lit2 = {f"{rng.choice(mids)}.{rng.choice(tlds)}"
+                for _ in range(rng.randint(0, 3))}
+        lit3 = {f"{rng.choice(mids)}.{rng.choice(mids)}.{rng.choice(tlds)}"
+                for _ in range(rng.randint(0, 2))}
+        wc1 = {rng.choice(tlds) for _ in range(rng.randint(0, 2))}
+        wc2 = {f"{rng.choice(mids)}.{rng.choice(tlds)}"
+               for _ in range(rng.randint(0, 2))}
+        exc2 = {f"{rng.choice(names)}.{t}" for t in wc1
+                if rng.random() < 0.5}
+        exc3 = {f"{rng.choice(names)}.{b}" for b in wc2
+                if rng.random() < 0.5}
+        rules = PslRules(frozenset(lit2), frozenset(lit3), frozenset(wc1),
+                         frozenset(wc2), frozenset(exc2), frozenset(exc3))
+        hosts = [".".join(rng.choice(names + mids)
+                          for _ in range(rng.randint(0, 3)))
+                 + ("." if rng.randint(0, 3) else "")
+                 + rng.choice(tlds) for _ in range(30)]
+        hosts = [h.lstrip(".") for h in hosts]
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        got = [(r["host"], r["dom"]) for r in df.select(
+            "host", registered_domain_psl(F.col("host"), rules)
+            .alias("dom")).collect()]
+        for host, dom in got:
+            assert dom == py_registrable(host, rules), \
+                (trial, host, dom, rules)
