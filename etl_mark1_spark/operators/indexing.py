@@ -132,11 +132,26 @@ def lookup_term(index: DataFrame, term: str,
     """Postings of one term from a persisted index: the bucket predicate
     is computed driver-side from the term itself, so the scan prunes to
     one partition before the exact token filter runs."""
+    return lookup_terms(index, [term], num_buckets)
+
+
+def lookup_terms(index: DataFrame, terms: list[str],
+                 num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Postings of a term SET from a persisted index, pruned to the
+    union of the terms' buckets — the read path a conjunctive or phrase
+    query takes against a persisted index: feed the result straight to
+    :func:`conjunctive_search` / :func:`phrase_search`; only
+    |distinct buckets| of the ``num_buckets`` directories are
+    scanned."""
     import hashlib
 
-    bucket = int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % num_buckets
-    return index.filter((F.col("bucket") == bucket)
-                        & (F.col("token") == term))
+    if not terms:
+        raise ValueError("lookup_terms needs at least one term")
+    lowered = sorted({t.lower() for t in terms})
+    buckets = sorted({int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+                      % num_buckets for t in lowered})
+    return index.filter(F.col("bucket").isin(buckets)
+                        & F.col("token").isin(lowered))
 
 
 def conjunctive_search(postings: DataFrame, terms: list[str],

@@ -299,3 +299,37 @@ def test_ivf_assign_numpy_path_parity(spark):
               for r in sim._ivf_assign_numpy(df, small,
                                              "embedding").collect()}
     assert expr == forced
+
+
+def test_phrase_and_conjunctive_over_persisted_pruned_index(spark, tmp_path):
+    """The full persisted-query path: write positional postings
+    bucket-partitioned, read back, prune to the query terms' buckets,
+    and run both query shapes — results must equal the in-memory path
+    and the scan must carry a bucket partition filter."""
+    from etl_mark1_spark.operators.indexing import (
+        build_positional_postings, build_postings, conjunctive_search,
+        lookup_terms, phrase_search, read_postings_index,
+        write_postings_index)
+
+    pos_path, tf_path = str(tmp_path / "pos"), str(tmp_path / "tf")
+    write_postings_index(build_positional_postings(_docs(spark)), pos_path,
+                         num_buckets=16)
+    write_postings_index(build_postings(_docs(spark)), tf_path,
+                         num_buckets=16)
+
+    pruned_pos = lookup_terms(read_postings_index(spark, pos_path),
+                              ["quick", "brown"], num_buckets=16)
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(pruned_pos, ["quick", "brown"]).collect()}
+    want = {r["doc_id"]: r["n_matches"]
+            for r in phrase_search(build_positional_postings(_docs(spark)),
+                                   ["quick", "brown"]).collect()}
+    assert got == want == {1: 1, 2: 1}
+
+    pruned_tf = lookup_terms(read_postings_index(spark, tf_path),
+                             ["lazy", "dog"], num_buckets=16)
+    got2 = {r["doc_id"]: r["score"]
+            for r in conjunctive_search(pruned_tf, ["lazy", "dog"]).collect()}
+    assert got2 == {1: 2, 3: 3}
+    plan = pruned_tf._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
