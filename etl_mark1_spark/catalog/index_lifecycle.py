@@ -92,9 +92,6 @@ def index_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, not the corpus). The oracle computes the dictionary directly
     over the full corpus, so green confirms the persisted round-trip +
     delta merge reproduces the from-scratch build exactly."""
-    import hashlib
-    import os
-    import shutil
     import tempfile
 
     from etl_mark1_spark.operators.indexing import (build_postings,
@@ -104,9 +101,12 @@ def index_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     write_postings_index)
 
     docs = t(spark, sf_dir, "documents")
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"etl_mark1_pindex_{key}")
-    shutil.rmtree(tdir, ignore_errors=True)
+    # mkdtemp, NOT a path keyed on sf_dir: two concurrent runs over the
+    # same fixture raced rmtree against mode('append'), duplicating or
+    # dropping postings (round-12 ADVICE fix). The dir is fixture-sized
+    # and lives under the OS tempdir; the returned DataFrame reads it
+    # lazily, so cleanup belongs to tempdir policy, not this entry.
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_pindex_")
     write_postings_index(
         build_postings(docs.filter(F.col("doc_id") % 5 != 0)), tdir)
     base = read_postings_index(spark, tdir).select("token", "doc_id", "tf")
@@ -200,9 +200,6 @@ def ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirms the persistence + append pipeline loses no vector and
     assigns deterministically; the nprobe < k recall path is pinned by
     tests/test_indexing.py and the ann_ivf_topk golden."""
-    import hashlib
-    import os
-    import shutil
     import tempfile
 
     from etl_mark1_spark.operators.similarity import (ivf_build,
@@ -215,9 +212,9 @@ def ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in
           t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 1)
           .select("embedding").head()["embedding"]]
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"etl_mark1_ivf_{key}")
-    shutil.rmtree(tdir, ignore_errors=True)
+    # per-run mkdtemp — same concurrency rationale as
+    # index_incremental_docs above (round-12 ADVICE fix)
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_ivf_")
     base = emb.filter(F.col("vec_id") % 5 != 0)
     delta = emb.filter(F.col("vec_id") % 5 == 0)
     assigned, cents = ivf_build(base, num_centroids=8, seed=42)

@@ -147,7 +147,21 @@ def lookup_terms(index: DataFrame, terms: list[str],
 
     if not terms:
         raise ValueError("lookup_terms needs at least one term")
-    lowered = sorted({t.lower() for t in terms})
+    if all(t.isascii() for t in terms):
+        # ASCII fast path: Python str.lower() and Spark lower() agree,
+        # so the bucket computes driver-side with no job at all.
+        lowered = sorted({t.lower() for t in terms})
+    else:
+        # Non-ASCII terms fold through THE ENGINE's lower() — Python and
+        # the JVM disagree on Unicode edge cases ('İ' and friends), and a
+        # driver-side fold would hash to a bucket the index never wrote,
+        # silently returning no postings (round-12 ADVICE fix). One
+        # k-row local-relation job, k = |terms|.
+        spark = index.sparkSession
+        folded = (spark.createDataFrame([(x,) for x in terms],
+                                        "term string")
+                  .select(F.lower(F.col("term")).alias("tok")).collect())
+        lowered = sorted({r["tok"] for r in folded})
     buckets = sorted({int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
                       % num_buckets for t in lowered})
     return index.filter(F.col("bucket").isin(buckets)
@@ -286,7 +300,8 @@ def longest_dup_span(df: DataFrame, text_col: str = "text",
     token-array sized — CALLER-OWNED STORAGE, same convention as
     dedup's ``_cluster_min_label``: consume the result, then
     ``release_checkpoint(result, deep=True)`` (or close the session).
-    Returns every span of the maximal length:
+    Returns every span of the maximal length (capped at ``max_len`` —
+    a run longer than the cap reports as a max_len-word span):
     (span, n_words, n_docs, min_doc); empty frame if nothing repeats.
     """
     from etl_mark1_spark.operators.dedup import ensure_parallelism
@@ -300,10 +315,16 @@ def longest_dup_span(df: DataFrame, text_col: str = "text",
         release_checkpoint(tokens)
         schema = "span string, n_words bigint, n_docs bigint, min_doc bigint"
         return df.sparkSession.createDataFrame([], schema)
-    # doubling: find the first power-of-two length with NO duplicate
+    # doubling: find the first power-of-two length with NO duplicate.
+    # ``max_len`` is a HARD cap: lengths above it are treated as
+    # nonexistent, so neither the probes nor the answer ever exceed it
+    # (previously a duplicate AT max_len let the binary search probe up
+    # to 2*max_len - 1 — round-12 ADVICE fix, pinned in
+    # tests/test_indexing.py).
     hi = 2
     while hi <= max_len and _span_exists(tokens, hi, id_col):
         lo, hi = hi, hi * 2
+    hi = min(hi, max_len + 1)
     # invariant: dup exists at lo, none at hi; binary search the edge
     while hi - lo > 1:
         mid = (lo + hi) // 2

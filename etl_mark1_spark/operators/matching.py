@@ -34,14 +34,21 @@ def build_automaton(patterns: list[str]) -> dict:
     out: list[list[pattern_index]], patterns: list[str]}``.
     States are ints; state 0 is the root. Pure stdlib, picklable —
     safe to broadcast."""
+    import re as _re
+
     if not patterns:
         raise ValueError("build_automaton needs at least one pattern")
-    norm = [p.lower() for p in patterns]
+    # Patterns go through the SAME normalization the scanner applies to
+    # text (whitespace-collapse + lowercase) — a pattern containing a
+    # tab/newline/doubled space could otherwise never match despite the
+    # docstring's shared-normalized-form contract (round-12 ADVICE fix).
+    norm = [_re.sub(r"\s+", " ", p).strip().lower() for p in patterns]
     goto: list[dict] = [{}]
     out: list[list[int]] = [[]]
     for idx, pat in enumerate(norm):
         if not pat:
-            raise ValueError("empty pattern")
+            raise ValueError(
+                "pattern normalizes to empty (whitespace-only input)")
         state = 0
         for ch in pat:
             nxt = goto[state].get(ch)
@@ -127,8 +134,10 @@ def multi_pattern_scan(df: DataFrame, patterns: list[str],
                 normed = ws.sub(" ", str(text)).strip().lower()
                 hits = scan_text(a, normed)
                 if hits:
-                    matched = sorted(pats[i] for i in hits)
-                    rows.append((rid, len(hits), matched[0]))
+                    # distinct NORMALIZED patterns (two inputs may
+                    # normalize to the same string; count it once)
+                    matched = sorted({pats[i] for i in hits})
+                    rows.append((rid, len(matched), matched[0]))
             yield pd.DataFrame(rows, columns=[id_col, "n_terms",
                                               "first_term"])
 

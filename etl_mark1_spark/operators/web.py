@@ -194,14 +194,23 @@ def registered_domain_psl(host: Column, rules=None) -> Column:
         # exceptions first (they exempt a name from a covering wildcard)
         .when(isin(last3, r.exceptions3) & (n >= 3), last3)
         .when(isin(last2, r.exceptions2) & (n >= 2), last2)
-        # wildcard rules: suffix is one label deeper than the base
+        # then by MATCHED-SUFFIX length, longest first — the PSL's
+        # prevailing-rule tiebreak. A *.X wildcard matches a 2-label
+        # suffix, so it ranks BELOW 3-label literals: with rules
+        # {*.aa, co.k12.aa}, host alpha.co.k12.aa must resolve through
+        # the 3-label literal (-> alpha.co.k12.aa), not the wildcard
+        # (-> co.k12.aa). Round-12 ADVICE fix; order pinned by
+        # tests/test_web.py's wc1∩lit3 overlap cases + hardened fuzz.
+        # 3-label suffixes: *.base2 wildcards and 3-label literals
+        # (same suffix length — when both match they name the SAME
+        # suffix, so their relative order cannot change the result).
         .when(isin(wc2_base, r.wildcards2) & (n >= 4), last4)
         .when(isin(wc2_base, r.wildcards2) & (n == 3), host)
-        .when(isin(last1, r.wildcards1) & (n >= 3), last3)
-        .when(isin(last1, r.wildcards1) & (n == 2), host)
-        # literal rules, longest first
         .when(isin(last3, r.literals3) & (n >= 4), last4)
         .when(isin(last3, r.literals3) & (n == 3), host)
+        # 2-label suffixes: *.tld wildcards and 2-label literals
+        .when(isin(last1, r.wildcards1) & (n >= 3), last3)
+        .when(isin(last1, r.wildcards1) & (n == 2), host)
         .when(isin(last2, r.literals2) & (n >= 3), last3)
         .when(isin(last2, r.literals2) & (n == 2), host)
         # the PSL default rule: registrable = last two labels

@@ -100,6 +100,21 @@ def test_persisted_index_append_segment(spark, tmp_path):
     assert got == {1: 1, 3: 2, 9: 1}
 
 
+def test_persisted_index_lookup_non_ascii_terms(spark, tmp_path):
+    """Non-ASCII query terms fold through the ENGINE's lower() before
+    bucket hashing, so the driver-side bucket matches what the index
+    wrote (round-12 ADVICE fix: a Python-side fold can disagree with
+    Spark's on Unicode edge cases and silently miss the partition)."""
+    path = str(tmp_path / "idx_u")
+    rows = [(1, "éclair and STRAßE bakery"), (2, "éclair ÉCLAIR twice")]
+    write_postings_index(build_postings(_docs(spark, rows)), path,
+                         num_buckets=8)
+    idx = read_postings_index(spark, path)
+    got = {r["doc_id"]: r["tf"]
+           for r in lookup_term(idx, "ÉCLAIR", num_buckets=8).collect()}
+    assert got == {1: 1, 2: 2}
+
+
 def test_conjunctive_search_all_terms_ranked(spark):
     got = [(r["doc_id"], r["score"]) for r in
            conjunctive_search(build_postings(_docs(spark)),
@@ -140,6 +155,19 @@ def test_longest_dup_span_whole_doc_duplicate(spark):
     out = longest_dup_span(_docs(spark, rows)).collect()
     assert len(out) == 1 and out[0]["n_words"] == 4
     assert out[0]["span"] == "exact copy of text"
+
+
+def test_longest_dup_span_max_len_is_a_hard_cap(spark):
+    """A duplicate run LONGER than max_len reports as a max_len-word
+    span — neither the answer nor any probe exceeds the cap (round-12
+    ADVICE regression: previously a dup at exactly max_len let the
+    binary search probe up to 2*max_len - 1)."""
+    words = " ".join(f"w{i}" for i in range(10))       # 10-word dup run
+    rows = [(1, words), (2, words)]
+    out = longest_dup_span(_docs(spark, rows), max_len=4).collect()
+    assert {r["n_words"] for r in out} == {4}
+    # every 4-word window of the run duplicates: 10 - 4 + 1 spans
+    assert len(out) == 7
 
 
 # -- IVF lifecycle -----------------------------------------------------------

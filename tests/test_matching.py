@@ -44,6 +44,29 @@ def test_multi_pattern_scan_counts_and_first_term(spark):
                    4: (2, "box")}
 
 
+def test_pattern_whitespace_normalized_like_text():
+    """A pattern containing a tab/newline/doubled space matches text
+    whose whitespace was collapsed — patterns fold through the SAME
+    normalization as the scanned text (round-12 ADVICE regression)."""
+    import pytest
+
+    auto = build_automaton(["quick\t\nbrown", "lazy  dog"])
+    assert auto["patterns"] == ["quick brown", "lazy dog"]
+    hits = {auto["patterns"][i]
+            for i in scan_text(auto, "the quick brown lazy dog")}
+    assert hits == {"quick brown", "lazy dog"}
+    with pytest.raises(ValueError):
+        build_automaton([" \t\n "])    # normalizes to empty
+
+
+def test_multi_pattern_scan_dedups_normalized_duplicates(spark):
+    """Two inputs normalizing to the same pattern count once."""
+    df = spark.createDataFrame([(1, "a fox ran")], ["doc_id", "text"])
+    got = multi_pattern_scan(df, ["fox", "FOX", " fox\t"]).collect()
+    assert len(got) == 1 and got[0]["n_terms"] == 1
+    assert got[0]["first_term"] == "fox"
+
+
 def test_multi_pattern_scan_whitespace_normalized(spark):
     """Multi-word patterns match across collapsed whitespace, like the
     index/dedup families' normalization."""

@@ -827,6 +827,32 @@ def test_registered_domain_psl_matches_legacy_on_literals(spark):
     assert not mismatches, mismatches
 
 
+def test_registered_domain_psl_literal3_beats_wildcard1(spark):
+    """Longest-match precedence: a 3-label literal rule under a wildcard
+    TLD must prevail over the 2-label wildcard match (round-12 ADVICE
+    regression — the exact reported repro: rules {*.aa, co.k12.aa},
+    host alpha.co.k12.aa -> alpha.co.k12.aa, NOT co.k12.aa)."""
+    from etl_mark1_spark.operators.psl_data import PslRules
+    from etl_mark1_spark.operators.web import registered_domain_psl
+
+    rules = PslRules(frozenset(), frozenset({"co.k12.aa"}),
+                     frozenset({"aa"}), frozenset(),
+                     frozenset(), frozenset())
+    df = spark.createDataFrame(
+        [("alpha.co.k12.aa",),   # lit3 match (suffix 3) beats wc1 (2)
+         ("co.k12.aa",),         # the suffix itself: rule name == host
+         ("beta.gamma.aa",),     # only wc1 matches -> gamma.aa is public
+         ("beta.aa",)],          # wc1, n == 2: host itself
+        "host string")
+    got = {r["host"]: r["dom"] for r in df.select(
+        "host", registered_domain_psl(F.col("host"), rules).alias("dom")
+    ).collect()}
+    assert got["alpha.co.k12.aa"] == "alpha.co.k12.aa"
+    assert got["co.k12.aa"] == "co.k12.aa"
+    assert got["beta.gamma.aa"] == "beta.gamma.aa"
+    assert got["beta.aa"] == "beta.aa"
+
+
 def test_registered_domain_psl_fuzz_vs_python_reference(spark):
     """Differential fuzz: random rule sets (literals, wildcards,
     exceptions) and random hosts vs an independent pure-Python
@@ -879,6 +905,16 @@ def test_registered_domain_psl_fuzz_vs_python_reference(spark):
         wc1 = {rng.choice(tlds) for _ in range(rng.randint(0, 2))}
         wc2 = {f"{rng.choice(mids)}.{rng.choice(tlds)}"
                for _ in range(rng.randint(0, 2))}
+        # DELIBERATE wc1∩lit3 overlap: a 3-label literal nested under a
+        # wildcard TLD — the longest-match case the original seed never
+        # generated (round-12 ADVICE hardening; the un-fixed cascade
+        # resolved these through the wildcard and lost a label).
+        lit3 |= {f"{rng.choice(mids)}.{rng.choice(mids)}.{t}"
+                 for t in wc1 if rng.random() < 0.7}
+        # and the symmetric wc2∩lit3 overlap (same suffix length — must
+        # not change the answer, pinned anyway)
+        lit3 |= {f"{rng.choice(mids)}.{b}" for b in wc2
+                 if rng.random() < 0.5}
         exc2 = {f"{rng.choice(names)}.{t}" for t in wc1
                 if rng.random() < 0.5}
         exc3 = {f"{rng.choice(names)}.{b}" for b in wc2
