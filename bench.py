@@ -127,6 +127,26 @@ HEADLINE = [
 ]
 
 
+def calibration_probe() -> float:
+    """Fixed pure-CPU probe: md5 over 256 MiB of constant bytes in the
+    bench's own process — no Spark, no I/O, no allocation growth. Its
+    wall time moves ONLY with host conditions (CPU clock, hypervisor
+    steal), so a run whose probe time is inflated identifies a
+    machine-weather window without cross-run archaeology: divide any
+    query ratio by the probe ratio to deconvolve host speed from code
+    (the round-11 driver record needed six local runs to prove its
+    1.29x was environmental — this makes it a one-line check)."""
+    import hashlib
+
+    block = b"\x37" * (1 << 20)
+    started = time.monotonic()
+    h = hashlib.md5()
+    for _ in range(256):
+        h.update(block)
+    assert h.hexdigest()  # keep the loop un-elidable
+    return round(time.monotonic() - started, 3)
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
     from etl_mark1_spark.catalog import QUERIES
 
@@ -199,6 +219,7 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     timings: dict[str, float | None] = {}
     spread: dict[str, list[float]] = {}
+    calib_start = [calibration_probe() for _ in range(3)]
     if os.environ.get("SPARK_GRAFT_SHARED_SESSION"):
         from etl_mark1_spark import get_spark
 
@@ -223,6 +244,7 @@ def main() -> None:
             else:
                 timings[name], spread[name] = got
 
+    calib_end = [calibration_probe() for _ in range(3)]
     total = round(sum(v for v in timings.values() if v is not None), 3)
     # The spread map (every timed run behind each min) goes on its OWN
     # earlier stdout line: the driver captures only the final ~2000 chars
@@ -230,12 +252,19 @@ def main() -> None:
     # entries the combined line outgrew that window (round-4 artifact:
     # "parsed": null), so spread is now a separate line and the FINAL line
     # stays a compact medians-only record, well under the capture window.
-    print(json.dumps({"spread": spread}))
+    print(json.dumps({"spread": spread,
+                      "calibration_runs": {"start": calib_start,
+                                           "end": calib_end}}))
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,   # name -> min steady-state sec (driver contract)
+        # fixed pure-CPU probe (md5 over 256 MiB constant bytes), min of
+        # 3 runs before and 3 after the query sweep: divide a vs-prior
+        # query ratio by the probes' ratio to separate machine weather
+        # from code (full probe runs on the spread line above)
+        "calibration_sec": round(min(calib_start + calib_end), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # methodology stamp: composition and estimator have both changed
         # across rounds (29->33 queries, median-of-2 -> min-of-3) while the
