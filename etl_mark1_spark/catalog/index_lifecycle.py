@@ -256,6 +256,55 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["table", "hash"])
 
 
+@query("bm25_persisted_search_docs", r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q AS (SELECT * FROM toks WHERE tok IN ('hash', 'join', 'vector')),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1)
+    SELECT doc_id,
+           round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                 6) AS bm25
+    FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+""")
+def bm25_persisted_search_docs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """BM25 top-10 through the PERSISTED index lifecycle
+    (operators/indexing.py:write_search_index + bm25_search_persisted)
+    — the production retrieval shape the from-corpus ``bm25_search_docs``
+    entry can't exercise: the corpus is tokenized ONCE at ingest (here as
+    two document-disjoint segments, base doc_id % 5 != 0 then the delta
+    batch appended, proving stats and postings merge algebraically), and
+    the query reads only the three query terms' token buckets (partition-
+    pruned scan; plan pinned in tests/test_indexing.py) plus the
+    segment-count stats rows. dl rides denormalized on each posting row
+    (the Lucene-norms idea), so scoring is join-free on the corpus side.
+    The oracle recomputes BM25 from first principles over the raw text —
+    a green row externally confirms persist + append + pruned query ==
+    from-scratch retrieval, score-exact."""
+    import tempfile
+
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    write_search_index)
+
+    docs = t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_bm25idx_")
+    write_search_index(docs.filter(F.col("doc_id") % 5 != 0), tdir)
+    write_search_index(docs.filter(F.col("doc_id") % 5 == 0), tdir)
+    return bm25_search_persisted(spark, tdir,
+                                 ["hash", "join", "vector"], top_k=10)
+
+
 @query("l_diversity_customers", """
     SELECT c_nationkey, c_mktsegment,
            CAST(count(*) AS BIGINT) AS group_size,

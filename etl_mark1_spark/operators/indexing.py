@@ -168,6 +168,80 @@ def lookup_terms(index: DataFrame, terms: list[str],
                         & F.col("token").isin(lowered))
 
 
+def build_scored_postings(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Postings with the document length DENORMALIZED onto every row:
+    (token, doc_id, tf, dl) — the Lucene-norms idea as a column. BM25's
+    length normalization needs dl at scoring time; carrying it on the
+    posting makes a persisted-index query JOIN-FREE on the corpus side
+    (the alternative — a separate doc-lengths table — re-shuffles on
+    doc_id for every query). dl = total token count of the doc, computed
+    in the same pass (one window-free groupBy: tf per (token, doc) and
+    dl = sum of tf over the doc, attached by a second partial-agg +
+    broadcast-friendly join on the already-aggregated frame)."""
+    p = build_postings(df, text_col=text_col, id_col=id_col)
+    dl = p.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    return p.join(dl, "doc_id").select("token", "doc_id", "tf", "dl")
+
+
+def write_search_index(df: DataFrame, path: str,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_buckets: int = DEFAULT_BUCKETS) -> None:
+    """Persist a BM25-queryable index segment for a batch of NEW
+    documents: token-bucket-partitioned scored postings under
+    ``<path>/postings`` plus an algebraic stats segment under
+    ``<path>/stats`` — one row (n_docs, sum_dl) per ingest batch, so
+    corpus size and average document length are SUMS over segments and
+    an append never rewrites history (same discipline as
+    merge_dictionaries). Batches must be document-disjoint, like any
+    segment write; re-ingest belongs to a compaction pass."""
+    scored = build_scored_postings(df, text_col=text_col, id_col=id_col)
+    (scored.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+     .write.mode("append").partitionBy("bucket")
+     .parquet(path.rstrip("/") + "/postings"))
+    (scored.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+          F.sum("dl").cast("bigint").alias("sum_dl"))
+     .write.mode("append").parquet(path.rstrip("/") + "/stats"))
+
+
+def bm25_search_persisted(spark, path: str, query_terms: list[str],
+                          top_k: int = 10, k1: float = 1.2,
+                          b: float = 0.75,
+                          num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """BM25 top-``top_k`` against a PERSISTED index
+    (:func:`write_search_index`) — the production retrieval shape: the
+    corpus is tokenized once at ingest, and a query touches (a) the
+    stats segments (segment-count rows, summed driver-side), and (b) the
+    query terms' token buckets ONLY — a partition-pruned scan
+    (tests/test_indexing.py asserts the pruned plan), never the corpus.
+    Per-term document frequencies derive from the pruned postings
+    themselves (they hold every (term, doc) pair), so no dictionary
+    lookup is needed either; scoring is join-free because dl rides on
+    the posting row. Formula and rounding identical to
+    ``operators/corpus.py:bm25_topk`` (Robertson–Sparck Jones idf), so
+    the two paths are drop-in interchangeable — parity is pinned by the
+    ``bm25_persisted_search_docs`` oracle and tests."""
+    base = path.rstrip("/")
+    stats = (spark.read.parquet(base + "/stats")
+             .agg(F.sum("n_docs").alias("_n"), F.sum("sum_dl").alias("_s"))
+             .head())
+    n_docs, avgdl = int(stats["_n"]), float(stats["_s"]) / float(stats["_n"])
+    postings = lookup_terms(spark.read.parquet(base + "/postings"),
+                            query_terms, num_buckets)
+    dft = (postings.groupBy("token")
+           .agg(F.count(F.lit(1)).alias("_df")))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5))
+    norm = (F.col("tf") * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))))
+    return (postings.join(F.broadcast(dft), "token")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(top_k))
+
+
 def conjunctive_search(postings: DataFrame, terms: list[str],
                        top_k: int | None = None) -> DataFrame:
     """AND-semantics term search over postings: documents containing ALL

@@ -361,3 +361,64 @@ def test_phrase_and_conjunctive_over_persisted_pruned_index(spark, tmp_path):
     assert got2 == {1: 2, 3: 3}
     plan = pruned_tf._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+# -- BM25 over the persisted index -------------------------------------------
+
+def test_bm25_persisted_matches_from_corpus_path(spark, tmp_path):
+    """write_search_index (two disjoint segments) + bm25_search_persisted
+    must reproduce operators/corpus.py:bm25_topk score-exactly — the two
+    retrieval paths are drop-in interchangeable."""
+    from etl_mark1_spark.operators.corpus import bm25_topk
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    write_search_index)
+
+    path = str(tmp_path / "bmidx")
+    docs = _docs(spark)
+    write_search_index(docs.filter(F.col("doc_id") % 2 == 0), path,
+                       num_buckets=16)
+    write_search_index(docs.filter(F.col("doc_id") % 2 == 1), path,
+                       num_buckets=16)
+    got = [(r["doc_id"], r["bm25"]) for r in
+           bm25_search_persisted(spark, path, ["lazy", "fox"], top_k=5,
+                                 num_buckets=16).collect()]
+    want = [(r["doc_id"], r["bm25"]) for r in
+            bm25_topk(docs, ["lazy", "fox"], top_k=5).collect()]
+    assert got == want
+    # fox-heavy doc 4 first; docs 1 (both terms) and 3 (lazy twice) follow
+    assert [d for d, _ in got] == [4, 1, 3]
+
+
+def test_bm25_persisted_plan_prunes_buckets(spark, tmp_path):
+    """The persisted BM25 query's postings scan must carry a bucket
+    partition filter (only the query terms' buckets are read) and the
+    stats read must be segment-count-sized."""
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    write_search_index)
+
+    path = str(tmp_path / "bmidx2")
+    write_search_index(_docs(spark), path, num_buckets=16)
+    out = bm25_search_persisted(spark, path, ["lazy"], top_k=3,
+                                num_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan, plan
+    # stats segment: one (n_docs, sum_dl) row per write_search_index call
+    stats = spark.read.parquet(path + "/stats").collect()
+    assert len(stats) == 1
+    assert stats[0]["n_docs"] == 5
+
+
+def test_write_search_index_stats_merge_algebraically(spark, tmp_path):
+    """Two segment writes append two stats rows whose sums equal the
+    whole-corpus stats — n and avgdl never need a history rewrite."""
+    from etl_mark1_spark.operators.indexing import write_search_index
+
+    path = str(tmp_path / "bmidx3")
+    docs = _docs(spark)
+    write_search_index(docs.filter(F.col("doc_id") <= 2), path)
+    write_search_index(docs.filter(F.col("doc_id") > 2), path)
+    rows = spark.read.parquet(path + "/stats").collect()
+    assert len(rows) == 2
+    assert sum(r["n_docs"] for r in rows) == 5
+    total_tokens = sum(len(t.split()) for _, t in DOCS)
+    assert sum(r["sum_dl"] for r in rows) == total_tokens
