@@ -214,6 +214,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, qv, k=10)
 
 
+@query("ann_ivfpq_topk")
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10 with exact re-ranking (IVFADC+R,
+    Jégou et al. 2011 — operators/similarity.py:ivfpq_*): coarse KMeans
+    lists, residual product-quantization to 8 one-byte codes per vector
+    (m=8 subspaces of dim 8; 32x smaller than the float64 vectors, the
+    storage tier beyond int8's 4x), persisted partitioned by centroid
+    and reopened, so the probe (nprobe=4 of 8) is a partition-pruned
+    scan of code bytes; the ADC shortlist (one numpy LUT-gather per
+    Arrow batch, no decode) then re-ranks EXACTLY against the original
+    vectors (shortlist-sized semi-join). Scores are therefore exact for
+    every returned id — the recall-band check can only see misses,
+    never mis-scores. ksub=16 at fixture scale (500 vectors); the
+    production point is ksub=256, same plan."""
+    import tempfile
+
+    from etl_mark1_spark.operators.similarity import (ivfpq_index_read,
+                                                      ivfpq_index_write,
+                                                      ivfpq_refine,
+                                                      ivfpq_topk)
+
+    qv = _query_vector(spark, sf_dir, 1)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 1)
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_ivfpq_")
+    ivfpq_index_write(emb, tdir, num_centroids=8, m=8, ksub=16, seed=42)
+    codes, cents, books = ivfpq_index_read(spark, tdir)
+    short = ivfpq_topk(codes, cents, books, qv, k=50, nprobe=4)
+    return ivfpq_refine(short, emb, qv, k=10)
+
+
 @query("semantic_dedup_embeddings", """
     WITH RECURSIVE
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

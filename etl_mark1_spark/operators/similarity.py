@@ -572,3 +572,304 @@ def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding",
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema.fields if f.name != vec_col)
     return df.mapInPandas(proj, schema=f"{schema}, {out_col} array<double>")
+
+
+# -- Product quantization: IVF-PQ (Jégou, Douze & Schmid 2011) ---------------
+#
+# "Product quantization for nearest neighbor search", TPAMI 2011 — public
+# algorithm. The vector splits into m subspaces; each subspace gets its own
+# ksub-entry codebook (KMeans), and a vector stores as m 8-bit codes —
+# 16-32x smaller than the float vector (beyond int8's 4x), which is what
+# lets a 100 TB embedding corpus keep its index in scan-speed storage.
+# Queries score codes against a per-query (m x ksub) lookup table of
+# subspace distances (ADC — asymmetric distance computation): one numpy
+# gather per Arrow batch, no decode. The reference has no vector surface
+# at all (its search is SQL LIKE, backend/services/duckdb_engine.py);
+# this extends the repo's own IVF lifecycle.
+
+def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
+             ksub: int = 16, seed: int = 42,
+             sample_fraction: float | None = None) -> list:
+    """Train per-subspace PQ codebooks: returns ``codebooks[m][ksub]``
+    (each entry a dsub-float center). Deterministic for a fixed seed —
+    subspace j fits KMeans(k=ksub, seed=seed+j) on the j-th vector
+    slice, the same fixed-seed machinery as :func:`ivf_build`. Training
+    cost stays flat as the corpus grows via ``sample_fraction`` (the
+    FAISS operating point: codebooks come from a sample, codes from
+    everything)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction,
+                                                         seed)
+    first = train.select(vec_col).head()
+    if first is None:
+        raise ValueError("pq_train needs a non-empty frame")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = train.select(array_to_vector(
+            F.slice(_as_double(F.col(vec_col)), j * dsub + 1, dsub))
+            .alias("features"))
+        model = KMeans(k=ksub, seed=seed + j).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list,
+              vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """Encode vectors as m uint8 codes in a BINARY column (m bytes per
+    vector — honest 8-bit storage, not an int array dressed up).
+    Nearest-code assignment per subspace is one numpy matmul per
+    (subspace, Arrow batch) — ``argmin(|c|^2 - 2 sub @ C^T)``, lowest
+    code id on ties, the same strategy (and tie-break) as
+    :func:`_ivf_assign_numpy`. Map-side only; the codebooks ride the
+    broadcast."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cb = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    if any(len(b) > 256 for b in cb):
+        raise ValueError("ksub > 256 does not fit 8-bit codes")
+    m, dsub = len(cb), cb[0].shape[1]
+    bc = df.sparkSession.sparkContext.broadcast(cb)
+    schema = T.StructType(df.schema.fields
+                          + [T.StructField(code_col, T.BinaryType())])
+
+    def enc(batches):
+        books = bc.value
+        cn = [(b * b).sum(axis=1) for b in books]
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(**{code_col: []})
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            codes = np.empty((len(pdf), m), dtype=np.uint8)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                d2 = cn[j][None, :] - 2.0 * (sub @ books[j].T)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pdf.assign(**{code_col: [c.tobytes() for c in codes]})
+
+    return df.mapInPandas(enc, schema)
+
+
+def pq_adc_lut(codebooks: list, query: list[float]):
+    """The per-query ADC table: ``lut[j][c]`` = squared L2 distance from
+    the query's j-th slice to codebook entry c. (m x ksub) floats —
+    KB-sized, built driver-side, broadcast with the scoring task."""
+    import numpy as np
+
+    cb = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = cb[0].shape[1]
+    q = np.asarray(query, dtype=np.float64)
+    return np.stack([((cb[j] - q[j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)
+                     for j in range(len(cb))])
+
+
+def pq_adc_topk(codes_df: DataFrame, codebooks: list, query: list[float],
+                k: int = 10, id_col: str = "vec_id",
+                code_col: str = "pq_code") -> DataFrame:
+    """Approximate top-k by ADC over a codes frame: per Arrow batch, one
+    numpy gather of the (m x ksub) lookup table at each row's codes and
+    a row-sum — no vector decode, no shuffle before the final ordered
+    limit (TakeOrderedAndProject: per-partition heaps, k-row driver
+    merge). Returns (id_col, adc_dist) ascending."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    lut = pq_adc_lut(codebooks, query)
+    bc = codes_df.sparkSession.sparkContext.broadcast(lut)
+    m = lut.shape[0]
+    id_type = codes_df.schema[id_col].dataType.simpleString()
+    schema = T._parse_datatype_string(
+        f"{id_col} {id_type}, adc_dist double")
+
+    def score(batches):
+        import pandas as pd
+
+        t = bc.value
+        rows_j = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({id_col: [], "adc_dist": []})
+                continue
+            codes = np.stack([np.frombuffer(b, dtype=np.uint8)
+                              for b in pdf[code_col]])
+            d = t[rows_j[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "adc_dist": np.round(d, 6)})
+
+    return (codes_df.select(id_col, code_col).mapInPandas(score, schema)
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+            .limit(k))
+
+
+def _residuals(assigned: DataFrame, centroids: list[list[float]],
+               vec_col: str, out_col: str = "_resid") -> DataFrame:
+    """Per-row residual (vec - assigned centroid), the quantity IVF-PQ
+    encodes (coarse quantizer absorbs the vector's location; PQ spends
+    its bits on the remainder). Broadcast join on the k-row centroid
+    table + one zip_with — map-side."""
+    spark = assigned.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "_centroid int, _center array<double>")
+    return (assigned.join(F.broadcast(cents), "_centroid")
+            .withColumn(out_col,
+                        F.zip_with(_as_double(F.col(vec_col)),
+                                   F.col("_center"),
+                                   lambda a, b: a - b))
+            .drop("_center"))
+
+
+def ivfpq_index_write(df: DataFrame, path: str,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      num_centroids: int = 8, m: int = 8, ksub: int = 16,
+                      seed: int = 42,
+                      sample_fraction: float | None = None) -> None:
+    """Build and persist an IVF-PQ index (IVFADC, Jégou et al. 2011):
+    coarse KMeans centroids (:func:`ivf_build`), per-subspace codebooks
+    trained on RESIDUALS, and each vector stored as (id, m-byte code)
+    partitioned by ``_centroid`` — so a probe is partition pruning and
+    the stored bytes are 8 bits per subspace instead of 32 per
+    dimension. Layout: ``<path>/codes`` (bucketed rows),
+    ``<path>/centroids`` (k rows), ``<path>/codebooks``
+    (m*ksub rows: subspace, code, center)."""
+    spark = df.sparkSession
+    assigned, centroids = ivf_build(df, vec_col=vec_col,
+                                    num_centroids=num_centroids, seed=seed,
+                                    sample_fraction=sample_fraction)
+    resid = _residuals(assigned, centroids, vec_col)
+    books = pq_train(resid, vec_col="_resid", m=m, ksub=ksub, seed=seed,
+                     sample_fraction=sample_fraction)
+    codes = pq_encode(resid, books, vec_col="_resid")
+    (codes.select(id_col, "_centroid", "pq_code")
+     .write.mode("overwrite").partitionBy("_centroid")
+     .parquet(f"{path}/codes"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "_centroid int, center array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [(j, c, books[j][c]) for j in range(m)
+            for c in range(len(books[j]))]
+    spark.createDataFrame(
+        rows, "subspace int, code int, center array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_index_append(spark, path: str, new_vecs: DataFrame,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> None:
+    """Incremental add, composing with the IVF lifecycle's append
+    discipline: assign the batch to the EXISTING centroids
+    (:func:`ivf_assign`, no refit), encode residuals against the
+    EXISTING codebooks, append to the codes partitions — O(batch),
+    history untouched."""
+    codes_df, centroids, books = ivfpq_index_read(spark, path)
+    assigned = ivf_assign(new_vecs, centroids, vec_col)
+    resid = _residuals(assigned, centroids, vec_col)
+    (pq_encode(resid, books, vec_col="_resid")
+     .select(id_col, "_centroid", "pq_code")
+     .write.mode("append").partitionBy("_centroid")
+     .parquet(f"{path}/codes"))
+
+
+def ivfpq_index_read(spark, path: str):
+    """Reopen -> (codes_df, centroids, codebooks). Centroid and codebook
+    tables are k and m*ksub rows — bounded collects."""
+    codes = spark.read.parquet(f"{path}/codes")
+    cents = spark.read.parquet(f"{path}/centroids") \
+        .orderBy("_centroid").collect()
+    cb_rows = spark.read.parquet(f"{path}/codebooks") \
+        .orderBy("subspace", "code").collect()
+    m = 1 + max(r["subspace"] for r in cb_rows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in cb_rows:
+        books[r["subspace"]].append([float(x) for x in r["center"]])
+    return codes, [list(r["center"]) for r in cents], books
+
+
+def ivfpq_topk(codes_df: DataFrame, centroids: list[list[float]],
+               codebooks: list, query: list[float], k: int = 10,
+               nprobe: int = 4, id_col: str = "vec_id",
+               code_col: str = "pq_code") -> DataFrame:
+    """ADC search over an IVF-PQ index: probe the ``nprobe`` centroids
+    nearest the query (driver-side, k-row table), prune the codes scan
+    to those partitions, and score each row against ITS centroid's
+    residual lookup table — ``lut_c[j][code_j]`` summed, one numpy
+    gather per Arrow batch (approximates |query - x|^2 since
+    x ≈ centroid + codeword). nprobe KB-sized tables broadcast; no
+    decode, no shuffle before the final ordered limit. Returns
+    (id_col, adc_dist) ascending — feed to :func:`ivfpq_refine` for
+    exact re-ranking (IVFADC+R)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    q = np.asarray(query, dtype=np.float64)
+    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centroids]
+    probe = sorted(np.argsort(dists)[:nprobe].tolist())
+    luts = {c: pq_adc_lut(codebooks, (q - np.asarray(centroids[c])).tolist())
+            for c in probe}
+    bc = codes_df.sparkSession.sparkContext.broadcast(luts)
+    m = len(codebooks)
+    id_type = codes_df.schema[id_col].dataType.simpleString()
+    schema = T._parse_datatype_string(
+        f"{id_col} {id_type}, adc_dist double")
+
+    def score(batches):
+        import pandas as pd
+
+        tabs = bc.value
+        rows_j = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({id_col: [], "adc_dist": []})
+                continue
+            out = np.empty(len(pdf), dtype=np.float64)
+            codes = np.stack([np.frombuffer(b, dtype=np.uint8)
+                              for b in pdf[code_col]])
+            cents = pdf["_centroid"].to_numpy()
+            for c in np.unique(cents):
+                mask = cents == c
+                out[mask] = tabs[int(c)][rows_j[None, :],
+                                         codes[mask]].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "adc_dist": np.round(out, 6)})
+
+    return (codes_df.filter(F.col("_centroid").isin(probe))
+            .select(id_col, "_centroid", code_col)
+            .mapInPandas(score, schema)
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+            .limit(k))
+
+
+def ivfpq_refine(shortlist: DataFrame, vectors: DataFrame,
+                 query: list[float], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_digits: int = 6) -> DataFrame:
+    """Exact re-ranking of an ADC shortlist (the +R of IVFADC+R): join
+    the shortlist ids back to the ORIGINAL vectors (shortlist-sized
+    broadcast semi-join — the only time full floats are touched) and
+    return the exact-L2 top-k. Approximation can then only MISS a
+    neighbor, never mis-score one — the contract the recall-band
+    correctness check holds this family to. Returns (id_col, l2_dist)
+    ascending, exact."""
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    cand = vectors.join(F.broadcast(shortlist.select(id_col)), id_col,
+                        "left_semi")
+    d2 = F.aggregate(F.zip_with(_as_double(F.col(vec_col)), qarr,
+                                lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return (cand.select(F.col(id_col),
+                        F.round(F.sqrt(d2), round_digits).alias("l2_dist"))
+            .orderBy(F.col("l2_dist").asc(), F.col(id_col))
+            .limit(k))

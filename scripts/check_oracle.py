@@ -184,9 +184,24 @@ _EXACT_COSINE_TOPK = """
     ORDER BY similarity DESC, e.vec_id
     LIMIT 10
 """
+#: IVF-PQ refines its ADC shortlist against the ORIGINAL vectors, so its
+#: score column is exact L2 — the exact oracle is brute-force L2 top-10.
+#: Floor 0.6: measured 0.7 at sf0.01 (nprobe=4 of 8, m=8, ksub=16).
+_EXACT_L2_TOPK = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 1)
+    SELECT e.vec_id,
+           round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+               AS l2_dist
+    FROM embeddings e, q
+    WHERE e.vec_id <> 1
+    ORDER BY l2_dist ASC, e.vec_id
+    LIMIT 10
+"""
 RECALL_ORACLES = {
     "ann_lsh_topk": (_EXACT_COSINE_TOPK, "vec_id", "similarity", 0.6),
     "ann_ivf_topk": (_EXACT_COSINE_TOPK, "vec_id", "similarity", 0.7),
+    "ann_ivfpq_topk": (_EXACT_L2_TOPK, "vec_id", "l2_dist", 0.6),
 }
 
 
