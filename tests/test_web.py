@@ -933,3 +933,104 @@ def test_registered_domain_psl_fuzz_vs_python_reference(spark):
         for host, dom in got:
             assert dom == py_registrable(host, rules), \
                 (trial, host, dom, rules)
+
+
+def test_parse_psl_canonical_scale_bounded_plan(spark):
+    """Full-PSL integration path (round-12 VERDICT ask): a synthetic
+    rule file at canonical scale (~9k rules incl. plain TLDs, nested
+    wildcards, exceptions, comments, a PRIVATE section) goes through
+    parse_psl verbatim and drives registered_domain_psl correctly — and
+    the PLAN SHAPE stays bounded: rule count only grows the isin literal
+    sets (InSet hash lookups past the conversion threshold), never the
+    number of plan nodes, so the 9k-rule production file cannot cross
+    the codegen cliff the way a per-rule expression tree would."""
+    import random
+
+    from etl_mark1_spark.operators.psl_data import parse_psl
+    from etl_mark1_spark.operators.web import registered_domain_psl
+
+    rng = random.Random(99)
+    tlds = [f"t{i}" for i in range(400)]
+    mids = [f"m{i}" for i in range(60)]
+    names = [f"n{i}" for i in range(40)]
+    lines = ["// synthetic canonical-scale PSL", ""]
+    lines += [f"// comment {i}" for i in range(20)]
+    lit1 = tlds                                           # plain TLDs
+    lit2 = sorted({f"{rng.choice(mids)}.{rng.choice(tlds)}"
+                   for _ in range(4000)})
+    lit3 = sorted({f"{rng.choice(mids)}.{rng.choice(mids)}."
+                   f"{rng.choice(tlds)}" for _ in range(3000)})
+    wc1 = sorted(rng.sample(tlds, 30))
+    wc2 = sorted(rng.sample(lit2, 800))
+    exc2 = sorted({f"{rng.choice(names)}.{b}" for b in wc1[:15]})
+    exc3 = sorted({f"{rng.choice(names)}.{b}" for b in rng.sample(wc2, 150)})
+    # force the reported wc1∩lit3 overlap class at scale too
+    lit3 = sorted(set(lit3) | {f"{rng.choice(mids)}.{rng.choice(mids)}.{t}"
+                               for t in wc1})
+    lines += lit1 + lit2 + lit3
+    lines += [f"*.{b}" for b in wc1 + wc2]
+    lines += [f"!{e}" for e in exc2 + exc3]
+    rng.shuffle(lines)       # rule order is arbitrary in the real file
+    lines += ["// ===BEGIN PRIVATE DOMAINS===",
+              "private.example", "*.private2.example",
+              "// ===END PRIVATE DOMAINS==="]
+    rules = parse_psl("\n".join(lines))
+    assert len(rules.literals2) == len(lit2)
+    assert len(rules.literals3) == len(lit3)
+    assert (len(rules.wildcards1), len(rules.wildcards2)) == (30, 800)
+    assert len(rules.exceptions2) == len(exc2)
+    assert len(rules.exceptions3) == len(exc3)
+    assert rules.skipped == ()
+    assert "private.example" not in rules.literals2
+
+    def py_registrable(host):
+        labels = host.split(".")
+        n = len(labels)
+
+        def last(k):
+            return ".".join(labels[-k:])
+
+        if n >= 3 and last(3) in rules.exceptions3:
+            best = 2
+        elif n >= 2 and last(2) in rules.exceptions2:
+            best = 1
+        else:
+            cands = [1]
+            if n >= 3 and last(2) in rules.wildcards2:
+                cands.append(3)
+            if n >= 2 and labels[-1] in rules.wildcards1:
+                cands.append(2)
+            if n >= 3 and last(3) in rules.literals3:
+                cands.append(3)
+            if n >= 2 and last(2) in rules.literals2:
+                cands.append(2)
+            best = max(cands)
+        want = best + 1
+        return host if n < want else last(want)
+
+    hosts = []
+    for _ in range(120):
+        depth = rng.randint(1, 3)
+        hosts.append(".".join(rng.choice(names + mids)
+                              for _ in range(depth))
+                     + "." + rng.choice(mids) + "." + rng.choice(tlds))
+    hosts += [f"{rng.choice(names)}.{b}" for b in rng.sample(wc2, 20)]
+    hosts += list(exc3)[:20] + [f"x.{e}" for e in list(exc3)[:10]]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = df.select("host",
+                    registered_domain_psl(F.col("host"), rules)
+                    .alias("dom"))
+    for r in out.collect():
+        assert r["dom"] == py_registrable(r["host"]), r["host"]
+
+    # plan-shape bound: node count must not scale with the 9k rules —
+    # the same cascade compiled from the ~450-rule vendored snapshot
+    # must have the IDENTICAL number of plan lines.
+    big_plan = out._jdf.queryExecution().executedPlan() \
+        .numberedTreeString().splitlines()
+    small = df.select("host", registered_domain_psl(F.col("host"))
+                      .alias("dom"))
+    small_plan = small._jdf.queryExecution().executedPlan() \
+        .numberedTreeString().splitlines()
+    assert len(big_plan) == len(small_plan) <= 10, \
+        (len(big_plan), len(small_plan))
