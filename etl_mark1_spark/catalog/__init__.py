@@ -90,105 +90,91 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
 #: rounds STRICTLY BEFORE this one when classifying prefix entries as
 #: fresh vs sentinel (the round-8 lesson: globbing ALL snapshots made the
 #: meta-test fail the moment the current round's snapshot landed on disk).
-DRIVER_PREFIX_ROUND = 11
+DRIVER_PREFIX_ROUND = 12
 
-#: Round-11 driver prefix (50 slots). CORRECTNESS_r10 landed fully green
-#: (50/50), so there are no re-tests; composition per the staged round-11
-#: plan (NOTES_r10.md):
-#:   * 2 SENTINELS at the head — q1_pricing_summary (green r1-5, r8-r10)
-#:     and domain_capped_docs (green r9-r10) — previously-confirmed
+#: Round-12 driver prefix (50 slots). CORRECTNESS_r11 landed fully green
+#: (50/50, all hash-exact), so there are no re-tests; composition per the
+#: staged round-12 plan (NOTES_r11.md):
+#:   * 2 SENTINELS at the head — q1_pricing_summary (green r1-5, r8-r11)
+#:     and domain_capped_docs (green r9-r11) — previously-confirmed
 #:     entries kept under external regression coverage.
-#:   * 12 NEW round-11 entries: broadcast_decontam_fixed_ref (the
-#:     production-shape fixed-reference decontam pair) and the
-#:     retrieval-index lifecycle tranche (catalog/index_lifecycle.py):
-#:     index_build_tf_docs, index_merge_parity_docs,
-#:     index_incremental_docs, search_conjunctive_docs,
-#:     longest_dup_span_docs, ivf_incremental_topk,
-#:     phrase_search_docs (positional postings), l_diversity_customers
-#:     (the leak k-anonymity alone misses), loss_mask_spans_docs (SFT
-#:     loss-mask offsets), blocklist_scan_docs (Aho-Corasick dictionary
-#:     scan) — plus
-#:     psl_registered_domains (full PSL wildcard/exception semantics
-#:     over the vendored snapshot, catalog/web_curation.py) — each
-#:     oracle-exact and dual-carrier-swept at birth.
-#:   * 6 FIRST-TIME HASH CONFIRMATIONS: simhash_docs, minhash_neardup,
-#:     ngram_jaccard_neardup, simhash_neardup, embedding_neardup,
-#:     semantic_dedup_embeddings — the near-dup core was driver-sampled
-#:     only in rounds 1-3 as rows-only (err: no_oracle) and gained exact
-#:     recursive-CTE oracles LATER; no driver row has ever hash-checked
-#:     them. Never-hash-confirmed oracle-exact entries outrank stale
-#:     refreshers under the rotation policy, so they take the last
-#:     refresher slots this round.
-#:   * 30 STALE-SENTINEL refreshers — the staged refresh queue: the 15
-#:     refreshers swapped out of the round-10 prefix to make room for
-#:     the second tranche (doc_fingerprint ... rebalance_mixture_sources),
-#:     then the next-oldest r1/r5 backlog block (rename_cast_project ...
-#:     text_quality). After this round the stale backlog is 13 names
-#:     (text_stats, text_tokens_bpe, tfidf_top_terms ... cube_agg
-#:     displaced by new entries and the first-time-confirmation block,
-#:     plus curation_chunks, curation_pipeline, dedup_distinct,
-#:     dedup_exact_documents) — still ONE healthy rotation from empty.
-#: If CORRECTNESS_r11 fails to land, re-run THIS prefix in round 12 —
+#:   * 1 NEW round-12 entry: bm25_persisted_search_docs — BM25 through
+#:     the persisted pruned index (catalog/index_lifecycle.py), the
+#:     production retrieval shape (tokenize once, query many; dl
+#:     denormalized on postings, algebraic segment stats). The round's
+#:     other addition, ann_ivfpq_topk (IVF-PQ), is recall-band and thus
+#:     prefix-ineligible; the local checker covers it.
+#:   * The ENTIRE 13-name stale backlog, emptying it for the first time
+#:     in the project's history: text_stats, text_tokens_bpe,
+#:     tfidf_top_terms, train_test_split, trim_drop_dedup,
+#:     union_all_merge, window_lag_lead, window_running_sum, cube_agg,
+#:     curation_chunks, curation_pipeline, dedup_distinct,
+#:     dedup_exact_documents (all last confirmed r5).
+#:   * 34 next-oldest refreshers — the r6-confirmation era in
+#:     oldest-first registration order: resample_ffill_events ...
+#:     column_entropy. None of these is STALE in the policy sense (none
+#:     changed since its r6 confirmation); they rotate to keep the
+#:     confirmed board fresh.
+#: If CORRECTNESS_r12 fails to land, re-run THIS prefix in round 13 —
 #: never rotate past an unsampled prefix.
 #:
-#: ROUND-12 PLAN: (a) any r11 reds at the head, (b) 2+ sentinels,
-#: (c) new round-12 additions, (d) the 13-name backlog (text_stats,
-#: text_tokens_bpe, tfidf_top_terms, train_test_split, trim_drop_dedup,
-#: union_all_merge, window_lag_lead, window_running_sum, cube_agg,
-#: curation_chunks, curation_pipeline, dedup_distinct,
-#: dedup_exact_documents), (e) next-oldest refreshers (r6 era:
-#: conditional_exprs, corpus_stats, corr_stats, ...).
+#: ROUND-13 PLAN: (a) any r12 reds at the head, (b) 2+ sentinels,
+#: (c) new round-13 additions, (d) the remaining r6-era refreshers
+#: (corr_stats, spearman_qty_price, mi_status_priority,
+#: chi2_status_priority, weighted_sample_quality, upsert_orders,
+#: pii_scan_docs, pit_scd2_orders, scd2_customers, zorder_values,
+#: q4_late_orders, ...), then the r7 era.
 DRIVER_PREFIX = [
     "q1_pricing_summary",
     "domain_capped_docs",
-    "broadcast_decontam_fixed_ref",
-    "index_build_tf_docs",
-    "index_merge_parity_docs",
-    "index_incremental_docs",
-    "search_conjunctive_docs",
-    "longest_dup_span_docs",
-    "ivf_incremental_topk",
-    "psl_registered_domains",
-    "phrase_search_docs",
-    "l_diversity_customers",
-    "loss_mask_spans_docs",
-    "blocklist_scan_docs",
-    "simhash_docs",
-    "minhash_neardup",
-    "ngram_jaccard_neardup",
-    "simhash_neardup",
-    "embedding_neardup",
-    "semantic_dedup_embeddings",
-    "doc_fingerprint",
-    "embedding_cosine_topk",
-    "events_hourly",
-    "events_window_sliding",
-    "events_window_tumbling",
-    "except_nations",
-    "filter_derive",
-    "grouping_sets",
-    "intersect_nations",
-    "pack_sequences_global",
-    "pack_sequences_lang",
-    "pii_redact",
-    "pipeline_etl",
-    "quality_profile_customer",
-    "rebalance_mixture_sources",
-    "rename_cast_project",
-    "rollup_agg",
-    "semi_join_customers",
-    "snapshot_diff_orders",
-    "sql_join_q3",
-    "sql_q5_region_revenue",
-    "stratified_sample_lang",
-    "streaming_bloom_filter",
-    "streaming_enrich_count",
-    "streaming_hourly",
-    "streaming_restart_drain",
-    "streaming_window_sliding",
-    "string_ops",
-    "text_lang_id",
-    "text_quality",
+    "bm25_persisted_search_docs",
+    "text_stats",
+    "text_tokens_bpe",
+    "tfidf_top_terms",
+    "train_test_split",
+    "trim_drop_dedup",
+    "union_all_merge",
+    "window_lag_lead",
+    "window_running_sum",
+    "cube_agg",
+    "curation_chunks",
+    "curation_pipeline",
+    "dedup_distinct",
+    "dedup_exact_documents",
+    "resample_ffill_events",
+    "seasonal_decompose_events",
+    "resample_interpolate_events",
+    "expectations_customer",
+    "leakage_safe_split",
+    "ntile_quartiles",
+    "q7_nation_volume",
+    "q9_profit_by_nation",
+    "salted_join_lineitem",
+    "skewed_join_aqe",
+    "xml_scan",
+    "pdf_extract",
+    "q15_top_supplier",
+    "date_arithmetic",
+    "hash_functions",
+    "asof_last_error",
+    "asof_next_error",
+    "range_join_shipments",
+    "sessionize_batch",
+    "salted_aggregate_lineitem",
+    "corpus_stats",
+    "window_first_last",
+    "window_relative_rank",
+    "filtered_agg",
+    "scalar_subquery",
+    "explode_embeddings",
+    "union_distinct_segments",
+    "conditional_exprs",
+    "regexp_extract_groups",
+    "rolling_median_price",
+    "window_rank_family",
+    "boilerplate_ngrams",
+    "histogram_prices",
+    "column_entropy",
 ]
 
 
