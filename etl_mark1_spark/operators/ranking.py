@@ -1,0 +1,116 @@
+"""Rank fusion and retrieval-quality evaluation.
+
+The repo's search stack now has two independent rankers — lexical BM25
+(``operators/corpus.py:bm25_topk`` / the persisted-index path in
+``operators/indexing.py``) and vector ANN (``operators/similarity.py``)
+— and a production retrieval pipeline fuses them and MEASURES them.
+This module adds both halves:
+
+* :func:`rrf_fuse` — Reciprocal Rank Fusion (Cormack, Clarke & Büttcher,
+  SIGIR 2009; public): ``score(d) = sum over rankings 1/(k0 + rank_d)``.
+  Rank-based, so heterogeneous score scales (BM25 logs vs cosine) fuse
+  without calibration — the reason RRF is the default hybrid in most
+  search engines.
+* :func:`ndcg_at_k` / :func:`mrr_at_k` — the standard offline eval
+  metrics over a ranked result and graded relevance labels.
+
+Everything is rank arithmetic over already-small ranked frames (top-N
+per ranker), so the plans are window + aggregate over N rows per query —
+driver-scale inputs, exact SQL-reproducible outputs. The reference has
+no ranking surface at all (its search is SQL LIKE,
+backend/services/duckdb_engine.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _ranked(df: DataFrame, id_col: str, score_col: str,
+            ascending: bool) -> DataFrame:
+    """(id, rank) from a scored frame — rank 1 is best; ties break on id
+    so the ranking is engine-reproducible."""
+    order = [F.col(score_col).asc() if ascending
+             else F.col(score_col).desc(), F.col(id_col).asc()]
+    return df.select(
+        F.col(id_col),
+        F.row_number().over(Window.orderBy(*order)).alias("rank"))
+
+
+def rrf_fuse(rankings: list[tuple[DataFrame, str, bool]],
+             id_col: str = "doc_id", k0: int = 60,
+             top_k: int | None = None,
+             round_digits: int = 6) -> DataFrame:
+    """Reciprocal Rank Fusion of N scored rankings. Each input is
+    ``(df, score_col, ascending)`` — ``df`` carrying (id_col, score_col),
+    ``ascending=True`` for distance-like scores. A document absent from
+    a ranking contributes nothing for it (the standard convention).
+    Returns (id_col, rrf_score) descending, id tie-break.
+
+    k0=60 is the paper's constant. The fusion is a union of (id, rank)
+    rows + one aggregation; inputs are top-N ranker outputs, so every
+    stage is N-row-scale."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [_ranked(df, id_col, score_col, asc)
+             for df, score_col, asc in rankings]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    fused = (out.groupBy(id_col)
+             .agg(F.round(F.sum(F.lit(1.0) / (F.lit(k0) + F.col("rank"))),
+                          round_digits).alias("rrf_score"))
+             .orderBy(F.col("rrf_score").desc(), F.col(id_col)))
+    return fused.limit(top_k) if top_k is not None else fused
+
+
+def ndcg_at_k(ranked: DataFrame, labels: DataFrame, k: int = 10,
+              id_col: str = "doc_id", rank_col: str = "rank",
+              rel_col: str = "rel", round_digits: int = 6) -> DataFrame:
+    """nDCG@k of a ranking against graded relevance labels: one row
+    ``(ndcg double)``. DCG uses the standard gain ``(2^rel - 1) /
+    log2(rank + 1)``; the ideal ordering is relevance-descending with id
+    tie-break. ``ranked`` carries (id_col, rank_col 1-based); ``labels``
+    carries (id_col, rel_col >= 0) for EVERY candidate document (absent
+    ids count as relevance 0 via the left join). Both frames are
+    ranking-scale; the metric is two k-row aggregations."""
+    got = (ranked.filter(F.col(rank_col) <= k)
+           .join(labels.select(id_col, rel_col), id_col, "left")
+           .select((F.coalesce(F.col(rel_col), F.lit(0))).alias("r"),
+                   F.col(rank_col).alias("i")))
+    dcg = got.agg(F.sum((F.pow(F.lit(2.0), F.col("r")) - 1.0)
+                        / F.log2(F.col("i") + 1.0)).alias("dcg"))
+    # ideal@k: an ordered LIMIT first (TakeOrderedAndProject — per-
+    # partition heaps, no global sort even over a corpus-sized label
+    # set), THEN the positional window over the surviving <= k rows.
+    ideal = (labels
+             .orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+             .limit(k)
+             .select(F.col(rel_col).alias("r"),
+                     F.row_number().over(
+                         Window.orderBy(F.col(rel_col).desc(),
+                                        F.col(id_col).asc())).alias("i"))
+             .agg(F.sum((F.pow(F.lit(2.0), F.col("r")) - 1.0)
+                        / F.log2(F.col("i") + 1.0)).alias("idcg")))
+    return (dcg.crossJoin(ideal)
+            .select(F.round(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+                .otherwise(F.lit(0.0)), round_digits).alias("ndcg")))
+
+
+def mrr_at_k(ranked: DataFrame, labels: DataFrame, k: int = 10,
+             id_col: str = "doc_id", rank_col: str = "rank",
+             rel_col: str = "rel", min_rel: int = 1,
+             round_digits: int = 6) -> DataFrame:
+    """Reciprocal rank of the first result with relevance >= ``min_rel``
+    within the top k; 0.0 if none. One row ``(mrr double)``."""
+    hit = (ranked.filter(F.col(rank_col) <= k)
+           .join(labels.select(id_col, rel_col), id_col, "left")
+           .filter(F.coalesce(F.col(rel_col), F.lit(0)) >= min_rel)
+           .agg(F.min(rank_col).alias("first_hit")))
+    return hit.select(F.round(
+        F.when(F.col("first_hit").isNotNull(),
+               F.lit(1.0) / F.col("first_hit")).otherwise(F.lit(0.0)),
+        round_digits).alias("mrr"))

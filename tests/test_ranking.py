@@ -1,0 +1,101 @@
+"""Winnowing fingerprints (operators/winnow.py) and rank fusion / eval
+metrics (operators/ranking.py)."""
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.operators.ranking import (mrr_at_k, ndcg_at_k,
+                                               rrf_fuse)
+from etl_mark1_spark.operators.winnow import (winnow_fingerprints,
+                                              winnow_similar_pairs)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _py_winnow(text, k=3, w=4):
+    toks = text.lower().split()
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hashes = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+    fps = {min(hashes[i:i + w]) for i in range(len(hashes) - w + 1)}
+    return fps
+
+
+def test_winnow_matches_python_reference(spark):
+    rng = random.Random(3)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 25))))
+            for i in range(30)]
+    got = {}
+    for r in winnow_fingerprints(_docs(spark, rows)).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, text in rows:
+        want = _py_winnow(text)
+        assert got.get(i, set()) == want, (i, text)
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= w + k - 1 = 6 words must share a
+    fingerprint (the paper's detection guarantee)."""
+    common = "one two three four five six"
+    rows = [(1, f"aa bb {common} cc"), (2, f"xx {common} yy zz"),
+            (3, "totally different words here everywhere now")]
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnow_similar_pairs(
+                 _docs(spark, rows), min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_short_docs_have_no_fingerprints(spark):
+    # fewer than k + w - 1 = 6 words -> no full window -> empty signature
+    rows = [(1, "a b c d e"), (2, "a b c d e f")]
+    got = {r["doc_id"] for r in
+           winnow_fingerprints(_docs(spark, rows)).collect()}
+    assert got == {2}
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    r1 = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)],
+                               ["doc_id", "s"])
+    r2 = spark.createDataFrame([(3, 0.1), (1, 0.5), (4, 0.9)],
+                               ["doc_id", "d"])          # distance: asc
+    got = {r["doc_id"]: r["rrf_score"] for r in
+           rrf_fuse([(r1, "s", False), (r2, "d", True)], k0=60).collect()}
+    want = {1: 1 / 61 + 1 / 62, 2: 1 / 62, 3: 1 / 63 + 1 / 61, 4: 1 / 63}
+    assert got == {k: round(v, 6) for k, v in want.items()}
+
+
+def test_rrf_fuse_requires_rankings(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_ndcg_and_mrr_hand_computed(spark):
+    import math
+
+    ranked = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                                   ["doc_id", "rank"])
+    labels = spark.createDataFrame([(10, 1), (20, 3), (40, 2)],
+                                   ["doc_id", "rel"])
+    got = ndcg_at_k(ranked, labels, k=3).collect()[0]["ndcg"]
+    dcg = (2 ** 1 - 1) / math.log2(2) + (2 ** 3 - 1) / math.log2(3)
+    idcg = (2 ** 3 - 1) / math.log2(2) + (2 ** 2 - 1) / math.log2(3) \
+        + (2 ** 1 - 1) / math.log2(4)
+    assert got == round(dcg / idcg, 6)
+    # first rel>=2 hit is doc 20 at rank 2 -> MRR 0.5
+    assert mrr_at_k(ranked, labels, k=3,
+                    min_rel=2).collect()[0]["mrr"] == 0.5
+    # no qualifying hit in top-k -> 0.0
+    assert mrr_at_k(ranked, labels, k=1,
+                    min_rel=2).collect()[0]["mrr"] == 0.0
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    ranked = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    labels = spark.createDataFrame([(1, 3), (2, 1)], ["doc_id", "rel"])
+    assert ndcg_at_k(ranked, labels, k=2).collect()[0]["ndcg"] == 1.0
