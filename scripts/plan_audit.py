@@ -107,6 +107,12 @@ GLOBAL_WINDOW_OK = {
     "token_index_stats_docs": "dictionary stats ranked at vocab cardinality",
     "encode_tokens_docs": "vocab rank over the max_size-capped table (1000)",
     "key_skew_report_events": "rank over the TakeOrdered top-k (<= top_k rows)",
+    "hybrid_rrf_search_docs":
+        "rank assignment over each ranker's TakeOrdered top-50 output "
+        "(<= 50 rows per window; retrieval happens before, at scale)",
+    "retrieval_ndcg_eval":
+        "positional windows over the BM25 top-50 and the ordered-LIMIT "
+        "ideal@10 — both <= 50 rows by construction",
 }
 
 TABLE_WIDTHS = {
