@@ -84,6 +84,45 @@ def winnow_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 min_shared=3)
 
 
+@query("snippet_window_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, i AS pos
+          FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+          WHERE tk[i] IN ('hash', 'join', 'vector')),
+    s AS (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                RANGE BETWEEN CURRENT ROW
+                                AND 19 FOLLOWING) AS n
+          FROM p),
+    r AS (SELECT doc_id, pos, n,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, pos) AS rn
+          FROM s)
+    SELECT doc_id, CAST(pos AS BIGINT) AS snippet_start,
+           CAST(n AS BIGINT) AS n_hits
+    FROM r WHERE rn = 1
+""")
+def snippet_window_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity snippet selection (operators/indexing.py:best_window):
+    per matching document, the 20-token window with the most query-term
+    occurrences for {hash, join, vector}, earliest start on ties — the
+    highlight window a result page shows and the proximity signal
+    bag-of-words ranking lacks. Pushed isin on positional postings, a
+    per-document RANGE window over the hit positions only (candidates
+    start at hits, which provably contain the optimum), one struct-max
+    rollup — work scales with matching postings, never the corpus."""
+    from etl_mark1_spark.operators.indexing import (
+        best_window, build_positional_postings)
+
+    return best_window(
+        build_positional_postings(t(spark, sf_dir, "documents")),
+        ["hash", "join", "vector"], width=20)
+
+
 #: shared DuckDB fragment: the two rankers the hybrid entries fuse —
 #: BM25 (exactly bm25_search_docs' construction) and conjunctive
 #: summed-tf, both over the query {hash, join, vector}, both ranked by

@@ -314,6 +314,45 @@ def phrase_search(postings: DataFrame, phrase: list[str]) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches")))
 
 
+def best_window(postings: DataFrame, terms: list[str],
+                width: int = 20) -> DataFrame:
+    """Proximity snippet scoring over positional postings: for every
+    document containing at least one query term, the ``width``-token
+    window with the most query-term OCCURRENCES — the window a result
+    page's snippet/highlight shows, and the cheap proximity signal a
+    bag-of-words score lacks ("hash join vector" adjacent should beat
+    the same terms spread over 5k tokens).
+
+    One pushed isin filter on the postings (work scales with the query
+    terms' posting sizes, never the corpus), then a per-document RANGE
+    window counting hits in [pos, pos + width - 1] — the candidate
+    windows are exactly those STARTING at a hit, which provably contain
+    the optimum — and one per-doc max with earliest-position tie-break
+    (deterministic). Returns (doc_id, snippet_start, n_hits)."""
+    if not terms:
+        raise ValueError("best_window needs at least one term")
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    from pyspark.sql.window import Window
+
+    hits = postings.filter(
+        F.col("token").isin([t.lower() for t in terms]))
+    frame = (Window.partitionBy("doc_id").orderBy("pos")
+             .rangeBetween(0, width - 1))
+    scored = hits.select(
+        "doc_id", "pos",
+        F.count(F.lit(1)).over(frame).cast("bigint").alias("_n"))
+    # max n_hits, earliest start on ties: one struct-max aggregation
+    best = (scored.groupBy("doc_id")
+            .agg(F.max(F.struct(F.col("_n"),
+                                (-F.col("pos")).alias("_negpos")))
+                 .alias("_b")))
+    return best.select(
+        "doc_id",
+        (-F.col("_b._negpos")).cast("bigint").alias("snippet_start"),
+        F.col("_b._n").alias("n_hits"))
+
+
 # --------------------------------------------------------------------------
 # Longest duplicated word span — doubling search over word n-grams
 # --------------------------------------------------------------------------

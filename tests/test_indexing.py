@@ -422,3 +422,39 @@ def test_write_search_index_stats_merge_algebraically(spark, tmp_path):
     assert sum(r["n_docs"] for r in rows) == 5
     total_tokens = sum(len(t.split()) for _, t in DOCS)
     assert sum(r["sum_dl"] for r in rows) == total_tokens
+
+
+# -- proximity snippet window -------------------------------------------------
+
+def test_best_window_picks_densest_and_earliest(spark):
+    from etl_mark1_spark.operators.indexing import (best_window,
+                                                    build_positional_postings)
+
+    rows = [
+        # terms spread out, then a dense cluster later
+        (1, "fox " + "x " * 30 + "fox dog fox " + "y " * 30 + "dog"),
+        # tie between two equally dense windows -> earliest start wins
+        (2, "fox dog " + "z " * 40 + "fox dog"),
+        (3, "nothing here"),
+    ]
+    pos = build_positional_postings(
+        spark.createDataFrame(rows, ["doc_id", "text"]))
+    got = {r["doc_id"]: (r["snippet_start"], r["n_hits"])
+           for r in best_window(pos, ["fox", "dog"], width=5).collect()}
+    # doc 1: cluster "fox dog fox" at positions 32,33,34 -> 3 hits @32
+    assert got[1] == (32, 3)
+    # doc 2: both windows have 2 hits; earliest start is pos 1
+    assert got[2] == (1, 2)
+    assert 3 not in got
+
+
+def test_best_window_validates_args(spark):
+    from etl_mark1_spark.operators.indexing import (best_window,
+                                                    build_positional_postings)
+
+    pos = build_positional_postings(
+        spark.createDataFrame([(1, "a b")], ["doc_id", "text"]))
+    with pytest.raises(ValueError):
+        best_window(pos, [])
+    with pytest.raises(ValueError):
+        best_window(pos, ["a"], width=0)
