@@ -123,6 +123,52 @@ def snippet_window_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["hash", "join", "vector"], width=20)
 
 
+@query("qlm_search_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS token FROM d),
+    p AS (SELECT token, doc_id, count(*) AS tf
+          FROM tok WHERE token <> '' GROUP BY token, doc_id),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
+    c AS (SELECT sum(tf) AS csize FROM p),
+    dict AS (SELECT token, sum(tf) AS cf FROM p GROUP BY 1
+             HAVING token IN ('hash', 'join', 'vector')),
+    cand AS (SELECT DISTINCT doc_id FROM p
+             WHERE token IN ('hash', 'join', 'vector'))
+    SELECT doc_id,
+           round(sum(ln((coalesce(m.tf, 0) + 2000.0 * dict.cf / csize)
+                        / (dl + 2000.0))), 6) AS ql_score
+    FROM cand CROSS JOIN dict
+    LEFT JOIN p m USING (doc_id, token)
+    JOIN dl USING (doc_id), c
+    GROUP BY doc_id
+    ORDER BY ql_score DESC, doc_id
+    LIMIT 10
+""")
+def qlm_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing
+    (operators/indexing.py:qlm_topk — Zhai & Lafferty 2001), the third
+    classic lexical ranker beside BM25 and tf-idf, run against the
+    index-lifecycle frames (postings + dictionary + doc lengths):
+    top-10 for {hash, join, vector} at mu=2000. Spark scores matched
+    terms RELATIVE to the collection prior and adds the prior sum once
+    per candidate (no per-missing-term work); the oracle brute-forces
+    the textbook candidate x term cross product — same numbers to 6dp,
+    which is exactly the algebraic-rearrangement confirmation."""
+    from etl_mark1_spark.operators.indexing import (build_postings,
+                                                    postings_dictionary,
+                                                    qlm_topk)
+
+    p = build_postings(t(spark, sf_dir, "documents"))
+    doclens = p.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("dl"))
+    return qlm_topk(p, postings_dictionary(p), doclens,
+                    ["hash", "join", "vector"], top_k=10)
+
+
 #: shared DuckDB fragment: the two rankers the hybrid entries fuse —
 #: BM25 (exactly bm25_search_docs' construction) and conjunctive
 #: summed-tf, both over the query {hash, join, vector}, both ranked by

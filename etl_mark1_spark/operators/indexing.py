@@ -314,6 +314,62 @@ def phrase_search(postings: DataFrame, phrase: list[str]) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches")))
 
 
+def qlm_topk(postings: DataFrame, dictionary: DataFrame,
+             doclens: DataFrame, terms: list[str], top_k: int = 10,
+             mu: float = 2000.0) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001 — the third classic lexical ranker next to
+    BM25 and tf-idf): score(d) = sum over query terms of
+    ``ln((tf + mu * cf_t / |C|) / (dl_d + mu))``. Smoothing makes a
+    document missing a term pay the collection prior instead of -inf,
+    so scores are comparable across documents of any length.
+
+    Inputs are the index-lifecycle frames — postings (token, doc_id,
+    tf), dictionary (token, df, cf), doc lengths (doc_id, dl) — so this
+    runs against the same persisted artifacts as the other rankers.
+    Plan shape: the query terms prune the postings scan (pushed isin);
+    the dictionary contributes |terms| broadcast rows and one |C|
+    scalar; candidate documents are those matching >= 1 term, each
+    scored by its matched terms' smoothed likelihoods PLUS the
+    missing-term prior (algebraic: the full score is the all-terms
+    prior sum, correctable per matched term — no per-missing-term
+    work). Ordered limit, never a global sort. Returns
+    (doc_id, ql_score) descending, 6dp, id tie-break."""
+    if not terms:
+        raise ValueError("qlm_topk needs at least one term")
+    lowered = sorted({t.lower() for t in terms})
+    csize = dictionary.agg(F.sum("cf").alias("_c")).head()["_c"]
+    qdict = (dictionary.filter(F.col("token").isin(lowered))
+             .select("token", (F.col("cf") / F.lit(float(csize)))
+                     .alias("_prior")))
+    hits = (postings.filter(F.col("token").isin(lowered))
+            .join(F.broadcast(qdict), "token")
+            .join(doclens, "doc_id"))
+    # matched-term contribution relative to the prior-only baseline:
+    # ln(tf + mu*prior) - ln(mu*prior); the baseline sum(ln(mu*prior))
+    # - |q| * ln(dl + mu) is added once per candidate document.
+    rel = (F.log(F.col("tf") + F.lit(mu) * F.col("_prior"))
+           - F.log(F.lit(mu) * F.col("_prior")))
+    prior_rows = qdict.collect()
+    if len(prior_rows) < len(lowered):
+        missing = set(lowered) - {r["token"] for r in prior_rows}
+        raise ValueError(
+            f"terms absent from the dictionary (cf undefined): "
+            f"{sorted(missing)}")
+    import math
+
+    prior_sum = sum(math.log(mu * (r["_prior"])) for r in prior_rows)
+    return (hits.groupBy("doc_id")
+            .agg(F.sum(rel).alias("_rel"), F.first("dl").alias("_dl"))
+            .select("doc_id",
+                    F.round(F.col("_rel") + F.lit(prior_sum)
+                            - F.lit(float(len(lowered)))
+                            * F.log(F.col("_dl") + F.lit(mu)),
+                            6).alias("ql_score"))
+            .orderBy(F.col("ql_score").desc(), F.col("doc_id"))
+            .limit(top_k))
+
+
 def best_window(postings: DataFrame, terms: list[str],
                 width: int = 20) -> DataFrame:
     """Proximity snippet scoring over positional postings: for every

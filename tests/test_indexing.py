@@ -458,3 +458,52 @@ def test_best_window_validates_args(spark):
         best_window(pos, [])
     with pytest.raises(ValueError):
         best_window(pos, ["a"], width=0)
+
+
+# -- query-likelihood ranking -------------------------------------------------
+
+def test_qlm_matches_textbook_computation(spark):
+    """qlm_topk's prior-relative rearrangement must equal the textbook
+    per-(doc, term) Dirichlet score computed in python."""
+    import math
+
+    from etl_mark1_spark.operators.indexing import (postings_dictionary,
+                                                    qlm_topk)
+
+    p = build_postings(_docs(spark))
+    doclens = p.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    terms, mu = ["lazy", "fox"], 50.0
+    got = {r["doc_id"]: r["ql_score"] for r in
+           qlm_topk(p, postings_dictionary(p), doclens, terms,
+                    top_k=10, mu=mu).collect()}
+
+    rows = {(r["token"], r["doc_id"]): r["tf"] for r in p.collect()}
+    dls = {d: sum(tf for (t, dd), tf in rows.items() if dd == d)
+           for d in {dd for _, dd in rows}}
+    csize = sum(rows.values())
+    cf = {t: sum(tf for (tt, _), tf in rows.items() if tt == t)
+          for t in terms}
+    want = {}
+    for d in dls:
+        if not any((t, d) in rows for t in terms):
+            continue
+        want[d] = round(sum(
+            math.log((rows.get((t, d), 0) + mu * cf[t] / csize)
+                     / (dls[d] + mu)) for t in terms), 6)
+    assert got == want
+    # ranking property: doc 4 (fox fox fox, short) tops a fox query
+    top = qlm_topk(p, postings_dictionary(p), doclens, ["fox"],
+                   top_k=1, mu=50.0).collect()
+    assert top[0]["doc_id"] == 4
+
+
+def test_qlm_rejects_unknown_terms(spark):
+    from etl_mark1_spark.operators.indexing import (postings_dictionary,
+                                                    qlm_topk)
+
+    p = build_postings(_docs(spark))
+    doclens = p.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    with pytest.raises(ValueError):
+        qlm_topk(p, postings_dictionary(p), doclens, ["zzzznope"])
+    with pytest.raises(ValueError):
+        qlm_topk(p, postings_dictionary(p), doclens, [])
