@@ -124,10 +124,13 @@ HEADLINE = [
     # probes, each a hash-gram aggregation with a limit(1) short-circuit)
     "index_merge_parity_docs",
     "longest_dup_span_docs",
-    # round-12 addition: BM25 through the persisted lifecycle index —
+    # round-12 additions: BM25 through the persisted lifecycle index —
     # ingest-time tokenization (two segment writes) + a query that reads
-    # only the query terms' token buckets and the segment-count stats
+    # only the query terms' token buckets and the segment-count stats;
+    # MOSS fingerprint matching (winnowing signatures -> fingerprint
+    # equi-join), representing the new fingerprinting family
     "bm25_persisted_search_docs",
+    "winnow_match_docs",
 ]
 
 
