@@ -154,6 +154,32 @@ def calibration_probe() -> float:
     return round(time.monotonic() - started, 3)
 
 
+def calibration_probe_mt(workers: int = 16) -> float:
+    """Parallel sibling of :func:`calibration_probe`: ``workers``
+    threads each md5 128 MiB concurrently (hashlib releases the GIL on
+    large updates, so this genuinely occupies that many cores). The
+    round-12 run-2 lesson: a single-thread probe stays FLAT while
+    32-thread query work degrades — vCPU contention and wide-load
+    clocking hit full-width workloads first — so the pair of probes
+    separates three cases: both flat = code; mt inflated, st flat =
+    multi-core host contention; both inflated = raw CPU steal."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    block = b"\x5c" * (1 << 20)
+
+    def work(_):
+        h = hashlib.md5()
+        for _ in range(128):
+            h.update(block)
+        return h.hexdigest()
+
+    started = time.monotonic()
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        assert all(ex.map(work, range(workers)))
+    return round(time.monotonic() - started, 3)
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
     from etl_mark1_spark.catalog import QUERIES
 
@@ -227,6 +253,7 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     spread: dict[str, list[float]] = {}
     calib_start = [calibration_probe() for _ in range(3)]
+    calib_mt_start = [calibration_probe_mt() for _ in range(3)]
     if os.environ.get("SPARK_GRAFT_SHARED_SESSION"):
         from etl_mark1_spark import get_spark
 
@@ -252,6 +279,7 @@ def main() -> None:
                 timings[name], spread[name] = got
 
     calib_end = [calibration_probe() for _ in range(3)]
+    calib_mt_end = [calibration_probe_mt() for _ in range(3)]
     total = round(sum(v for v in timings.values() if v is not None), 3)
     # The spread map (every timed run behind each min) goes on its OWN
     # earlier stdout line: the driver captures only the final ~2000 chars
@@ -261,7 +289,9 @@ def main() -> None:
     # stays a compact medians-only record, well under the capture window.
     print(json.dumps({"spread": spread,
                       "calibration_runs": {"start": calib_start,
-                                           "end": calib_end}}))
+                                           "end": calib_end,
+                                           "mt_start": calib_mt_start,
+                                           "mt_end": calib_mt_end}}))
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -272,6 +302,9 @@ def main() -> None:
         # query ratio by the probes' ratio to separate machine weather
         # from code (full probe runs on the spread line above)
         "calibration_sec": round(min(calib_start + calib_end), 3),
+        # 16-thread sibling probe: catches multi-core contention the
+        # single-thread probe is blind to (see calibration_probe_mt)
+        "calibration_mt_sec": round(min(calib_mt_start + calib_mt_end), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # methodology stamp: composition and estimator have both changed
         # across rounds (29->33 queries, median-of-2 -> min-of-3) while the
