@@ -90,14 +90,32 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
 def winnow_similar_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 3, w: int = 4,
-                         min_shared: int = 2) -> DataFrame:
+                         min_shared: int = 2,
+                         max_fp_df: int | None = None) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
     the MOSS match step as a fingerprint equi-join: signatures meet on
     ``fp`` (shuffle keyed by fingerprint; a fingerprint shared by m docs
     yields C(m,2) candidate rows — bucket-bounded, never corpus
     all-pairs), then one (a, b) count aggregation. Returns
-    (doc_a, doc_b, n_shared) with doc_a < doc_b."""
+    (doc_a, doc_b, n_shared) with doc_a < doc_b.
+
+    ``max_fp_df`` is the 100 TB guard: a fingerprint carried by m
+    documents contributes C(m, 2) pairs, and one corpus-wide
+    boilerplate window (license header, navigation chrome) would
+    otherwise quadratically dominate the join. Capping document
+    frequency drops exactly the fingerprints with no discriminating
+    power — the stopword treatment, same rationale as tf-idf's idf —
+    at the cost that a pair supported ONLY by ultra-common fingerprints
+    loses those contributions (documented, tested). ``None`` (default)
+    keeps the join exact, which is what the fixture-scale oracle entry
+    pins; production sets it to a few hundred."""
     fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_fp_df is not None:
+        hot = (fps.groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_fp_df)
+               .select("fp"))
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (a.join(b, "fp")

@@ -99,3 +99,24 @@ def test_ndcg_perfect_ranking_is_one(spark):
     ranked = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
     labels = spark.createDataFrame([(1, 3), (2, 1)], ["doc_id", "rel"])
     assert ndcg_at_k(ranked, labels, k=2).collect()[0]["ndcg"] == 1.0
+
+
+def test_winnow_pairs_hot_fingerprint_cap(spark):
+    """max_fp_df drops corpus-wide boilerplate fingerprints (no
+    discriminating power) while pairs supported by rare fingerprints
+    survive — the 100 TB quadratic guard."""
+    boiler = "common header shared by every single document here"
+    uniq = "rare overlapping span appearing twice only"
+    # 8 exact boilerplate copies: every fingerprint has df = 8
+    rows = [(i, boiler) for i in range(1, 9)]
+    rows += [(20, f"alpha {uniq} beta"), (21, f"gamma {uniq} delta")]
+    df = _docs(spark, rows)
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in winnow_similar_pairs(df, min_shared=1,
+                                            max_fp_df=4).collect()}
+    assert (20, 21) in capped
+    assert not any(a < 9 and b < 9 for a, b in capped), capped
+    # uncapped: the boilerplate family pairs up
+    full = {(r["doc_a"], r["doc_b"])
+            for r in winnow_similar_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in full and (20, 21) in full
