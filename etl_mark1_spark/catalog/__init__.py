@@ -99,7 +99,7 @@ DRIVER_PREFIX_ROUND = 12
 #:   * 2 SENTINELS at the head — q1_pricing_summary (green r1-5, r8-r11)
 #:     and domain_capped_docs (green r9-r11) — previously-confirmed
 #:     entries kept under external regression coverage.
-#:   * 7 NEW round-12 entries: bm25_persisted_search_docs (BM25
+#:   * 8 NEW round-12 entries: bm25_persisted_search_docs (BM25
 #:     through the persisted pruned index — tokenize once, query many;
 #:     dl denormalized on postings, algebraic segment stats) plus the
 #:     retrieval-quality tranche (catalog/retrieval_quality.py):
@@ -110,7 +110,9 @@ DRIVER_PREFIX_ROUND = 12
 #:     replayed end-to-end by the oracle), snippet_window_docs
 #:     (proximity snippet window over positional postings),
 #:     qlm_search_docs (Dirichlet query-likelihood ranking over the
-#:     index-lifecycle frames). The round's eighth addition,
+#:     index-lifecycle frames), index_segment_report_docs (per-bucket
+#:     skew report — the md5 bucket arithmetic externally confirmed
+#:     end-to-end). The round's ninth addition,
 #:     ann_ivfpq_topk (IVF-PQ), is recall-band and thus
 #:     prefix-ineligible; the local checker covers it.
 #:   * The ENTIRE 13-name stale backlog, emptying it for the first time
@@ -119,9 +121,9 @@ DRIVER_PREFIX_ROUND = 12
 #:     union_all_merge, window_lag_lead, window_running_sum, cube_agg,
 #:     curation_chunks, curation_pipeline, dedup_distinct,
 #:     dedup_exact_documents (all last confirmed r5).
-#:   * 28 next-oldest refreshers — the r6-confirmation era in
+#:   * 27 next-oldest refreshers — the r6-confirmation era in
 #:     oldest-first registration order: resample_ffill_events ...
-#:     conditional_exprs. None of these is STALE in the policy sense (none
+#:     union_distinct_segments. None of these is STALE in the policy sense (none
 #:     changed since its r6 confirmation); they rotate to keep the
 #:     confirmed board fresh.
 #: If CORRECTNESS_r12 fails to land, re-run THIS prefix in round 13 —
@@ -129,7 +131,8 @@ DRIVER_PREFIX_ROUND = 12
 #:
 #: ROUND-13 PLAN: (a) any r12 reds at the head, (b) 2+ sentinels,
 #: (c) new round-13 additions, (d) the remaining r6-era refreshers
-#: (regexp_extract_groups, rolling_median_price, window_rank_family, boilerplate_ngrams,
+#: (conditional_exprs, regexp_extract_groups, rolling_median_price,
+#: window_rank_family, boilerplate_ngrams,
 #: histogram_prices, column_entropy, corr_stats, spearman_qty_price, mi_status_priority,
 #: chi2_status_priority, weighted_sample_quality, upsert_orders,
 #: pii_scan_docs, pit_scd2_orders, scd2_customers, zorder_values,
@@ -144,6 +147,7 @@ DRIVER_PREFIX = [
     "retrieval_ndcg_eval",
     "snippet_window_docs",
     "qlm_search_docs",
+    "index_segment_report_docs",
     "text_stats",
     "text_tokens_bpe",
     "tfidf_top_terms",
@@ -184,7 +188,6 @@ DRIVER_PREFIX = [
     "scalar_subquery",
     "explode_embeddings",
     "union_distinct_segments",
-    "conditional_exprs",
 ]
 
 

@@ -123,6 +123,38 @@ def snippet_window_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["hash", "join", "vector"], width=20)
 
 
+@query("index_segment_report_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS token FROM d),
+    p AS (SELECT token, doc_id, count(*) AS tf
+          FROM tok WHERE token <> '' GROUP BY token, doc_id),
+    t AS (SELECT token, count(*) AS df, sum(tf) AS cf
+          FROM p GROUP BY token)
+    SELECT ('0x' || substr(md5(token), 1, 4))::INTEGER % 64 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(sum(cf) AS BIGINT) AS total_tf,
+           CAST(max(df) AS BIGINT) AS max_df
+    FROM t GROUP BY 1
+""")
+def index_segment_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket segment report (operators/indexing.py:segment_report):
+    distinct tokens, posting rows, occurrences, and heaviest-token df
+    for each of the 64 md5 token buckets — the skew check run before
+    sizing the persisted index's bucket count (a bucket is one scan
+    task at query time). Green externally confirms the md5 bucket
+    arithmetic end-to-end across engines — the same function a query
+    uses at lookup time to prune partitions."""
+    from etl_mark1_spark.operators.indexing import (build_postings,
+                                                    segment_report)
+
+    return segment_report(build_postings(t(spark, sf_dir, "documents")))
+
+
 @query("qlm_search_docs", r"""
     WITH d AS (
       SELECT doc_id,

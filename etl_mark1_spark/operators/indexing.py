@@ -314,6 +314,29 @@ def phrase_search(postings: DataFrame, phrase: list[str]) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches")))
 
 
+def segment_report(postings: DataFrame,
+                   num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Operational per-bucket report of a postings segment: distinct
+    tokens, posting rows, total occurrences, and the heaviest token's
+    document frequency per md5 bucket — the skew check an operator
+    reads BEFORE sizing ``num_buckets`` for :func:`write_postings_index`
+    (a bucket is one scan task at query time; max_df shows whether one
+    stopword dominates its bucket). Two partial-aggregating exchanges,
+    output is num_buckets rows. Returns
+    (bucket, n_tokens, n_postings, total_tf, max_df)."""
+    per_token = (postings
+                 .groupBy("token")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("_df"),
+                      F.sum("tf").cast("bigint").alias("_cf")))
+    return (per_token
+            .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum("_df").cast("bigint").alias("n_postings"),
+                 F.sum("_cf").cast("bigint").alias("total_tf"),
+                 F.max("_df").cast("bigint").alias("max_df")))
+
+
 def qlm_topk(postings: DataFrame, dictionary: DataFrame,
              doclens: DataFrame, terms: list[str], top_k: int = 10,
              mu: float = 2000.0) -> DataFrame:

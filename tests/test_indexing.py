@@ -507,3 +507,24 @@ def test_qlm_rejects_unknown_terms(spark):
         qlm_topk(p, postings_dictionary(p), doclens, ["zzzznope"])
     with pytest.raises(ValueError):
         qlm_topk(p, postings_dictionary(p), doclens, [])
+
+
+def test_segment_report_hand_counted(spark):
+    import hashlib
+
+    from etl_mark1_spark.operators.indexing import segment_report
+
+    p = build_postings(_docs(spark, [(1, "fox fox dog"), (2, "fox cat")]))
+    got = {r["bucket"]: (r["n_tokens"], r["n_postings"], r["total_tf"],
+                         r["max_df"])
+           for r in segment_report(p, num_buckets=8).collect()}
+
+    def b(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 8
+
+    # tokens: fox (df 2, cf 3), dog (1, 1), cat (1, 1)
+    want = {}
+    for tok, df, cf in [("fox", 2, 3), ("dog", 1, 1), ("cat", 1, 1)]:
+        n, np_, tf, mx = want.get(b(tok), (0, 0, 0, 0))
+        want[b(tok)] = (n + 1, np_ + df, tf + cf, max(mx, df))
+    assert got == want
