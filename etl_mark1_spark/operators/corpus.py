@@ -622,8 +622,16 @@ def bm25_topk(df: DataFrame, query_terms: list[str], top_k: int = 10,
     frames; document length joins on the id key; the final top-k is an
     ordered limit (TakeOrderedAndProject, no global sort). Scores round
     to 6dp and tie-break on id so the ranking is engine-reproducible.
+
+    Query terms fold to lowercase THROUGH THE ENGINE's lower() (the
+    same fold the token stream gets — a Python-side str.lower() can
+    disagree on Unicode edge cases), so mixed-case queries match exactly
+    like the persisted-index path (indexing.py:bm25_search_persisted,
+    which folds via lookup_terms) — the two retrieval paths stay drop-in
+    interchangeable for any input casing (round-12 ADVICE fix; pinned in
+    tests/test_corpus.py).
     """
-    terms = F.array(*[F.lit(t) for t in query_terms])
+    terms = F.array(*[F.lower(F.lit(t)) for t in query_terms])
     toks = df.select(
         F.col(id_col),
         F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),

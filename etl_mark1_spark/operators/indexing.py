@@ -226,6 +226,14 @@ def bm25_search_persisted(spark, path: str, query_terms: list[str],
     stats = (spark.read.parquet(base + "/stats")
              .agg(F.sum("n_docs").alias("_n"), F.sum("sum_dl").alias("_s"))
              .head())
+    # guard the degenerate index: every ingested batch held only
+    # empty-text documents, so the stats rows sum to 0/NULL and the
+    # int(None) below would be an opaque TypeError (round-12 ADVICE fix;
+    # pinned in tests/test_indexing.py)
+    if stats["_n"] is None or int(stats["_n"]) == 0:
+        raise ValueError(
+            f"index at {path!r} contains no documents "
+            "(all ingested batches were empty or empty-text)")
     n_docs, avgdl = int(stats["_n"]), float(stats["_s"]) / float(stats["_n"])
     postings = lookup_terms(spark.read.parquet(base + "/postings"),
                             query_terms, num_buckets)

@@ -94,9 +94,15 @@ def ndcg_at_k(ranked: DataFrame, labels: DataFrame, k: int = 10,
                                         F.col(id_col).asc())).alias("i"))
              .agg(F.sum((F.pow(F.lit(2.0), F.col("r")) - 1.0)
                         / F.log2(F.col("i") + 1.0)).alias("idcg")))
+    # coalesce BEFORE the division: a ranking with no rows inside top-k
+    # sums to NULL, and the idcg>0 branch would propagate it — an empty
+    # ranking scores 0.0, not NULL (round-12 ADVICE fix; pinned in
+    # tests/test_ranking.py).
     return (dcg.crossJoin(ideal)
             .select(F.round(
-                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+                F.when(F.col("idcg") > 0,
+                       F.coalesce(F.col("dcg"), F.lit(0.0))
+                       / F.col("idcg"))
                 .otherwise(F.lit(0.0)), round_digits).alias("ndcg")))
 
 

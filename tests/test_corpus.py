@@ -578,6 +578,33 @@ def test_bm25_hand_computed_single_term(spark):
     assert got[1] > got[2]  # tf=2 beats the shorter doc's length bonus here
 
 
+def test_bm25_mixed_case_query_matches_lowercase(spark):
+    """Query terms fold through the engine's lower() before matching the
+    lowercased token stream, so 'CAT'/'Cat'/'cat' retrieve identically —
+    and the corpus path agrees with the persisted-index path (which
+    folds via lookup_terms) for any input casing (round-12 ADVICE
+    regression)."""
+    from etl_mark1_spark.operators.corpus import bm25_topk
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    write_search_index)
+
+    df = spark.createDataFrame(
+        [(1, "cat dog cat bird"), (2, "cat fish"), (3, "dog cow pig emu")],
+        ["doc_id", "text"])
+    want = [(r.doc_id, r.bm25) for r in bm25_topk(df, ["cat"]).collect()]
+    for q in (["CAT"], ["Cat"]):
+        got = [(r.doc_id, r.bm25) for r in bm25_topk(df, q).collect()]
+        assert got == want, q
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="etl_mark1_bmcase_")
+    write_search_index(df, path, num_buckets=8)
+    persisted = [(r.doc_id, r.bm25) for r in
+                 bm25_search_persisted(spark, path, ["CAT"], top_k=10,
+                                       num_buckets=8).collect()]
+    assert persisted == want
+
+
 def test_percentile_rank_exact_with_ties(spark):
     """Values [10, 20, 20, 40]: cume_dist = .25, .75, .75, 1.0."""
     from etl_mark1_spark.operators.corpus import percentile_rank

@@ -408,6 +408,21 @@ def test_bm25_persisted_plan_prunes_buckets(spark, tmp_path):
     assert stats[0]["n_docs"] == 5
 
 
+def test_bm25_persisted_empty_index_raises_clearly(spark, tmp_path):
+    """An index whose every ingested batch held only empty-text
+    documents has n_docs=0/NULL stats; querying it must raise a clear
+    ValueError, not an opaque int(None) TypeError (round-12 ADVICE
+    regression)."""
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    write_search_index)
+
+    path = str(tmp_path / "bmidx_empty")
+    write_search_index(_docs(spark, [(1, ""), (2, "   ")]), path,
+                       num_buckets=8)
+    with pytest.raises(ValueError, match="contains no documents"):
+        bm25_search_persisted(spark, path, ["anything"], num_buckets=8)
+
+
 def test_write_search_index_stats_merge_algebraically(spark, tmp_path):
     """Two segment writes append two stats rows whose sums equal the
     whole-corpus stats — n and avgdl never need a history rewrite."""

@@ -101,6 +101,19 @@ def test_ndcg_perfect_ranking_is_one(spark):
     assert ndcg_at_k(ranked, labels, k=2).collect()[0]["ndcg"] == 1.0
 
 
+def test_ndcg_empty_ranking_scores_zero_not_null(spark):
+    """A ranking with NO rows inside top-k against non-empty labels must
+    score 0.0 — the sum over zero rows is NULL and previously propagated
+    through the idcg>0 branch (round-12 ADVICE regression)."""
+    labels = spark.createDataFrame([(1, 3), (2, 1)], ["doc_id", "rel"])
+    # empty ranked frame
+    empty = spark.createDataFrame([], "doc_id int, rank int")
+    assert ndcg_at_k(empty, labels, k=5).collect()[0]["ndcg"] == 0.0
+    # non-empty ranked frame whose rows all fall OUTSIDE top-k
+    deep = spark.createDataFrame([(1, 11), (2, 12)], ["doc_id", "rank"])
+    assert ndcg_at_k(deep, labels, k=10).collect()[0]["ndcg"] == 0.0
+
+
 def test_winnow_pairs_hot_fingerprint_cap(spark):
     """max_fp_df drops corpus-wide boilerplate fingerprints (no
     discriminating power) while pairs supported by rare fingerprints
