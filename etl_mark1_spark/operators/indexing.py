@@ -188,21 +188,120 @@ def write_search_index(df: DataFrame, path: str,
                        text_col: str = "text", id_col: str = "doc_id",
                        num_buckets: int = DEFAULT_BUCKETS) -> None:
     """Persist a BM25-queryable index segment for a batch of NEW
-    documents: token-bucket-partitioned scored postings under
-    ``<path>/postings`` plus an algebraic stats segment under
-    ``<path>/stats`` — one row (n_docs, sum_dl) per ingest batch, so
-    corpus size and average document length are SUMS over segments and
-    an append never rewrites history (same discipline as
-    merge_dictionaries). Batches must be document-disjoint, like any
-    segment write; re-ingest belongs to a compaction pass."""
+    documents, three algebraic artifacts per ingest batch:
+
+    * ``<path>/postings`` — token-bucket-partitioned scored postings
+      (token, doc_id, tf, dl);
+    * ``<path>/stats`` — one row (n_docs, sum_dl), so corpus size and
+      average document length are SUMS over segments and an append
+      never rewrites history (same discipline as merge_dictionaries);
+    * ``<path>/dict`` — per-token (df, max_tf, min_dl), bucket-
+      partitioned like the postings. df sums, max_tf maxes and min_dl
+      mins across segments, so the dictionary stays algebraic too; it
+      is the max-impact metadata :func:`bm25_maxscore_search` turns
+      into per-term score upper bounds (Turtle & Flood 1995 MaxScore)
+      WITHOUT touching a posting list.
+
+    The scored postings are persisted (memory-and-disk, batch-sized)
+    for the three writes and unpersisted before returning — one
+    tokenize pass per ingest, not three. Batches must be
+    document-disjoint, like any segment write; re-ingest belongs to a
+    compaction pass (:func:`compact_index`)."""
+    from pyspark import StorageLevel
+
+    base = path.rstrip("/")
     scored = build_scored_postings(df, text_col=text_col, id_col=id_col)
-    (scored.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-     .write.mode("append").partitionBy("bucket")
-     .parquet(path.rstrip("/") + "/postings"))
-    (scored.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-          F.sum("dl").cast("bigint").alias("sum_dl"))
-     .write.mode("append").parquet(path.rstrip("/") + "/stats"))
+    scored.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (scored.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .write.mode("append").partitionBy("bucket")
+         .parquet(base + "/postings"))
+        (scored.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("dl").cast("bigint").alias("sum_dl"))
+         .write.mode("append").parquet(base + "/stats"))
+        (scored.groupBy("token")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+              F.max("tf").cast("bigint").alias("max_tf"),
+              F.min("dl").cast("bigint").alias("min_dl"))
+         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .write.mode("append").partitionBy("bucket")
+         .parquet(base + "/dict"))
+    finally:
+        scored.unpersist()
+
+
+def _read_tombstones(spark, base: str) -> DataFrame | None:
+    """The index's deduplicated tombstone set (doc_id, dl) from
+    ``<base>/deletes``, or None when no delete was ever issued (the
+    deletes path does not exist). Dedup at read (groupBy + first) makes
+    a double delete of the same document harmless."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = spark.read.parquet(base + "/deletes")
+    except AnalysisException:
+        return None
+    return raw.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+
+
+def _corrected_index_stats(spark, base: str,
+                           path_for_errors: str) -> tuple[int, float, DataFrame | None, int]:
+    """(n_docs, avgdl, tombstones, n_tombstones) for a persisted index,
+    with the stats sums corrected for tombstoned documents — tombstones
+    carry the deleted doc's dl exactly so both corrections are
+    algebraic (no corpus rescan at query time). Raises a clear
+    ValueError on an empty (or fully-deleted) index."""
+    stats = (spark.read.parquet(base + "/stats")
+             .agg(F.sum("n_docs").alias("_n"), F.sum("sum_dl").alias("_s"))
+             .head())
+    # guard the degenerate index: every ingested batch held only
+    # empty-text documents, so the stats rows sum to 0/NULL and the
+    # int(None) below would be an opaque TypeError (round-12 ADVICE fix;
+    # pinned in tests/test_indexing.py)
+    if stats["_n"] is None or int(stats["_n"]) == 0:
+        raise ValueError(
+            f"index at {path_for_errors!r} contains no documents "
+            "(all ingested batches were empty or empty-text)")
+    n_docs, sum_dl = int(stats["_n"]), int(stats["_s"])
+    tomb = _read_tombstones(spark, base)
+    n_tomb = 0
+    if tomb is not None:
+        tstats = tomb.agg(F.count(F.lit(1)).alias("_n"),
+                          F.sum("dl").alias("_s")).head()
+        n_tomb = int(tstats["_n"])
+        n_docs -= n_tomb
+        sum_dl -= int(tstats["_s"] or 0)
+        if n_docs <= 0:
+            raise ValueError(
+                f"index at {path_for_errors!r} has no surviving documents "
+                "(every indexed document is tombstoned; compact or rebuild)")
+    return n_docs, float(sum_dl) / float(n_docs), tomb, n_tomb
+
+
+def _score_postings_bm25(postings: DataFrame, n_docs: int, avgdl: float,
+                         k1: float, b: float, top_k: int,
+                         dft: DataFrame | None = None) -> DataFrame:
+    """The one BM25 scoring aggregation both persisted query paths share
+    (exhaustive and MaxScore — byte-identical arithmetic is what makes
+    the MaxScore pruning provably score-exact): per-term df derives from
+    the scored postings themselves unless the caller supplies ``dft``
+    (token, _df) — MaxScore must, because its postings are restricted to
+    candidate documents and a df counted over that restriction would be
+    a DIFFERENT (wrong) idf. dl rides on the posting row; ordered
+    limit."""
+    if dft is None:
+        dft = (postings.groupBy("token")
+               .agg(F.count(F.lit(1)).alias("_df")))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5))
+    norm = (F.col("tf") * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))))
+    return (postings.join(F.broadcast(dft), "token")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(top_k))
 
 
 def bm25_search_persisted(spark, path: str, query_terms: list[str],
@@ -221,33 +320,358 @@ def bm25_search_persisted(spark, path: str, query_terms: list[str],
     the posting row. Formula and rounding identical to
     ``operators/corpus.py:bm25_topk`` (Robertson–Sparck Jones idf), so
     the two paths are drop-in interchangeable — parity is pinned by the
-    ``bm25_persisted_search_docs`` oracle and tests."""
+    ``bm25_persisted_search_docs`` oracle and tests.
+
+    Tombstone-aware (:func:`delete_from_index`): deleted documents are
+    anti-joined out of the PRUNED postings (the tombstone set is
+    takedown-sized, broadcast), and n/avgdl correct algebraically from
+    the tombstones' stored dl — delete-then-query equals
+    build-from-surviving-documents score-exactly, with no rescan.
+    Query-term df stays exact for free: it is counted from the
+    surviving pruned postings."""
     base = path.rstrip("/")
-    stats = (spark.read.parquet(base + "/stats")
-             .agg(F.sum("n_docs").alias("_n"), F.sum("sum_dl").alias("_s"))
-             .head())
-    # guard the degenerate index: every ingested batch held only
-    # empty-text documents, so the stats rows sum to 0/NULL and the
-    # int(None) below would be an opaque TypeError (round-12 ADVICE fix;
-    # pinned in tests/test_indexing.py)
-    if stats["_n"] is None or int(stats["_n"]) == 0:
-        raise ValueError(
-            f"index at {path!r} contains no documents "
-            "(all ingested batches were empty or empty-text)")
-    n_docs, avgdl = int(stats["_n"]), float(stats["_s"]) / float(stats["_n"])
+    n_docs, avgdl, tomb, _ = _corrected_index_stats(spark, base, path)
     postings = lookup_terms(spark.read.parquet(base + "/postings"),
                             query_terms, num_buckets)
-    dft = (postings.groupBy("token")
-           .agg(F.count(F.lit(1)).alias("_df")))
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("_df") + 0.5)
-                / (F.col("_df") + 0.5))
-    norm = (F.col("tf") * (k1 + 1)
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))))
-    return (postings.join(F.broadcast(dft), "token")
-            .groupBy("doc_id")
-            .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
-            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
-            .limit(top_k))
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb.select("doc_id")),
+                                 "doc_id", "left_anti")
+    return _score_postings_bm25(postings, n_docs, avgdl, k1, b, top_k)
+
+
+def delete_from_index(spark, path: str,
+                      doc_ids: DataFrame | list[int],
+                      num_buckets: int = DEFAULT_BUCKETS) -> None:
+    """Tombstone deletion for the persisted index lifecycle — takedowns
+    and decontamination hits must come OUT of an already-built index
+    without a rebuild. Appends (doc_id, dl) rows under
+    ``<path>/deletes`` (append-only, same segment discipline as the
+    stats rows); every query reader anti-joins the broadcast tombstone
+    set and corrects n/avgdl from the stored dl, so
+    delete-then-query == build-from-surviving-documents score-exactly.
+
+    The deleted docs' dl is captured HERE, by one doc_id-pushed scan of
+    the postings (parquet row-group stats skip on the pushed isin for
+    list input) — delete-time cost, paid once per takedown batch and
+    amortized over every later query, which stays rescan-free. Deleting
+    an id absent from the index writes no tombstone (harmless), and a
+    double delete dedups at read. Re-ingesting a deleted doc_id is
+    UNDEFINED until :func:`compact_index` runs — the tombstone hides
+    all postings of that id, old and new (standard segment-index
+    semantics).
+
+    The tombstone set is assumed takedown-sized (it broadcasts at query
+    time); when deletions grow corpus-scale, run :func:`compact_index`
+    — which also resets query cost to the no-tombstone path."""
+    base = path.rstrip("/")
+    postings = spark.read.parquet(base + "/postings")
+    if isinstance(doc_ids, DataFrame):
+        matched = postings.join(
+            F.broadcast(doc_ids.select("doc_id").distinct()), "doc_id")
+    else:
+        ids = sorted({int(i) for i in doc_ids})
+        if not ids:
+            raise ValueError("delete_from_index needs at least one doc_id")
+        matched = postings.filter(F.col("doc_id").isin(ids))
+    (matched.groupBy("doc_id")
+     .agg(F.first("dl").cast("bigint").alias("dl"))
+     .write.mode("append").parquet(base + "/deletes"))
+
+
+def compact_index(spark, path: str, dest: str,
+                  num_buckets: int = DEFAULT_BUCKETS) -> None:
+    """Compaction: rewrite the index at ``path`` into a single fresh
+    segment at ``dest`` with all tombstones APPLIED — surviving
+    postings re-bucketed (so ``num_buckets`` can change here), stats
+    and dict recomputed from the survivors, and NO deletes directory,
+    so queries against the compacted index take the tombstone-free
+    fast path (pinned in tests/test_indexing.py: the compacted query
+    plan contains no anti-join and never lists the deletes path).
+
+    Never touches document text: compaction is a postings-level
+    anti-join + rewrite, the same never-re-tokenize discipline as
+    :func:`merge_postings`. ``dest`` must be a fresh directory
+    (callers swap paths after — immutable-segment discipline; an
+    in-place rewrite would race concurrent readers). The positional
+    postings (``<path>/positions``, if present) compact in the same
+    pass."""
+    from pyspark.errors import AnalysisException
+
+    base, out = path.rstrip("/"), dest.rstrip("/")
+    tomb = _read_tombstones(spark, base)
+    postings = spark.read.parquet(base + "/postings") \
+        .select("token", "doc_id", "tf", "dl")
+    if tomb is not None:
+        ids = F.broadcast(tomb.select("doc_id"))
+        postings = postings.join(ids, "doc_id", "left_anti")
+    from pyspark import StorageLevel
+
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (postings.withColumn("bucket",
+                             token_bucket(F.col("token"), num_buckets))
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(out + "/postings"))
+        (postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("dl").cast("bigint").alias("sum_dl"))
+         .write.mode("overwrite").parquet(out + "/stats"))
+        (postings.groupBy("token")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+              F.max("tf").cast("bigint").alias("max_tf"),
+              F.min("dl").cast("bigint").alias("min_dl"))
+         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(out + "/dict"))
+    finally:
+        postings.unpersist()
+    try:
+        pos = spark.read.parquet(base + "/positions") \
+            .select("token", "doc_id", "positions")
+        if tomb is not None:
+            pos = pos.join(F.broadcast(tomb.select("doc_id")),
+                           "doc_id", "left_anti")
+        (pos.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(out + "/positions"))
+    except AnalysisException:
+        pass  # no positional segment to compact
+
+
+def bm25_maxscore_search(spark, path: str, query_terms: list[str],
+                         top_k: int = 10, k1: float = 1.2, b: float = 0.75,
+                         num_buckets: int = DEFAULT_BUCKETS,
+                         max_pushdown: int = 1000,
+                         diagnostics: dict | None = None) -> DataFrame:
+    """BM25 top-``top_k`` with MaxScore early termination (Turtle &
+    Flood 1995; the WAND family, Broder et al. CIKM 2003 — both
+    public), provably RANK-SAFE: returns exactly
+    :func:`bm25_search_persisted`'s rows and scores (pinned by the
+    ``bm25_maxscore_search_docs`` oracle and an equality test), while
+    reading/aggregating a fraction of the posting rows on skewed
+    queries (one rare term + stopwords — the common production shape).
+
+    How the dict metadata becomes pruning:
+
+    1. One bucket-pruned scan of ``<path>/dict`` (query-term rows only)
+       gives each term's (df, max_tf, min_dl); with the query-time
+       n/avgdl these yield a per-term score UPPER BOUND
+       ``ub(t) = idf_ub(t) * max_tf*(k1+1)/(max_tf + k1*(1-b+b*min_dl/avgdl))``
+       — valid because the norm is increasing in tf and decreasing in
+       dl. Under tombstones the bound stays safe: df is lower-bounded
+       by (df - n_tombstones) since every tombstone could have carried
+       the term, and idf is decreasing in df; max_tf/min_dl only ever
+       over-cover survivors.
+    2. Terms sort by ub descending; the ESSENTIAL prefix grows one term
+       at a time. For prefix E: candidates = docs matching >= 1 term of
+       E; candidates are scored over ALL query terms with the exact
+       shared aggregation (:func:`_score_postings_bm25`); θ = the k-th
+       candidate's rounded score. If the non-essential tail's summed ub
+       < θ - 1e-6 (the 6dp rounding guard), STOP: a doc matching no
+       essential term scores at most the tail sum, rounds strictly
+       below θ, and cannot displace any returned row even on the id
+       tie-break. Otherwise grow E (worst case E = all terms ==
+       exhaustive semantics, identical candidate set).
+    3. When the candidate set is small (<= ``max_pushdown``) its ids
+       become a literal pushed ``doc_id IN (...)`` filter on the
+       non-essential postings scan — parquet row-group stats then skip
+       posting rows AT THE READER, not just before the aggregation
+       (tests assert both the pushed filter and the row reduction);
+       above the cap it degrades to a left-semi join (still prunes the
+       aggregation, reads the buckets).
+
+    Driver coordination is bounded: <= len(query_terms) probe rounds
+    (one candidate count + one top-k collect each, k-sized), and in the
+    intended skewed case exactly one. The collected top-k becomes a
+    local relation — k rows. Pass a dict as ``diagnostics`` to receive
+    {essential_terms, n_candidates, pushed, rounds} — the observable
+    record that pruning fired (tests assert on it; operators can log
+    it)."""
+    base = path.rstrip("/")
+    n_docs, avgdl, tomb, n_tomb = _corrected_index_stats(spark, base, path)
+    schema = "doc_id bigint, bm25 double"
+    dict_rows = (lookup_terms(spark.read.parquet(base + "/dict"),
+                              query_terms, num_buckets)
+                 .groupBy("token")
+                 .agg(F.sum("df").alias("df"),
+                      F.max("max_tf").alias("max_tf"),
+                      F.min("min_dl").alias("min_dl"))
+                 .collect())
+    if not dict_rows:
+        return spark.createDataFrame([], schema)
+    import math
+
+    ubs = []
+    for r in dict_rows:
+        df_lb = max(1, int(r["df"]) - n_tomb)
+        idf_ub = math.log(1.0 + (n_docs - df_lb + 0.5) / (df_lb + 0.5))
+        norm_ub = (int(r["max_tf"]) * (k1 + 1)
+                   / (int(r["max_tf"])
+                      + k1 * (1 - b + b * int(r["min_dl"]) / avgdl)))
+        ubs.append((r["token"], idf_ub * norm_ub))
+    ubs.sort(key=lambda x: (-x[1], x[0]))
+    postings = lookup_terms(spark.read.parquet(base + "/postings"),
+                            query_terms, num_buckets)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb.select("doc_id")),
+                                 "doc_id", "left_anti")
+        # deletions invalidate the dict's df (survivors' df is smaller),
+        # so exact-idf scoring recounts df over the surviving pruned
+        # postings — one extra aggregation; the candidate restriction
+        # still prunes the scoring join. Without tombstones, the dict's
+        # algebraic df IS the exact df (segments are document-disjoint)
+        # and the non-essential buckets are never aggregated at all.
+        dft = postings.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    else:
+        dft = spark.createDataFrame(
+            [(r["token"], int(r["df"])) for r in dict_rows],
+            "token string, _df bigint")
+    for j in range(1, len(ubs) + 1):
+        essential = [t for t, _ in ubs[:j]]
+        tail_ub = sum(u for _, u in ubs[j:])
+        cand = (postings.filter(F.col("token").isin(essential))
+                .select("doc_id").distinct())
+        # one bounded probe: max_pushdown + 1 rows decide small-vs-large
+        head = cand.limit(max_pushdown + 1).collect()
+        if not head:
+            if j < len(ubs):
+                continue
+            return spark.createDataFrame([], schema)
+        pushed = len(head) <= max_pushdown
+        if pushed:
+            ids = sorted(r["doc_id"] for r in head)
+            scored_postings = postings.filter(F.col("doc_id").isin(ids))
+        else:
+            scored_postings = postings.join(cand, "doc_id", "left_semi")
+        rows = _score_postings_bm25(scored_postings, n_docs, avgdl,
+                                    k1, b, top_k, dft=dft).collect()
+        theta = rows[top_k - 1]["bm25"] if len(rows) >= top_k else None
+        if j == len(ubs) or (theta is not None
+                             and tail_ub < theta - 1e-6):
+            if diagnostics is not None:
+                diagnostics.update(
+                    essential_terms=essential, rounds=j,
+                    n_candidates=len(head) if pushed else None,
+                    pushed=pushed)
+            return spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["bm25"])) for r in rows],
+                schema)
+    raise AssertionError("unreachable: loop returns at j == len(ubs)")
+
+
+def write_position_index(df: DataFrame, path: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_buckets: int = DEFAULT_BUCKETS) -> None:
+    """Persist POSITIONAL postings for phrase/proximity queries against
+    an already-ingested corpus — without this, a persisted index can
+    answer term and BM25 queries pruned, but a phrase query would
+    re-tokenize the corpus (exactly the cost :func:`write_search_index`
+    eliminated for term queries). One row per (token, doc) carrying the
+    doc's sorted occurrence positions as an array — per-row size is
+    bounded by that doc's tf (the stopword-sharding argument of
+    :func:`build_postings` holds: a stopword's corpus-wide positions
+    still shard across docs), written under ``<path>/positions`` with
+    the same token-bucket partitioning, so a phrase query prunes to its
+    terms' buckets. Append per ingest batch, document-disjoint, same
+    segment discipline as the tf postings; shares ``<path>/deletes``
+    tombstones with the rest of the index."""
+    pos = build_positional_postings(df, text_col=text_col, id_col=id_col)
+    rolled = (pos.groupBy("token", "doc_id")
+              .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
+    (rolled.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+     .write.mode("append").partitionBy("bucket")
+     .parquet(path.rstrip("/") + "/positions"))
+
+
+def read_position_postings(spark, path: str, terms: list[str],
+                           num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Pruned positional postings rows (token, doc_id, pos) for a term
+    set from a persisted index (:func:`write_position_index`):
+    bucket-pruned scan, tombstone anti-join, then the position arrays
+    explode back to exactly the rows :func:`build_positional_postings`
+    would emit for those terms — so :func:`phrase_search` and
+    :func:`best_window` run UNCHANGED against the persisted form
+    (parity pinned in tests/test_indexing.py)."""
+    base = path.rstrip("/")
+    rolled = lookup_terms(spark.read.parquet(base + "/positions"),
+                          terms, num_buckets)
+    tomb = _read_tombstones(spark, base)
+    if tomb is not None:
+        rolled = rolled.join(F.broadcast(tomb.select("doc_id")),
+                             "doc_id", "left_anti")
+    return rolled.select("token", "doc_id",
+                         F.explode("positions").alias("pos"))
+
+
+def phrase_search_persisted(spark, path: str, phrase: list[str],
+                            num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """EXACT phrase query through the persisted positional index: the
+    scan prunes to the phrase terms' token buckets, tombstones apply,
+    and the anchor construction of :func:`phrase_search` runs on the
+    exploded rows — the corpus is never re-tokenized. Returns
+    (doc_id, n_matches), identical to the in-memory path."""
+    return phrase_search(
+        read_position_postings(spark, path, phrase, num_buckets), phrase)
+
+
+def best_window_persisted(spark, path: str, terms: list[str],
+                          width: int = 20,
+                          num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Proximity snippet window (:func:`best_window`) through the
+    persisted positional index — pruned scan, tombstones applied, no
+    re-tokenization. Returns (doc_id, snippet_start, n_hits)."""
+    return best_window(
+        read_position_postings(spark, path, terms, num_buckets),
+        terms, width=width)
+
+
+def write_search_index_segment(df: DataFrame, path: str, seg: str,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_buckets: int = DEFAULT_BUCKETS) -> None:
+    """IDEMPOTENT segment write for streaming ingest
+    (streaming/events.py:index_ingest_sink): same three artifacts as
+    :func:`write_search_index`, but every artifact carries ``seg`` as
+    an extra partition column and writes with DYNAMIC partition
+    overwrite — re-running the same (batch, seg) replaces exactly its
+    own partitions instead of double-appending, which is what makes a
+    foreachBatch epoch replay (crash between data write and checkpoint
+    advance) heal instead of duplicating postings (pinned in
+    tests/test_indexing.py: writing a segment twice == once).
+
+    The ``seg`` partition column rides along harmlessly at query time
+    (readers filter on bucket/token and aggregate over rows). Do not
+    mix this layout with :func:`write_search_index` appends under one
+    path — partition discovery needs consistent partition columns."""
+    from pyspark import StorageLevel
+
+    base = path.rstrip("/")
+    scored = (build_scored_postings(df, text_col=text_col, id_col=id_col)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        (scored.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .withColumn("seg", F.lit(seg))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket", "seg").parquet(base + "/postings"))
+        (scored.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("dl").cast("bigint").alias("sum_dl"))
+         .withColumn("seg", F.lit(seg))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("seg").parquet(base + "/stats"))
+        (scored.groupBy("token")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+              F.max("tf").cast("bigint").alias("max_tf"),
+              F.min("dl").cast("bigint").alias("min_dl"))
+         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .withColumn("seg", F.lit(seg))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket", "seg").parquet(base + "/dict"))
+    finally:
+        scored.unpersist()
 
 
 def conjunctive_search(postings: DataFrame, terms: list[str],

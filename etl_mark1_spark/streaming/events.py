@@ -607,6 +607,51 @@ def dedup_ingest_sink(stream_df: DataFrame, corpus_dir: str,
     query.awaitTermination()
 
 
+def index_ingest_sink(stream_df: DataFrame, index_dir: str,
+                      checkpoint: str | None = None, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_buckets: int | None = None) -> None:
+    """Streaming ingest INTO the persisted search index: each document
+    micro-batch appends a BM25-queryable segment (postings + stats +
+    dict, operators/indexing.py:write_search_index_segment) — the
+    crawl-to-searchable-corpus composition: a drained stream's index
+    answers bm25_search_persisted / bm25_maxscore_search immediately,
+    equal to a batch-built index over the same documents (pinned by the
+    ``streaming_index_ingest_docs`` oracle).
+
+    Replay-idempotent WITHOUT an epoch-note table: every artifact is
+    partitioned by a segment id derived from (checkpoint tag, epoch id)
+    and written with DYNAMIC partition overwrite, so a replayed epoch
+    (crash between data write and checkpoint advance) REWRITES exactly
+    its own partitions instead of double-appending — f(batch) twice ==
+    once, structurally. The checkpoint tag serves the same
+    lineage-disambiguation role as versioned_sink's epoch notes: two
+    drains with fresh checkpoints both restart epochs at 0, and
+    untagged segment ids would collide and silently overwrite the
+    earlier drain's batch. Drains AvailableNow and returns. Batches
+    must be document-disjoint across the stream's lifetime (standard
+    segment discipline; re-ingest belongs to compact_index)."""
+    from etl_mark1_spark.operators.indexing import (DEFAULT_BUCKETS,
+                                                    write_search_index_segment)
+
+    nb = DEFAULT_BUCKETS if num_buckets is None else num_buckets
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="etl_mark1_ckpt_")
+    ckpt_tag = hashlib.sha256(
+        os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        write_search_index_segment(
+            batch.select(id_col, text_col), index_dir,
+            seg=f"{ckpt_tag}-{epoch_id}", text_col=text_col,
+            id_col=id_col, num_buckets=nb)
+
+    query = (stream_df.writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+
+
 def interval_join_streams(left: DataFrame, right: DataFrame,
                           on_col: str = "user_id",
                           upper: str = "2 hours",

@@ -524,6 +524,322 @@ def test_qlm_rejects_unknown_terms(spark):
         qlm_topk(p, postings_dictionary(p), doclens, [])
 
 
+# -- tombstone deletion + compaction ------------------------------------------
+
+def test_delete_then_query_equals_build_from_survivors(spark, tmp_path):
+    """delete_from_index + bm25_search_persisted must reproduce a BM25
+    over ONLY the surviving documents, score-exactly — n/avgdl correct
+    from the tombstones' stored dl, df recounts from surviving pruned
+    postings. Double deletes and unknown-id deletes are harmless."""
+    from etl_mark1_spark.operators.corpus import bm25_topk
+    from etl_mark1_spark.operators.indexing import (bm25_maxscore_search,
+                                                    bm25_search_persisted,
+                                                    delete_from_index,
+                                                    write_search_index)
+
+    path = str(tmp_path / "didx")
+    docs = _docs(spark)
+    write_search_index(docs, path, num_buckets=8)
+    delete_from_index(spark, path, [1, 4], num_buckets=8)
+    # double delete + an id the index never held
+    delete_from_index(spark, path, [4, 999], num_buckets=8)
+    surviving = docs.filter(~F.col("doc_id").isin([1, 4]))
+    want = [(r["doc_id"], r["bm25"]) for r in
+            bm25_topk(surviving, ["lazy", "fox"], top_k=5).collect()]
+    got = [(r["doc_id"], r["bm25"]) for r in
+           bm25_search_persisted(spark, path, ["lazy", "fox"], top_k=5,
+                                 num_buckets=8).collect()]
+    assert got == want
+    assert all(d not in (1, 4) for d, _ in got)
+    # the MaxScore path honors tombstones identically
+    ms = [(r["doc_id"], r["bm25"]) for r in
+          bm25_maxscore_search(spark, path, ["lazy", "fox"], top_k=5,
+                               num_buckets=8).collect()]
+    assert ms == want
+
+
+def test_delete_everything_raises_clearly(spark, tmp_path):
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    delete_from_index,
+                                                    write_search_index)
+
+    path = str(tmp_path / "didx_all")
+    write_search_index(_docs(spark, [(1, "only doc")]), path, num_buckets=8)
+    delete_from_index(spark, path, [1], num_buckets=8)
+    with pytest.raises(ValueError, match="no surviving documents"):
+        bm25_search_persisted(spark, path, ["only"], num_buckets=8)
+
+
+def test_compact_applies_tombstones_and_queries_skip_them(spark, tmp_path):
+    """compact_index rewrites survivors into a fresh tombstone-free
+    index: query results equal the tombstone path, and the compacted
+    query plan carries NO anti-join and never lists the deletes path —
+    compaction resets query cost to the fast path."""
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    compact_index,
+                                                    delete_from_index,
+                                                    write_search_index)
+
+    src, dst = str(tmp_path / "cidx"), str(tmp_path / "cidx_out")
+    docs = _docs(spark)
+    write_search_index(docs.filter(F.col("doc_id") <= 3), src, num_buckets=8)
+    write_search_index(docs.filter(F.col("doc_id") > 3), src, num_buckets=8)
+    delete_from_index(spark, src, [1], num_buckets=8)
+    want = [(r["doc_id"], r["bm25"]) for r in
+            bm25_search_persisted(spark, src, ["lazy", "fox"], top_k=5,
+                                  num_buckets=8).collect()]
+    compact_index(spark, src, dst, num_buckets=8)
+    out = bm25_search_persisted(spark, dst, ["lazy", "fox"], top_k=5,
+                                num_buckets=8)
+    assert [(r["doc_id"], r["bm25"]) for r in out.collect()] == want
+    import os
+
+    assert not os.path.exists(dst + "/deletes")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan and "deletes" not in plan, plan
+    # compacted stats collapse to one fresh segment row
+    stats = spark.read.parquet(dst + "/stats").collect()
+    assert len(stats) == 1 and stats[0]["n_docs"] == 4
+    # compaction can re-bucket: query at the new bucket count
+    dst2 = str(tmp_path / "cidx_out16")
+    compact_index(spark, src, dst2, num_buckets=16)
+    got2 = [(r["doc_id"], r["bm25"]) for r in
+            bm25_search_persisted(spark, dst2, ["lazy", "fox"], top_k=5,
+                                  num_buckets=16).collect()]
+    assert got2 == want
+
+
+def test_compact_carries_positions(spark, tmp_path):
+    """A positional segment compacts in the same pass: tombstoned docs'
+    position rows drop, survivors' phrase results are unchanged."""
+    from etl_mark1_spark.operators.indexing import (compact_index,
+                                                    delete_from_index,
+                                                    phrase_search_persisted,
+                                                    write_position_index,
+                                                    write_search_index)
+
+    src, dst = str(tmp_path / "pidx"), str(tmp_path / "pidx_out")
+    docs = _docs(spark)
+    write_search_index(docs, src, num_buckets=8)
+    write_position_index(docs, src, num_buckets=8)
+    delete_from_index(spark, src, [1], num_buckets=8)
+    compact_index(spark, src, dst, num_buckets=8)
+    got = {r["doc_id"]: r["n_matches"] for r in
+           phrase_search_persisted(spark, dst, ["lazy", "dog"],
+                                   num_buckets=8).collect()}
+    assert got == {3: 1}  # doc 1's "lazy dog" is gone with the tombstone
+
+
+# -- persisted positional postings --------------------------------------------
+
+def test_positional_persisted_parity_and_pruning(spark, tmp_path):
+    """phrase_search_persisted / best_window_persisted must equal the
+    in-memory path exactly (the roll-to-array + explode round-trip is
+    lossless), the scan must prune to the query terms' buckets, and
+    tombstones must apply."""
+    from etl_mark1_spark.operators.indexing import (
+        best_window, best_window_persisted, build_positional_postings,
+        delete_from_index, phrase_search, phrase_search_persisted,
+        read_position_postings, write_position_index, write_search_index)
+
+    path = str(tmp_path / "posidx")
+    docs = _docs(spark)
+    write_search_index(docs, path, num_buckets=8)   # stats + tf postings
+    # two document-disjoint positional segments
+    write_position_index(docs.filter(F.col("doc_id") <= 2), path,
+                         num_buckets=8)
+    write_position_index(docs.filter(F.col("doc_id") > 2), path,
+                         num_buckets=8)
+    mem = build_positional_postings(docs)
+    want_ph = {r["doc_id"]: r["n_matches"] for r in
+               phrase_search(mem, ["quick", "brown"]).collect()}
+    got_ph = {r["doc_id"]: r["n_matches"] for r in
+              phrase_search_persisted(spark, path, ["quick", "brown"],
+                                      num_buckets=8).collect()}
+    assert got_ph == want_ph == {1: 1, 2: 1}
+    want_bw = {r["doc_id"]: (r["snippet_start"], r["n_hits"]) for r in
+               best_window(mem, ["lazy", "cat"], width=4).collect()}
+    got_bw = {r["doc_id"]: (r["snippet_start"], r["n_hits"]) for r in
+              best_window_persisted(spark, path, ["lazy", "cat"], width=4,
+                                    num_buckets=8).collect()}
+    assert got_bw == want_bw
+    pruned = read_position_postings(spark, path, ["lazy"], num_buckets=8)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan, plan
+    # tombstones hide a doc's positions too
+    delete_from_index(spark, path, [1], num_buckets=8)
+    after = {r["doc_id"]: r["n_matches"] for r in
+             phrase_search_persisted(spark, path, ["quick", "brown"],
+                                     num_buckets=8).collect()}
+    assert after == {2: 1}
+
+
+# -- MaxScore early termination -----------------------------------------------
+
+def _skewed_corpus(spark, n=80):
+    """A corpus with one rare high-idf term ('needle', 4 docs) and a
+    stopword ('filler', every doc) — the shape MaxScore exists for."""
+    rows = []
+    for i in range(1, n + 1):
+        base = "filler common words everywhere " * 3
+        if i % 20 == 0:
+            rows.append((i, f"needle {base} needle extra"))
+        else:
+            rows.append((i, f"{base} tail {i % 7}"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_maxscore_equals_exhaustive_on_skewed_query(spark, tmp_path):
+    """Rank-safety: bm25_maxscore_search returns EXACTLY the exhaustive
+    rows/scores, while terminating after the rare term (one essential
+    round, candidate ids pushed into the stopword's scan)."""
+    from etl_mark1_spark.operators.indexing import (bm25_maxscore_search,
+                                                    bm25_search_persisted,
+                                                    write_search_index)
+
+    path = str(tmp_path / "msidx")
+    docs = _skewed_corpus(spark)
+    write_search_index(docs, path, num_buckets=8)
+    diag: dict = {}
+    got = bm25_maxscore_search(spark, path, ["needle", "filler"], top_k=3,
+                               num_buckets=8, diagnostics=diag)
+    want = bm25_search_persisted(spark, path, ["needle", "filler"],
+                                 top_k=3, num_buckets=8)
+    assert [(r["doc_id"], r["bm25"]) for r in got.collect()] == \
+        [(r["doc_id"], r["bm25"]) for r in want.collect()]
+    # pruning fired: one round, essential = the rare term only, and the
+    # 4 candidate ids were pushed — the stopword's 80 postings never
+    # entered candidate generation
+    assert diag["rounds"] == 1
+    assert diag["essential_terms"] == ["needle"]
+    assert diag["pushed"] and diag["n_candidates"] == 4
+
+
+def test_maxscore_equals_exhaustive_on_adversarial_queries(spark, tmp_path):
+    """Equality must hold whether or not early termination helps:
+    all-common queries (termination never fires), single terms, absent
+    terms, k larger than the corpus."""
+    from etl_mark1_spark.operators.indexing import (bm25_maxscore_search,
+                                                    bm25_search_persisted,
+                                                    write_search_index)
+
+    path = str(tmp_path / "msidx2")
+    write_search_index(_docs(spark), path, num_buckets=8)
+    for terms, k in ([["the", "quick", "lazy"], 3],
+                     [["fox"], 2], [["lazy", "dog"], 10],
+                     [["the", "fox", "cat", "dog"], 4]):
+        got = [(r["doc_id"], r["bm25"]) for r in
+               bm25_maxscore_search(spark, path, terms, top_k=k,
+                                    num_buckets=8).collect()]
+        want = [(r["doc_id"], r["bm25"]) for r in
+                bm25_search_persisted(spark, path, terms, top_k=k,
+                                      num_buckets=8).collect()]
+        assert got == want, terms
+    assert bm25_maxscore_search(spark, path, ["zzznope"],
+                                num_buckets=8).count() == 0
+
+
+def test_maxscore_semi_join_path_above_pushdown_cap(spark, tmp_path):
+    """Above max_pushdown the candidate set switches to a left-semi
+    join; results stay identical."""
+    from etl_mark1_spark.operators.indexing import (bm25_maxscore_search,
+                                                    bm25_search_persisted,
+                                                    write_search_index)
+
+    path = str(tmp_path / "msidx3")
+    docs = _skewed_corpus(spark)
+    write_search_index(docs, path, num_buckets=8)
+    diag: dict = {}
+    got = [(r["doc_id"], r["bm25"]) for r in
+           bm25_maxscore_search(spark, path, ["needle", "filler"], top_k=3,
+                                num_buckets=8, max_pushdown=2,
+                                diagnostics=diag).collect()]
+    want = [(r["doc_id"], r["bm25"]) for r in
+            bm25_search_persisted(spark, path, ["needle", "filler"],
+                                  top_k=3, num_buckets=8).collect()]
+    assert got == want
+    assert not diag["pushed"]
+
+
+# -- idempotent streaming segment writes --------------------------------------
+
+def test_write_search_index_segment_idempotent(spark, tmp_path):
+    """Writing the same (batch, seg) twice must leave the index
+    byte-identical to writing it once (dynamic partition overwrite) —
+    the property that makes a foreachBatch epoch replay heal instead of
+    double-appending."""
+    from etl_mark1_spark.operators.corpus import bm25_topk
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    write_search_index_segment)
+
+    path = str(tmp_path / "segidx")
+    docs = _docs(spark)
+    write_search_index_segment(docs, path, seg="tag-0", num_buckets=8)
+    before = spark.read.parquet(path + "/postings").count()
+    write_search_index_segment(docs, path, seg="tag-0", num_buckets=8)
+    assert spark.read.parquet(path + "/postings").count() == before
+    assert spark.read.parquet(path + "/stats").count() == 1
+    # a second DISTINCT segment appends; queries see both
+    write_search_index_segment(
+        _docs(spark, [(9, "lazy extra")]), path, seg="tag-1", num_buckets=8)
+    got = [(r["doc_id"], r["bm25"]) for r in
+           bm25_search_persisted(spark, path, ["lazy"], top_k=5,
+                                 num_buckets=8).collect()]
+    want = [(r["doc_id"], r["bm25"]) for r in
+            bm25_topk(docs.unionByName(_docs(spark, [(9, "lazy extra")])),
+                      ["lazy"], top_k=5).collect()]
+    assert got == want
+
+
+def test_index_ingest_sink_two_drains_and_replay(spark, tmp_path):
+    """Streaming docs into the search index: a drain indexes the
+    available files; a second drain from the SAME checkpoint picks up
+    only NEW files (replaying nothing); the final index answers BM25
+    exactly like a batch-built index over all drained docs."""
+    import shutil
+
+    from etl_mark1_spark.operators.corpus import bm25_topk
+    from etl_mark1_spark.operators.indexing import bm25_search_persisted
+    from etl_mark1_spark.streaming.events import index_ingest_sink
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "stream_idx")
+    docs = _docs(spark)
+    first = docs.filter(F.col("doc_id") <= 3)
+    second = docs.filter(F.col("doc_id") > 3)
+    first.coalesce(1).write.parquet(src)
+
+    def stream():
+        return (spark.readStream
+                .schema("doc_id bigint, text string")
+                .format("parquet").load(src))
+
+    index_ingest_sink(stream(), idx, checkpoint=ckpt, num_buckets=8)
+    mid = [(r["doc_id"], r["bm25"]) for r in
+           bm25_search_persisted(spark, idx, ["lazy"], top_k=5,
+                                 num_buckets=8).collect()]
+    assert mid == [(r["doc_id"], r["bm25"]) for r in
+                   bm25_topk(first, ["lazy"], top_k=5).collect()]
+    # drain again with NO new files: nothing changes
+    n_before = spark.read.parquet(idx + "/postings").count()
+    index_ingest_sink(stream(), idx, checkpoint=ckpt, num_buckets=8)
+    assert spark.read.parquet(idx + "/postings").count() == n_before
+    # new files arrive; the same checkpoint drains only them
+    tmp2 = str(tmp_path / "docs_src2")
+    second.coalesce(1).write.parquet(tmp2)
+    for f in __import__("os").listdir(tmp2):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{tmp2}/{f}", f"{src}/{f}")
+    index_ingest_sink(stream(), idx, checkpoint=ckpt, num_buckets=8)
+    got = [(r["doc_id"], r["bm25"]) for r in
+           bm25_search_persisted(spark, idx, ["lazy", "fox"], top_k=5,
+                                 num_buckets=8).collect()]
+    want = [(r["doc_id"], r["bm25"]) for r in
+            bm25_topk(docs, ["lazy", "fox"], top_k=5).collect()]
+    assert got == want
+
+
 def test_segment_report_hand_counted(spark):
     import hashlib
 
