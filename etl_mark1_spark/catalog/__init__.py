@@ -84,6 +84,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     training_audit,
     index_lifecycle,
     retrieval_quality,
+    index_maintenance,
 )
 
 #: Round number that authored the prefix below: the rotation meta-test in

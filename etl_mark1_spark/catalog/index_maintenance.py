@@ -1,0 +1,245 @@
+"""Catalog entries for persisted-index MAINTENANCE and the pruned
+retrieval paths round 13 completed (operators/indexing.py,
+streaming/events.py): tombstone deletion + compaction, persisted
+positional postings (phrase/snippet without re-tokenizing), MaxScore
+early termination, and streaming ingest straight into the search index.
+The reference's search surface is SQL LIKE over scanned text
+(backend/services/duckdb_engine.py); the index lifecycle is part of the
+LLM-pipeline extension a 100 TB corpus operates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.catalog._registry import query, t
+
+#: shared DuckDB fragment: BM25 from first principles over a document
+#: set named by the ``docs`` CTE the caller prepends — identical
+#: construction to the bm25_persisted_search_docs oracle, parameterized
+#: on the term list so every lifecycle entry replays retrieval from the
+#: raw text.
+def _bm25_sql(terms: str, where: str = "TRUE") -> str:
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents WHERE {where}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q AS (SELECT * FROM toks WHERE tok IN ({terms})),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1)
+    SELECT doc_id,
+           round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                 6) AS bm25
+    FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+"""
+
+
+@query("index_delete_query_docs",
+       _bm25_sql("'hash', 'join', 'vector'", where="doc_id % 7 <> 0"))
+def index_delete_query_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletion on the persisted index
+    (operators/indexing.py:delete_from_index): the corpus is indexed in
+    two document-disjoint segments, every doc_id % 7 == 0 document is
+    deleted (takedown/decontamination shape — tombstones carry the
+    deleted doc's dl, captured by one doc_id-pushed delete-time scan),
+    and the query anti-joins the broadcast tombstone set while n/avgdl
+    correct algebraically. The oracle computes BM25 from first
+    principles over ONLY the surviving documents, so a green row
+    externally confirms delete-then-query == build-from-survivors,
+    score-exactly — no rebuild, no corpus rescan at query time."""
+    import tempfile
+
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    delete_from_index,
+                                                    write_search_index)
+
+    docs = t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_delidx_")
+    write_search_index(docs.filter(F.col("doc_id") % 5 != 0), tdir)
+    write_search_index(docs.filter(F.col("doc_id") % 5 == 0), tdir)
+    delete_from_index(
+        spark, tdir, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"))
+    return bm25_search_persisted(spark, tdir,
+                                 ["hash", "join", "vector"], top_k=10)
+
+
+@query("index_compact_query_docs",
+       _bm25_sql("'scan', 'filter', 'sort'", where="doc_id % 7 <> 0"))
+def index_compact_query_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction applies tombstones permanently
+    (operators/indexing.py:compact_index): after the same % 7 deletion,
+    the index rewrites into a single fresh segment — surviving postings
+    re-bucketed, stats and the max-impact dict recomputed, NO deletes
+    directory — and the query takes the tombstone-free fast path (plan
+    pinned anti-join-free in tests/test_indexing.py). Same oracle shape
+    as the tombstone entry on a different query, so the driver confirms
+    both halves of the delete lifecycle independently."""
+    import tempfile
+
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    compact_index,
+                                                    delete_from_index,
+                                                    write_search_index)
+
+    docs = t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_cmpidx_")
+    write_search_index(docs, tdir)
+    delete_from_index(
+        spark, tdir, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"))
+    out = tempfile.mkdtemp(prefix="etl_mark1_cmpidx_out_")
+    compact_index(spark, tdir, out)
+    return bm25_search_persisted(spark, out,
+                                 ["scan", "filter", "sort"], top_k=10)
+
+
+@query("bm25_maxscore_search_docs",
+       _bm25_sql("'dup', 'the', 'data'"))
+def bm25_maxscore_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore early termination over the persisted index
+    (operators/indexing.py:bm25_maxscore_search — Turtle & Flood 1995;
+    WAND family, Broder et al. CIKM 2003): the query mixes one RARE
+    high-idf term ('dup', ~5% of documents) with two near-stopwords, the
+    shape where the per-token (df, max_tf, min_dl) dict metadata turns
+    into term score upper bounds and the common terms' postings never
+    generate candidates — their rows are read only through the pushed
+    candidate-id filter. The pruning is provably rank-safe (candidates
+    score over ALL terms with the exhaustive path's exact aggregation;
+    the non-essential tail's summed bound falls under the k-th score
+    minus the rounding guard), so the oracle is plain from-first-
+    principles BM25 — a green row externally confirms early termination
+    loses nothing."""
+    import tempfile
+
+    from etl_mark1_spark.operators.indexing import (bm25_maxscore_search,
+                                                    write_search_index)
+
+    docs = t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_msidx_")
+    write_search_index(docs, tdir)
+    return bm25_maxscore_search(spark, tdir,
+                                ["dup", "the", "data"], top_k=10)
+
+
+@query("phrase_search_persisted_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+          FROM d WHERE len(tk) >= 2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM p WHERE tk[i] = 'hash' AND tk[i + 1] = 'join'
+    GROUP BY doc_id
+""")
+def phrase_search_persisted_docs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """EXACT phrase query through the PERSISTED positional index
+    (operators/indexing.py:write_position_index +
+    phrase_search_persisted): positions persist as sorted arrays on the
+    posting row under the same token buckets (two document-disjoint
+    segments here), and the phrase query prunes to its terms' buckets,
+    explodes positions back to rows, and runs the anchor construction —
+    the corpus is never re-tokenized, exactly the cost the round-12
+    BM25 work eliminated for term queries, now for phrases. The oracle
+    scans token arrays positionally from the raw text, so green
+    confirms the persist + prune + explode round-trip is lossless."""
+    import tempfile
+
+    from etl_mark1_spark.operators.indexing import (phrase_search_persisted,
+                                                    write_position_index)
+
+    docs = t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_phidx_")
+    write_position_index(docs.filter(F.col("doc_id") % 5 != 0), tdir)
+    write_position_index(docs.filter(F.col("doc_id") % 5 == 0), tdir)
+    return phrase_search_persisted(spark, tdir, ["hash", "join"])
+
+
+@query("snippet_persisted_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, i AS pos
+          FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+          WHERE tk[i] IN ('scan', 'filter', 'sort')),
+    s AS (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                RANGE BETWEEN CURRENT ROW
+                                AND 19 FOLLOWING) AS n
+          FROM p),
+    r AS (SELECT doc_id, pos, n,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, pos) AS rn
+          FROM s)
+    SELECT doc_id, CAST(pos AS BIGINT) AS snippet_start,
+           CAST(n AS BIGINT) AS n_hits
+    FROM r WHERE rn = 1
+""")
+def snippet_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity snippet selection through the persisted positional
+    index (operators/indexing.py:best_window_persisted): the 20-token
+    window with the most query-term occurrences per matching document,
+    computed from a bucket-pruned scan of the persisted position arrays
+    — the result-page highlight without re-tokenizing the corpus. Same
+    oracle construction as snippet_window_docs on a different query, so
+    the driver confirms the persisted path independently of the
+    in-memory one."""
+    import tempfile
+
+    from etl_mark1_spark.operators.indexing import (best_window_persisted,
+                                                    write_position_index)
+
+    docs = t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_snidx_")
+    write_position_index(docs, tdir)
+    return best_window_persisted(spark, tdir,
+                                 ["scan", "filter", "sort"], width=20)
+
+
+@query("streaming_index_ingest_docs",
+       _bm25_sql("'scan', 'merge', 'window'"))
+def streaming_index_ingest_docs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Crawl-to-searchable-corpus in one pipeline
+    (streaming/events.py:index_ingest_sink): the documents table arrives
+    as a file-source stream, each micro-batch appends a postings + stats
+    + dict segment keyed on (checkpoint tag, epoch) with DYNAMIC
+    partition overwrite (epoch replays rewrite their own partitions —
+    structurally idempotent, pinned in tests/test_indexing.py), and the
+    drained index answers BM25 immediately. The oracle is from-first-
+    principles BM25 over the same documents, so green externally
+    confirms streaming ingest == batch build, score-exactly."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_mark1_spark.operators.indexing import bm25_search_persisted
+    from etl_mark1_spark.streaming.events import (events_source_dir,
+                                                  index_ingest_sink)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    src = events_source_dir(f"{sf_dir}/documents.parquet")
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_stridx_")
+    index_ingest_sink(stream, tdir)
+    return bm25_search_persisted(spark, tdir,
+                                 ["scan", "merge", "window"], top_k=10)
