@@ -131,6 +131,14 @@ HEADLINE = [
     # equi-join), representing the new fingerprinting family
     "bm25_persisted_search_docs",
     "winnow_match_docs",
+    # round-13 additions: tombstone deletion through the persisted index
+    # (delete-time dl capture + query-time broadcast anti-join with
+    # algebraic stats correction), representing the index-maintenance
+    # family; MaxScore early termination (dict-metadata upper bounds,
+    # candidate-id pushdown into the non-essential scans) on the
+    # rare-term + stopwords query shape it exists for
+    "index_delete_query_docs",
+    "bm25_maxscore_search_docs",
 ]
 
 
@@ -191,11 +199,23 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 
 def time_in_session(spark, name: str, sf_dir: str) -> list[float]:
     """Warmup (compile) pass, then SPARK_GRAFT_RUNS timed steady-state
-    runs — the spread across them is the in-artifact load-noise record."""
+    runs — the spread across them is the in-artifact load-noise record.
+
+    SUB-SECOND entries keep sampling up to SPARK_GRAFT_RUNS_FAST total
+    runs (default 8): at 3 timed runs their min still rides scheduler
+    jitter worth 10-20% of the entry, which round 12 burned four local
+    recordings proving was sampling depth, not regression (entries
+    declined monotonically to their prior-round floors by run ~8). The
+    extra runs are by definition cheap — an entry pays them only while
+    its best time is under a second."""
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP"):
         run_query(spark, name, sf_dir)  # compile pass; steady-state is timed
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
-    return [round(run_query(spark, name, sf_dir), 3) for _ in range(n_runs)]
+    n_fast = max(n_runs, int(os.environ.get("SPARK_GRAFT_RUNS_FAST", "8")))
+    runs = [round(run_query(spark, name, sf_dir), 3) for _ in range(n_runs)]
+    while min(runs) < 1.0 and len(runs) < n_fast:
+        runs.append(round(run_query(spark, name, sf_dir), 3))
+    return runs
 
 
 def _best(runs: list[float]) -> float:
@@ -313,6 +333,12 @@ def main() -> None:
         "estimator": "min_of_steady_state_runs",
         "n_queries": len(HEADLINE),
         "n_runs": max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3"))),
+        # sub-second entries sample up to this many runs (round-13
+        # methodology change; see time_in_session) so committed records
+        # carry their floors without cross-run archaeology
+        "n_runs_fast": max(
+            max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3"))),
+            int(os.environ.get("SPARK_GRAFT_RUNS_FAST", "8"))),
     }))
 
 

@@ -92,103 +92,105 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
 #: rounds STRICTLY BEFORE this one when classifying prefix entries as
 #: fresh vs sentinel (the round-8 lesson: globbing ALL snapshots made the
 #: meta-test fail the moment the current round's snapshot landed on disk).
-DRIVER_PREFIX_ROUND = 12
+DRIVER_PREFIX_ROUND = 13
 
-#: Round-12 driver prefix (50 slots). CORRECTNESS_r11 landed fully green
-#: (50/50, all hash-exact), so there are no re-tests; composition per the
-#: staged round-12 plan (NOTES_r11.md):
-#:   * 2 SENTINELS at the head — q1_pricing_summary (green r1-5, r8-r11)
-#:     and domain_capped_docs (green r9-r11) — previously-confirmed
-#:     entries kept under external regression coverage.
-#:   * 8 NEW round-12 entries: bm25_persisted_search_docs (BM25
-#:     through the persisted pruned index — tokenize once, query many;
-#:     dl denormalized on postings, algebraic segment stats) plus the
-#:     retrieval-quality tranche (catalog/retrieval_quality.py):
-#:     winnow_fingerprints_docs + winnow_match_docs (Schleimer et al.
-#:     2003 winnowing signatures and the MOSS fingerprint-join match),
-#:     hybrid_rrf_search_docs (Reciprocal Rank Fusion of BM25 and
-#:     conjunctive rankers), retrieval_ndcg_eval (nDCG@10 + MRR@10
-#:     replayed end-to-end by the oracle), snippet_window_docs
-#:     (proximity snippet window over positional postings),
-#:     qlm_search_docs (Dirichlet query-likelihood ranking over the
-#:     index-lifecycle frames), index_segment_report_docs (per-bucket
-#:     skew report — the md5 bucket arithmetic externally confirmed
-#:     end-to-end). The round's ninth addition,
-#:     ann_ivfpq_topk (IVF-PQ), is recall-band and thus
-#:     prefix-ineligible; the local checker covers it.
-#:   * The ENTIRE 13-name stale backlog, emptying it for the first time
-#:     in the project's history: text_stats, text_tokens_bpe,
-#:     tfidf_top_terms, train_test_split, trim_drop_dedup,
-#:     union_all_merge, window_lag_lead, window_running_sum, cube_agg,
-#:     curation_chunks, curation_pipeline, dedup_distinct,
-#:     dedup_exact_documents (all last confirmed r5).
-#:   * 27 next-oldest refreshers — the r6-confirmation era in
-#:     oldest-first registration order: resample_ffill_events ...
-#:     union_distinct_segments. None of these is STALE in the policy sense (none
-#:     changed since its r6 confirmation); they rotate to keep the
-#:     confirmed board fresh.
-#: If CORRECTNESS_r12 fails to land, re-run THIS prefix in round 13 —
+#: Round-13 driver prefix (50 slots). CORRECTNESS_r12 landed fully green
+#: (50/50, all hash-exact — the stale backlog emptied), so there are no
+#: re-tests; composition per the staged round-13 plan:
+#:   * 4 SENTINELS at the head. q1_pricing_summary is the standing
+#:     regression canary (green r1-5, r8-r12); the other three are
+#:     r12-confirmed entries whose IMPLEMENTATION CODE CHANGED this
+#:     round and therefore need re-confirmation, not mere freshness:
+#:     bm25_persisted_search_docs (write_search_index now also emits the
+#:     max-impact dict segment; the query path refactored onto shared
+#:     tombstone-aware helpers), retrieval_ndcg_eval (ndcg_at_k's
+#:     empty-ranking coalesce fix), hybrid_rrf_search_docs (bm25_topk's
+#:     engine-side query-term case fold).
+#:   * 6 NEW round-13 entries (catalog/index_maintenance.py) — the
+#:     persisted-index maintenance lifecycle: index_delete_query_docs
+#:     (tombstone deletion; delete-then-query == build-from-survivors),
+#:     index_compact_query_docs (compaction applies tombstones, queries
+#:     drop the anti-join), bm25_maxscore_search_docs (rank-safe
+#:     MaxScore early termination), phrase_search_persisted_docs +
+#:     snippet_persisted_docs (persisted positional postings — phrase
+#:     and proximity queries without re-tokenizing), and
+#:     streaming_index_ingest_docs (foreachBatch ingest straight into
+#:     the search index, replay-idempotent by dynamic partition
+#:     overwrite).
+#:   * The ENTIRE 19-name r6-confirmation era in oldest-first
+#:     registration order (conditional_exprs ... q8_market_share) —
+#:     after this round nothing on the confirmed board is older than r8.
+#:   * 21 next-oldest refreshers — the r8 era's first names in
+#:     registration order (window_topk_orders ... image_autorotate_docs).
+#:     bm25_search_docs rides in this group and doubles as the
+#:     re-confirmation of bm25_topk's case-fold change.
+#: If CORRECTNESS_r13 fails to land, re-run THIS prefix in round 14 —
 #: never rotate past an unsampled prefix.
 #:
-#: ROUND-13 PLAN: (a) any r12 reds at the head, (b) 2+ sentinels,
-#: (c) new round-13 additions, (d) the remaining r6-era refreshers
-#: (conditional_exprs, regexp_extract_groups, rolling_median_price,
-#: window_rank_family, boilerplate_ngrams,
-#: histogram_prices, column_entropy, corr_stats, spearman_qty_price, mi_status_priority,
-#: chi2_status_priority, weighted_sample_quality, upsert_orders,
-#: pii_scan_docs, pit_scd2_orders, scd2_customers, zorder_values,
-#: q4_late_orders, ...), then the r7 era.
+#: ROUND-14 PLAN: (a) any r13 reds at the head, (b) 2+ sentinels,
+#: (c) new round-14 additions, (d) the remaining 27 r8-era refreshers
+#: in registration order (funnel_conversion_events,
+#: cohort_retention_events, weighted_sample_docs, epoch_shuffle_docs,
+#: edit_distance_join_customers, nb_lang_classifier,
+#: fuzzy_dedup_customers, url_normalize_docs, domain_stats_docs,
+#: blocklist_filtered_docs, robots_filter_docs, html_strip_docs,
+#: html_links_docs, html_main_content_docs, warc_ingest_docs,
+#: html_metadata_docs, decode_bytes_docs, mojibake_repair_docs,
+#: sniff_mime_docs, unicode_nfc_docs, dedup_lines_docs,
+#: remove_common_lines_docs, corpus_datacard, script_profile_docs,
+#: split_sentences_docs, sentence_decontam_docs, webdataset_ingest_docs),
+#: then the r9 era.
 DRIVER_PREFIX = [
     "q1_pricing_summary",
-    "domain_capped_docs",
     "bm25_persisted_search_docs",
-    "winnow_fingerprints_docs",
-    "winnow_match_docs",
-    "hybrid_rrf_search_docs",
     "retrieval_ndcg_eval",
-    "snippet_window_docs",
-    "qlm_search_docs",
-    "index_segment_report_docs",
-    "text_stats",
-    "text_tokens_bpe",
-    "tfidf_top_terms",
-    "train_test_split",
-    "trim_drop_dedup",
-    "union_all_merge",
-    "window_lag_lead",
-    "window_running_sum",
-    "cube_agg",
-    "curation_chunks",
-    "curation_pipeline",
-    "dedup_distinct",
-    "dedup_exact_documents",
-    "resample_ffill_events",
-    "seasonal_decompose_events",
-    "resample_interpolate_events",
-    "expectations_customer",
-    "leakage_safe_split",
-    "ntile_quartiles",
-    "q7_nation_volume",
-    "q9_profit_by_nation",
-    "salted_join_lineitem",
-    "skewed_join_aqe",
-    "xml_scan",
-    "pdf_extract",
-    "q15_top_supplier",
-    "date_arithmetic",
-    "hash_functions",
-    "asof_last_error",
-    "asof_next_error",
-    "range_join_shipments",
-    "sessionize_batch",
-    "salted_aggregate_lineitem",
-    "corpus_stats",
-    "window_first_last",
-    "window_relative_rank",
-    "filtered_agg",
-    "scalar_subquery",
-    "explode_embeddings",
-    "union_distinct_segments",
+    "hybrid_rrf_search_docs",
+    "index_delete_query_docs",
+    "index_compact_query_docs",
+    "bm25_maxscore_search_docs",
+    "phrase_search_persisted_docs",
+    "snippet_persisted_docs",
+    "streaming_index_ingest_docs",
+    "conditional_exprs",
+    "regexp_extract_groups",
+    "rolling_median_price",
+    "window_rank_family",
+    "boilerplate_ngrams",
+    "histogram_prices",
+    "column_entropy",
+    "corr_stats",
+    "spearman_qty_price",
+    "mi_status_priority",
+    "chi2_status_priority",
+    "weighted_sample_quality",
+    "upsert_orders",
+    "pii_scan_docs",
+    "pit_scd2_orders",
+    "scd2_customers",
+    "zorder_values",
+    "q4_late_orders",
+    "q8_market_share",
+    "window_topk_orders",
+    "streaming_dedup",
+    "bpe_roundtrip_docs",
+    "quality_lr_score_docs",
+    "length_bucketed_batches_docs",
+    "collect_set_priorities",
+    "multi_quantiles_quantity",
+    "window_range_rolling",
+    "compact_versioned_docs",
+    "q11_important_parts",
+    "incremental_neardup_docs",
+    "temperature_mixture_sources",
+    "winsorize_prices",
+    "collocations_pmi_docs",
+    "bm25_search_docs",
+    "quality_percentile_rank",
+    "dedup_keep_best_docs",
+    "ks_drift_values",
+    "multimodal_image_neardup",
+    "image_exif_docs",
+    "image_autorotate_docs",
 ]
 
 
