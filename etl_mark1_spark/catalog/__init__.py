@@ -106,30 +106,32 @@ DRIVER_PREFIX_ROUND = 13
 #:     tombstone-aware helpers), retrieval_ndcg_eval (ndcg_at_k's
 #:     empty-ranking coalesce fix), hybrid_rrf_search_docs (bm25_topk's
 #:     engine-side query-term case fold).
-#:   * 6 NEW round-13 entries (catalog/index_maintenance.py) — the
+#:   * 7 NEW round-13 entries (catalog/index_maintenance.py) — the
 #:     persisted-index maintenance lifecycle: index_delete_query_docs
 #:     (tombstone deletion; delete-then-query == build-from-survivors),
 #:     index_compact_query_docs (compaction applies tombstones, queries
 #:     drop the anti-join), bm25_maxscore_search_docs (rank-safe
 #:     MaxScore early termination), phrase_search_persisted_docs +
 #:     snippet_persisted_docs (persisted positional postings — phrase
-#:     and proximity queries without re-tokenizing), and
+#:     and proximity queries without re-tokenizing),
+#:     qlm_persisted_search_docs (Dirichlet QLM on the tokenize-once
+#:     path, |C| from the stats segments), and
 #:     streaming_index_ingest_docs (foreachBatch ingest straight into
 #:     the search index, replay-idempotent by dynamic partition
 #:     overwrite).
 #:   * The ENTIRE 19-name r6-confirmation era in oldest-first
 #:     registration order (conditional_exprs ... q8_market_share) —
 #:     after this round nothing on the confirmed board is older than r8.
-#:   * 21 next-oldest refreshers — the r8 era's first names in
-#:     registration order (window_topk_orders ... image_autorotate_docs).
+#:   * 20 next-oldest refreshers — the r8 era's first names in
+#:     registration order (window_topk_orders ... image_exif_docs).
 #:     bm25_search_docs rides in this group and doubles as the
 #:     re-confirmation of bm25_topk's case-fold change.
 #: If CORRECTNESS_r13 fails to land, re-run THIS prefix in round 14 —
 #: never rotate past an unsampled prefix.
 #:
 #: ROUND-14 PLAN: (a) any r13 reds at the head, (b) 2+ sentinels,
-#: (c) new round-14 additions, (d) the remaining 27 r8-era refreshers
-#: in registration order (funnel_conversion_events,
+#: (c) new round-14 additions, (d) the remaining 28 r8-era refreshers
+#: in registration order (image_autorotate_docs, funnel_conversion_events,
 #: cohort_retention_events, weighted_sample_docs, epoch_shuffle_docs,
 #: edit_distance_join_customers, nb_lang_classifier,
 #: fuzzy_dedup_customers, url_normalize_docs, domain_stats_docs,
@@ -150,6 +152,7 @@ DRIVER_PREFIX = [
     "bm25_maxscore_search_docs",
     "phrase_search_persisted_docs",
     "snippet_persisted_docs",
+    "qlm_persisted_search_docs",
     "streaming_index_ingest_docs",
     "conditional_exprs",
     "regexp_extract_groups",
@@ -190,7 +193,6 @@ DRIVER_PREFIX = [
     "ks_drift_values",
     "multimodal_image_neardup",
     "image_exif_docs",
-    "image_autorotate_docs",
 ]
 
 

@@ -209,6 +209,54 @@ def snippet_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ["scan", "filter", "sort"], width=20)
 
 
+@query("qlm_persisted_search_docs", r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS token FROM d),
+    p AS (SELECT token, doc_id, count(*) AS tf
+          FROM tok WHERE token <> '' GROUP BY token, doc_id),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
+    c AS (SELECT sum(tf) AS csize FROM p),
+    dict AS (SELECT token, sum(tf) AS cf FROM p GROUP BY 1
+             HAVING token IN ('batch', 'small', 'scan')),
+    cand AS (SELECT DISTINCT doc_id FROM p
+             WHERE token IN ('batch', 'small', 'scan'))
+    SELECT doc_id,
+           round(sum(ln((coalesce(m.tf, 0) + 2000.0 * dict.cf / csize)
+                        / (dl + 2000.0))), 6) AS ql_score
+    FROM cand CROSS JOIN dict
+    LEFT JOIN p m USING (doc_id, token)
+    JOIN dl USING (doc_id), c
+    GROUP BY doc_id
+    ORDER BY ql_score DESC, doc_id
+    LIMIT 10
+""")
+def qlm_persisted_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood ranking through the PERSISTED index
+    (operators/indexing.py:qlm_search_persisted — Zhai & Lafferty
+    2001): top-10 for {batch, small, scan} at mu=2000, where |C| comes
+    from the stats segments' summed sum_dl, per-term cf sums over the
+    terms' pruned surviving postings, and candidate doc lengths ride on
+    the posting rows — the third lexical ranker joins BM25 and phrase
+    search on the tokenize-once path, with NO additional persisted
+    artifact. The oracle brute-forces the textbook candidate x term
+    cross product from the raw text."""
+    import tempfile
+
+    from etl_mark1_spark.operators.indexing import (qlm_search_persisted,
+                                                    write_search_index)
+
+    docs = t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_qlmidx_")
+    write_search_index(docs.filter(F.col("doc_id") % 4 != 0), tdir)
+    write_search_index(docs.filter(F.col("doc_id") % 4 == 0), tdir)
+    return qlm_search_persisted(spark, tdir,
+                                ["batch", "small", "scan"], top_k=10)
+
+
 @query("streaming_index_ingest_docs",
        _bm25_sql("'scan', 'merge', 'window'"))
 def streaming_index_ingest_docs(spark: SparkSession,

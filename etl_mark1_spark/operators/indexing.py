@@ -245,9 +245,10 @@ def _read_tombstones(spark, base: str) -> DataFrame | None:
     return raw.groupBy("doc_id").agg(F.first("dl").alias("dl"))
 
 
-def _corrected_index_stats(spark, base: str,
-                           path_for_errors: str) -> tuple[int, float, DataFrame | None, int]:
-    """(n_docs, avgdl, tombstones, n_tombstones) for a persisted index,
+def _corrected_index_stats(
+        spark, base: str, path_for_errors: str,
+) -> tuple[int, int, float, DataFrame | None, int]:
+    """(n_docs, sum_dl, avgdl, tombstones, n_tombstones) for a persisted index,
     with the stats sums corrected for tombstoned documents — tombstones
     carry the deleted doc's dl exactly so both corrections are
     algebraic (no corpus rescan at query time). Raises a clear
@@ -276,7 +277,7 @@ def _corrected_index_stats(spark, base: str,
             raise ValueError(
                 f"index at {path_for_errors!r} has no surviving documents "
                 "(every indexed document is tombstoned; compact or rebuild)")
-    return n_docs, float(sum_dl) / float(n_docs), tomb, n_tomb
+    return n_docs, sum_dl, float(sum_dl) / float(n_docs), tomb, n_tomb
 
 
 def _score_postings_bm25(postings: DataFrame, n_docs: int, avgdl: float,
@@ -330,13 +331,56 @@ def bm25_search_persisted(spark, path: str, query_terms: list[str],
     Query-term df stays exact for free: it is counted from the
     surviving pruned postings."""
     base = path.rstrip("/")
-    n_docs, avgdl, tomb, _ = _corrected_index_stats(spark, base, path)
+    n_docs, _, avgdl, tomb, _ = _corrected_index_stats(spark, base, path)
     postings = lookup_terms(spark.read.parquet(base + "/postings"),
                             query_terms, num_buckets)
     if tomb is not None:
         postings = postings.join(F.broadcast(tomb.select("doc_id")),
                                  "doc_id", "left_anti")
     return _score_postings_bm25(postings, n_docs, avgdl, k1, b, top_k)
+
+
+def read_search_postings(spark, path: str, terms: list[str],
+                         num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """The one pruned LIVE-postings reader every persisted query path
+    shares: the term set's token buckets only (partition-pruned scan),
+    with the index's tombstones (:func:`delete_from_index`) anti-joined
+    out. Feed the result to :func:`conjunctive_search`,
+    :func:`_score_postings_bm25`, or any postings consumer — deletion
+    awareness comes for free."""
+    base = path.rstrip("/")
+    postings = lookup_terms(spark.read.parquet(base + "/postings"),
+                            terms, num_buckets)
+    tomb = _read_tombstones(spark, base)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb.select("doc_id")),
+                                 "doc_id", "left_anti")
+    return postings
+
+
+def qlm_search_persisted(spark, path: str, terms: list[str],
+                         top_k: int = 10, mu: float = 2000.0,
+                         num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Dirichlet query-likelihood ranking (:func:`qlm_topk`, Zhai &
+    Lafferty 2001) against the PERSISTED index — completing "tokenize
+    once, query many" for the third lexical ranker: everything QLM
+    needs is already in the :func:`write_search_index` layout, so no
+    extra artifact is persisted. |C| (total collection tokens) is the
+    stats segments' summed sum_dl (tombstone-corrected — a deleted
+    doc's tokens leave the collection model); per-term collection
+    frequency cf is the sum of tf over the term's surviving pruned
+    postings; candidate doc lengths ride denormalized on the posting
+    row. One bucket-pruned scan plus the qlm_topk aggregation; raises
+    like qlm_topk when a term is absent from the (surviving) index."""
+    base = path.rstrip("/")
+    _, sum_dl, _, _, _ = _corrected_index_stats(spark, base, path)
+    postings = read_search_postings(spark, path, terms, num_buckets)
+    dictionary = (postings.groupBy("token")
+                  .agg(F.sum("tf").cast("bigint").alias("cf")))
+    doclens = (postings.groupBy("doc_id")
+               .agg(F.first("dl").cast("bigint").alias("dl")))
+    return qlm_topk(postings.select("token", "doc_id", "tf"), dictionary,
+                    doclens, terms, top_k=top_k, mu=mu, csize=sum_dl)
 
 
 def delete_from_index(spark, path: str,
@@ -488,7 +532,7 @@ def bm25_maxscore_search(spark, path: str, query_terms: list[str],
     record that pruning fired (tests assert on it; operators can log
     it)."""
     base = path.rstrip("/")
-    n_docs, avgdl, tomb, n_tomb = _corrected_index_stats(spark, base, path)
+    n_docs, _, avgdl, tomb, n_tomb = _corrected_index_stats(spark, base, path)
     schema = "doc_id bigint, bm25 double"
     dict_rows = (lookup_terms(spark.read.parquet(base + "/dict"),
                               query_terms, num_buckets)
@@ -771,7 +815,7 @@ def segment_report(postings: DataFrame,
 
 def qlm_topk(postings: DataFrame, dictionary: DataFrame,
              doclens: DataFrame, terms: list[str], top_k: int = 10,
-             mu: float = 2000.0) -> DataFrame:
+             mu: float = 2000.0, csize: int | None = None) -> DataFrame:
     """Query-likelihood ranking with Dirichlet smoothing (Zhai &
     Lafferty, SIGIR 2001 — the third classic lexical ranker next to
     BM25 and tf-idf): score(d) = sum over query terms of
@@ -789,11 +833,19 @@ def qlm_topk(postings: DataFrame, dictionary: DataFrame,
     missing-term prior (algebraic: the full score is the all-terms
     prior sum, correctable per matched term — no per-missing-term
     work). Ordered limit, never a global sort. Returns
-    (doc_id, ql_score) descending, 6dp, id tie-break."""
+    (doc_id, ql_score) descending, 6dp, id tie-break.
+
+    ``csize`` (total collection token count |C|) defaults to the sum of
+    the dictionary's cf — correct when ``dictionary`` covers the whole
+    vocabulary. Callers holding only a QUERY-PRUNED dictionary (the
+    persisted path: :func:`qlm_search_persisted`) MUST pass the true
+    |C| explicitly, or the priors would normalize by the query terms'
+    mass instead of the collection's."""
     if not terms:
         raise ValueError("qlm_topk needs at least one term")
     lowered = sorted({t.lower() for t in terms})
-    csize = dictionary.agg(F.sum("cf").alias("_c")).head()["_c"]
+    if csize is None:
+        csize = dictionary.agg(F.sum("cf").alias("_c")).head()["_c"]
     qdict = (dictionary.filter(F.col("token").isin(lowered))
              .select("token", (F.col("cf") / F.lit(float(csize)))
                      .alias("_prior")))

@@ -761,6 +761,50 @@ def test_maxscore_semi_join_path_above_pushdown_cap(spark, tmp_path):
     assert not diag["pushed"]
 
 
+# -- QLM through the persisted index ------------------------------------------
+
+def test_qlm_persisted_matches_in_memory_path(spark, tmp_path):
+    """qlm_search_persisted must equal qlm_topk over in-memory frames
+    built from the same corpus — |C| reconstructed from the stats
+    segments, cf from pruned postings — and honor tombstones (deleted
+    docs leave both the candidates and the collection model)."""
+    from etl_mark1_spark.operators.indexing import (delete_from_index,
+                                                    postings_dictionary,
+                                                    qlm_search_persisted,
+                                                    qlm_topk,
+                                                    write_search_index)
+
+    path = str(tmp_path / "qlmidx")
+    docs = _docs(spark)
+    write_search_index(docs.filter(F.col("doc_id") <= 2), path,
+                       num_buckets=8)
+    write_search_index(docs.filter(F.col("doc_id") > 2), path,
+                       num_buckets=8)
+    p = build_postings(docs)
+    doclens = p.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    want = [(r["doc_id"], r["ql_score"]) for r in
+            qlm_topk(p, postings_dictionary(p), doclens, ["lazy", "fox"],
+                     top_k=10, mu=50.0).collect()]
+    got = [(r["doc_id"], r["ql_score"]) for r in
+           qlm_search_persisted(spark, path, ["lazy", "fox"], top_k=10,
+                                mu=50.0, num_buckets=8).collect()]
+    assert got == want
+    # tombstones: equals the in-memory path over the SURVIVING corpus
+    delete_from_index(spark, path, [4], num_buckets=8)
+    surv = docs.filter(F.col("doc_id") != 4)
+    ps = build_postings(surv)
+    dls = ps.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    want_d = [(r["doc_id"], r["ql_score"]) for r in
+              qlm_topk(ps, postings_dictionary(ps), dls, ["lazy", "fox"],
+                       top_k=10, mu=50.0).collect()]
+    got_d = [(r["doc_id"], r["ql_score"]) for r in
+             qlm_search_persisted(spark, path, ["lazy", "fox"], top_k=10,
+                                  mu=50.0, num_buckets=8).collect()]
+    assert got_d == want_d
+    with pytest.raises(ValueError, match="absent"):
+        qlm_search_persisted(spark, path, ["zzznope"], num_buckets=8)
+
+
 # -- idempotent streaming segment writes --------------------------------------
 
 def test_write_search_index_segment_idempotent(spark, tmp_path):
