@@ -165,6 +165,40 @@ NOTES = {
     "homoglyph_fold_docs": (
         "two codegen translate passes over the text column; map-side, "
         "linear in bytes"),
+    # round-13 additions: persisted-index maintenance lifecycle. The
+    # in-entry index WRITES (tokenize + three artifact writes) dominate
+    # and scale linearly in corpus tokens; the query sides are pruned
+    # scans sized by the query terms' postings.
+    "index_delete_query_docs": (
+        "two segment writes (linear in tokens) + a doc_id-pushed "
+        "delete-time dl capture scan (linear, once per takedown batch) "
+        "+ a bucket-pruned query with a broadcast tombstone anti-join "
+        "(tombstones are takedown-sized)"),
+    "index_compact_query_docs": (
+        "segment write + delete scan + compaction rewrite (one "
+        "postings-level anti-join + re-partitioned write, linear, "
+        "amortized over all later queries) + the tombstone-free pruned "
+        "query"),
+    "bm25_maxscore_search_docs": (
+        "one segment write (linear) + dict-metadata upper bounds; the "
+        "query scores only the rare term's candidates over all terms — "
+        "query cost scales with the RARE term's df (5% of docs), not "
+        "the stopwords'"),
+    "phrase_search_persisted_docs": (
+        "two positional segment writes (linear in tokens) + a "
+        "bucket-pruned phrase query whose anchor aggregation scales "
+        "with the phrase terms' posting sizes"),
+    "snippet_persisted_docs": (
+        "positional segment write (linear) + pruned per-document RANGE "
+        "window over matching postings only"),
+    "qlm_persisted_search_docs": (
+        "two segment writes (linear) + a pruned query: cf/dl ride on "
+        "the postings, |C| is one stats read — one candidate "
+        "aggregation, query-term-sized dictionary collect"),
+    "streaming_index_ingest_docs": (
+        "AvailableNow drain writing one dynamic-overwrite segment per "
+        "micro-batch (linear in tokens) + the pruned BM25 query; "
+        "micro-batch count is file-layout-bounded"),
 }
 
 
