@@ -106,7 +106,7 @@ DRIVER_PREFIX_ROUND = 13
 #:     tombstone-aware helpers), retrieval_ndcg_eval (ndcg_at_k's
 #:     empty-ranking coalesce fix), hybrid_rrf_search_docs (bm25_topk's
 #:     engine-side query-term case fold).
-#:   * 7 NEW round-13 entries (catalog/index_maintenance.py) — the
+#:   * 8 NEW round-13 entries (catalog/index_maintenance.py) — the
 #:     persisted-index maintenance lifecycle: index_delete_query_docs
 #:     (tombstone deletion; delete-then-query == build-from-survivors),
 #:     index_compact_query_docs (compaction applies tombstones, queries
@@ -115,23 +115,26 @@ DRIVER_PREFIX_ROUND = 13
 #:     snippet_persisted_docs (persisted positional postings — phrase
 #:     and proximity queries without re-tokenizing),
 #:     qlm_persisted_search_docs (Dirichlet QLM on the tokenize-once
-#:     path, |C| from the stats segments), and
+#:     path, |C| from the stats segments), hybrid_rrf_persisted_docs
+#:     (RRF fusing BM25 + conjunctive off the same persisted index —
+#:     one ingest, many rankers), and
 #:     streaming_index_ingest_docs (foreachBatch ingest straight into
 #:     the search index, replay-idempotent by dynamic partition
 #:     overwrite).
 #:   * The ENTIRE 19-name r6-confirmation era in oldest-first
 #:     registration order (conditional_exprs ... q8_market_share) —
 #:     after this round nothing on the confirmed board is older than r8.
-#:   * 20 next-oldest refreshers — the r8 era's first names in
-#:     registration order (window_topk_orders ... image_exif_docs).
+#:   * 19 next-oldest refreshers — the r8 era's first names in
+#:     registration order (window_topk_orders ... multimodal_image_neardup).
 #:     bm25_search_docs rides in this group and doubles as the
 #:     re-confirmation of bm25_topk's case-fold change.
 #: If CORRECTNESS_r13 fails to land, re-run THIS prefix in round 14 —
 #: never rotate past an unsampled prefix.
 #:
 #: ROUND-14 PLAN: (a) any r13 reds at the head, (b) 2+ sentinels,
-#: (c) new round-14 additions, (d) the remaining 28 r8-era refreshers
-#: in registration order (image_autorotate_docs, funnel_conversion_events,
+#: (c) new round-14 additions, (d) the remaining 29 r8-era refreshers
+#: in registration order (image_exif_docs, image_autorotate_docs,
+#: funnel_conversion_events,
 #: cohort_retention_events, weighted_sample_docs, epoch_shuffle_docs,
 #: edit_distance_join_customers, nb_lang_classifier,
 #: fuzzy_dedup_customers, url_normalize_docs, domain_stats_docs,
@@ -153,6 +156,7 @@ DRIVER_PREFIX = [
     "phrase_search_persisted_docs",
     "snippet_persisted_docs",
     "qlm_persisted_search_docs",
+    "hybrid_rrf_persisted_docs",
     "streaming_index_ingest_docs",
     "conditional_exprs",
     "regexp_extract_groups",
@@ -192,7 +196,6 @@ DRIVER_PREFIX = [
     "dedup_keep_best_docs",
     "ks_drift_values",
     "multimodal_image_neardup",
-    "image_exif_docs",
 ]
 
 

@@ -257,6 +257,64 @@ def qlm_persisted_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ["batch", "small", "scan"], top_k=10)
 
 
+@query("hybrid_rrf_persisted_docs", r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q AS (SELECT * FROM toks WHERE tok IN ('batch', 'row', 'merge')),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+    bm25 AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   6) AS bm25
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok), stats
+      GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+    conj AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+      FROM tf GROUP BY doc_id HAVING count(*) = 3
+      ORDER BY score DESC, doc_id LIMIT 50),
+    r1 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+           FROM bm25),
+    r2 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM conj)
+    SELECT doc_id,
+           round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+""")
+def hybrid_rrf_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid Reciprocal Rank Fusion against the PERSISTED index
+    (operators/ranking.py:rrf_search_persisted): BM25 and the
+    conjunctive summed-tf ranker both answer from the same
+    tokenize-once index — pruned bucket scans, tombstone-aware — and
+    fuse at k0=60, top-10 for {batch, row, merge}. Where round 12's
+    hybrid_rrf_search_docs re-tokenized the corpus per ranker, this is
+    the production shape: one ingest, many rankers, one fused page.
+    The oracle replays both rankers and the fusion from the raw
+    text."""
+    import tempfile
+
+    from etl_mark1_spark.operators.indexing import write_search_index
+    from etl_mark1_spark.operators.ranking import rrf_search_persisted
+
+    docs = t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_rrfidx_")
+    write_search_index(docs, tdir)
+    return rrf_search_persisted(spark, tdir, ["batch", "row", "merge"],
+                                top_n=50, top_k=10)
+
+
 @query("streaming_index_ingest_docs",
        _bm25_sql("'scan', 'merge', 'window'"))
 def streaming_index_ingest_docs(spark: SparkSession,

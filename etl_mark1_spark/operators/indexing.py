@@ -202,33 +202,33 @@ def write_search_index(df: DataFrame, path: str,
       into per-term score upper bounds (Turtle & Flood 1995 MaxScore)
       WITHOUT touching a posting list.
 
-    The scored postings are persisted (memory-and-disk, batch-sized)
-    for the three writes and unpersisted before returning — one
-    tokenize pass per ingest, not three. Batches must be
-    document-disjoint, like any segment write; re-ingest belongs to a
-    compaction pass (:func:`compact_index`)."""
-    from pyspark import StorageLevel
-
+    Each artifact recomputes the scored postings rather than caching
+    them: measured at sf0.1, a MEMORY_AND_DISK persist makes the first
+    write 2-4x slower (cache materialization) and never earns it back
+    over the remaining two — recompute totals ~2.6 s/segment vs ~4.1 s
+    persisted, and the cache would hold a batch-sized frame hostage
+    besides. The dict write repartitions on the bucket (it is
+    vocabulary-sized — the extra shuffle is tiny and caps the segment
+    at a few files per bucket instead of tasks x buckets). Batches must
+    be document-disjoint, like any segment write; re-ingest belongs to
+    a compaction pass (:func:`compact_index`)."""
     base = path.rstrip("/")
     scored = build_scored_postings(df, text_col=text_col, id_col=id_col)
-    scored.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        (scored.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-         .write.mode("append").partitionBy("bucket")
-         .parquet(base + "/postings"))
-        (scored.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-              F.sum("dl").cast("bigint").alias("sum_dl"))
-         .write.mode("append").parquet(base + "/stats"))
-        (scored.groupBy("token")
-         .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
-              F.max("tf").cast("bigint").alias("max_tf"),
-              F.min("dl").cast("bigint").alias("min_dl"))
-         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-         .write.mode("append").partitionBy("bucket")
-         .parquet(base + "/dict"))
-    finally:
-        scored.unpersist()
+    (scored.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+     .write.mode("append").partitionBy("bucket")
+     .parquet(base + "/postings"))
+    (scored.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+          F.sum("dl").cast("bigint").alias("sum_dl"))
+     .write.mode("append").parquet(base + "/stats"))
+    (scored.groupBy("token")
+     .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+          F.max("tf").cast("bigint").alias("max_tf"),
+          F.min("dl").cast("bigint").alias("min_dl"))
+     .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+     .repartition(8, F.col("bucket"))
+     .write.mode("append").partitionBy("bucket")
+     .parquet(base + "/dict"))
 
 
 def _read_tombstones(spark, base: str) -> DataFrame | None:
@@ -448,27 +448,24 @@ def compact_index(spark, path: str, dest: str,
     if tomb is not None:
         ids = F.broadcast(tomb.select("doc_id"))
         postings = postings.join(ids, "doc_id", "left_anti")
-    from pyspark import StorageLevel
-
-    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        (postings.withColumn("bucket",
-                             token_bucket(F.col("token"), num_buckets))
-         .write.mode("overwrite").partitionBy("bucket")
-         .parquet(out + "/postings"))
-        (postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-              F.sum("dl").cast("bigint").alias("sum_dl"))
-         .write.mode("overwrite").parquet(out + "/stats"))
-        (postings.groupBy("token")
-         .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
-              F.max("tf").cast("bigint").alias("max_tf"),
-              F.min("dl").cast("bigint").alias("min_dl"))
-         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-         .write.mode("overwrite").partitionBy("bucket")
-         .parquet(out + "/dict"))
-    finally:
-        postings.unpersist()
+    # three passes re-READ the source parquet (columnar, cheap) rather
+    # than caching — same measured tradeoff as write_search_index
+    (postings.withColumn("bucket",
+                         token_bucket(F.col("token"), num_buckets))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(out + "/postings"))
+    (postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+          F.sum("dl").cast("bigint").alias("sum_dl"))
+     .write.mode("overwrite").parquet(out + "/stats"))
+    (postings.groupBy("token")
+     .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+          F.max("tf").cast("bigint").alias("max_tf"),
+          F.min("dl").cast("bigint").alias("min_dl"))
+     .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+     .repartition(8, F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(out + "/dict"))
     try:
         pos = spark.read.parquet(base + "/positions") \
             .select("token", "doc_id", "positions")
@@ -686,36 +683,33 @@ def write_search_index_segment(df: DataFrame, path: str, seg: str,
     The ``seg`` partition column rides along harmlessly at query time
     (readers filter on bucket/token and aggregate over rows). Do not
     mix this layout with :func:`write_search_index` appends under one
-    path — partition discovery needs consistent partition columns."""
-    from pyspark import StorageLevel
-
+    path — partition discovery needs consistent partition columns.
+    Artifacts recompute rather than cache, same measured tradeoff as
+    :func:`write_search_index`."""
     base = path.rstrip("/")
-    scored = (build_scored_postings(df, text_col=text_col, id_col=id_col)
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    try:
-        (scored.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-         .withColumn("seg", F.lit(seg))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket", "seg").parquet(base + "/postings"))
-        (scored.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-              F.sum("dl").cast("bigint").alias("sum_dl"))
-         .withColumn("seg", F.lit(seg))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("seg").parquet(base + "/stats"))
-        (scored.groupBy("token")
-         .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
-              F.max("tf").cast("bigint").alias("max_tf"),
-              F.min("dl").cast("bigint").alias("min_dl"))
-         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-         .withColumn("seg", F.lit(seg))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket", "seg").parquet(base + "/dict"))
-    finally:
-        scored.unpersist()
+    scored = build_scored_postings(df, text_col=text_col, id_col=id_col)
+    (scored.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+     .withColumn("seg", F.lit(seg))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket", "seg").parquet(base + "/postings"))
+    (scored.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+          F.sum("dl").cast("bigint").alias("sum_dl"))
+     .withColumn("seg", F.lit(seg))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("seg").parquet(base + "/stats"))
+    (scored.groupBy("token")
+     .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+          F.max("tf").cast("bigint").alias("max_tf"),
+          F.min("dl").cast("bigint").alias("min_dl"))
+     .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+     .withColumn("seg", F.lit(seg))
+     .repartition(8, F.col("bucket"))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket", "seg").parquet(base + "/dict"))
 
 
 def conjunctive_search(postings: DataFrame, terms: list[str],

@@ -66,6 +66,33 @@ def rrf_fuse(rankings: list[tuple[DataFrame, str, bool]],
     return fused.limit(top_k) if top_k is not None else fused
 
 
+def rrf_search_persisted(spark, path: str, terms: list[str],
+                         top_n: int = 50, top_k: int = 10, k0: int = 60,
+                         num_buckets: int | None = None) -> DataFrame:
+    """Hybrid retrieval against the PERSISTED index: BM25
+    (operators/indexing.py:bm25_search_persisted) fused with the
+    conjunctive summed-tf ranker over the same pruned live postings
+    (read_search_postings -> conjunctive_search) by Reciprocal Rank
+    Fusion — the production "one index, many rankers, one fused page"
+    shape, completing the tokenize-once path for hybrids. Both rankers
+    read only the query terms' token buckets and honor tombstones, so
+    fusion inherits deletion-correctness for free; the fusion itself is
+    rank arithmetic over two <= ``top_n``-row frames."""
+    from etl_mark1_spark.operators.indexing import (DEFAULT_BUCKETS,
+                                                    bm25_search_persisted,
+                                                    conjunctive_search,
+                                                    read_search_postings)
+
+    nb = DEFAULT_BUCKETS if num_buckets is None else num_buckets
+    bm = bm25_search_persisted(spark, path, terms, top_k=top_n,
+                               num_buckets=nb)
+    cj = conjunctive_search(
+        read_search_postings(spark, path, terms, num_buckets=nb),
+        terms, top_k=top_n)
+    return rrf_fuse([(bm, "bm25", False), (cj, "score", False)],
+                    k0=k0, top_k=top_k)
+
+
 def ndcg_at_k(ranked: DataFrame, labels: DataFrame, k: int = 10,
               id_col: str = "doc_id", rank_col: str = "rank",
               rel_col: str = "rel", round_digits: int = 6) -> DataFrame:

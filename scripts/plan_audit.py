@@ -110,6 +110,9 @@ GLOBAL_WINDOW_OK = {
     "hybrid_rrf_search_docs":
         "rank assignment over each ranker's TakeOrdered top-50 output "
         "(<= 50 rows per window; retrieval happens before, at scale)",
+    "hybrid_rrf_persisted_docs":
+        "same fusion shape off the persisted index: windows rank the "
+        "two rankers' TakeOrdered top-50 outputs (<= 50 rows each)",
     "retrieval_ndcg_eval":
         "positional windows over the BM25 top-50 and the ordered-LIMIT "
         "ideal@10 — both <= 50 rows by construction",

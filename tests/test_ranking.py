@@ -114,6 +114,46 @@ def test_ndcg_empty_ranking_scores_zero_not_null(spark):
     assert ndcg_at_k(deep, labels, k=10).collect()[0]["ndcg"] == 0.0
 
 
+def test_rrf_persisted_matches_corpus_path_and_tombstones(spark, tmp_path):
+    """rrf_search_persisted must equal fusing the corpus-path rankers
+    (bm25_topk + conjunctive over in-memory postings) — and after a
+    deletion, equal the same fusion over the surviving corpus only."""
+    from pyspark.sql import functions as F
+
+    from etl_mark1_spark.operators.corpus import bm25_topk
+    from etl_mark1_spark.operators.indexing import (build_postings,
+                                                    conjunctive_search,
+                                                    delete_from_index,
+                                                    write_search_index)
+    from etl_mark1_spark.operators.ranking import rrf_search_persisted
+
+    rows = [(1, "alpha beta gamma alpha"), (2, "alpha beta beta"),
+            (3, "alpha gamma gamma gamma"), (4, "beta gamma"),
+            (5, "delta only here")]
+    docs = _docs(spark, rows)
+    path = str(tmp_path / "rrfidx")
+    write_search_index(docs, path, num_buckets=8)
+    terms = ["alpha", "beta"]
+
+    def corpus_fusion(d):
+        bm = bm25_topk(d, terms, top_k=10)
+        cj = conjunctive_search(build_postings(d), terms, top_k=10)
+        return [(r["doc_id"], r["rrf_score"]) for r in
+                rrf_fuse([(bm, "bm25", False), (cj, "score", False)],
+                         top_k=5).collect()]
+
+    got = [(r["doc_id"], r["rrf_score"]) for r in
+           rrf_search_persisted(spark, path, terms, top_n=10, top_k=5,
+                                num_buckets=8).collect()]
+    assert got == corpus_fusion(docs)
+    delete_from_index(spark, path, [2], num_buckets=8)
+    got_d = [(r["doc_id"], r["rrf_score"]) for r in
+             rrf_search_persisted(spark, path, terms, top_n=10, top_k=5,
+                                  num_buckets=8).collect()]
+    assert got_d == corpus_fusion(docs.filter(F.col("doc_id") != 2))
+    assert all(d != 2 for d, _ in got_d)
+
+
 def test_winnow_pairs_hot_fingerprint_cap(spark):
     """max_fp_df drops corpus-wide boilerplate fingerprints (no
     discriminating power) while pairs supported by rare fingerprints
