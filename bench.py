@@ -139,6 +139,15 @@ HEADLINE = [
     # rare-term + stopwords query shape it exists for
     "index_delete_query_docs",
     "bm25_maxscore_search_docs",
+    # round-13 additions (second tranche): pseudo-relevance feedback —
+    # the two-pass query-language shape (retrieve, expand off the
+    # feedback docs' postings, weighted re-query) over the SHARED
+    # per-process index, so min-of-N measures pure query cost after the
+    # first run pays ingest; and the end-to-end curation loop
+    # (decontamination hits -> tombstone deletion -> query), which
+    # builds + mutates its own index every run by design
+    "prf_search_docs",
+    "decontam_index_delete_docs",
 ]
 
 

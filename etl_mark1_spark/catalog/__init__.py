@@ -85,6 +85,7 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
     index_lifecycle,
     retrieval_quality,
     index_maintenance,
+    query_side,
 )
 
 #: Round number that authored the prefix below: the rotation meta-test in
@@ -121,19 +122,37 @@ DRIVER_PREFIX_ROUND = 13
 #:     streaming_index_ingest_docs (foreachBatch ingest straight into
 #:     the search index, replay-idempotent by dynamic partition
 #:     overwrite).
+#:   * 6 MORE new round-13 entries (catalog/query_side.py, landed in
+#:     the round's second half) — the persisted index's query language:
+#:     boolean_search_persisted_docs (must/should/must_not + BM25),
+#:     fuzzy_search_persisted_docs (Levenshtein-1 vocabulary expansion),
+#:     more_like_this_docs (document-as-query, tf·idf term selection),
+#:     prf_search_docs (pseudo-relevance feedback, weighted BM25),
+#:     prefix_complete_docs (dict-only autocomplete), and
+#:     decontam_index_delete_docs (decontamination hits → tombstone
+#:     deletion → query == build-from-clean-corpus, the end-to-end
+#:     curation loop).
 #:   * The ENTIRE 19-name r6-confirmation era in oldest-first
 #:     registration order (conditional_exprs ... q8_market_share) —
 #:     after this round nothing on the confirmed board is older than r8.
-#:   * 19 next-oldest refreshers — the r8 era's first names in
-#:     registration order (window_topk_orders ... multimodal_image_neardup).
-#:     bm25_search_docs rides in this group and doubles as the
-#:     re-confirmation of bm25_topk's case-fold change.
+#:   * 13 next-oldest refreshers — the r8 era's first names in
+#:     registration order (window_topk_orders ... bm25_search_docs;
+#:     the six that made room for the query-language entries —
+#:     winsorize_prices, collocations_pmi_docs, quality_percentile_rank,
+#:     dedup_keep_best_docs, ks_drift_values, multimodal_image_neardup —
+#:     rejoin the round-14 refresher queue at their registration spots).
+#:     bm25_search_docs stays: it doubles as the re-confirmation of
+#:     bm25_topk's case-fold change.
 #: If CORRECTNESS_r13 fails to land, re-run THIS prefix in round 14 —
 #: never rotate past an unsampled prefix.
 #:
 #: ROUND-14 PLAN: (a) any r13 reds at the head, (b) 2+ sentinels,
-#: (c) new round-14 additions, (d) the remaining 29 r8-era refreshers
-#: in registration order (image_exif_docs, image_autorotate_docs,
+#: (c) new round-14 additions, (d) the remaining 35 r8-era refreshers
+#: in registration order (winsorize_prices, collocations_pmi_docs,
+#: quality_percentile_rank, dedup_keep_best_docs, ks_drift_values,
+#: multimodal_image_neardup — the six displaced by the round-13
+#: query-language entries — then
+#: image_exif_docs, image_autorotate_docs,
 #: funnel_conversion_events,
 #: cohort_retention_events, weighted_sample_docs, epoch_shuffle_docs,
 #: edit_distance_join_customers, nb_lang_classifier,
@@ -158,6 +177,12 @@ DRIVER_PREFIX = [
     "qlm_persisted_search_docs",
     "hybrid_rrf_persisted_docs",
     "streaming_index_ingest_docs",
+    "boolean_search_persisted_docs",
+    "fuzzy_search_persisted_docs",
+    "more_like_this_docs",
+    "prf_search_docs",
+    "prefix_complete_docs",
+    "decontam_index_delete_docs",
     "conditional_exprs",
     "regexp_extract_groups",
     "rolling_median_price",
@@ -189,13 +214,7 @@ DRIVER_PREFIX = [
     "q11_important_parts",
     "incremental_neardup_docs",
     "temperature_mixture_sources",
-    "winsorize_prices",
-    "collocations_pmi_docs",
     "bm25_search_docs",
-    "quality_percentile_rank",
-    "dedup_keep_best_docs",
-    "ks_drift_values",
-    "multimodal_image_neardup",
 ]
 
 

@@ -1,0 +1,303 @@
+"""Catalog entries for the persisted index's QUERY LANGUAGE
+(operators/retrieval.py): boolean must/should/must_not retrieval, fuzzy
+(edit-distance) term expansion, more-like-this, pseudo-relevance
+feedback, prefix autocomplete — plus the end-to-end curation
+composition (decontamination hits drive index deletion). The reference
+searches with SQL LIKE over scanned text
+(backend/services/duckdb_engine.py); this is the LLM-pipeline
+extension's search surface.
+
+The five read-only entries share ONE persisted index per (process,
+sf_dir) — the production "ingest once, query many" shape: the first
+entry to run pays the three-artifact ingest
+(operators/indexing.py:write_search_index), every later entry measures
+pure query cost. The deletion composition builds its own index (it
+mutates). Paths are fresh ``mkdtemp`` per process — never reused
+across runs (round-11 lesson).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mark1_spark.catalog._registry import query, t
+
+#: per-process shared read-only index, keyed by sf_dir
+_SHARED_INDEX: dict[str, str] = {}
+
+
+def _shared_index(spark: SparkSession, sf_dir: str) -> str:
+    from etl_mark1_spark.operators.indexing import write_search_index
+
+    path = _SHARED_INDEX.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="etl_mark1_qidx_")
+        write_search_index(t(spark, sf_dir, "documents"), path)
+        _SHARED_INDEX[sf_dir] = path
+    return path
+
+
+#: shared DuckDB oracle fragments — tokenization identical to
+#: functions/text.py:normalized_text (lowercase, whitespace split) and
+#: BM25 identical to operators/indexing.py:_score_postings_bm25
+#: (RSJ idf, k1=1.2, b=0.75, 6dp rounding, id tie-break).
+_TOKS = r"""
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)
+"""
+
+_SCORE = """
+    SELECT doc_id,
+           round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                 6) AS bm25
+    FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok), stats
+"""
+
+
+@query("boolean_search_persisted_docs", f"""
+    WITH {_TOKS},
+    q AS (SELECT * FROM toks WHERE tok IN ('dup', 'hash', 'merge')),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+    cand AS (SELECT doc_id FROM toks WHERE tok IN ('dup', 'hash')
+             GROUP BY doc_id HAVING count(DISTINCT tok) = 2),
+    excl AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'vector')
+    {_SCORE}
+    WHERE doc_id IN (SELECT doc_id FROM cand)
+      AND doc_id NOT IN (SELECT doc_id FROM excl)
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+""")
+def boolean_search_persisted_docs(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Boolean retrieval over the persisted index
+    (operators/retrieval.py:boolean_search_persisted — the Lucene
+    BooleanQuery surface): documents containing BOTH 'dup' (the
+    corpus's one rare term, ~5% df) and 'hash', excluding any that
+    mention 'vector', ranked by BM25 over must+should terms ('merge'
+    influences ranking only). One pruned-bucket read serves candidate
+    generation, corpus-df counting, and scoring; the oracle replays
+    candidates, exclusion, and scoring from the raw text — green means
+    the boolean algebra AND the df-before-restriction idf discipline
+    both match."""
+    from etl_mark1_spark.operators.retrieval import boolean_search_persisted
+
+    return boolean_search_persisted(
+        spark, _shared_index(spark, sf_dir),
+        must=["dup", "hash"], should=["merge"], must_not=["vector"],
+        top_k=10)
+
+
+@query("fuzzy_search_persisted_docs", f"""
+    WITH {_TOKS},
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    exp AS (SELECT tok FROM vocab
+            WHERE levenshtein(tok, 'scann') <= 1
+               OR levenshtein(tok, 'valu') <= 1
+               OR levenshtein(tok, 'dupe') <= 1),
+    q AS (SELECT * FROM toks WHERE tok IN (SELECT tok FROM exp)),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1)
+    {_SCORE}
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+""")
+def fuzzy_search_persisted_docs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Typo-tolerant search
+    (operators/retrieval.py:fuzzy_search_persisted): the misspelled
+    query {scann, valu, dupe} expands to its Levenshtein-1 neighborhood
+    within the index VOCABULARY (the dict artifact — vocabulary-sized,
+    never a corpus scan) and scores as a plain BM25 disjunction, each
+    variant with its own idf. The oracle recomputes the neighborhood
+    with DuckDB's levenshtein over the distinct corpus tokens — green
+    confirms the two engines' edit-distance and the
+    expansion-then-score semantics agree exactly."""
+    from etl_mark1_spark.operators.retrieval import fuzzy_search_persisted
+
+    return fuzzy_search_persisted(
+        spark, _shared_index(spark, sf_dir),
+        ["scann", "valu", "dupe"], top_k=10, max_dist=1)
+
+
+@query("more_like_this_docs", f"""
+    WITH {_TOKS},
+    dfall AS (SELECT tok, count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY 1),
+    seedtf AS (SELECT tok, count(*) AS tf FROM toks
+               WHERE doc_id = 42 GROUP BY 1),
+    sel AS (SELECT tok FROM (
+               SELECT s.tok,
+                      round(s.tf * ln(1 + (n - f.df + 0.5)
+                                      / (f.df + 0.5)), 6) AS w
+               FROM seedtf s JOIN dfall f USING (tok), stats)
+            ORDER BY w DESC, tok LIMIT 5),
+    q AS (SELECT * FROM toks WHERE tok IN (SELECT tok FROM sel)),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1)
+    {_SCORE}
+    WHERE doc_id <> 42
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+""")
+def more_like_this_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-as-query
+    (operators/retrieval.py:more_like_this_persisted — the Lucene
+    MoreLikeThis shape): document 42's five highest tf·idf terms
+    (6dp-rounded weights, token tie-break — engine-reproducible
+    selection) become a BM25 query; the seed is excluded from results
+    but stays in every corpus statistic. The oracle replays term
+    selection and scoring from the raw text, so green pins BOTH the
+    selection determinism and the df-including-seed discipline."""
+    from etl_mark1_spark.operators.retrieval import more_like_this_persisted
+
+    return more_like_this_persisted(
+        spark, _shared_index(spark, sf_dir), 42,
+        n_seed_terms=5, top_k=10)
+
+
+@query("prf_search_docs", f"""
+    WITH {_TOKS},
+    q1 AS (SELECT * FROM toks WHERE tok = 'dup'),
+    tf1 AS (SELECT doc_id, count(*) AS tf FROM q1 GROUP BY 1),
+    df1 AS (SELECT count(DISTINCT doc_id) AS df FROM q1),
+    fb AS (SELECT doc_id FROM (
+              SELECT t1.doc_id,
+                     round(ln(1 + (n - df + 0.5) / (df + 0.5))
+                           * tf * 2.2
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                           6) AS bm25
+              FROM tf1 t1 JOIN dl ON t1.doc_id = dl.doc_id, df1, stats)
+           ORDER BY bm25 DESC, doc_id LIMIT 5),
+    dfall AS (SELECT tok, count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY 1),
+    fbtf AS (SELECT tok, count(*) AS stf FROM toks
+             WHERE doc_id IN (SELECT doc_id FROM fb) AND tok <> 'dup'
+             GROUP BY 1),
+    exp AS (SELECT tok FROM (
+               SELECT e.tok,
+                      round(e.stf * ln(1 + (n - f.df + 0.5)
+                                       / (f.df + 0.5)), 6) AS w
+               FROM fbtf e JOIN dfall f USING (tok), stats)
+            ORDER BY w DESC, tok LIMIT 3),
+    qt AS (SELECT 'dup' AS tok, 1.0 AS w
+           UNION ALL SELECT tok, 0.5 AS w FROM exp),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+            WHERE tok IN (SELECT tok FROM qt) GROUP BY 1)
+    SELECT doc_id,
+           round(sum(w * ln(1 + (n - df + 0.5) / (df + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                 6) AS bm25
+    FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok)
+         JOIN qt USING (tok), stats
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+""")
+def prf_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback
+    (operators/retrieval.py:prf_search_persisted — Rocchio 1971 / RM
+    expansion family): the rare-term query 'dup' retrieves 5 feedback
+    documents; their 3 highest summed-tf·idf terms (original terms
+    excluded, 6dp weights, token tie-break) rejoin the query at weight
+    0.5; the final pass scores weighted BM25. The oracle replays the
+    whole two-pass loop in SQL — feedback selection, expansion-term
+    selection, weighted rescoring — so green confirms every
+    driver-coordination boundary (fb ids, expansion terms) is
+    engine-reproducible."""
+    from etl_mark1_spark.operators.retrieval import prf_search_persisted
+
+    return prf_search_persisted(
+        spark, _shared_index(spark, sf_dir), ["dup"],
+        fb_docs=5, fb_terms=3, beta=0.5, top_k=10)
+
+
+@query("prefix_complete_docs", f"""
+    WITH {_TOKS}
+    SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks WHERE tok LIKE 's%'
+    GROUP BY 1 ORDER BY df DESC, token LIMIT 10
+""")
+def prefix_complete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete over the index dictionary
+    (operators/retrieval.py:complete_prefix): vocabulary terms starting
+    with 's', ranked by document frequency. The Spark side reads ONLY
+    the dict artifact (vocabulary-sized — the corpus is never touched);
+    the oracle recounts df from the raw text, so green confirms the
+    dict segments' algebraic df sums equal a from-scratch count."""
+    from etl_mark1_spark.operators.retrieval import complete_prefix
+
+    return complete_prefix(spark, _shared_index(spark, sf_dir), "s",
+                           top_k=10)
+
+
+@query("decontam_index_delete_docs", rf"""
+    WITH d AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    p AS (SELECT doc_id, source, tk, unnest(range(1, len(tk) - 4)) AS i
+          FROM d WHERE len(tk) >= 6),
+    g AS (SELECT doc_id, source, array_to_string(tk[i:i+5], ' ') AS gram
+          FROM p),
+    ref AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    bad AS (SELECT DISTINCT doc_id FROM g
+            WHERE source <> 'src0' AND gram IN (SELECT gram FROM ref)),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q AS (SELECT * FROM toks WHERE tok IN ('dup', 'stream', 'merge')),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1)
+    {_SCORE}
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+""")
+def decontam_index_delete_docs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The end-to-end curation loop the round-13 deletion machinery
+    exists for: benchmark decontamination FINDS contaminated documents
+    (operators/bloom.py:bloom_semi_filter — corpus docs sharing a word
+    6-gram with the src0 'benchmark' slice, the exact
+    bloom_contaminated_docs predicate), and its hits feed straight into
+    the persisted index's tombstone deletion
+    (operators/indexing.py:delete_from_index); the follow-up BM25 query
+    must behave as if the contaminated docs were never indexed. The
+    oracle computes BM25 from first principles over ONLY the
+    uncontaminated documents — green means detect → delete → query
+    equals build-from-clean-corpus, score-exactly, with no rebuild."""
+    from etl_mark1_spark.functions.text import normalized_text
+    from etl_mark1_spark.operators.bloom import bloom_semi_filter
+    from etl_mark1_spark.operators.dedup import (ensure_parallelism,
+                                                 word_ngrams)
+    from etl_mark1_spark.operators.indexing import (bm25_search_persisted,
+                                                    delete_from_index,
+                                                    write_search_index)
+
+    docs = t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_decidx_")
+    write_search_index(docs, tdir)
+    long_enough = F.size(F.split(normalized_text(F.col("text")), " ")) >= 6
+    grams = (ensure_parallelism(docs).filter(long_enough)
+             .select("doc_id", "source",
+                     F.explode(word_ngrams(F.col("text"), 6)).alias("gram")))
+    ref = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    hits = (bloom_semi_filter(
+        grams.filter(F.col("source") != "src0").select("doc_id", "gram"),
+        ref, "gram").select("doc_id").distinct())
+    delete_from_index(spark, tdir, hits)
+    return bm25_search_persisted(spark, tdir, ["dup", "stream", "merge"],
+                                 top_k=10)
