@@ -122,24 +122,32 @@ DRIVER_PREFIX_ROUND = 13
 #:     streaming_index_ingest_docs (foreachBatch ingest straight into
 #:     the search index, replay-idempotent by dynamic partition
 #:     overwrite).
-#:   * 6 MORE new round-13 entries (catalog/query_side.py, landed in
+#:   * 10 MORE new round-13 entries (catalog/query_side.py, landed in
 #:     the round's second half) — the persisted index's query language:
 #:     boolean_search_persisted_docs (must/should/must_not + BM25),
 #:     fuzzy_search_persisted_docs (Levenshtein-1 vocabulary expansion),
 #:     more_like_this_docs (document-as-query, tf·idf term selection),
 #:     prf_search_docs (pseudo-relevance feedback, weighted BM25),
-#:     prefix_complete_docs (dict-only autocomplete), and
+#:     prefix_complete_docs (dict-only autocomplete),
 #:     decontam_index_delete_docs (decontamination hits → tombstone
 #:     deletion → query == build-from-clean-corpus, the end-to-end
-#:     curation loop).
+#:     curation loop), query_string_search_docs (the parsed
+#:     Lucene-style surface: must + phrase + exclusion + fuzzy in one
+#:     query over the positional index), faceted_search_docs
+#:     (match-bounded facet counts), search_after_page2_docs (cursor
+#:     pagination == OFFSET/LIMIT on the total order), and
+#:     index_stats_docs (metadata-only introspection == from-scratch
+#:     counts).
 #:   * The ENTIRE 19-name r6-confirmation era in oldest-first
 #:     registration order (conditional_exprs ... q8_market_share) —
 #:     after this round nothing on the confirmed board is older than r8.
-#:   * 13 next-oldest refreshers — the r8 era's first names in
-#:     registration order (window_topk_orders ... bm25_search_docs;
-#:     the six that made room for the query-language entries —
+#:   * 9 next-oldest refreshers — the r8 era's first names in
+#:     registration order (window_topk_orders ... window_range_rolling;
+#:     the ten that made room for the query-language entries —
 #:     winsorize_prices, collocations_pmi_docs, quality_percentile_rank,
-#:     dedup_keep_best_docs, ks_drift_values, multimodal_image_neardup —
+#:     dedup_keep_best_docs, ks_drift_values, multimodal_image_neardup,
+#:     compact_versioned_docs, q11_important_parts,
+#:     incremental_neardup_docs, temperature_mixture_sources —
 #:     rejoin the round-14 refresher queue at their registration spots).
 #:     bm25_search_docs stays: it doubles as the re-confirmation of
 #:     bm25_topk's case-fold change.
@@ -147,10 +155,12 @@ DRIVER_PREFIX_ROUND = 13
 #: never rotate past an unsampled prefix.
 #:
 #: ROUND-14 PLAN: (a) any r13 reds at the head, (b) 2+ sentinels,
-#: (c) new round-14 additions, (d) the remaining 35 r8-era refreshers
+#: (c) new round-14 additions, (d) the remaining 39 r8-era refreshers
 #: in registration order (winsorize_prices, collocations_pmi_docs,
 #: quality_percentile_rank, dedup_keep_best_docs, ks_drift_values,
-#: multimodal_image_neardup — the six displaced by the round-13
+#: multimodal_image_neardup, compact_versioned_docs,
+#: q11_important_parts, incremental_neardup_docs,
+#: temperature_mixture_sources — the ten displaced by the round-13
 #: query-language entries — then
 #: image_exif_docs, image_autorotate_docs,
 #: funnel_conversion_events,
@@ -183,6 +193,10 @@ DRIVER_PREFIX = [
     "prf_search_docs",
     "prefix_complete_docs",
     "decontam_index_delete_docs",
+    "query_string_search_docs",
+    "faceted_search_docs",
+    "search_after_page2_docs",
+    "index_stats_docs",
     "conditional_exprs",
     "regexp_extract_groups",
     "rolling_median_price",
@@ -210,10 +224,6 @@ DRIVER_PREFIX = [
     "collect_set_priorities",
     "multi_quantiles_quantity",
     "window_range_rolling",
-    "compact_versioned_docs",
-    "q11_important_parts",
-    "incremental_neardup_docs",
-    "temperature_mixture_sources",
     "bm25_search_docs",
 ]
 

@@ -27,16 +27,23 @@ from etl_mark1_spark.catalog._registry import query, t
 
 #: per-process shared read-only index, keyed by sf_dir
 _SHARED_INDEX: dict[str, str] = {}
+_SHARED_POSITIONS: set[str] = set()
 
 
-def _shared_index(spark: SparkSession, sf_dir: str) -> str:
-    from etl_mark1_spark.operators.indexing import write_search_index
+def _shared_index(spark: SparkSession, sf_dir: str,
+                  positions: bool = False) -> str:
+    from etl_mark1_spark.operators.indexing import (write_position_index,
+                                                    write_search_index)
 
     path = _SHARED_INDEX.get(sf_dir)
     if path is None:
         path = tempfile.mkdtemp(prefix="etl_mark1_qidx_")
         write_search_index(t(spark, sf_dir, "documents"), path)
         _SHARED_INDEX[sf_dir] = path
+    if positions and sf_dir not in _SHARED_POSITIONS:
+        # lazy: only phrase-bearing entries pay the positional ingest
+        write_position_index(t(spark, sf_dir, "documents"), path)
+        _SHARED_POSITIONS.add(sf_dir)
     return path
 
 
@@ -301,3 +308,130 @@ def decontam_index_delete_docs(spark: SparkSession,
     delete_from_index(spark, tdir, hits)
     return bm25_search_persisted(spark, tdir, ["dup", "stream", "merge"],
                                  top_k=10)
+
+
+@query("query_string_search_docs", rf"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    pp AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+           FROM d WHERE len(tk) >= 2),
+    ph AS (SELECT DISTINCT doc_id FROM pp
+           WHERE tk[i] = 'hash' AND tk[i + 1] = 'join'),
+    toks AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    fz AS (SELECT tok FROM vocab WHERE levenshtein(tok, 'scann') <= 1),
+    qt AS (SELECT 'hash' AS tok UNION SELECT 'join' UNION SELECT 'merge'
+           UNION SELECT tok FROM fz),
+    q AS (SELECT * FROM toks WHERE tok IN (SELECT tok FROM qt)),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+    cand AS (SELECT doc_id FROM ph
+             WHERE doc_id IN (SELECT doc_id FROM toks WHERE tok = 'hash')
+               AND doc_id NOT IN
+                   (SELECT doc_id FROM toks WHERE tok = 'dup'))
+    {_SCORE}
+    WHERE doc_id IN (SELECT doc_id FROM cand)
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+""")
+def query_string_search_docs(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The full Lucene-style query-string surface
+    (operators/retrieval.py:parse_query + search_query_persisted) in
+    one query: ``+hash "hash join" -dup merge scann~`` — a must term,
+    an exact-phrase constraint answered by the persisted POSITIONAL
+    index (never re-tokenizing the corpus), an exclusion, a
+    ranking-only should term, and a fuzzy term whose Levenshtein-1
+    vocabulary neighborhood joins the scoring set. Candidates must
+    contain 'hash' AND the adjacent bigram "hash join" and must not
+    contain 'dup'; scoring is BM25 over every positive clause (phrase
+    words score too — the Lucene convention). The oracle replays the
+    parse's SEMANTICS from raw text: positional bigram check, boolean
+    algebra, fuzzy expansion, and scoring — green confirms the whole
+    compiled pipeline end to end."""
+    from etl_mark1_spark.operators.retrieval import search_query_persisted
+
+    return search_query_persisted(
+        spark, _shared_index(spark, sf_dir, positions=True),
+        '+hash "hash join" -dup merge scann~', top_k=10)
+
+
+@query("faceted_search_docs", f"""
+    WITH {_TOKS},
+    cand AS (SELECT DISTINCT doc_id FROM toks
+             WHERE tok IN ('dup', 'merge'))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM cand JOIN documents USING (doc_id)
+    GROUP BY source ORDER BY n_docs DESC, source
+""")
+def faceted_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts for a search (operators/retrieval.py:facet_counts —
+    the results-by-source sidebar): documents matching 'dup' OR 'merge'
+    counted per source. The index stores no metadata (postings stay
+    narrow), so the MATCH-BOUNDED candidate ids join the documents
+    frame on doc_id — a shuffle keyed by ids the pruned scan already
+    bounded, never a corpus re-scan. The oracle recounts from raw
+    text."""
+    from etl_mark1_spark.operators.retrieval import facet_counts
+
+    docs = t(spark, sf_dir, "documents")
+    return facet_counts(spark, _shared_index(spark, sf_dir),
+                        ["dup", "merge"], docs, "source")
+
+
+@query("search_after_page2_docs", f"""
+    WITH {_TOKS},
+    q AS (SELECT * FROM toks WHERE tok IN ('data', 'merge')),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1)
+    {_SCORE}
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id
+    OFFSET 10 LIMIT 10
+""")
+def search_after_page2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination (operators/retrieval.py:search_after_persisted
+    — the Elasticsearch search_after shape): page 1 of the query
+    {data, merge} is collected, its last (bm25, doc_id) becomes the
+    cursor, and the entry returns page 2 — the cursor predicate runs
+    BEFORE the ordered limit, so page N never recounts skipped rows.
+    (bm25 desc, doc_id) is a total order, so cursor pagination must
+    equal the oracle's OFFSET/LIMIT exactly — green confirms no row is
+    skipped or repeated across the page boundary."""
+    from etl_mark1_spark.operators.retrieval import search_after_persisted
+
+    path = _shared_index(spark, sf_dir)
+    page1 = search_after_persisted(spark, path, ["data", "merge"],
+                                   page_size=10).collect()
+    last = page1[-1]
+    return search_after_persisted(
+        spark, path, ["data", "merge"], page_size=10,
+        after=(last["bm25"], last["doc_id"]))
+
+
+@query("index_stats_docs", f"""
+    WITH {_TOKS},
+    posting AS (SELECT DISTINCT doc_id, tok FROM toks)
+    SELECT CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_docs,
+           CAST((SELECT count(DISTINCT tok) FROM toks) AS BIGINT)
+               AS vocab_size,
+           CAST((SELECT count(*) FROM posting) AS BIGINT) AS n_postings,
+           round((SELECT sum(dl) FROM dl) * 1.0
+                 / (SELECT count(*) FROM dl), 6) AS avgdl
+""")
+def index_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index introspection (operators/retrieval.py:index_stats): corpus
+    size, vocabulary size, posting count, and average document length
+    from METADATA artifacts only — the stats segments and the
+    vocabulary-sized dict (n_postings = sum of per-token df; every
+    posting row increments exactly one token's df). The postings are
+    never scanned. The oracle recomputes all four from the raw text, so
+    green confirms the segment metadata stays exactly consistent with a
+    from-scratch count — the invariant every MaxScore bound and
+    stats-corrected query relies on."""
+    from etl_mark1_spark.operators.retrieval import index_stats
+
+    return index_stats(spark, _shared_index(spark, sf_dir))

@@ -280,6 +280,26 @@ def _corrected_index_stats(
     return n_docs, sum_dl, float(sum_dl) / float(n_docs), tomb, n_tomb
 
 
+def _scored_bm25_unordered(postings: DataFrame, n_docs: int, avgdl: float,
+                           k1: float, b: float,
+                           dft: DataFrame | None = None) -> DataFrame:
+    """Every (doc_id, bm25) row for the given postings, UNORDERED and
+    UNLIMITED — the aggregation half of :func:`_score_postings_bm25`,
+    split out so cursor pagination (operators/retrieval.py:
+    search_after_persisted) can filter on the score BEFORE any limit.
+    Arithmetic identical to the ordered path (same function object)."""
+    if dft is None:
+        dft = (postings.groupBy("token")
+               .agg(F.count(F.lit(1)).alias("_df")))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5))
+    norm = (F.col("tf") * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))))
+    return (postings.join(F.broadcast(dft), "token")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(idf * norm), 6).alias("bm25")))
+
+
 def _score_postings_bm25(postings: DataFrame, n_docs: int, avgdl: float,
                          k1: float, b: float, top_k: int,
                          dft: DataFrame | None = None) -> DataFrame:
@@ -291,16 +311,7 @@ def _score_postings_bm25(postings: DataFrame, n_docs: int, avgdl: float,
     candidate documents and a df counted over that restriction would be
     a DIFFERENT (wrong) idf. dl rides on the posting row; ordered
     limit."""
-    if dft is None:
-        dft = (postings.groupBy("token")
-               .agg(F.count(F.lit(1)).alias("_df")))
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("_df") + 0.5)
-                / (F.col("_df") + 0.5))
-    norm = (F.col("tf") * (k1 + 1)
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))))
-    return (postings.join(F.broadcast(dft), "token")
-            .groupBy("doc_id")
-            .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
+    return (_scored_bm25_unordered(postings, n_docs, avgdl, k1, b, dft)
             .orderBy(F.col("bm25").desc(), F.col("doc_id"))
             .limit(top_k))
 

@@ -44,6 +44,7 @@ language is part of the LLM-pipeline extension.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -53,6 +54,7 @@ from etl_mark1_spark.operators.indexing import (
     DEFAULT_BUCKETS,
     _corrected_index_stats,
     _score_postings_bm25,
+    _scored_bm25_unordered,
     read_search_postings,
 )
 
@@ -337,3 +339,227 @@ def complete_prefix(spark, path: str, prefix: str,
             .filter(F.col("token").startswith(pfx))
             .orderBy(F.col("df").desc(), F.col("token"))
             .limit(top_k))
+
+
+_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
+_FUZZY_RE = re.compile(r"(.+?)~(\d*)$")
+
+
+def parse_query(qstr: str) -> dict:
+    """Parse a Lucene-style query string into its clause sets:
+
+    * ``+term`` — MUST (the document must contain it);
+    * ``-term`` — MUST NOT;
+    * ``term`` — SHOULD (ranking only);
+    * ``"a b c"`` — exact-phrase MUST (a one-word phrase degrades to a
+      plain must term); negated phrases are refused loudly;
+    * ``term~`` / ``term~2`` — fuzzy SHOULD with the given edit
+      distance (default 1); signs on fuzzy terms are refused.
+
+    Returns ``{"must": [...], "should": [...], "must_not": [...],
+    "phrases": [[...], ...], "fuzzy": [(term, dist), ...]}`` — pure
+    driver-side string work, no Spark."""
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    phrases: list[list[str]] = []
+    fuzzy: list[tuple[str, int]] = []
+
+    def _phrase(m: re.Match) -> str:
+        if m.group(1) == "-":
+            raise ValueError("negated phrases are not supported")
+        words = m.group(2).split()
+        if not words:
+            raise ValueError("empty phrase in query string")
+        if len(words) == 1:
+            must.append(words[0])
+        else:
+            phrases.append(words)
+        return " "
+
+    rest = _PHRASE_RE.sub(_phrase, qstr)
+    if '"' in rest:
+        raise ValueError(f"unbalanced quote in query string: {qstr!r}")
+    for tok in rest.split():
+        sign = ""
+        if tok[0] in "+-":
+            sign, tok = tok[0], tok[1:]
+        fm = _FUZZY_RE.fullmatch(tok)
+        if fm:
+            if sign:
+                raise ValueError(
+                    f"fuzzy terms cannot carry +/-: {sign}{tok!r}")
+            fuzzy.append((fm.group(1), int(fm.group(2) or 1)))
+            continue
+        if not tok:
+            raise ValueError(f"dangling {sign!r} in query string")
+        (must if sign == "+" else
+         must_not if sign == "-" else should).append(tok)
+    if not (must or should or phrases or fuzzy):
+        raise ValueError("query string has no positive clause")
+    return {"must": must, "should": should, "must_not": must_not,
+            "phrases": phrases, "fuzzy": fuzzy}
+
+
+def search_query_persisted(spark, path: str, qstr: str, top_k: int = 10,
+                           k1: float = 1.2, b: float = 0.75,
+                           max_expansion: int = 64,
+                           num_buckets: int = DEFAULT_BUCKETS,
+                           diagnostics: dict | None = None) -> DataFrame:
+    """The full query-string surface compiled onto the persisted index:
+    :func:`parse_query` splits the clauses, fuzzy terms expand within
+    the vocabulary, phrases run through the persisted POSITIONAL index
+    (operators/indexing.py:write_position_index must have been ingested
+    at the same ``path``), and candidates = (all must terms) AND (every
+    phrase) AND NOT (any must_not term) — with no must/phrase clause the
+    candidate set is any-positive-term. Scoring is BM25 over every
+    positive term: must + should + fuzzy expansions + the phrases'
+    constituent words (a phrase is both a constraint and a scored
+    clause, the Lucene convention), df counted before candidate
+    restriction.
+
+    Reads: one pruned postings scan for all positive terms, one pruned
+    positional scan per phrase, one pruned scan for the must_not set,
+    one vocabulary-sized dict scan per fuzzy term — everything
+    tombstone-aware through the shared readers. Pass ``diagnostics``
+    to receive the parse and the fuzzy expansions."""
+    from etl_mark1_spark.operators.indexing import phrase_search_persisted
+
+    q = parse_query(qstr)
+    must = _folded(spark, q["must"])
+    must_not = _folded(spark, q["must_not"])
+    phrases = [_folded_phrase(spark, p) for p in q["phrases"]]
+    expansions: list[str] = []
+    for term, dist in q["fuzzy"]:
+        expansions.extend(expand_terms_fuzzy(
+            spark, path, [term], max_dist=dist,
+            max_expansion=max_expansion))
+    should = _folded(spark, q["should"] + expansions
+                     + [w for p in phrases for w in p])
+    should = [t for t in should if t not in set(must)]
+    if diagnostics is not None:
+        diagnostics["parsed"] = q
+        diagnostics["expansions"] = sorted(set(expansions))
+    positive = must + should
+    if not positive:
+        return spark.createDataFrame([], "doc_id bigint, bm25 double")
+    n_docs, _, avgdl, _, _ = _corrected_index_stats(spark, path, path)
+    post = read_search_postings(spark, path, positive,
+                                num_buckets=num_buckets)
+    dft = post.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    cand = None
+    if must:
+        cand = (post.filter(F.col("token").isin(must))
+                .groupBy("doc_id")
+                .agg(F.count_distinct("token").alias("_nt"))
+                .filter(F.col("_nt") == len(must))
+                .select("doc_id"))
+    for ph in phrases:
+        phc = phrase_search_persisted(spark, path, ph,
+                                      num_buckets=num_buckets
+                                      ).select("doc_id")
+        cand = phc if cand is None else cand.join(phc, "doc_id",
+                                                  "left_semi")
+    if cand is None:
+        cand = post.select("doc_id").distinct()
+    if must_not:
+        excl = (read_search_postings(spark, path, must_not,
+                                     num_buckets=num_buckets)
+                .select("doc_id").distinct())
+        cand = cand.join(excl, "doc_id", "left_anti")
+    return _score_postings_bm25(post.join(cand, "doc_id", "left_semi"),
+                                n_docs, avgdl, k1, b, top_k, dft=dft)
+
+
+def _folded_phrase(spark, words: Sequence[str]) -> list[str]:
+    """Phrase words case-folded IN ORDER (``_folded`` sorts and dedups —
+    wrong for a phrase, where order and repeats are the semantics)."""
+    if all(w.isascii() for w in words):
+        return [w.lower() for w in words]
+    rows = (spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                                  "i int, w string")
+            .select("i", F.lower(F.col("w")).alias("w"))
+            .orderBy("i").collect())
+    return [r["w"] for r in rows]
+
+
+def facet_counts(spark, path: str, terms: Sequence[str],
+                 metadata: DataFrame, facet_col: str,
+                 top_k: int | None = None,
+                 num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Facet counts for a search: documents matching ANY query term,
+    counted per value of ``metadata``'s ``facet_col`` (the search-page
+    sidebar: 'results by source/language/domain'). Returns
+    (facet_col, n_docs) descending with facet tie-break.
+
+    The index stores no document metadata (postings stay narrow), so
+    facets join the MATCH-BOUNDED candidate id set against the caller's
+    metadata frame on doc_id — a shuffle keyed by ids the pruned scan
+    already bounded, never a corpus re-scan; the aggregation output is
+    facet-cardinality-sized. Tombstoned docs never reach the join."""
+    folded = _folded(spark, terms)
+    if not folded:
+        raise ValueError("facet_counts needs at least one term")
+    cand = (read_search_postings(spark, path, folded,
+                                 num_buckets=num_buckets)
+            .select("doc_id").distinct())
+    out = (cand.join(metadata.select("doc_id", facet_col), "doc_id")
+           .groupBy(facet_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+           .orderBy(F.col("n_docs").desc(), F.col(facet_col)))
+    return out.limit(top_k) if top_k is not None else out
+
+
+def search_after_persisted(spark, path: str, terms: Sequence[str],
+                           page_size: int = 10,
+                           after: tuple[float, int] | None = None,
+                           k1: float = 1.2, b: float = 0.75,
+                           num_buckets: int = DEFAULT_BUCKETS
+                           ) -> DataFrame:
+    """Cursor pagination over persisted BM25 (the Elasticsearch
+    ``search_after`` shape): page 1 is ``after=None``; every later page
+    passes the previous page's LAST (bm25, doc_id) and receives the
+    next ``page_size`` rows of the SAME total order — (bm25 desc,
+    doc_id asc) is total, so the cursor predicate
+    ``bm25 < s OR (bm25 = s AND doc_id > d)`` is exactly "rank >
+    cursor" with no skipped or repeated rows, and cursor equality is
+    safe because scores are 6dp-rounded before comparison everywhere.
+
+    Unlike OFFSET pagination this never recounts skipped rows — the
+    filter runs BEFORE the ordered limit
+    (indexing.py:_scored_bm25_unordered), so page N costs the same
+    one pruned scan + aggregation as page 1."""
+    folded = _folded(spark, terms)
+    if not folded:
+        raise ValueError("search_after_persisted needs at least one term")
+    n_docs, _, avgdl, _, _ = _corrected_index_stats(spark, path, path)
+    post = read_search_postings(spark, path, folded,
+                                num_buckets=num_buckets)
+    scored = _scored_bm25_unordered(post, n_docs, avgdl, k1, b)
+    if after is not None:
+        s, d = float(after[0]), int(after[1])
+        scored = scored.filter(
+            (F.col("bm25") < s)
+            | ((F.col("bm25") == s) & (F.col("doc_id") > d)))
+    return (scored.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(page_size))
+
+
+def index_stats(spark, path: str) -> DataFrame:
+    """One-row operational report of a persisted index — (n_docs,
+    vocab_size, n_postings, avgdl) — from METADATA artifacts only: the
+    stats segments (tombstone-corrected n/avgdl) and the
+    vocabulary-sized dict (vocab_size = distinct tokens; n_postings =
+    sum of df, since every posting row increments exactly one token's
+    df). The postings themselves are never scanned. Under tombstones
+    vocab_size/n_postings are the ingest-time counts (upper bounds —
+    per-token correction would need a postings scan); compaction
+    resets them exactly."""
+    n_docs, sum_dl, _, _, _ = _corrected_index_stats(spark, path, path)
+    return (_read_dict(spark, path)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+                 F.sum("df").cast("bigint").alias("n_postings"))
+            .select(F.lit(n_docs).cast("bigint").alias("n_docs"),
+                    "vocab_size", "n_postings",
+                    F.round(F.lit(sum_dl).cast("double") / F.lit(n_docs),
+                            6).alias("avgdl")))

@@ -57,6 +57,8 @@ GLOBAL_SORT_OK = {
     "rolling_median_price": "ordered-window contract",
     "window_relative_rank": "global relative rank is the contract",
     "leakage_safe_split": "orders the doc->split map by md5 (bounded ids)",
+    "faceted_search_docs": ("sorts the facet aggregate — rows = facet "
+                            "cardinality (sources), not corpus size"),
 }
 
 #: entries allowed an empty-partition window: the windowed frame is an

@@ -275,3 +275,135 @@ def test_shared_catalog_index_is_built_once(spark):
     p2 = query_side._shared_index(spark, "/root/testdata/sf0.001")
     assert p1 == p2
     query_side._SHARED_INDEX.clear()
+
+
+# ---------------------------------------------------------------- tranche 2
+
+
+def test_parse_query_full_grammar():
+    from etl_mark1_spark.operators.retrieval import parse_query
+
+    q = parse_query('+hash "hash join" -dup merge scann~ fix~2 "solo"')
+    # clause membership is set-semantics; one-word phrase degrades to must
+    assert sorted(q["must"]) == ["hash", "solo"]
+    assert q["should"] == ["merge"]
+    assert q["must_not"] == ["dup"]
+    assert q["phrases"] == [["hash", "join"]]
+    assert q["fuzzy"] == [("scann", 1), ("fix", 2)]
+
+
+def test_parse_query_refusals():
+    from etl_mark1_spark.operators.retrieval import parse_query
+
+    for bad in ('-"a b"', '"a b', '""', "+", "-", "+term~", ""):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+@pytest.fixture()
+def posidx(spark, tmp_path):
+    from etl_mark1_spark.operators.indexing import write_position_index
+
+    path = str(tmp_path / "qsidx")
+    write_search_index(_docs(spark), path, num_buckets=16)
+    write_position_index(_docs(spark), path, num_buckets=16)
+    return path
+
+
+def test_query_string_search_compiles_all_clauses(spark, posidx):
+    """'+quick "quick brown" -fox cat': candidates need 'quick' AND the
+    adjacent bigram, minus fox docs -> doc 2 alone; scoring covers the
+    must term, the phrase words, and the should term."""
+    from etl_mark1_spark.operators.retrieval import search_query_persisted
+
+    diag = {}
+    got = [(r["doc_id"], r["bm25"]) for r in
+           search_query_persisted(spark, posidx,
+                                  '+quick "quick brown" -fox cat',
+                                  num_buckets=16,
+                                  diagnostics=diag).collect()]
+    assert diag["parsed"]["phrases"] == [["quick", "brown"]]
+    assert got == _py_bm25(["quick", "brown", "cat"], doc_ids={2})
+
+
+def test_query_string_fuzzy_clause_joins_scoring(spark, posidx):
+    """'fix~' alone: expansion {fox} scores disjunctively — identical
+    to the plain corrected query."""
+    from etl_mark1_spark.operators.retrieval import search_query_persisted
+
+    diag = {}
+    got = [(r["doc_id"], r["bm25"]) for r in
+           search_query_persisted(spark, posidx, "fix~", num_buckets=16,
+                                  diagnostics=diag).collect()]
+    assert diag["expansions"] == ["fox"]
+    want = [(r["doc_id"], r["bm25"]) for r in
+            bm25_search_persisted(spark, posidx, ["fox"], top_k=10,
+                                  num_buckets=16).collect()]
+    assert got == want and got
+
+
+def test_query_string_phrase_only_query_scores_phrase_words(spark, posidx):
+    """A pure-phrase query still ranks by BM25 over the phrase's words
+    (the Lucene convention: a phrase is constraint AND scored clause)."""
+    from etl_mark1_spark.operators.retrieval import search_query_persisted
+
+    got = [(r["doc_id"], r["bm25"]) for r in
+           search_query_persisted(spark, posidx, '"lazy dog"',
+                                  num_buckets=16).collect()]
+    # docs 1 and 3 contain the bigram "lazy dog"
+    assert got == _py_bm25(["lazy", "dog"], doc_ids={1, 3})
+
+
+def test_facet_counts_hand_checked(spark, idx):
+    from etl_mark1_spark.operators.retrieval import facet_counts
+
+    meta = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "web"), (5, "books")],
+        ["doc_id", "source"])
+    got = [(r["source"], r["n_docs"]) for r in
+           facet_counts(spark, idx, ["lazy", "fox"], meta,
+                        "source", num_buckets=16).collect()]
+    # matches: docs 1, 3, 4 -> web 2 (docs 1, 4), books 1 (doc 3)
+    assert got == [("web", 2), ("books", 1)]
+    with pytest.raises(ValueError, match="at least one"):
+        facet_counts(spark, idx, [], meta, "source")
+
+
+def test_search_after_pages_partition_the_ranking(spark, idx):
+    """Pages of size 2 concatenate to exactly the full top-k ranking —
+    no skipped, no repeated rows; the page after the last is empty."""
+    from etl_mark1_spark.operators.retrieval import search_after_persisted
+
+    full = [(r["doc_id"], r["bm25"]) for r in
+            bm25_search_persisted(spark, idx, ["lazy", "fox"], top_k=10,
+                                  num_buckets=16).collect()]
+    pages, after = [], None
+    for _ in range(4):
+        page = [(r["doc_id"], r["bm25"]) for r in
+                search_after_persisted(spark, idx, ["lazy", "fox"],
+                                       page_size=2, after=after,
+                                       num_buckets=16).collect()]
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1][1], page[-1][0])
+    assert pages == full and len(full) == 3
+
+
+def test_index_stats_hand_counted_and_tombstone_corrected(spark, idx):
+    from etl_mark1_spark.operators.retrieval import index_stats
+
+    vocab = {t for toks in TOKS.values() for t in toks}
+    n_postings = sum(len(set(toks)) for toks in TOKS.values())
+    total = sum(len(toks) for toks in TOKS.values())
+    row = index_stats(spark, idx).collect()[0]
+    assert (row["n_docs"], row["vocab_size"], row["n_postings"]) == \
+        (5, len(vocab), n_postings)
+    assert row["avgdl"] == round(total / 5, 6)
+    # tombstones correct n_docs/avgdl exactly; vocab/posting counts stay
+    # the documented ingest-time upper bound
+    delete_from_index(spark, idx, [4], num_buckets=16)
+    row2 = index_stats(spark, idx).collect()[0]
+    assert row2["n_docs"] == 4
+    assert row2["avgdl"] == round((total - len(TOKS[4])) / 4, 6)
+    assert row2["vocab_size"] == len(vocab)
