@@ -175,10 +175,12 @@ def build_scored_postings(df: DataFrame, text_col: str = "text",
     length normalization needs dl at scoring time; carrying it on the
     posting makes a persisted-index query JOIN-FREE on the corpus side
     (the alternative — a separate doc-lengths table — re-shuffles on
-    doc_id for every query). dl = total token count of the doc, computed
-    in the same pass (one window-free groupBy: tf per (token, doc) and
-    dl = sum of tf over the doc, attached by a second partial-agg +
-    broadcast-friendly join on the already-aggregated frame)."""
+    doc_id for every query). dl = total token count of the doc: tf per
+    (token, doc), dl = sum of tf over the doc, attached by one doc_id
+    join of the two aggregated frames. That join is a doc-count-sized
+    SHUFFLE at INGEST time — paid once per batch and amortized over
+    every later query, which is the point of the design; it is not
+    broadcastable at corpus scale."""
     p = build_postings(df, text_col=text_col, id_col=id_col)
     dl = p.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     return p.join(dl, "doc_id").select("token", "doc_id", "tf", "dl")

@@ -407,3 +407,57 @@ def test_index_stats_hand_counted_and_tombstone_corrected(spark, idx):
     assert row2["n_docs"] == 4
     assert row2["avgdl"] == round((total - len(TOKS[4])) / 4, 6)
     assert row2["vocab_size"] == len(vocab)
+
+
+def test_parse_query_roundtrip_hypothesis():
+    """Property: any query RENDERED from a clause structure parses back
+    to exactly that structure (set-wise for membership clauses)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_mark1_spark.operators.retrieval import parse_query
+
+    word = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+    clause = st.one_of(
+        st.tuples(st.just("must"), word),
+        st.tuples(st.just("should"), word),
+        st.tuples(st.just("must_not"), word),
+        st.tuples(st.just("phrase"),
+                  st.lists(word, min_size=2, max_size=4)),
+        st.tuples(st.just("fuzzy"), st.tuples(word, st.integers(1, 3))),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(clause, min_size=1, max_size=8))
+    def check(clauses):
+        parts, want = [], {"must": [], "should": [], "must_not": [],
+                           "phrases": [], "fuzzy": []}
+        for kind, val in clauses:
+            if kind == "must":
+                parts.append("+" + val)
+                want["must"].append(val)
+            elif kind == "should":
+                parts.append(val)
+                want["should"].append(val)
+            elif kind == "must_not":
+                parts.append("-" + val)
+                want["must_not"].append(val)
+            elif kind == "phrase":
+                parts.append('"' + " ".join(val) + '"')
+                want["phrases"].append(list(val))
+            else:
+                parts.append(f"{val[0]}~{val[1]}")
+                want["fuzzy"].append(val)
+        if all(kind == "must_not" for kind, _ in clauses):
+            # exclusion-only queries are (correctly) refused
+            with pytest.raises(ValueError, match="no positive clause"):
+                parse_query(" ".join(parts))
+            return
+        got = parse_query(" ".join(parts))
+        for k in ("must", "should", "must_not"):
+            assert sorted(got[k]) == sorted(want[k])
+        assert sorted(map(tuple, got["phrases"])) == \
+            sorted(map(tuple, want["phrases"]))
+        assert sorted(got["fuzzy"]) == sorted(want["fuzzy"])
+
+    check()
