@@ -138,16 +138,23 @@ DRIVER_PREFIX_ROUND = 13
 #:     pagination == OFFSET/LIMIT on the total order), and
 #:     index_stats_docs (metadata-only introspection == from-scratch
 #:     counts).
+#:   * 2 vector-side round-13 entries: ann_ivf_delete_topk (IVF
+#:     tombstone deletion — full probe over survivors == brute force,
+#:     catalog/index_maintenance.py) and hybrid_text_vector_docs (the
+#:     RAG shape: persisted BM25 + persisted IVF cosine fused by RRF,
+#:     catalog/query_side.py).
 #:   * The ENTIRE 19-name r6-confirmation era in oldest-first
 #:     registration order (conditional_exprs ... q8_market_share) —
 #:     after this round nothing on the confirmed board is older than r8.
-#:   * 9 next-oldest refreshers — the r8 era's first names in
-#:     registration order (window_topk_orders ... window_range_rolling;
-#:     the ten that made room for the query-language entries —
-#:     winsorize_prices, collocations_pmi_docs, quality_percentile_rank,
-#:     dedup_keep_best_docs, ks_drift_values, multimodal_image_neardup,
-#:     compact_versioned_docs, q11_important_parts,
-#:     incremental_neardup_docs, temperature_mixture_sources —
+#:   * 7 next-oldest refreshers — the r8 era's first names in
+#:     registration order (window_topk_orders ... collect_set_priorities;
+#:     the twelve that made room for the query-language and vector
+#:     entries — winsorize_prices, collocations_pmi_docs,
+#:     quality_percentile_rank, dedup_keep_best_docs, ks_drift_values,
+#:     multimodal_image_neardup, compact_versioned_docs,
+#:     q11_important_parts, incremental_neardup_docs,
+#:     temperature_mixture_sources, multi_quantiles_quantity,
+#:     window_range_rolling —
 #:     rejoin the round-14 refresher queue at their registration spots).
 #:     bm25_search_docs stays: it doubles as the re-confirmation of
 #:     bm25_topk's case-fold change.
@@ -155,13 +162,14 @@ DRIVER_PREFIX_ROUND = 13
 #: never rotate past an unsampled prefix.
 #:
 #: ROUND-14 PLAN: (a) any r13 reds at the head, (b) 2+ sentinels,
-#: (c) new round-14 additions, (d) the remaining 39 r8-era refreshers
+#: (c) new round-14 additions, (d) the remaining 41 r8-era refreshers
 #: in registration order (winsorize_prices, collocations_pmi_docs,
 #: quality_percentile_rank, dedup_keep_best_docs, ks_drift_values,
 #: multimodal_image_neardup, compact_versioned_docs,
 #: q11_important_parts, incremental_neardup_docs,
-#: temperature_mixture_sources — the ten displaced by the round-13
-#: query-language entries — then
+#: temperature_mixture_sources, multi_quantiles_quantity,
+#: window_range_rolling — the twelve displaced by the round-13
+#: query-language and vector entries — then
 #: image_exif_docs, image_autorotate_docs,
 #: funnel_conversion_events,
 #: cohort_retention_events, weighted_sample_docs, epoch_shuffle_docs,
@@ -197,6 +205,8 @@ DRIVER_PREFIX = [
     "faceted_search_docs",
     "search_after_page2_docs",
     "index_stats_docs",
+    "ann_ivf_delete_topk",
+    "hybrid_text_vector_docs",
     "conditional_exprs",
     "regexp_extract_groups",
     "rolling_median_price",
@@ -222,8 +232,6 @@ DRIVER_PREFIX = [
     "quality_lr_score_docs",
     "length_bucketed_batches_docs",
     "collect_set_priorities",
-    "multi_quantiles_quantity",
-    "window_range_rolling",
     "bm25_search_docs",
 ]
 

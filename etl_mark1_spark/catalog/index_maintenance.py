@@ -349,3 +349,43 @@ def streaming_index_ingest_docs(spark: SparkSession,
     index_ingest_sink(stream, tdir)
     return bm25_search_persisted(spark, tdir,
                                  ["scan", "merge", "window"], top_k=10)
+
+
+@query("ann_ivf_delete_topk", """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
+             AS similarity
+    FROM embeddings, q
+    WHERE vec_id % 7 <> 0
+    ORDER BY similarity DESC, vec_id
+    LIMIT 10
+""")
+def ann_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletion for the persisted VECTOR index
+    (operators/similarity.py:ivf_delete — the vector twin of
+    delete_from_index): the embeddings are clustered and written
+    partitioned by centroid, every vec_id % 7 == 0 vector is deleted
+    (takedowns carry embeddings too), and the probe anti-joins the
+    broadcast tombstone set. Probing ALL centroids makes the result the
+    exact cosine top-10 over survivors regardless of the clustering, so
+    the oracle is brute force over only the surviving vectors — a green
+    row externally confirms delete-then-probe ==
+    build-from-surviving-vectors with no refit. (Unlike BM25 there are
+    no corpus stats to correct: cosine scores one vector at a time.)"""
+    import tempfile
+
+    from etl_mark1_spark.operators.similarity import (ivf_build, ivf_delete,
+                                                      ivf_index_write,
+                                                      ivf_topk_persisted)
+
+    vecs = t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(vecs, num_centroids=8)
+    tdir = tempfile.mkdtemp(prefix="etl_mark1_ivfdel_")
+    ivf_index_write(assigned, centroids, tdir)
+    ivf_delete(spark, tdir,
+               vecs.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+    qv = [float(x) for x in
+          vecs.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return ivf_topk_persisted(spark, tdir, qv, k=10, nprobe=None)

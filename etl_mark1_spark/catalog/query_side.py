@@ -435,3 +435,77 @@ def index_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_mark1_spark.operators.retrieval import index_stats
 
     return index_stats(spark, _shared_index(spark, sf_dir))
+
+
+#: per-process shared read-only IVF index over the embeddings table
+_SHARED_IVF: dict[str, str] = {}
+
+
+def _shared_ivf(spark: SparkSession, sf_dir: str) -> str:
+    from etl_mark1_spark.operators.similarity import (ivf_build,
+                                                      ivf_index_write)
+
+    path = _SHARED_IVF.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="etl_mark1_qivf_")
+        assigned, centroids = ivf_build(t(spark, sf_dir, "embeddings"),
+                                        num_centroids=8)
+        ivf_index_write(assigned, centroids, path)
+        _SHARED_IVF[sf_dir] = path
+    return path
+
+
+@query("hybrid_text_vector_docs", f"""
+    WITH {_TOKS},
+    q AS (SELECT * FROM toks WHERE tok IN ('data', 'merge')),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+    bm25 AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   6) AS bm25
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok), stats
+      GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 7),
+    nn AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe),
+                   6) AS sim
+      FROM embeddings, qv
+      ORDER BY sim DESC, doc_id LIMIT 50),
+    r1 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+           FROM bm25),
+    r2 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+           FROM nn)
+    SELECT doc_id,
+           round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+""")
+def hybrid_text_vector_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production RAG retrieval shape
+    (operators/ranking.py:hybrid_text_vector_search): lexical BM25 over
+    the persisted TEXT index fused with a cosine probe of the persisted
+    VECTOR index (documents and embeddings share the id space) by
+    Reciprocal Rank Fusion — one corpus, two modalities, one ranked
+    page, both sides tokenize/cluster ONCE at ingest and prune at query
+    time. The vector side probes every centroid here so it is exact and
+    the whole fusion carries a from-first-principles oracle: BM25,
+    brute-force cosine, both rank constructions, and the RRF sum all
+    replayed in SQL. The query embedding is looked up by id driver-side
+    (the documented serving-path shortcut, SCALE.md)."""
+    from etl_mark1_spark.operators.ranking import hybrid_text_vector_search
+
+    vecs = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          vecs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    return hybrid_text_vector_search(
+        spark, _shared_index(spark, sf_dir), _shared_ivf(spark, sf_dir),
+        ["data", "merge"], qv, top_n=50, top_k=10)

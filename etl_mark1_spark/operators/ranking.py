@@ -147,3 +147,35 @@ def mrr_at_k(ranked: DataFrame, labels: DataFrame, k: int = 10,
         F.when(F.col("first_hit").isNotNull(),
                F.lit(1.0) / F.col("first_hit")).otherwise(F.lit(0.0)),
         round_digits).alias("mrr"))
+
+
+def hybrid_text_vector_search(spark, text_path: str, ivf_path: str,
+                              terms: list[str], query_vec: list[float],
+                              top_n: int = 50, top_k: int = 10,
+                              k0: int = 60, nprobe: int | None = None,
+                              num_buckets: int | None = None) -> DataFrame:
+    """The production RAG retrieval shape: lexical BM25 over the
+    persisted TEXT index fused with a cosine probe of the persisted
+    VECTOR (IVF) index by Reciprocal Rank Fusion — one corpus, two
+    modalities, one ranked page, no score calibration (RRF is
+    rank-based, so BM25 logs and cosine similarities fuse as-is).
+    The caller guarantees the two indexes share an id space (doc_id ==
+    vec_id — the natural layout when documents and their embeddings are
+    ingested together). Both sides honor their index's tombstones, so a
+    takedown deleted from both (text delete_from_index + ivf_delete)
+    vanishes from the fused page with no rebuild on either side.
+    ``nprobe=None`` probes every centroid (exact vector side — what an
+    oracle or a final re-rank wants); smaller nprobe trades recall for
+    a partition-pruned probe."""
+    from etl_mark1_spark.operators.indexing import (DEFAULT_BUCKETS,
+                                                    bm25_search_persisted)
+    from etl_mark1_spark.operators.similarity import ivf_topk_persisted
+
+    nb = DEFAULT_BUCKETS if num_buckets is None else num_buckets
+    bm = bm25_search_persisted(spark, text_path, terms, top_k=top_n,
+                               num_buckets=nb)
+    nn = (ivf_topk_persisted(spark, ivf_path, query_vec, k=top_n,
+                             nprobe=nprobe)
+          .withColumnRenamed("vec_id", "doc_id"))
+    return rrf_fuse([(bm, "bm25", False), (nn, "similarity", False)],
+                    k0=k0, top_k=top_k)

@@ -873,3 +873,82 @@ def ivfpq_refine(shortlist: DataFrame, vectors: DataFrame,
                         F.round(F.sqrt(d2), round_digits).alias("l2_dist"))
             .orderBy(F.col("l2_dist").asc(), F.col(id_col))
             .limit(k))
+
+
+# -- IVF index maintenance: tombstone deletion + compaction -----------------
+# The vector twin of the text index's delete lifecycle
+# (operators/indexing.py:delete_from_index): takedowns and
+# decontamination hits carry embeddings too, and they must come out of
+# an already-built ANN index without a refit. Unlike BM25 there are no
+# corpus statistics to correct — cosine/L2 score one vector at a time —
+# so a tombstone here is just the id.
+
+def _ivf_tombstones(spark, path: str):
+    """The index's deduplicated tombstone ids from ``<path>/deletes``,
+    or None when no delete was ever issued."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = spark.read.parquet(path.rstrip("/") + "/deletes")
+    except AnalysisException:
+        return None
+    return raw.select("vec_id").distinct()
+
+
+def ivf_delete(spark, path: str, vec_ids) -> None:
+    """Tombstone deletion for a persisted IVF index: appends vec_id
+    rows under ``<path>/deletes`` (append-only, same segment discipline
+    as the text index's tombstones). Every live reader
+    (:func:`ivf_read_live` / :func:`ivf_topk_persisted`) anti-joins the
+    broadcast takedown-sized set, so delete-then-probe equals
+    build-from-surviving-vectors exactly — a full-probe query returns
+    the exact top-k over survivors with no rebuild. Double deletes
+    dedup at read; re-ingesting a deleted id is UNDEFINED until
+    :func:`ivf_compact`. ``vec_ids`` is a DataFrame with a ``vec_id``
+    column or a list of ids."""
+    if isinstance(vec_ids, DataFrame):
+        rows = vec_ids.select("vec_id").distinct()
+    else:
+        ids = sorted({int(i) for i in vec_ids})
+        if not ids:
+            raise ValueError("ivf_delete needs at least one vec_id")
+        rows = spark.createDataFrame([(i,) for i in ids],
+                                     "vec_id bigint")
+    rows.write.mode("append").parquet(path.rstrip("/") + "/deletes")
+
+
+def ivf_read_live(spark, path: str):
+    """Reopen a persisted IVF index with tombstones applied ->
+    (assigned_df, centroids). The anti-join broadcasts the
+    takedown-sized tombstone set; centroid partition pruning on the
+    probe path is untouched (the filter composes with the partition
+    filter — pinned in tests)."""
+    assigned, centroids = ivf_index_read(spark, path)
+    tomb = _ivf_tombstones(spark, path)
+    if tomb is not None:
+        assigned = assigned.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return assigned, centroids
+
+
+def ivf_topk_persisted(spark, path: str, query: list[float], k: int = 10,
+                       nprobe: int | None = None) -> DataFrame:
+    """Top-k cosine probe of a persisted IVF index, tombstone-aware.
+    ``nprobe=None`` probes EVERY centroid — the exact-search mode a
+    deletion oracle or a re-rank stage wants; otherwise the standard
+    nprobe-pruned approximate probe."""
+    assigned, centroids = ivf_read_live(spark, path)
+    return ivf_topk(assigned, centroids, query, k=k,
+                    nprobe=len(centroids) if nprobe is None else nprobe)
+
+
+def ivf_compact(spark, path: str, dest: str) -> None:
+    """Apply an IVF index's tombstones permanently: surviving vectors
+    rewrite to ``dest`` under the SAME centroids (no refit — centroid
+    geometry is unchanged by deletion; recall characteristics are
+    preserved and appends keep composing), with no deletes directory,
+    so probes at ``dest`` take the anti-join-free fast path. Same
+    immutable-segment discipline as the text index's compaction
+    (operators/indexing.py:compact_index): ``dest`` must be a NEW
+    path."""
+    live, centroids = ivf_read_live(spark, path)
+    ivf_index_write(live, centroids, dest, mode="overwrite")

@@ -118,6 +118,9 @@ GLOBAL_WINDOW_OK = {
     "retrieval_ndcg_eval":
         "positional windows over the BM25 top-50 and the ordered-LIMIT "
         "ideal@10 — both <= 50 rows by construction",
+    "hybrid_text_vector_docs":
+        "same fusion shape across modalities: windows rank the BM25 and "
+        "IVF-cosine TakeOrdered top-50 outputs (<= 50 rows each)",
 }
 
 TABLE_WIDTHS = {

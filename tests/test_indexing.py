@@ -903,3 +903,153 @@ def test_segment_report_hand_counted(spark):
         n, np_, tf, mx = want.get(b(tok), (0, 0, 0, 0))
         want[b(tok)] = (n + 1, np_ + df, tf + cf, max(mx, df))
     assert got == want
+
+
+def test_ivf_delete_then_probe_equals_survivors(spark, tmp_path):
+    """Tombstone deletion on the persisted IVF index
+    (operators/similarity.py:ivf_delete): a full probe after deleting
+    every 3rd vector equals exact brute force over the survivors —
+    and a double delete of the same ids changes nothing."""
+    from etl_mark1_spark.operators.similarity import (cosine_topk,
+                                                      ivf_build,
+                                                      ivf_delete,
+                                                      ivf_index_write,
+                                                      ivf_topk_persisted)
+
+    rng = random.Random(7)
+    rows = _vec_rows(rng, 50)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    path = str(tmp_path / "ivfdel")
+    assigned, cents = ivf_build(vecs, num_centroids=4, seed=1)
+    ivf_index_write(assigned, cents, path)
+    doomed = [vid for vid, _ in rows if vid % 3 == 0]
+    ivf_delete(spark, path, doomed)
+    q = [0.2] * 8
+    survivors = vecs.filter(~F.col("vec_id").isin(doomed))
+    want = [(r["vec_id"], r["similarity"])
+            for r in cosine_topk(survivors, q, k=7).collect()]
+    got = [(r["vec_id"], r["similarity"])
+           for r in ivf_topk_persisted(spark, path, q, k=7).collect()]
+    assert got == want
+    ivf_delete(spark, path, doomed)  # double delete is harmless
+    again = [(r["vec_id"], r["similarity"])
+             for r in ivf_topk_persisted(spark, path, q, k=7).collect()]
+    assert again == want
+    with pytest.raises(ValueError, match="at least one"):
+        ivf_delete(spark, path, [])
+
+
+def test_ivf_compact_applies_tombstones_and_keeps_pruning(spark, tmp_path):
+    """Compaction rewrites survivors under the SAME centroids with no
+    deletes directory; probes at the compacted path match the
+    tombstone path and still prune centroid partitions."""
+    import os
+
+    from etl_mark1_spark.operators.similarity import (ivf_build,
+                                                      ivf_compact,
+                                                      ivf_delete,
+                                                      ivf_index_read,
+                                                      ivf_index_write,
+                                                      ivf_topk,
+                                                      ivf_topk_persisted)
+
+    rng = random.Random(19)
+    vecs = spark.createDataFrame(_vec_rows(rng, 40),
+                                 "vec_id int, embedding array<double>")
+    path, dest = str(tmp_path / "src"), str(tmp_path / "dst")
+    assigned, cents = ivf_build(vecs, num_centroids=4, seed=2)
+    ivf_index_write(assigned, cents, path)
+    ivf_delete(spark, path, [0, 1, 2, 3, 4])
+    q = [-0.1] * 8
+    want = [(r["vec_id"], r["similarity"])
+            for r in ivf_topk_persisted(spark, path, q, k=5).collect()]
+    ivf_compact(spark, path, dest)
+    assert not os.path.exists(dest + "/deletes")
+    got = [(r["vec_id"], r["similarity"])
+           for r in ivf_topk_persisted(spark, dest, q, k=5).collect()]
+    assert got == want
+    compacted, cents2 = ivf_index_read(spark, dest)
+    for got_c, want_c in zip(cents2, cents):
+        assert got_c == pytest.approx(want_c)   # no refit
+    assert compacted.count() == 35
+    pruned = ivf_topk(compacted, cents2, q, k=5, nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_centroid" in plan
+
+
+def test_hybrid_text_vector_fusion_hand_computed(spark, tmp_path):
+    """RRF fusion of persisted BM25 and persisted IVF cosine
+    (operators/ranking.py:hybrid_text_vector_search) against a python
+    recompute of both rankings and the 1/(60+rank) sum — including a
+    doc deleted from BOTH indexes vanishing from the fused page."""
+    import math as m
+
+    from etl_mark1_spark.operators.indexing import (delete_from_index,
+                                                    write_search_index)
+    from etl_mark1_spark.operators.ranking import hybrid_text_vector_search
+    from etl_mark1_spark.operators.similarity import (ivf_build,
+                                                      ivf_delete,
+                                                      ivf_index_write)
+
+    docs = [(1, "the quick brown fox"), (2, "lazy dog sleeps"),
+            (3, "quick quick fox"), (4, "dog dog dog"),
+            (5, "unrelated words")]
+    toks = {i: t.split() for i, t in docs}
+    vrows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+             (4, [0.5, 0.5]), (5, [0.95, 0.05])]
+    tpath, vpath = str(tmp_path / "txt"), str(tmp_path / "vec")
+    write_search_index(spark.createDataFrame(docs, ["doc_id", "text"]),
+                       tpath, num_buckets=16)
+    assigned, cents = ivf_build(
+        spark.createDataFrame(vrows, "vec_id int, embedding array<double>"),
+        num_centroids=2, seed=3)
+    ivf_index_write(assigned, cents, vpath)
+
+    def py_bm25(terms):
+        n, avgdl = 5, sum(len(t) for t in toks.values()) / 5
+        out = {}
+        for d, tk in toks.items():
+            s = 0.0
+            for term in set(terms):
+                tf = tk.count(term)
+                if not tf:
+                    continue
+                df = sum(1 for x in toks.values() if term in x)
+                s += (m.log(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+                      / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl)))
+            if s > 0:
+                out[d] = round(s, 6)
+        return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def py_cos(q, rows):
+        out = {}
+        for vid, v in rows:
+            dp = sum(a * b for a, b in zip(q, v))
+            na = m.sqrt(sum(a * a for a in q))
+            nb = m.sqrt(sum(b * b for b in v))
+            out[vid] = round(dp / (na * nb), 6)
+        return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def py_rrf(*rankings):
+        acc = {}
+        for ranking in rankings:
+            for rank, (d, _) in enumerate(ranking, 1):
+                acc[d] = acc.get(d, 0.0) + 1.0 / (60 + rank)
+        return sorted(((d, round(s, 6)) for d, s in acc.items()),
+                      key=lambda kv: (-kv[1], kv[0]))
+
+    q = [1.0, 0.2]
+    want = py_rrf(py_bm25(["quick", "dog"]), py_cos(q, vrows))
+    got = [(r["doc_id"], r["rrf_score"]) for r in
+           hybrid_text_vector_search(spark, tpath, vpath,
+                                     ["quick", "dog"], q, top_n=10,
+                                     top_k=10, num_buckets=16).collect()]
+    assert got == want
+    # takedown deleted from BOTH sides vanishes with no rebuild
+    delete_from_index(spark, tpath, [1], num_buckets=16)
+    ivf_delete(spark, vpath, [1])
+    fused = {r["doc_id"] for r in
+             hybrid_text_vector_search(spark, tpath, vpath,
+                                       ["quick", "dog"], q, top_n=10,
+                                       top_k=10, num_buckets=16).collect()}
+    assert 1 not in fused and fused
