@@ -509,3 +509,103 @@ def hybrid_text_vector_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_text_vector_search(
         spark, _shared_index(spark, sf_dir), _shared_ivf(spark, sf_dir),
         ["data", "merge"], qv, top_n=50, top_k=10)
+
+
+@query("batch_search_docs", f"""
+    WITH {_TOKS},
+    qs AS (SELECT * FROM (VALUES
+             ('q_dup', 'dup'), ('q_dup', 'merge'),
+             ('q_join', 'hash'), ('q_join', 'join'),
+             ('q_scan', 'scan'), ('q_scan', 'filter'), ('q_scan', 'sort')
+           ) v(qid, tok)),
+    q AS (SELECT * FROM toks
+          WHERE tok IN (SELECT DISTINCT tok FROM qs)),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+    scored AS (
+      SELECT qid, doc_id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   6) AS bm25
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok)
+           JOIN qs USING (tok), stats
+      GROUP BY qid, doc_id),
+    r AS (SELECT qid, doc_id, bm25,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY bm25 DESC, doc_id) AS rn
+          FROM scored)
+    SELECT qid, doc_id, bm25 FROM r WHERE rn <= 5
+    ORDER BY qid, bm25 DESC, doc_id
+""")
+def batch_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH retrieval (operators/retrieval.py:bm25_search_many): three
+    queries score against the persisted index in ONE pass — the
+    offline-evaluation shape (nightly regression suites and query-log
+    replays score thousands of queries; per-query jobs would pay the
+    scan and scheduling overhead thousands of times). One pruned scan
+    covers the union of all query terms, the (qid, term) map
+    broadcasts, and the per-qid top-5 is a window PARTITIONED by qid —
+    parallelism scales with the batch. Per-query rows are exactly
+    bm25_search_persisted's (parity pinned in tests); the oracle
+    replays the fan-out with a VALUES join and QUALIFY-style ranking."""
+    from etl_mark1_spark.operators.retrieval import bm25_search_many
+
+    return bm25_search_many(
+        spark, _shared_index(spark, sf_dir),
+        {"q_dup": ["dup", "merge"], "q_join": ["hash", "join"],
+         "q_scan": ["scan", "filter", "sort"]}, top_k=5)
+
+
+@query("serp_page_docs", rf"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(tk) AS tok FROM d WHERE len(tk) > 0),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE tok <> ''
+           GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q AS (SELECT * FROM toks WHERE tok IN ('dup', 'stream')),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+    dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+    ranked AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   6) AS bm25
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok), stats
+      GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 5),
+    p AS (SELECT doc_id, i AS pos
+          FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+          WHERE tk[i] IN ('dup', 'stream')),
+    s AS (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                RANGE BETWEEN CURRENT ROW
+                                AND 19 FOLLOWING) AS nh
+          FROM p),
+    w AS (SELECT doc_id, pos, nh,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY nh DESC, pos) AS rn
+          FROM s)
+    SELECT r.doc_id, r.bm25,
+           CAST(w.pos AS BIGINT) AS snippet_start,
+           CAST(coalesce(w.nh, 0) AS BIGINT) AS n_hits
+    FROM ranked r LEFT JOIN (SELECT * FROM w WHERE rn = 1) w
+         ON r.doc_id = w.doc_id
+    ORDER BY r.bm25 DESC, r.doc_id
+""")
+def serp_page_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A complete search-results page (operators/retrieval.py:serp_page):
+    BM25 top-5 for {dup, stream} joined with each hit's best 20-token
+    proximity snippet window — ranking from the tf index, snippets from
+    the positional artifact at the same path, both bucket-pruned, the
+    exact composition a search frontend renders. The oracle replays
+    ranking, window selection, and the join in one statement, pinning
+    that the two operators agree on doc identity and stay joinable."""
+    from etl_mark1_spark.operators.retrieval import serp_page
+
+    return serp_page(spark, _shared_index(spark, sf_dir, positions=True),
+                     ["dup", "stream"], top_k=5, width=20)

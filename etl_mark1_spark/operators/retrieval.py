@@ -563,3 +563,82 @@ def index_stats(spark, path: str) -> DataFrame:
                     "vocab_size", "n_postings",
                     F.round(F.lit(sum_dl).cast("double") / F.lit(n_docs),
                             6).alias("avgdl")))
+
+
+def bm25_search_many(spark, path: str, queries: dict[str, Sequence[str]],
+                     top_k: int = 10, k1: float = 1.2, b: float = 0.75,
+                     num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """BATCH retrieval: many queries against the persisted index in ONE
+    pass — the offline-evaluation shape (nightly regression suites,
+    relevance-label refreshes, query-log replays score thousands of
+    queries; one job per query would pay the scan/stats/scheduling
+    overhead thousands of times). Returns (qid, doc_id, bm25) with at
+    most ``top_k`` rows per qid, ordered (qid, bm25 desc, doc_id) —
+    per-query results are EXACTLY what :func:`bm25_search_persisted`
+    returns for that query's terms (parity pinned in tests).
+
+    One pruned postings read covers the UNION of all query terms; the
+    (qid, term) map broadcasts (query-set-sized); scoring aggregates
+    per (qid, doc) — a term shared by two queries is scanned once and
+    scored twice via the map join, never re-read. Per-term df is
+    counted once from the pruned union scan (df is a global per-token
+    count, so the union scan and any single-query scan agree). The
+    per-qid top-k is a window PARTITIONED by qid — parallelism scales
+    with the query batch, no global sort."""
+    from pyspark.sql.window import Window
+
+    if not queries:
+        raise ValueError("bm25_search_many needs at least one query")
+    folded = {qid: _folded(spark, terms) for qid, terms in queries.items()}
+    if any(not terms for terms in folded.values()):
+        raise ValueError("every query needs at least one term")
+    all_terms = sorted({t for terms in folded.values() for t in terms})
+    n_docs, _, avgdl, _, _ = _corrected_index_stats(spark, path, path)
+    post = read_search_postings(spark, path, all_terms,
+                                num_buckets=num_buckets)
+    dft = post.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(folded.items()) for t in terms],
+        "qid string, token string")
+    norm = (F.col("tf") * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                   / F.lit(avgdl))))
+    scored = (post.join(F.broadcast(dft), "token")
+              .join(F.broadcast(qmap), "token")
+              .groupBy("qid", "doc_id")
+              .agg(F.round(F.sum(_bm25_idf(n_docs, F.col("_df")) * norm),
+                           6).alias("bm25")))
+    w = Window.partitionBy("qid").orderBy(F.col("bm25").desc(),
+                                          F.col("doc_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k).drop("_rn")
+            .orderBy("qid", F.col("bm25").desc(), F.col("doc_id")))
+
+
+def serp_page(spark, path: str, terms: Sequence[str], top_k: int = 5,
+              width: int = 20, k1: float = 1.2, b: float = 0.75,
+              num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """A complete search-results page off the persisted indexes: BM25
+    top-``top_k`` joined with each hit's best proximity snippet window
+    (operators/indexing.py:best_window_persisted — requires the
+    positional artifact at the same ``path``). Returns (doc_id, bm25,
+    snippet_start, n_hits) ranked. The snippet side computes windows
+    only for postings of the query terms and the join keys on the
+    top-k ids, so the page costs one term-bucket scan per artifact —
+    the composition is exactly what a search frontend renders, pinned
+    here so the two operators stay joinable."""
+    from etl_mark1_spark.operators.indexing import (best_window_persisted,
+                                                    bm25_search_persisted)
+
+    folded = _folded(spark, terms)
+    ranked = bm25_search_persisted(spark, path, folded, top_k=top_k,
+                                   k1=k1, b=b, num_buckets=num_buckets)
+    snips = best_window_persisted(spark, path, list(folded), width=width,
+                                  num_buckets=num_buckets)
+    return (ranked.join(snips, "doc_id", "left")
+            .select("doc_id", "bm25",
+                    F.col("snippet_start").cast("bigint")
+                    .alias("snippet_start"),
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+                    .alias("n_hits"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id")))

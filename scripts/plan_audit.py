@@ -59,6 +59,8 @@ GLOBAL_SORT_OK = {
     "leakage_safe_split": "orders the doc->split map by md5 (bounded ids)",
     "faceted_search_docs": ("sorts the facet aggregate — rows = facet "
                             "cardinality (sources), not corpus size"),
+    "batch_search_docs": ("presentation sort of the windowed result — "
+                          "rows <= top_k x |queries| by construction"),
 }
 
 #: entries allowed an empty-partition window: the windowed frame is an

@@ -461,3 +461,48 @@ def test_parse_query_roundtrip_hypothesis():
         assert sorted(got["fuzzy"]) == sorted(want["fuzzy"])
 
     check()
+
+
+def test_batch_search_matches_per_query_path(spark, idx):
+    """Every qid's rows in the one-pass batch equal the per-query
+    bm25_search_persisted output exactly — union-scan df, broadcast
+    (qid, term) map, and per-qid window change nothing."""
+    from etl_mark1_spark.operators.retrieval import bm25_search_many
+
+    queries = {"a": ["lazy", "dog"], "b": ["fox"], "c": ["zzz"]}
+    got = {}
+    for r in bm25_search_many(spark, idx, queries, top_k=3,
+                              num_buckets=16).collect():
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["bm25"]))
+    for qid, terms in queries.items():
+        want = [(r["doc_id"], r["bm25"]) for r in
+                bm25_search_persisted(spark, idx, terms, top_k=3,
+                                      num_buckets=16).collect()]
+        assert got.get(qid, []) == want, qid
+    assert "c" not in got  # no-hit query contributes no rows
+    with pytest.raises(ValueError, match="at least one query"):
+        bm25_search_many(spark, idx, {}, num_buckets=16)
+    with pytest.raises(ValueError, match="at least one term"):
+        bm25_search_many(spark, idx, {"a": []}, num_buckets=16)
+
+
+def test_serp_page_joins_ranking_with_snippets(spark, posidx):
+    """The composed results page equals the two operators run
+    separately and joined — and every ranked hit carries its window."""
+    from etl_mark1_spark.operators.indexing import best_window_persisted
+    from etl_mark1_spark.operators.retrieval import serp_page
+
+    got = [(r["doc_id"], r["bm25"], r["snippet_start"], r["n_hits"])
+           for r in serp_page(spark, posidx, ["lazy", "fox"], top_k=3,
+                              width=5, num_buckets=16).collect()]
+    ranked = {r["doc_id"]: r["bm25"] for r in
+              bm25_search_persisted(spark, posidx, ["lazy", "fox"],
+                                    top_k=3, num_buckets=16).collect()}
+    snips = {r["doc_id"]: (r["snippet_start"], r["n_hits"]) for r in
+             best_window_persisted(spark, posidx, ["lazy", "fox"],
+                                   width=5, num_buckets=16).collect()}
+    assert got and len(got) == len(ranked)
+    for doc_id, bm25, start, hits in got:
+        assert bm25 == ranked[doc_id]
+        assert (start, hits) == snips[doc_id]
+        assert hits >= 1  # a ranked hit always has a window
