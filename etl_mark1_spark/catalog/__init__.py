@@ -143,24 +143,28 @@ DRIVER_PREFIX_ROUND = 13
 #:     catalog/index_maintenance.py) and hybrid_text_vector_docs (the
 #:     RAG shape: persisted BM25 + persisted IVF cosine fused by RRF,
 #:     catalog/query_side.py).
-#:   * 2 final round-13 entries (catalog/query_side.py):
-#:     batch_search_docs (many queries, one pruned pass — per-qid
-#:     window top-k) and serp_page_docs (BM25 ranking joined with
-#:     positional proximity snippets — the composed results page).
+#:   * 3 final round-13 entries: batch_search_docs (many queries, one
+#:     pruned pass — per-qid window top-k) and serp_page_docs (BM25
+#:     ranking joined with positional proximity snippets — the
+#:     composed results page), both catalog/query_side.py; and
+#:     streaming_ivf_ingest_topk (streaming ingest into the VECTOR
+#:     index — idempotent (_centroid, seg) segments against fixed
+#:     seeded centroids, catalog/index_maintenance.py).
 #:   * The ENTIRE 19-name r6-confirmation era in oldest-first
 #:     registration order (conditional_exprs ... q8_market_share) —
 #:     after this round nothing on the confirmed board is older than r8.
-#:   * 5 next-oldest refreshers — the r8 era's first names in
+#:   * 4 next-oldest refreshers — the r8 era's first names in
 #:     registration order (window_topk_orders, streaming_dedup,
-#:     bpe_roundtrip_docs, quality_lr_score_docs + bm25_search_docs;
-#:     the fourteen that made room for the query-language, vector, and
-#:     batch/serp entries — winsorize_prices, collocations_pmi_docs,
-#:     quality_percentile_rank, dedup_keep_best_docs, ks_drift_values,
+#:     bpe_roundtrip_docs + bm25_search_docs; the fifteen that made
+#:     room for the query-language, vector, batch/serp, and
+#:     streaming-vector entries — winsorize_prices,
+#:     collocations_pmi_docs, quality_percentile_rank,
+#:     dedup_keep_best_docs, ks_drift_values,
 #:     multimodal_image_neardup, compact_versioned_docs,
 #:     q11_important_parts, incremental_neardup_docs,
 #:     temperature_mixture_sources, multi_quantiles_quantity,
 #:     window_range_rolling, length_bucketed_batches_docs,
-#:     collect_set_priorities —
+#:     collect_set_priorities, quality_lr_score_docs —
 #:     rejoin the round-14 refresher queue at their registration spots;
 #:     new-entry first-time confirmation outranks freshness per the
 #:     standing policy, and every one of those names is already on the
@@ -171,15 +175,15 @@ DRIVER_PREFIX_ROUND = 13
 #: never rotate past an unsampled prefix.
 #:
 #: ROUND-14 PLAN: (a) any r13 reds at the head, (b) 2+ sentinels,
-#: (c) new round-14 additions, (d) the remaining 43 r8-era refreshers
+#: (c) new round-14 additions, (d) the remaining 44 r8-era refreshers
 #: in registration order (winsorize_prices, collocations_pmi_docs,
 #: quality_percentile_rank, dedup_keep_best_docs, ks_drift_values,
 #: multimodal_image_neardup, compact_versioned_docs,
 #: q11_important_parts, incremental_neardup_docs,
 #: temperature_mixture_sources, multi_quantiles_quantity,
 #: window_range_rolling, length_bucketed_batches_docs,
-#: collect_set_priorities — the fourteen displaced by the round-13
-#: query-language, vector, and batch/serp entries — then
+#: collect_set_priorities, quality_lr_score_docs — the fifteen
+#: displaced by the round-13 search/vector tranche — then
 #: image_exif_docs, image_autorotate_docs,
 #: funnel_conversion_events,
 #: cohort_retention_events, weighted_sample_docs, epoch_shuffle_docs,
@@ -219,6 +223,7 @@ DRIVER_PREFIX = [
     "hybrid_text_vector_docs",
     "batch_search_docs",
     "serp_page_docs",
+    "streaming_ivf_ingest_topk",
     "conditional_exprs",
     "regexp_extract_groups",
     "rolling_median_price",
@@ -241,7 +246,6 @@ DRIVER_PREFIX = [
     "window_topk_orders",
     "streaming_dedup",
     "bpe_roundtrip_docs",
-    "quality_lr_score_docs",
     "bm25_search_docs",
 ]
 

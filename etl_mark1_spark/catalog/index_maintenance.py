@@ -389,3 +389,49 @@ def ann_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in
           vecs.filter(F.col("vec_id") == 1).first()["embedding"]]
     return ivf_topk_persisted(spark, tdir, qv, k=10, nprobe=None)
+
+
+@query("streaming_ivf_ingest_topk", """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 3)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
+             AS similarity
+    FROM embeddings, q
+    ORDER BY similarity DESC, vec_id
+    LIMIT 10
+""")
+def streaming_ivf_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the persisted VECTOR index
+    (streaming/events.py:ivf_ingest_sink — the embedding twin of the
+    round's text-index streaming sink, completing
+    crawl-to-searchable-corpus for BOTH retrieval modalities): centroids
+    are seeded once (operators/similarity.py:ivf_init — the
+    bootstrap-then-stream shape), the embedding stream drains through
+    foreachBatch with map-side assignment against those fixed centroids,
+    and every epoch writes an idempotent (_centroid, seg) segment via
+    dynamic partition overwrite. Probing ALL centroids afterwards makes
+    the result the exact cosine top-10 regardless of clustering, so the
+    oracle is brute force over the full table — a green row externally
+    confirms the drained stream's index equals a batch-built one, no
+    vector lost or duplicated."""
+    import tempfile
+
+    from etl_mark1_spark.operators.similarity import (ivf_build, ivf_init,
+                                                      ivf_topk_persisted)
+    from etl_mark1_spark.streaming.events import ivf_ingest_sink
+
+    vecs = t(spark, sf_dir, "embeddings")
+    src = tempfile.mkdtemp(prefix="etl_mark1_sivf_src_")
+    vecs.coalesce(2).write.mode("overwrite").parquet(src)
+    _, centroids = ivf_build(vecs, num_centroids=8)
+    idx = tempfile.mkdtemp(prefix="etl_mark1_sivf_idx_")
+    ivf_init(spark, idx, centroids)
+    stream = (spark.readStream
+              .schema("vec_id bigint, embedding array<float>, label int")
+              .format("parquet").load(src)
+              .select("vec_id", "embedding"))
+    ivf_ingest_sink(stream, idx)
+    qv = [float(x) for x in
+          vecs.filter(F.col("vec_id") == 3).first()["embedding"]]
+    return ivf_topk_persisted(spark, idx, qv, k=10, nprobe=None)

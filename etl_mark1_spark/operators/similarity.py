@@ -952,3 +952,38 @@ def ivf_compact(spark, path: str, dest: str) -> None:
     path."""
     live, centroids = ivf_read_live(spark, path)
     ivf_index_write(live, centroids, dest, mode="overwrite")
+
+
+def ivf_write_segment(assigned: DataFrame, path: str, seg: str) -> None:
+    """IDEMPOTENT vector-segment write for streaming ingest
+    (streaming/events.py:ivf_ingest_sink): the assigned batch lands
+    partitioned by (``_centroid``, ``seg``) with DYNAMIC partition
+    overwrite — re-running the same (batch, seg) replaces exactly its
+    own partitions instead of double-appending, the same structural
+    replay idempotence as the text index's
+    write_search_index_segment. The ``seg`` column rides harmlessly at
+    probe time (probes filter on ``_centroid``, which stays the
+    leading partition key, so centroid pruning is unchanged — pinned
+    in tests). Do not mix this layout with plain
+    :func:`ivf_index_write` appends under one path (partition
+    discovery needs consistent partition columns); the centroid table
+    must already exist at ``path`` (seed it with
+    :func:`ivf_init`)."""
+    (assigned.withColumn("seg", F.lit(seg))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_centroid", "seg")
+     .parquet(path.rstrip("/") + "/vectors"))
+
+
+def ivf_init(spark, path: str, centroids: list[list[float]]) -> None:
+    """Seed a streaming-ingested IVF index: write ONLY the centroid
+    table (k rows). Batches then stream in via
+    :func:`ivf_write_segment` / streaming/events.py:ivf_ingest_sink,
+    each assigned map-side against these fixed centroids — the
+    bootstrap-then-stream shape (fit centroids once on a
+    representative sample; never refit per batch)."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "_centroid int, center array<double>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(path.rstrip("/") + "/centroids")

@@ -673,3 +673,52 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
             & (F.col("ts_r") <= F.col("ts")
                + F.expr(f"INTERVAL {upper}")))
     return lw.join(rw, cond, "inner")
+
+
+def ivf_ingest_sink(stream_df: DataFrame, index_dir: str,
+                    checkpoint: str | None = None, *,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Streaming ingest INTO the persisted VECTOR index — the embedding
+    twin of :func:`index_ingest_sink`, completing the
+    crawl-to-searchable-corpus path for BOTH retrieval modalities: each
+    micro-batch is assigned map-side against the index's FIXED
+    centroids (seeded once by operators/similarity.py:ivf_init — fit on
+    a representative sample, never refit per batch, so assignment is a
+    broadcast argmin with no shuffle) and written as an idempotent
+    (``_centroid``, ``seg``) segment. A drained stream's index answers
+    ivf_topk_persisted / hybrid_text_vector_search immediately, equal
+    to a batch-built index over the same vectors (full-probe exactness
+    pinned by the ``streaming_ivf_ingest_topk`` oracle).
+
+    Replay idempotence is structural, same design as the text sink:
+    the segment id derives from (checkpoint tag, epoch id) and the
+    write uses dynamic partition overwrite, so a replayed epoch
+    rewrites exactly its own partitions. Batches must be id-disjoint
+    across the stream's lifetime; deletions compose via
+    operators/similarity.py:ivf_delete unchanged."""
+    from etl_mark1_spark.operators.similarity import (ivf_assign,
+                                                      ivf_write_segment)
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="etl_mark1_ckpt_")
+    ckpt_tag = hashlib.sha256(
+        os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    # centroid table only (k rows, read once per drain, driver-side) —
+    # NOT ivf_index_read: before the first drain the index has
+    # centroids but no vectors directory yet
+    spark = stream_df.sparkSession
+    cents = (spark.read.parquet(index_dir.rstrip("/") + "/centroids")
+             .orderBy("_centroid").collect())
+    centroids = [list(r["center"]) for r in cents]
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        ivf_write_segment(
+            ivf_assign(batch.select(id_col, vec_col), centroids,
+                       vec_col=vec_col),
+            index_dir, seg=f"{ckpt_tag}-{epoch_id}")
+
+    query = (stream_df.writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()

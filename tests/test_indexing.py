@@ -1053,3 +1053,97 @@ def test_hybrid_text_vector_fusion_hand_computed(spark, tmp_path):
                                        ["quick", "dog"], q, top_n=10,
                                        top_k=10, num_buckets=16).collect()}
     assert 1 not in fused and fused
+
+
+def test_ivf_write_segment_idempotent_and_pruning_kept(spark, tmp_path):
+    """Writing the same (batch, seg) twice leaves the vector index
+    unchanged (dynamic partition overwrite); distinct segments append;
+    centroid pruning survives the extra seg partition column."""
+    from etl_mark1_spark.operators.similarity import (cosine_topk,
+                                                      ivf_assign,
+                                                      ivf_build, ivf_init,
+                                                      ivf_topk,
+                                                      ivf_topk_persisted,
+                                                      ivf_write_segment)
+
+    rng = random.Random(31)
+    rows_a = _vec_rows(rng, 30)
+    rows_b = _vec_rows(rng, 20, offset=100)
+    a = spark.createDataFrame(rows_a, "vec_id int, embedding array<double>")
+    b = spark.createDataFrame(rows_b, "vec_id int, embedding array<double>")
+    path = str(tmp_path / "segivf")
+    _, cents = ivf_build(a, num_centroids=4, seed=5)
+    ivf_init(spark, path, cents)
+    ivf_write_segment(ivf_assign(a, cents), path, seg="t-0")
+    before = spark.read.parquet(path + "/vectors").count()
+    ivf_write_segment(ivf_assign(a, cents), path, seg="t-0")
+    assert spark.read.parquet(path + "/vectors").count() == before
+    ivf_write_segment(ivf_assign(b, cents), path, seg="t-1")
+    q = [0.1] * 8
+    want = [(r["vec_id"], r["similarity"]) for r in
+            cosine_topk(a.unionByName(b), q, k=6).collect()]
+    got = [(r["vec_id"], r["similarity"]) for r in
+           ivf_topk_persisted(spark, path, q, k=6).collect()]
+    assert got == want
+    # pruned probe still carries a _centroid partition filter
+    assigned = spark.read.parquet(path + "/vectors")
+    plan = (ivf_topk(assigned, cents, q, k=3, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "_centroid" in plan
+
+
+def test_ivf_ingest_sink_two_drains_and_replay(spark, tmp_path):
+    """Streaming embeddings into the vector index: first drain indexes
+    the available files, a no-new-files drain replays nothing, new
+    files drain incrementally, and the final full-probe equals brute
+    force over everything — and composes with ivf_delete."""
+    import shutil
+
+    from etl_mark1_spark.operators.similarity import (cosine_topk,
+                                                      ivf_build, ivf_delete,
+                                                      ivf_init,
+                                                      ivf_topk_persisted)
+    from etl_mark1_spark.streaming.events import ivf_ingest_sink
+
+    rng = random.Random(37)
+    rows = _vec_rows(rng, 40)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    first = vecs.filter(F.col("vec_id") < 25)
+    second = vecs.filter(F.col("vec_id") >= 25)
+    src = str(tmp_path / "vec_src")
+    ckpt = str(tmp_path / "vckpt")
+    idx = str(tmp_path / "vstream_idx")
+    first.coalesce(1).write.parquet(src)
+    _, cents = ivf_build(first, num_centroids=4, seed=9)
+    ivf_init(spark, idx, cents)
+
+    def stream():
+        return (spark.readStream
+                .schema("vec_id int, embedding array<double>")
+                .format("parquet").load(src))
+
+    q = [0.25] * 8
+    ivf_ingest_sink(stream(), idx, checkpoint=ckpt)
+    mid = [(r["vec_id"], r["similarity"]) for r in
+           ivf_topk_persisted(spark, idx, q, k=5).collect()]
+    assert mid == [(r["vec_id"], r["similarity"]) for r in
+                   cosine_topk(first, q, k=5).collect()]
+    n_before = spark.read.parquet(idx + "/vectors").count()
+    ivf_ingest_sink(stream(), idx, checkpoint=ckpt)  # nothing new
+    assert spark.read.parquet(idx + "/vectors").count() == n_before
+    tmp2 = str(tmp_path / "vec_src2")
+    second.coalesce(1).write.parquet(tmp2)
+    for f in __import__("os").listdir(tmp2):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{tmp2}/{f}", f"{src}/{f}")
+    ivf_ingest_sink(stream(), idx, checkpoint=ckpt)
+    got = [(r["vec_id"], r["similarity"]) for r in
+           ivf_topk_persisted(spark, idx, q, k=5).collect()]
+    assert got == [(r["vec_id"], r["similarity"]) for r in
+                   cosine_topk(vecs, q, k=5).collect()]
+    # takedown composes with the streamed layout unchanged
+    doomed = [r[0] for r in cosine_topk(vecs, q, k=1).collect()]
+    ivf_delete(spark, idx, doomed)
+    after = {r["vec_id"] for r in
+             ivf_topk_persisted(spark, idx, q, k=5).collect()}
+    assert doomed[0] not in after and after
