@@ -47,23 +47,40 @@ def token_bucket(col: Column, num_buckets: int = DEFAULT_BUCKETS) -> Column:
             .cast("int") % num_buckets)
 
 
+def _doc_tokens(text_col: str) -> Column:
+    """The document's nonempty normalized tokens as an array column —
+    the one tokenization every ingest artifact derives from."""
+    from etl_mark1_spark.functions.text import normalized_text
+
+    return F.filter(F.split(normalized_text(F.col(text_col)), " "),
+                    lambda x: x != "")
+
+
+def _run_starts(sorted_col: Column) -> Column:
+    """1-based indices where a run of equal values starts in an already
+    SORTED array — the O(n log n) shuffle-free way to get per-document
+    term frequencies: tf of the k-th run = starts[k+1] - starts[k]
+    (sentinel n+1). The i == 1 guard keeps the index-0 lookup branch
+    unevaluated (ANSI mode errors on array index 0)."""
+    idx = F.transform(sorted_col, lambda _, i: i + F.lit(1))
+    return F.filter(
+        idx,
+        lambda i: F.when(i == F.lit(1), F.lit(True))
+        .otherwise(F.element_at(sorted_col, i)
+                   != F.element_at(sorted_col, i - F.lit(1))))
+
+
 def build_postings(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Term-frequency postings: one (token, doc_id, tf) row per distinct
-    (token, document) pair. One explode + one partial-aggregating
-    groupBy; a document's repeated tokens collapse map-side, so the
-    shuffle carries at most |vocab| rows per (task, token) — not one row
-    per occurrence."""
-    from etl_mark1_spark.functions.text import normalized_text
-    from etl_mark1_spark.operators.dedup import ensure_parallelism
-
-    return (ensure_parallelism(df)
-            .select(F.col(id_col).alias("doc_id"),
-                    F.explode(F.split(normalized_text(F.col(text_col)),
-                                      " ")).alias("token"))
-            .filter(F.col("token") != "")
-            .groupBy("token", "doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    (token, document) pair, computed entirely MAP-SIDE (round-13-opt):
+    each document sorts its own token array and run-length-encodes it,
+    so the frame is a pure scan projection — no explode-then-groupBy
+    exchange. The old formulation shuffled one row per distinct
+    (token, doc) pair just to count tf; a document already holds
+    everything its own tf needs."""
+    return build_scored_postings(df, text_col=text_col,
+                                 id_col=id_col).drop("dl")
 
 
 def postings_dictionary(postings: DataFrame) -> DataFrame:
@@ -175,15 +192,36 @@ def build_scored_postings(df: DataFrame, text_col: str = "text",
     length normalization needs dl at scoring time; carrying it on the
     posting makes a persisted-index query JOIN-FREE on the corpus side
     (the alternative — a separate doc-lengths table — re-shuffles on
-    doc_id for every query). dl = total token count of the doc: tf per
-    (token, doc), dl = sum of tf over the doc, attached by one doc_id
-    join of the two aggregated frames. That join is a doc-count-sized
-    SHUFFLE at INGEST time — paid once per batch and amortized over
-    every later query, which is the point of the design; it is not
-    broadcastable at corpus scale."""
-    p = build_postings(df, text_col=text_col, id_col=id_col)
-    dl = p.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    return p.join(dl, "doc_id").select("token", "doc_id", "tf", "dl")
+    doc_id for every query). dl = total token count of the doc.
+
+    Round-13-opt: computed entirely MAP-SIDE. dl is the size of the
+    document's own token array, and tf comes from run-length-encoding
+    the sorted array (:func:`_run_starts`) — O(n log n) per document,
+    zero exchanges. The previous formulation paid an explode + groupBy
+    shuffle for tf and then a doc_id shuffle JOIN to attach dl (two
+    corpus-wide exchanges per ingest artifact); both decisions depend
+    only on data the document row already holds, so they now never
+    leave the scan stage (guide-§2.4 shape: remove shuffles outright)."""
+    from etl_mark1_spark.operators.dedup import ensure_parallelism
+
+    toks = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.array_sort(_doc_tokens(text_col)).alias("_tk")))
+    with_starts = toks.select("doc_id", "_tk",
+                              _run_starts(F.col("_tk")).alias("_st"))
+    tk, st = F.col("_tk"), F.col("_st")
+    entries = F.transform(
+        st,
+        lambda s, k: F.struct(
+            F.element_at(tk, s).alias("token"),
+            (F.coalesce(F.try_element_at(st, (k + F.lit(2)).cast("int")),
+                        F.size(tk) + F.lit(1)) - s)
+            .cast("bigint").alias("tf")))
+    return (with_starts
+            .select("doc_id", F.size(tk).cast("bigint").alias("dl"),
+                    F.explode(entries).alias("_e"))
+            .select(F.col("_e.token").alias("token"), "doc_id",
+                    F.col("_e.tf").alias("tf"), "dl"))
 
 
 def write_search_index(df: DataFrame, path: str,
@@ -204,33 +242,60 @@ def write_search_index(df: DataFrame, path: str,
       into per-term score upper bounds (Turtle & Flood 1995 MaxScore)
       WITHOUT touching a posting list.
 
-    Each artifact recomputes the scored postings rather than caching
-    them: measured at sf0.1, a MEMORY_AND_DISK persist makes the first
-    write 2-4x slower (cache materialization) and never earns it back
-    over the remaining two — recompute totals ~2.6 s/segment vs ~4.1 s
-    persisted, and the cache would hold a batch-sized frame hostage
-    besides. The dict write repartitions on the bucket (it is
-    vocabulary-sized — the extra shuffle is tiny and caps the segment
-    at a few files per bucket instead of tasks x buckets). Batches must
-    be document-disjoint, like any segment write; re-ingest belongs to
-    a compaction pass (:func:`compact_index`)."""
+    Round-13-opt ingest shape (was: three explode+groupBy+join
+    pipelines, ~2.6 s/segment + ~1 s dict at sf0.1):
+
+    * the scored postings are MAP-SIDE (:func:`build_scored_postings`)
+      — each recompute is a pure scan, so recomputing per artifact
+      (still the right call vs caching: a MEMORY_AND_DISK persist was
+      measured to make the first write 2-4x slower and never earn it
+      back) now costs a text scan, not two exchanges;
+    * the stats row never touches postings at all: n_docs/sum_dl are a
+      map-side per-doc token count + one global aggregate over the
+      document frame directly;
+    * postings and dict REBALANCE on the bucket before the partitioned
+      write (AQE sizes the output files adaptively — a handful of
+      files at fixture scale, split-sized at production — instead of
+      the old tasks x buckets fan-out; guide §6 small-files rule);
+    * the three artifact writes are independent jobs and run from a
+      small thread pool (guide §2.6): each job's straggler tail
+      back-fills with the next job's tasks.
+
+    Batches must be document-disjoint, like any segment write;
+    re-ingest belongs to a compaction pass (:func:`compact_index`)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     base = path.rstrip("/")
-    scored = build_scored_postings(df, text_col=text_col, id_col=id_col)
-    (scored.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-     .write.mode("append").partitionBy("bucket")
-     .parquet(base + "/postings"))
-    (scored.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-          F.sum("dl").cast("bigint").alias("sum_dl"))
-     .write.mode("append").parquet(base + "/stats"))
-    (scored.groupBy("token")
-     .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
-          F.max("tf").cast("bigint").alias("max_tf"),
-          F.min("dl").cast("bigint").alias("min_dl"))
-     .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-     .repartition(8, F.col("bucket"))
-     .write.mode("append").partitionBy("bucket")
-     .parquet(base + "/dict"))
+
+    def _postings() -> None:
+        (build_scored_postings(df, text_col=text_col, id_col=id_col)
+         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .hint("rebalance", "bucket")
+         .write.mode("append").partitionBy("bucket")
+         .parquet(base + "/postings"))
+
+    def _stats() -> None:
+        (df.select(F.size(_doc_tokens(text_col)).cast("bigint")
+                   .alias("_dl"))
+         .filter(F.col("_dl") > 0)
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("_dl").cast("bigint").alias("sum_dl"))
+         .write.mode("append").parquet(base + "/stats"))
+
+    def _dict() -> None:
+        (build_scored_postings(df, text_col=text_col, id_col=id_col)
+         .groupBy("token")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+              F.max("tf").cast("bigint").alias("max_tf"),
+              F.min("dl").cast("bigint").alias("min_dl"))
+         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .hint("rebalance", "bucket")
+         .write.mode("append").partitionBy("bucket")
+         .parquet(base + "/dict"))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for done in [pool.submit(j) for j in (_postings, _stats, _dict)]:
+            done.result()  # re-raise the first failure
 
 
 def _read_tombstones(spark, base: str) -> DataFrame | None:
@@ -461,35 +526,53 @@ def compact_index(spark, path: str, dest: str,
     if tomb is not None:
         ids = F.broadcast(tomb.select("doc_id"))
         postings = postings.join(ids, "doc_id", "left_anti")
-    # three passes re-READ the source parquet (columnar, cheap) rather
-    # than caching — same measured tradeoff as write_search_index
-    (postings.withColumn("bucket",
-                         token_bucket(F.col("token"), num_buckets))
-     .write.mode("overwrite").partitionBy("bucket")
-     .parquet(out + "/postings"))
-    (postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-          F.sum("dl").cast("bigint").alias("sum_dl"))
-     .write.mode("overwrite").parquet(out + "/stats"))
-    (postings.groupBy("token")
-     .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
-          F.max("tf").cast("bigint").alias("max_tf"),
-          F.min("dl").cast("bigint").alias("min_dl"))
-     .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-     .repartition(8, F.col("bucket"))
-     .write.mode("overwrite").partitionBy("bucket")
-     .parquet(out + "/dict"))
-    try:
-        pos = spark.read.parquet(base + "/positions") \
-            .select("token", "doc_id", "positions")
+    # the passes re-READ the source parquet (columnar, cheap) rather
+    # than caching — same measured tradeoff as write_search_index —
+    # and run overlapped from a thread pool (guide §2.6), with
+    # rebalance-sized output files (round-13-opt, guide §6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _postings() -> None:
+        (postings.withColumn("bucket",
+                             token_bucket(F.col("token"), num_buckets))
+         .hint("rebalance", "bucket")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(out + "/postings"))
+
+    def _stats() -> None:
+        (postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("dl").cast("bigint").alias("sum_dl"))
+         .write.mode("overwrite").parquet(out + "/stats"))
+
+    def _dict() -> None:
+        (postings.groupBy("token")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+              F.max("tf").cast("bigint").alias("max_tf"),
+              F.min("dl").cast("bigint").alias("min_dl"))
+         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .hint("rebalance", "bucket")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(out + "/dict"))
+
+    def _positions() -> None:
+        try:
+            pos = spark.read.parquet(base + "/positions") \
+                .select("token", "doc_id", "positions")
+        except AnalysisException:
+            return  # no positional segment to compact
         if tomb is not None:
             pos = pos.join(F.broadcast(tomb.select("doc_id")),
                            "doc_id", "left_anti")
         (pos.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .hint("rebalance", "bucket")
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(out + "/positions"))
-    except AnalysisException:
-        pass  # no positional segment to compact
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        jobs = (_postings, _stats, _dict, _positions)
+        for done in [pool.submit(j) for j in jobs]:
+            done.result()  # re-raise the first failure
 
 
 def bm25_maxscore_search(spark, path: str, query_terms: list[str],
@@ -628,11 +711,49 @@ def write_position_index(df: DataFrame, path: str,
     the same token-bucket partitioning, so a phrase query prunes to its
     terms' buckets. Append per ingest batch, document-disjoint, same
     segment discipline as the tf postings; shares ``<path>/deletes``
-    tombstones with the rest of the index."""
-    pos = build_positional_postings(df, text_col=text_col, id_col=id_col)
-    rolled = (pos.groupBy("token", "doc_id")
-              .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
+    tombstones with the rest of the index.
+
+    Round-13-opt: the (token, doc_id, positions) rows are computed
+    MAP-SIDE — each document sorts its own (token, position) structs
+    and run-length-slices them into per-token position arrays, the
+    same shuffle-removal as :func:`build_scored_postings` (the old
+    posexplode + groupBy + collect_list shuffled one row per token
+    OCCURRENCE); the only exchange left is the rebalance that sizes
+    the output files."""
+    from etl_mark1_spark.functions.text import normalized_text
+
+    tp = F.filter(
+        F.transform(F.split(normalized_text(F.col(text_col)), " "),
+                    lambda x, i: F.struct(
+                        x.alias("t"),
+                        (i + F.lit(1)).cast("bigint").alias("p"))),
+        lambda s: s["t"] != "")
+    from etl_mark1_spark.operators.dedup import ensure_parallelism
+
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.array_sort(tp).alias("_tp"))
+            .withColumn("_tk", F.transform(F.col("_tp"),
+                                           lambda s: s["t"])))
+    with_starts = base.select(
+        "doc_id", "_tp", _run_starts(F.col("_tk")).alias("_st"))
+    tpc, st = F.col("_tp"), F.col("_st")
+    entries = F.transform(
+        st,
+        lambda s, k: F.struct(
+            F.element_at(tpc, s)["t"].alias("token"),
+            F.transform(
+                F.slice(tpc, s,
+                        (F.coalesce(F.try_element_at(
+                            st, (k + F.lit(2)).cast("int")),
+                            F.size(tpc) + F.lit(1)) - s).cast("int")),
+                lambda e: e["p"]).alias("positions")))
+    rolled = (with_starts
+              .select("doc_id", F.explode(entries).alias("_e"))
+              .select(F.col("_e.token").alias("token"), "doc_id",
+                      F.col("_e.positions").alias("positions")))
     (rolled.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+     .hint("rebalance", "bucket")
      .write.mode("append").partitionBy("bucket")
      .parquet(path.rstrip("/") + "/positions"))
 
@@ -697,32 +818,50 @@ def write_search_index_segment(df: DataFrame, path: str, seg: str,
     (readers filter on bucket/token and aggregate over rows). Do not
     mix this layout with :func:`write_search_index` appends under one
     path — partition discovery needs consistent partition columns.
-    Artifacts recompute rather than cache, same measured tradeoff as
-    :func:`write_search_index`."""
+    Artifacts recompute rather than cache and share the round-13-opt
+    ingest shape of :func:`write_search_index` (map-side scored
+    postings, stats straight off the document frame, rebalance-sized
+    files, overlapped artifact jobs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     base = path.rstrip("/")
-    scored = build_scored_postings(df, text_col=text_col, id_col=id_col)
-    (scored.withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-     .withColumn("seg", F.lit(seg))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("bucket", "seg").parquet(base + "/postings"))
-    (scored.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-          F.sum("dl").cast("bigint").alias("sum_dl"))
-     .withColumn("seg", F.lit(seg))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("seg").parquet(base + "/stats"))
-    (scored.groupBy("token")
-     .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
-          F.max("tf").cast("bigint").alias("max_tf"),
-          F.min("dl").cast("bigint").alias("min_dl"))
-     .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
-     .withColumn("seg", F.lit(seg))
-     .repartition(8, F.col("bucket"))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("bucket", "seg").parquet(base + "/dict"))
+
+    def _postings() -> None:
+        (build_scored_postings(df, text_col=text_col, id_col=id_col)
+         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .withColumn("seg", F.lit(seg))
+         .hint("rebalance", "bucket")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket", "seg").parquet(base + "/postings"))
+
+    def _stats() -> None:
+        (df.select(F.size(_doc_tokens(text_col)).cast("bigint")
+                   .alias("_dl"))
+         .filter(F.col("_dl") > 0)
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("_dl").cast("bigint").alias("sum_dl"))
+         .withColumn("seg", F.lit(seg))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("seg").parquet(base + "/stats"))
+
+    def _dict() -> None:
+        (build_scored_postings(df, text_col=text_col, id_col=id_col)
+         .groupBy("token")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+              F.max("tf").cast("bigint").alias("max_tf"),
+              F.min("dl").cast("bigint").alias("min_dl"))
+         .withColumn("bucket", token_bucket(F.col("token"), num_buckets))
+         .withColumn("seg", F.lit(seg))
+         .hint("rebalance", "bucket")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket", "seg").parquet(base + "/dict"))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for done in [pool.submit(j) for j in (_postings, _stats, _dict)]:
+            done.result()  # re-raise the first failure
 
 
 def conjunctive_search(postings: DataFrame, terms: list[str],
