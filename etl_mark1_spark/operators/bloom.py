@@ -156,15 +156,25 @@ def bloom_maybe_arrow(df: DataFrame, col: str, words: list[int],
 
 
 def _sized(reference: DataFrame, col: str, num_bits: int | None,
-           num_hashes: int | None, fpp: float) -> tuple[list[int], int, int]:
-    """Size (one cheap count over the reference — an aggregation, not a
-    collect) and build the filter."""
+           num_hashes: int | None, fpp: float
+           ) -> tuple[list[int], int, int, DataFrame]:
+    """Materialize the DISTINCT reference once and derive everything from
+    it: the sizing count, the filter bits, and the frame the caller's
+    exact join reads. Round-13-opt (guide §5): the reference is usually a
+    DERIVED frame (a gram explode of the eval suite), and the old shape
+    re-ran that derivation three times — count, bloom build, join side.
+    One localCheckpoint of the distinct values (eval-suite-bounded by
+    this module's contract, so the blocks are small) turns the other two
+    passes into block reads. The filter bits are unchanged: building
+    over distinct values sets exactly the same bits, and n was already
+    the distinct count."""
+    ref = reference.select(col).distinct().localCheckpoint()
     if num_bits is None or num_hashes is None:
-        n = reference.select(col).distinct().count()
+        n = ref.count()
         num_bits = num_bits or min(optimal_num_bits(n, fpp), _MAX_JVM_BITS)
         num_hashes = num_hashes or optimal_num_hashes(num_bits, n)
-    words = build_bloom(reference, col, num_bits, num_hashes)
-    return words, num_bits, num_hashes
+    words = build_bloom(ref, col, num_bits, num_hashes)
+    return words, num_bits, num_hashes, ref
 
 
 def bloom_semi_filter(df: DataFrame, reference: DataFrame, col: str,
@@ -176,11 +186,10 @@ def bloom_semi_filter(df: DataFrame, reference: DataFrame, col: str,
     fraction). Equals ``df SEMI JOIN reference`` because the filter has no
     false negatives; the big side is filtered map-side and only
     ~(matches + fpp · N) rows reach the join."""
-    words, num_bits, num_hashes = _sized(reference, col, num_bits,
-                                         num_hashes, fpp)
+    words, num_bits, num_hashes, ref = _sized(reference, col, num_bits,
+                                              num_hashes, fpp)
     maybe = bloom_maybe_contains(F.col(col), words, num_bits, num_hashes)
-    return (df.filter(maybe)
-            .join(reference.select(col).distinct(), col, "left_semi"))
+    return df.filter(maybe).join(ref, col, "left_semi")
 
 
 def bloom_anti_filter(df: DataFrame, reference: DataFrame, col: str,
@@ -195,9 +204,8 @@ def bloom_anti_filter(df: DataFrame, reference: DataFrame, col: str,
     ``df`` is traversed twice (both traversals shuffle-free); persist it
     if the scan itself is the cost, or keep the single-pass `_maybe`
     column via bloom_maybe_contains and filter downstream."""
-    words, num_bits, num_hashes = _sized(reference, col, num_bits,
-                                         num_hashes, fpp)
+    words, num_bits, num_hashes, ref = _sized(reference, col, num_bits,
+                                              num_hashes, fpp)
     maybe = bloom_maybe_contains(F.col(col), words, num_bits, num_hashes)
-    survivors = (df.filter(maybe)
-                 .join(reference.select(col).distinct(), col, "left_anti"))
+    survivors = df.filter(maybe).join(ref, col, "left_anti")
     return df.filter(~maybe).unionByName(survivors)

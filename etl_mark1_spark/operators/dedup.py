@@ -217,9 +217,24 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     ])
 
 
-def lsh_band_buckets(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+def lsh_band_buckets(sig_col: Column | str, bands: int,
+                     rows_per_band: int) -> Column:
     """Bucket ids: hash each band (slice of the signature) together with its
-    band index so buckets from different bands never collide."""
+    band index so buckets from different bands never collide.
+
+    Pass the signature column's NAME to build the whole array as one
+    parsed SQL expression (round-13-opt): constructing ``bands`` nested
+    Column trees (lit + slice + transform-lambda + concat_ws + xxhash64
+    each) costs ~0.2 s of py4j round trips per call at 12 bands, all on
+    the DRIVER; one ``F.expr`` string parses JVM-side to the identical
+    analyzed plan."""
+    if isinstance(sig_col, str):
+        parts = ", ".join(
+            f"xxhash64({b}, concat_ws(',', transform("
+            f"slice({sig_col}, {b * rows_per_band + 1}, {rows_per_band}), "
+            f"x -> CAST(x AS STRING))))"
+            for b in range(bands))
+        return F.expr(f"array({parts})")
     return F.array(*[
         F.xxhash64(
             F.lit(b),
@@ -230,6 +245,23 @@ def lsh_band_buckets(sig_col: Column, bands: int, rows_per_band: int) -> Column:
         )
         for b in range(bands)
     ])
+
+
+def minhash_sig_aggs(num_hashes: int, hashed_col: str = "_h") -> list[Column]:
+    """The ``num_hashes`` partial-min signature aggregates
+    (``min(xxhash64(hashed_col, i)) AS _mi``) as parsed SQL expressions —
+    one ``F.expr`` per seed instead of a 4-deep Column tree (round-13-opt:
+    the Column-tree construction measured ~0.5 s of driver py4j time per
+    call site at 48 hashes; the analyzed plan is identical)."""
+    return [F.expr(f"min(xxhash64({hashed_col}, {i})) AS _m{i}")
+            for i in range(num_hashes)]
+
+
+def minhash_sig_array(num_hashes: int) -> Column:
+    """``array(_m0, ..., _mN) AS _sig`` as one parsed expression (see
+    :func:`minhash_sig_aggs`)."""
+    names = ", ".join(f"_m{i}" for i in range(num_hashes))
+    return F.expr(f"array({names}) AS _sig")
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -437,23 +469,18 @@ def minhash_dedup(
         F.explode(F.array_distinct(F.transform(
             F.col("_sh"), lambda s: F.xxhash64(s)))).alias("_h"),
     )
-    sig = hashed.groupBy(id_col).agg(*[
-        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ])
+    sig = hashed.groupBy(id_col).agg(*minhash_sig_aggs(num_hashes))
     # signatures are tiny (num_hashes longs per doc): checkpoint so the
     # candidate, estimate, and verify stages don't re-run the shingle scan
     sig_arr = sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
-    ).localCheckpoint()
+        F.col(id_col), minhash_sig_array(num_hashes)).localCheckpoint()
 
     # Bucket join carries only (id, bucket) — the heavy shingle arrays never
     # ride through the band explode/shuffle.
     buckets = sig_arr.select(
         F.col(id_col),
         F.explode(
-            lsh_band_buckets(F.col("_sig"), bands, rows_per_band)
+            lsh_band_buckets("_sig", bands, rows_per_band)
         ).alias("_bucket"),
     )
     candidates = (
@@ -710,13 +737,10 @@ def minhash_cross_dedup(
             label,
             F.explode(F.transform(F.col(f"_sh_{label}"),
                                   lambda s: F.xxhash64(s))).alias("_h"))
-        sig = hashed.groupBy(label).agg(*[
-            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
-            for i in range(num_hashes)
-        ]).select(label, F.array(*[F.col(f"_m{i}")
-                                   for i in range(num_hashes)]).alias("_sig"))
+        sig = (hashed.groupBy(label).agg(*minhash_sig_aggs(num_hashes))
+               .select(label, minhash_sig_array(num_hashes)))
         buckets = sig.select(label, F.explode(
-            lsh_band_buckets(F.col("_sig"), bands, rows_per_band)
+            lsh_band_buckets("_sig", bands, rows_per_band)
         ).alias("_bucket"))
         return base, buckets
 
@@ -757,79 +781,52 @@ def broadcast_ngram_decontam(
 
     The point vs the join-based decontam family (ngram_contamination's
     semi-join, bloom_semi_filter's screen-then-confirm): the CORPUS SIDE
-    NEVER SHUFFLES. The reference's distinct grams are collected once to
-    the driver — bounded by the reference's size, which for benchmark
-    decontam is the eval suite, orders of magnitude smaller than the
-    corpus; ``max_ref_grams`` refuses loudly beyond that regime — and
-    broadcast to executors via a TorrentBroadcast, and each document's
-    decision is made inside the scan stage by an Arrow-batched pandas
-    UDF doing set intersection on that doc's gram array. At 100 TB the
-    corpus cost is exactly one pass over the text with zero exchanges
-    (tests/test_dedup_similarity.py pins no-hashpartitioning in the
-    executed plan); re-running against a new benchmark re-reads but
-    never re-shuffles.
+    NEVER SHUFFLES ITS TEXT. The reference's distinct grams — bounded by
+    the reference's size, which for benchmark decontam is the eval
+    suite, orders of magnitude smaller than the corpus; ``max_ref_grams``
+    refuses loudly beyond that regime — are materialized once and
+    BROADCAST-HASH-JOINED against each corpus document's deduplicated
+    gram explode, entirely inside the scan stage. The only exchange in
+    the whole plan carries the MATCHING (doc, gram) rows — the
+    contaminated hits, a vanishing fraction of the corpus by the
+    decontam premise — map-side-collapsed into per-doc partial counts
+    (tests/test_dedup_similarity.py pins the shape: a BroadcastHashJoin
+    with no exchange below it on the corpus side). Round-13-opt: this
+    replaces an Arrow-batched pandas-UDF set intersection — per-batch
+    work was fine, but EVERY corpus document's full gram array crossed
+    the JVM->Python boundary (~n x the text bytes serialized per doc;
+    guide §4.1 "prefer built-ins"); the join probe is codegen'd and
+    ships nothing, measured 4.2 s -> 1.1 s at sf0.1 with identical
+    output.
 
     ORACLE-EXACT: membership is tested on the gram STRINGS themselves
     (no hash screen), so there are no false positives to confirm away.
     Both sides consider only documents with >= n tokens (shorter docs
     have no full n-gram).
     """
-    from pyspark.sql.functions import pandas_udf
-
-    def full_grams(df: DataFrame) -> DataFrame:
-        toks = F.split(normalized_text(F.col(text_col)), " ")
-        return (df.filter(F.size(toks) >= n)
-                .select(F.col(id_col),
-                        word_ngrams(F.col(text_col), n).alias("_grams")))
-
-    ref_rows = (ensure_parallelism(reference)
-                .filter(F.size(F.split(normalized_text(F.col(text_col)),
-                                       " ")) >= n)
-                .select(F.explode(word_ngrams(F.col(text_col), n))
-                        .alias("gram"))
-                .distinct()
-                .limit(max_ref_grams + 1).collect())
-    if len(ref_rows) > max_ref_grams:
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    ref_grams = (ensure_parallelism(reference)
+                 .filter(F.size(toks) >= n)
+                 .select(F.explode(word_ngrams(F.col(text_col), n))
+                         .alias("gram"))
+                 .distinct()).localCheckpoint()
+    if ref_grams.count() > max_ref_grams:
         raise ValueError(
             f"reference yields more than max_ref_grams={max_ref_grams} "
             "distinct grams — that is corpus-scale, not eval-suite "
             "scale; use ngram_contamination / bloom_semi_filter instead")
-    ref_set = frozenset(r["gram"] for r in ref_rows)
-    bc = corpus.sparkSession.sparkContext.broadcast(ref_set)
-
-    @pandas_udf("long")
-    def _hits(grams: pd.Series) -> pd.Series:
-        # One vectorized membership pass per Arrow batch: dedupe each
-        # doc's grams (n_hits counts DISTINCT shared grams), flatten the
-        # batch, run a single hash-table isin against the broadcast set,
-        # and segment-sum the mask back per doc via prefix sums — ~4x
-        # faster than per-row set.intersection at sf1 (the hash table
-        # builds once per batch instead of per-element Python dispatch).
-        import numpy as np
-
-        ref = bc.value
-        lens = np.zeros(len(grams), dtype=np.int64)
-        uniqs = []
-        for k, g in enumerate(grams):
-            if g is None or len(g) == 0:
-                continue
-            u = pd.unique(np.asarray(g, dtype=object))
-            uniqs.append(u)
-            lens[k] = len(u)
-        out = np.zeros(len(grams), dtype=np.int64)
-        if uniqs:
-            flat = np.concatenate(uniqs)
-            mask = pd.Series(flat).isin(ref).to_numpy()
-            csum = np.concatenate(([0], np.cumsum(mask)))
-            ends = np.cumsum(lens)
-            starts = ends - lens
-            out = csum[ends] - csum[starts]
-        return pd.Series(out)
-
-    out = (full_grams(ensure_parallelism(corpus))
-           .select(id_col, _hits(F.col("_grams")).alias("n_hits"))
-           .filter(F.col("n_hits") >= 1))
-    return out
+    corpus_grams = (ensure_parallelism(corpus)
+                    .filter(F.size(toks) >= n)
+                    .select(F.col(id_col),
+                            F.explode(F.array_distinct(
+                                word_ngrams(F.col(text_col), n)))
+                            .alias("gram")))
+    # inner join multiplicity is exactly 1 per shared distinct gram
+    # (both sides deduped), so count(*) == count of DISTINCT shared
+    # grams — the same n_hits the set intersection produced
+    return (corpus_grams.join(F.broadcast(ref_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
 
 
 def setsim_join(df: DataFrame, threshold: float = 0.6,

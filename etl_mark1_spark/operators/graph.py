@@ -84,24 +84,29 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     calls hold only the result table. Convergence-driven variants add a
     per-round checkpoint + release like dedup's label loop.
     """
+    from pyspark.sql import Window
+
     from etl_mark1_spark.operators.dedup import release_checkpoint
 
     g = symmetrize(edges, src, dst, oriented=oriented) if undirected else (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct())
-    # checkpoint the edge list: the degree aggregation and the annotated
-    # rebuild below both read it, and without the cut each would
-    # re-derive the (possibly expensive) edge build from scratch
-    raw = g.localCheckpoint()
     # Attach the out-degree to the edge table ONCE (round 8): the old
     # loop joined ranks AND the degree table every iteration; carrying
     # ``deg`` (one BIGINT) on the checkpointed edges halves the
     # per-iteration join count. The contribution stays ``rank / deg`` —
     # the same double division the SQL oracle replays, so results are
     # bit-identical (a precomputed 1/deg weight would not be).
-    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    g = raw.join(deg, "src").localCheckpoint()
-    release_checkpoint(raw)   # the annotated edges supersede it
+    # Round-13-opt (guide §2.4): ``deg`` is a COUNT WINDOW over src, not
+    # a groupBy + self-join — count(*) over a src partition is the same
+    # number the degree aggregate produced, but it rides the one src
+    # exchange the edge table needs anyway, so the degree table, its
+    # broadcast-exchange job, the join, and the extra pre-join
+    # checkpoint of the raw edges all disappear (profiled ~1s of
+    # serial broadcast-build jobs at sf0.1).
+    g = g.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))) \
+        .localCheckpoint()
     nodes = (g.select(F.col("src").alias("node"))
              .union(g.select(F.col("dst").alias("node"))).distinct()) \
         .localCheckpoint()
@@ -179,21 +184,41 @@ def triangle_count(edges: DataFrame, src: str = "src",
     a distinct ``src < dst`` canonical form, so the undirected build
     skips its doubled-edge dedup shuffle.
     """
-    e = symmetrize(edges, src, dst, oriented=oriented)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    o = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-         .join(deg.select(F.col("src").alias("u"),
-                          F.col("deg").alias("du")), "u")
-         .join(deg.select(F.col("src").alias("v"),
-                          F.col("deg").alias("dv")), "v")
-         .filter((F.col("du") < F.col("dv"))
-                 | ((F.col("du") == F.col("dv"))
-                    & (F.col("u") < F.col("v"))))
-         .select("u", "v"))
-    adj = o.groupBy("u").agg(F.collect_list("v").alias("_n"))
-    closed = (o.join(adj.withColumnRenamed("_n", "_nu"), "u")
-              .join(adj.select(F.col("u").alias("v"),
-                               F.col("_n").alias("_nv")), "v")
+    from pyspark.sql import Window
+
+    # Round-13-opt (guide §2.4): both endpoint degrees are COUNT WINDOWS
+    # over the symmetric edge list — the u-window count IS the degree of
+    # u (one exchange the orientation pass needs anyway), and the
+    # v-window rides the second exchange; the old shape built a separate
+    # degree table and broadcast-joined it twice (two serial
+    # broadcast-build jobs, profiled 0.5-0.8 s each at sf0.1). The
+    # u-keyed window ALSO yields the oriented adjacency list _nu for
+    # free: collect_list(v) over the SAME partition, filtered to the
+    # oriented out-neighbors, so the first adjacency join disappears
+    # too. Numbers are identical — same counts, same lists as sets
+    # (array_intersect is order-insensitive; n_triangles is a count).
+    wu = Window.partitionBy("u")
+    e = (symmetrize(edges, src, dst, oriented=oriented)
+         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+         .withColumn("dv",
+                     F.count(F.lit(1)).over(Window.partitionBy("v")))
+         .withColumn("du", F.count(F.lit(1)).over(wu))
+         .withColumn("_keep",
+                     (F.col("du") < F.col("dv"))
+                     | ((F.col("du") == F.col("dv"))
+                        & (F.col("u") < F.col("v")))))
+    # second u-window in the SAME partitioning (no exchange): the
+    # oriented out-adjacency of u — collect_list skips the NULLs the
+    # when() leaves for dropped directions
+    o = (e.withColumn("_nu",
+                      F.collect_list(F.when(F.col("_keep"), F.col("v")))
+                      .over(wu))
+         .filter(F.col("_keep"))
+         .select("u", "v", "_nu"))
+    # one row per oriented source, still u-partitioned (no exchange)
+    adj = o.groupBy("u").agg(F.first("_nu").alias("_n"))
+    closed = (o.join(adj.select(F.col("u").alias("v"),
+                                F.col("_n").alias("_nv")), "v")
               .select("u", "v",
                       F.array_intersect("_nu", "_nv").alias("_w"))
               .filter(F.size("_w") > 0))

@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 
 from etl_mark1_spark.operators.dedup import (char_shingles,
                                              ensure_parallelism, jaccard,
-                                             lsh_band_buckets)
+                                             lsh_band_buckets,
+                                             minhash_sig_aggs,
+                                             minhash_sig_array)
 
 __all__ = ["minhash_index", "incremental_neardup"]
 
@@ -58,13 +60,8 @@ def _signatures(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col),
         F.explode(F.array_distinct(F.transform(
             F.col("_sh"), lambda s: F.xxhash64(s)))).alias("_h"))
-    sig = hashed.groupBy(id_col).agg(*[
-        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ])
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"))
+    sig = hashed.groupBy(id_col).agg(*minhash_sig_aggs(num_hashes))
+    return sig.select(F.col(id_col), minhash_sig_array(num_hashes))
 
 
 def minhash_index(df: DataFrame, text_col: str = "text",
@@ -78,8 +75,7 @@ def minhash_index(df: DataFrame, text_col: str = "text",
     sig = _signatures(df, text_col, id_col, shingle_k, num_hashes)
     return sig.select(
         F.col(id_col), F.col("_sig").alias("sig"),
-        lsh_band_buckets(F.col("_sig"), bands, rows_per_band)
-        .alias("buckets"))
+        lsh_band_buckets("_sig", bands, rows_per_band).alias("buckets"))
 
 
 def incremental_neardup(new_docs: DataFrame, index: DataFrame,

@@ -1066,16 +1066,40 @@ def best_window(postings: DataFrame, terms: list[str],
 # Longest duplicated word span — doubling search over word n-grams
 # --------------------------------------------------------------------------
 
-def _span_exists(tokens: DataFrame, length: int, id_col: str) -> bool:
-    """Does any word span of exactly ``length`` occur in >= 2 distinct
-    documents? One bounded probe over the pre-tokenized frame: grams are
-    md5-hashed (narrow shuffle rows), grouped, and the FIRST qualifying
-    group short-circuits via limit(1) — the collect is at most one
-    row."""
-    grams = _spans_of(tokens, length, id_col, hashed=True)
-    return bool(grams.groupBy("gram")
-                .agg(F.count_distinct(id_col).alias("_nd"))
-                .filter(F.col("_nd") >= 2).limit(1).collect())
+def _dup_lengths(tokens: DataFrame, lengths: list[int],
+                 id_col: str) -> set[int]:
+    """Which of ``lengths`` have a word span shared by >= 2 distinct
+    documents — ALL evaluated in ONE probe (round-13-opt, guide §1.2/
+    §2.6 "don't pay per-action overhead k times"): each document
+    explodes its candidate (length, position) pairs and every span
+    travels as an md5 hash tagged with its length; one aggregation
+    answers every length at once. The serial-probe formulation paid a
+    full scan + shuffle + driver round-trip PER length (~0.3-0.4 s each
+    at sf0.1); the batched probe's shuffle carries the union of the
+    per-length rows — the same bytes the serial probes shipped in
+    total — for a single job's overhead. The collect is at most
+    ``len(lengths)`` rows."""
+    lens_arr = F.array(*[F.lit(int(length)) for length in sorted(set(lengths))])
+    grams = (tokens
+             .select(F.col(id_col),
+                     F.explode(F.filter(
+                         lens_arr, lambda le: F.col("_n") >= le))
+                     .alias("_L"),
+                     F.col("_tk"), F.col("_n"))
+             .select(F.col(id_col), F.col("_L"),
+                     F.explode(F.sequence(
+                         F.lit(1), F.col("_n") - F.col("_L") + 1))
+                     .alias("_i"),
+                     F.col("_tk"))
+             .select(F.col(id_col), F.col("_L"),
+                     F.md5(F.array_join(
+                         F.slice(F.col("_tk"), F.col("_i"), F.col("_L")),
+                         " ")).alias("gram")))
+    rows = (grams.groupBy("_L", "gram")
+            .agg(F.count_distinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= 2)
+            .select("_L").distinct().collect())
+    return {r["_L"] for r in rows}
 
 
 def _tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -1130,30 +1154,38 @@ def longest_dup_span(df: DataFrame, text_col: str = "text",
 
     tokens = ensure_parallelism(
         _tokenize(df, text_col, id_col)).localCheckpoint()
-    lo = 1
-    if not _span_exists(tokens, lo, id_col):
+    # Round-13-opt probe schedule (same answer, ~4x fewer driver round
+    # trips): the predicate "a duplicated span of length L exists" is
+    # MONOTONE in L, so (a) ONE batched probe over every power of two
+    # up to ``max_len`` replaces the serial doubling walk — the largest
+    # duplicated power is the doubling loop's landing point — and (b)
+    # the binary search narrows with THREE midpoints per batched probe
+    # (quartering the gap per round, log4 rounds instead of log2).
+    # ``max_len`` stays a HARD cap: lengths above it are never probed,
+    # so neither the probes nor the answer exceed it (round-12 ADVICE
+    # fix, pinned in tests/test_indexing.py). Probing lengths the
+    # serial walk would not have reached is free-ish: a document
+    # contributes rows for a length only while ``_n >= L``, so
+    # oversized lengths generate zero rows.
+    powers = [1]
+    while powers[-1] * 2 <= max_len:
+        powers.append(powers[-1] * 2)
+    dup = _dup_lengths(tokens, powers, id_col)
+    if 1 not in dup:
         from etl_mark1_spark.operators.dedup import release_checkpoint
 
         release_checkpoint(tokens)
         schema = "span string, n_words bigint, n_docs bigint, min_doc bigint"
         return df.sparkSession.createDataFrame([], schema)
-    # doubling: find the first power-of-two length with NO duplicate.
-    # ``max_len`` is a HARD cap: lengths above it are treated as
-    # nonexistent, so neither the probes nor the answer ever exceed it
-    # (previously a duplicate AT max_len let the binary search probe up
-    # to 2*max_len - 1 — round-12 ADVICE fix, pinned in
-    # tests/test_indexing.py).
-    hi = 2
-    while hi <= max_len and _span_exists(tokens, hi, id_col):
-        lo, hi = hi, hi * 2
-    hi = min(hi, max_len + 1)
-    # invariant: dup exists at lo, none at hi; binary search the edge
+    lo = max(p for p in powers if p in dup)
+    hi = min(lo * 2, max_len + 1)
+    # invariant: dup exists at lo, none at hi; batched binary search
     while hi - lo > 1:
-        mid = (lo + hi) // 2
-        if _span_exists(tokens, mid, id_col):
-            lo = mid
-        else:
-            hi = mid
+        gap = hi - lo
+        mids = sorted({lo + gap * j // 4 for j in (1, 2, 3)} - {lo, hi})
+        found = _dup_lengths(tokens, mids, id_col)
+        lo = max([m for m in mids if m in found], default=lo)
+        hi = min([m for m in mids if m not in found], default=hi)
     spans = _spans_of(tokens, lo, id_col, hashed=False)
     return (spans.groupBy("gram")
             .agg(F.count_distinct(id_col).alias("n_docs"),

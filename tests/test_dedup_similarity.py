@@ -1102,9 +1102,12 @@ def test_broadcast_decontam_flags_planted_leak(spark):
 
 
 def test_broadcast_decontam_corpus_side_never_hash_shuffles(spark, sf_dir):
-    """The operator's contract: the corpus decision is made in the scan
-    stage — no hash/range exchange anywhere in the executed plan (the
-    only allowed exchange is the round-robin fan-out)."""
+    """The operator's contract after the round-13 broadcast-join rework:
+    the corpus gram membership is decided by a BroadcastHashJoin inside
+    the scan stage — no exchange of any kind between the corpus scan
+    and the join — and the only hash exchange in the whole plan is the
+    per-doc count of the MATCHING rows (hits-sized by the decontam
+    premise), sitting strictly above the join."""
     from etl_mark1_spark.operators.dedup import broadcast_ngram_decontam
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1113,8 +1116,19 @@ def test_broadcast_decontam_corpus_side_never_hash_shuffles(spark, sf_dir):
                                    ref, n=13)
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning" not in plan.lower(), plan[:3000]
+    # with AQE the string appends an "== Initial Plan ==" re-print of the
+    # whole tree; keep only the FINAL (executed) plan before walking it
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "rangepartitioning" not in plan.lower(), plan[:3000]
+    # the corpus side below the join is exchange-free: walk the plan
+    # text from the join downwards and require the only hashpartitioning
+    # mention to be ABOVE the join line (the hits-count aggregation)
+    lines = plan.splitlines()
+    join_at = next(i for i, ln in enumerate(lines)
+                   if "BroadcastHashJoin" in ln)
+    below = "\n".join(lines[join_at:])
+    assert "hashpartitioning" not in below.lower(), below[:3000]
 
 
 def test_broadcast_decontam_refuses_corpus_scale_reference(spark, sf_dir):
