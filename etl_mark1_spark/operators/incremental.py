@@ -42,6 +42,15 @@ from etl_mark1_spark.operators.dedup import (char_shingles,
 __all__ = ["minhash_index", "incremental_neardup"]
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Plan-truncation point for the bounded intermediates below
+    (``localCheckpoint``). A seam rather than an inline call so the
+    plan-shape tests can bypass it (identity) and assert on the full
+    un-truncated plan — the executed plan of a checkpointed frame no
+    longer shows the subtree that produced it."""
+    return df.localCheckpoint()
+
+
 def _signatures(df: DataFrame, text_col: str, id_col: str,
                 shingle_k: int, num_hashes: int) -> DataFrame:
     """(id, _sig array<long>) via the explode + flat-min-aggregate scheme
@@ -140,7 +149,20 @@ def incremental_neardup(new_docs: DataFrame, index: DataFrame,
         F.filter(F.zip_with("_nsig", "_osig",
                             lambda x, y: (x == y).cast("int")),
                  lambda v: v == 1)) / F.lit(float(num_hashes))
-    plausible = cand.filter(agree >= est_threshold).select("_nid", "_oid")
+    # localCheckpoint (round-13-opt, guide §3.3/§5 "materialise an
+    # intermediate to truncate the plan"): ``plausible`` feeds THREE
+    # consumers below (the verify semi-join's id list twice via the
+    # union, and the pair frame itself), and without materialization
+    # Catalyst plans the whole candidate subtree — index probe, band
+    # explodes, union, dropDuplicates — once PER consumer with zero
+    # exchange reuse (the executed plan carried 28 parquet scans / 50
+    # joins, and the per-run profile showed ~3.5 s of driver planning
+    # gaps against ~1.8 s of real compute at sf0.1). The frame is two id
+    # columns, bounded by the banding's candidate count — O(batch), not
+    # O(corpus) — so the checkpoint is cheap at any scale and the index
+    # is probed exactly once.
+    plausible = _materialize(cand.filter(agree >= est_threshold)
+                             .select("_nid", "_oid"))
 
     # exact verify: re-shingle ONLY candidate docs (semi-join-bounded)
     all_docs = history.select(id_col, text_col).unionByName(
@@ -148,10 +170,16 @@ def incremental_neardup(new_docs: DataFrame, index: DataFrame,
     cand_ids = (plausible.select(F.col("_nid").alias(id_col))
                 .union(plausible.select(F.col("_oid").alias(id_col)))
                 .distinct())
-    sh = (all_docs.join(cand_ids, id_col, "left_semi")
-          .select(F.col(id_col),
-                  F.array_distinct(char_shingles(F.col(text_col),
-                                                 shingle_k)).alias("_sh")))
+    # same rationale: ``sh`` is joined twice (the _nid and _oid sides),
+    # and un-materialized each join re-runs the semi-join AND re-shingles
+    # every candidate document; rows are O(candidate docs) with one
+    # shingle set each, so the checkpoint holds exactly what the verify
+    # needs and the corpus text is read once.
+    sh = _materialize(
+        all_docs.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col),
+                F.array_distinct(char_shingles(F.col(text_col),
+                                               shingle_k)).alias("_sh")))
     verified = (plausible
                 .join(sh.select(F.col(id_col).alias("_nid"),
                                 F.col("_sh").alias("_sha")), "_nid")
