@@ -1183,11 +1183,18 @@ def ngram_novelty(df: DataFrame, n: int = 5, text_col: str = "text",
     serves to both without re-evaluating the scan. Profiled the
     alternatives at sf0.1: any shape that references the gram array
     from two subplans re-runs the generation and doubles the wall
-    clock. Returns (id_col, n_grams, novel_frac rounded to 6)."""
-    ex = (df.select(F.col(id_col),
-                    F.explode(F.array_distinct(
-                        word_ngram_col(F.col(text_col), n)))
-                    .alias("_gram"))
+    clock. Round-13-opt: the generation scan fans out first
+    (``ensure_parallelism`` — a compact parquet corpus arrives as ONE
+    split, which serialized the whole ~4 s gram stage on a single core
+    at sf0.1; real many-split corpora pass through untouched).
+    Returns (id_col, n_grams, novel_frac rounded to 6)."""
+    from etl_mark1_spark.operators.dedup import ensure_parallelism
+
+    ex = (ensure_parallelism(df)
+          .select(F.col(id_col),
+                  F.explode(F.array_distinct(
+                      word_ngram_col(F.col(text_col), n)))
+                  .alias("_gram"))
           .select(F.col(id_col), F.xxhash64("_gram").alias("_g"))
           .repartition("_g"))
     totals = ex.groupBy(id_col).agg(

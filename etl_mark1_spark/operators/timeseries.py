@@ -17,6 +17,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+
+def _spread_by_key(df: DataFrame, key_col: str) -> DataFrame:
+    """Explicit hash repartition on ``key_col`` at the cluster's default
+    parallelism — the exchange the downstream per-key window REQUIRES
+    anyway, pinned to a width AQE cannot coalesce away.
+
+    Why (round-13-opt, guide §2): the observed-buckets frame is a few
+    compressed MB after aggregation, so AQE's partition coalescing
+    (sized on the exchange's INPUT bytes) collapses it to ONE partition
+    — and everything downstream (the gap explode that multiplies rows
+    ~10x and two more window sorts over the dense grid) then runs on a
+    single core while the rest idle (profiled at sf0.1: one 3.4 s
+    single-task stage). AQE is blind to the explode behind the shuffle;
+    the operator is not. The partition count derives from
+    ``defaultParallelism`` (cores locally, cluster width on a real
+    deployment), never a constant, and the frame being spread is the
+    post-aggregation observed series (keys x observed buckets), far
+    smaller than raw events, so default parallelism is a sane width at
+    any scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, key_col)
+
 _TRUNC_FIELDS = {
     "hour": lambda c: (F.year(c), F.month(c), F.dayofmonth(c), F.hour(c),
                        F.lit(0), F.lit(0)),
@@ -60,8 +82,9 @@ def resample_ffill(df: DataFrame, unit: str = "hour",
     business. Empty input yields an empty frame.
     """
     bucket = truncate_ntz(ts_col, unit).alias("bucket")
-    actual = (df.groupBy(key_col, bucket)
-              .agg(F.round(F.sum(value_col), round_digits).alias("_v")))
+    actual = _spread_by_key(
+        df.groupBy(key_col, bucket)
+        .agg(F.round(F.sum(value_col), round_digits).alias("_v")), key_col)
     w = Window.partitionBy(key_col).orderBy("bucket")
     step_iv = F.expr(f"interval {step}")
     lagged = actual.select(
@@ -107,8 +130,9 @@ def resample_interpolate(df: DataFrame, unit: str = "hour",
     dense series.
     """
     bucket = truncate_ntz(ts_col, unit).alias("bucket")
-    actual = (df.groupBy(key_col, bucket)
-              .agg(F.round(F.sum(value_col), 2).alias("_v")))
+    actual = _spread_by_key(
+        df.groupBy(key_col, bucket)
+        .agg(F.round(F.sum(value_col), 2).alias("_v")), key_col)
     w = Window.partitionBy(key_col).orderBy("bucket")
     step_iv = F.expr(f"interval {step}")
     lagged = actual.select(

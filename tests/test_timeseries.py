@@ -155,3 +155,26 @@ def test_seasonal_decompose_is_single_branch_no_join(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_resample_window_width_is_pinned_against_aqe_coalescing(spark, sf_dir):
+    """Plan pin (round-13-opt): the exchange feeding the lag window (and
+    everything after it: the gap explode that multiplies rows ~10x plus
+    two more window sorts in the seasonal consumer) is an EXPLICIT
+    repartition on the key at defaultParallelism — REPARTITION_BY_NUM,
+    which AQE cannot coalesce. Left to ENSURE_REQUIREMENTS, AQE sized
+    the exchange on its few-MB INPUT and collapsed the whole dense-grid
+    chain to one partition (profiled: a 3.4 s single-task stage at
+    sf0.1 while 31 cores idled; isolated A/B 4.0 -> 1.5 s)."""
+    from etl_mark1_spark.operators.timeseries import resample_ffill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = resample_ffill(ev)._jdf.queryExecution().executedPlan().toString()
+    want = spark.sparkContext.defaultParallelism
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert f"hashpartitioning(user_id#" in plan
+    # the pinned width is the cluster's parallelism, never a constant
+    import re
+    m = re.search(r"hashpartitioning\(user_id#\d+L?, (\d+)\), "
+                  r"REPARTITION_BY_NUM", plan)
+    assert m and int(m.group(1)) == want, (m, want, plan)

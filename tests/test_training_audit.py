@@ -508,3 +508,15 @@ def test_plan_shards_zero_byte_stratum_gets_one_shard(spark):
     assert got["empty"]["n_shards"] == 1
     assert got["empty"]["mean_shard_bytes"] == pytest.approx(0.0)
     assert got["s1"]["n_shards"] == 1
+
+
+def test_ngram_novelty_fans_out_narrow_scan(spark, sf_dir):
+    """Plan pin (round-13-opt): a compact single-split corpus fans out
+    (round-robin) BEFORE gram generation — the generation stage is the
+    entry's dominant CPU cost and previously ran on ONE core at sf0.1
+    (profiled 4.0 s single-task stage; isolated A/B 3.9 -> 1.3 s)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(docs.inputFiles()) < spark.sparkContext.defaultParallelism
+    plan = ngram_novelty(docs, n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan, plan
