@@ -120,6 +120,27 @@ def normalized_text(col: Column | str) -> Column:
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a lambda
+    variable: ``element_at(transform(array(expr), fn), 1)``.
+
+    Why this exists (round-14, guide §1.2 "per-task work"): a
+    higher-order function's lambda body is re-evaluated PER ELEMENT, and
+    that includes any non-lambda subexpression embedded in it — Spark's
+    HOFs are CodegenFallback, so there is no common-subexpression
+    elimination on that path. A gram builder shaped
+    ``transform(sequence(1, n), i -> f(normalized_text(text), i))``
+    therefore re-runs the whole-document regex normalization once per
+    OUTPUT GRAM — O(len^2) regex work per document. It measured as the
+    minhash_neardup 32-core collapse: 32 task threads pinned inside
+    java.util.regex / interpreted eval, 4 s vs 40-75 s depending purely
+    on how well C2 had compiled the regex machinery. Binding the
+    expensive input as a lambda variable makes every per-element
+    reference an O(1) slot lookup, independent of optimizer or JIT
+    behavior."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Stable document fingerprint: md5 hex of the normalized text.
 

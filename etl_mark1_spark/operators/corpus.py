@@ -95,12 +95,19 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
 
 
 def word_ngram_col(text_col: Column, n: int) -> Column:
-    """Word n-grams of lowercased text as an array column (JVM-side)."""
-    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
-    cnt = F.size(words) - F.lit(n - 1)
-    return F.when(cnt <= 0, F.array()).otherwise(
-        F.transform(F.sequence(F.lit(1), cnt),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+    """Word n-grams of lowercased text as an array column (JVM-side).
+    The token array binds once per row (:func:`bind_once`): an embedded
+    split would re-tokenize the whole document per OUTPUT GRAM in the
+    HOF's per-element eval (round-14 fix, same mechanism as
+    dedup.char_shingles)."""
+    from etl_mark1_spark.functions.text import bind_once
+
+    return bind_once(
+        F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != ""),
+        lambda words: F.when(F.size(words) - F.lit(n - 1) <= 0, F.array())
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)))))
 
 
 def ngram_contamination(df: DataFrame, benchmark: DataFrame, n: int = 8,

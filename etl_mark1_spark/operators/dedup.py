@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_mark1_spark.functions.text import normalized_text
+from etl_mark1_spark.functions.text import bind_once, normalized_text
 
 
 # --------------------------------------------------------------------------
@@ -186,21 +186,29 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     substr). Deliberately NOT array_distinct'd: MIN-hashing ignores
     duplicates and array_intersect/array_union are set operations, so
     downstream MinHash and Jaccard are unaffected — skipping the dedup
-    avoids an O(n log n) pass over every document."""
-    norm = normalized_text(col)
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    avoids an O(n log n) pass over every document.
+
+    The normalized text is bound ONCE per row (:func:`bind_once`) — an
+    embedded ``normalized_text`` would re-run its regex per SHINGLE in
+    the HOF's per-element eval (round-14 fix; O(len^2) regex work per
+    doc, the minhash 32-core collapse)."""
+    return bind_once(
+        normalized_text(col),
+        lambda norm: F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(k))))
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-grams of the normalized text (multiset; see char_shingles on
-    why no distinct)."""
-    toks = F.split(normalized_text(col), " ")
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), cnt - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    why no distinct, and on why the token array binds once per row)."""
+    return bind_once(
+        F.split(normalized_text(col), " "),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:

@@ -84,8 +84,6 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     calls hold only the result table. Convergence-driven variants add a
     per-round checkpoint + release like dedup's label loop.
     """
-    from pyspark.sql import Window
-
     from etl_mark1_spark.operators.dedup import release_checkpoint
 
     g = symmetrize(edges, src, dst, oriented=oriented) if undirected else (
@@ -97,16 +95,17 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     # per-iteration join count. The contribution stays ``rank / deg`` —
     # the same double division the SQL oracle replays, so results are
     # bit-identical (a precomputed 1/deg weight would not be).
-    # Round-13-opt (guide §2.4): ``deg`` is a COUNT WINDOW over src, not
-    # a groupBy + self-join — count(*) over a src partition is the same
-    # number the degree aggregate produced, but it rides the one src
-    # exchange the edge table needs anyway, so the degree table, its
-    # broadcast-exchange job, the join, and the extra pre-join
-    # checkpoint of the raw edges all disappear (profiled ~1s of
-    # serial broadcast-build jobs at sf0.1).
-    g = g.withColumn(
-        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))) \
-        .localCheckpoint()
+    # Round-14: degrees come from a groupBy + join, NOT a count window
+    # over src. A window partitioned by node puts EVERY edge of a hub in
+    # one task with no partial aggregation — a straggler/OOM cliff on
+    # power-law graphs (guide §2.5); the groupBy gets map-side partials,
+    # and the deg join is a JOIN, so AQE's skew handling can split a hot
+    # src partition at runtime (skew-split applies to joins only, never
+    # to windows).
+    raw = g.localCheckpoint()
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    g = raw.join(deg, "src").localCheckpoint()
+    release_checkpoint(raw)  # the annotated edges supersede it
     nodes = (g.select(F.col("src").alias("node"))
              .union(g.select(F.col("dst").alias("node"))).distinct()) \
         .localCheckpoint()
@@ -184,41 +183,32 @@ def triangle_count(edges: DataFrame, src: str = "src",
     a distinct ``src < dst`` canonical form, so the undirected build
     skips its doubled-edge dedup shuffle.
     """
-    from pyspark.sql import Window
-
-    # Round-13-opt (guide §2.4): both endpoint degrees are COUNT WINDOWS
-    # over the symmetric edge list — the u-window count IS the degree of
-    # u (one exchange the orientation pass needs anyway), and the
-    # v-window rides the second exchange; the old shape built a separate
-    # degree table and broadcast-joined it twice (two serial
-    # broadcast-build jobs, profiled 0.5-0.8 s each at sf0.1). The
-    # u-keyed window ALSO yields the oriented adjacency list _nu for
-    # free: collect_list(v) over the SAME partition, filtered to the
-    # oriented out-neighbors, so the first adjacency join disappears
-    # too. Numbers are identical — same counts, same lists as sets
-    # (array_intersect is order-insensitive; n_triangles is a count).
-    wu = Window.partitionBy("u")
-    e = (symmetrize(edges, src, dst, oriented=oriented)
-         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-         .withColumn("dv",
-                     F.count(F.lit(1)).over(Window.partitionBy("v")))
-         .withColumn("du", F.count(F.lit(1)).over(wu))
-         .withColumn("_keep",
-                     (F.col("du") < F.col("dv"))
-                     | ((F.col("du") == F.col("dv"))
-                        & (F.col("u") < F.col("v")))))
-    # second u-window in the SAME partitioning (no exchange): the
-    # oriented out-adjacency of u — collect_list skips the NULLs the
-    # when() leaves for dropped directions
-    o = (e.withColumn("_nu",
-                      F.collect_list(F.when(F.col("_keep"), F.col("v")))
-                      .over(wu))
-         .filter(F.col("_keep"))
-         .select("u", "v", "_nu"))
-    # one row per oriented source, still u-partitioned (no exchange)
-    adj = o.groupBy("u").agg(F.first("_nu").alias("_n"))
-    closed = (o.join(adj.select(F.col("u").alias("v"),
-                                F.col("_n").alias("_nv")), "v")
+    # Round-14: endpoint degrees come from ONE groupBy (map-side
+    # partials) joined back onto the edges, not count windows over the
+    # symmetric edge list. The round-13 window formulation put every
+    # edge of a hub node into a single task with no partial aggregation
+    # — the pre-orientation edge list is exactly where hubs are still
+    # unbounded, so on a power-law graph the window is a straggler/OOM
+    # cliff (guide §2.5), and the driver's bench measured it SLOWER at
+    # fixture scale too (5.10 s vs 3.52 s r12). Degree joins are joins,
+    # so AQE skew-split can break a hot u/v partition at runtime; the
+    # collect_list below runs only on the ORIENTED list, where
+    # out-degree is O(sqrt m)-bounded, hub or not.
+    e = symmetrize(edges, src, dst, oriented=oriented)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    o = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+         .join(deg.select(F.col("src").alias("u"),
+                          F.col("deg").alias("du")), "u")
+         .join(deg.select(F.col("src").alias("v"),
+                          F.col("deg").alias("dv")), "v")
+         .filter((F.col("du") < F.col("dv"))
+                 | ((F.col("du") == F.col("dv"))
+                    & (F.col("u") < F.col("v"))))
+         .select("u", "v"))
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("_n"))
+    closed = (o.join(adj.withColumnRenamed("_n", "_nu"), "u")
+              .join(adj.select(F.col("u").alias("v"),
+                               F.col("_n").alias("_nv")), "v")
               .select("u", "v",
                       F.array_intersect("_nu", "_nv").alias("_w"))
               .filter(F.size("_w") > 0))

@@ -53,11 +53,18 @@ def _positioned_grams(docs: DataFrame, text_col: str, id_col: str,
     frames that already shuffled or have enough splits)."""
     from etl_mark1_spark.operators.dedup import ensure_parallelism
 
+    from etl_mark1_spark.functions.text import bind_once
+
     docs = ensure_parallelism(docs)
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # the token array binds once per row: an embedded split would
+    # re-tokenize the document per OUTPUT GRAM in the HOF's per-element
+    # eval (round-14 fix, same mechanism as dedup.char_shingles)
+    grams = bind_once(
+        toks,
+        lambda tk: F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n))))
     return (docs.filter(F.size(toks) >= n)
             .select(F.col(id_col),
                     F.posexplode(grams).alias("_pos0", "gram"))

@@ -56,10 +56,14 @@ def get_spark(
         # compilation stalls — measured as 2-7x first-run inflation on
         # codegen-heavy queries once the cache fills. Spark's tuning docs
         # recommend raising it for exactly this workload shape.
+        # SPARK_GRAFT_EXTRA_JAVA_OPTS: diagnostics hook (e.g. -Xlog:gc*)
+        # appended to both JVMs; empty by default so timings are unchanged.
         .config("spark.driver.extraJavaOptions",
-                "-Duser.timezone=UTC -XX:ReservedCodeCacheSize=512m")
+                ("-Duser.timezone=UTC -XX:ReservedCodeCacheSize=512m "
+                 + os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTS", "")).strip())
         .config("spark.executor.extraJavaOptions",
-                "-Duser.timezone=UTC -XX:ReservedCodeCacheSize=512m")
+                ("-Duser.timezone=UTC -XX:ReservedCodeCacheSize=512m "
+                 + os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTS", "")).strip())
     )
     if driver_memory:
         builder = builder.config("spark.driver.memory", driver_memory)

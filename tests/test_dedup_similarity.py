@@ -714,6 +714,40 @@ def test_triangle_count_orientation_invariance(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_graph_degrees_are_skew_safe_no_edge_window(spark):
+    """Round-14 regression pin: node degrees must come from a groupBy
+    (map-side partial aggregation) joined back, never from a count
+    window partitioned by node — a window puts EVERY edge of a hub in
+    one task with no partials and AQE cannot skew-split it (guide §2.5;
+    the round-13 window formulation was a straggler/OOM cliff on
+    power-law graphs). Pins: no Window node in either executed plan,
+    and a 10^5-edge hub star completes with correct results."""
+    from etl_mark1_spark.operators.graph import pagerank, triangle_count
+
+    # star: one hub (node 0) with 100k spokes + one triangle off to the
+    # side so the output is non-empty
+    hub = spark.range(1, 100_001).selectExpr("CAST(0 AS LONG) AS src",
+                                             "id AS dst")
+    tri = spark.createDataFrame(
+        [(200_001, 200_002), (200_002, 200_003), (200_003, 200_001)],
+        ["src", "dst"])
+    edges = hub.unionByName(tri.selectExpr("CAST(src AS LONG) src",
+                                           "CAST(dst AS LONG) dst"))
+
+    tc = triangle_count(edges)
+    got = {r.node: r.n_triangles for r in tc.collect()}
+    assert got == {200_001: 1, 200_002: 1, 200_003: 1}
+    assert "Window" not in tc._jdf.queryExecution().executedPlan().toString()
+
+    # pagerank's result frame is checkpoint-truncated (no plan to pin);
+    # the hub star itself is the regression: with a count window over
+    # src this materializes the whole 100k-edge hub in one window task.
+    ranks = {r.node: r.rank
+             for r in pagerank(edges, iterations=1).collect()}
+    assert len(ranks) == 100_004 and abs(sum(ranks.values()) - 1.0) < 1e-4
+    assert ranks[0] == max(ranks.values())  # the hub outranks every spoke
+
+
 def test_coorder_edges_matches_self_join(spark):
     """The grouped pair-explode build must produce exactly the edge set
     of the equi-self-join formulation, including duplicate collapsing."""
