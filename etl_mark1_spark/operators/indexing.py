@@ -73,14 +73,22 @@ def _run_starts(sorted_col: Column) -> Column:
 def build_postings(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Term-frequency postings: one (token, doc_id, tf) row per distinct
-    (token, document) pair, computed entirely MAP-SIDE (round-13-opt):
-    each document sorts its own token array and run-length-encodes it,
-    so the frame is a pure scan projection — no explode-then-groupBy
-    exchange. The old formulation shuffled one row per distinct
-    (token, doc) pair just to count tf; a document already holds
-    everything its own tf needs."""
-    return build_scored_postings(df, text_col=text_col,
-                                 id_col=id_col).drop("dl")
+    (token, document) pair. One explode + one partial-aggregating
+    groupBy; a document's repeated tokens collapse map-side, so the
+    exchange carries exactly one row per distinct (token, doc) pair —
+    the output rows themselves, nothing occurrence-sized.
+
+    Round-14: back to explode + groupBy from the round-13 per-document
+    sort + run-length-encode. The RLE form saved this one exchange but
+    priced every document at an interpreted-eval array_sort + HOF RLE
+    (higher-order functions are CodegenFallback — no whole-stage
+    codegen), which the driver's bench measured as a 1.8x LOSS on the
+    pure-build entries (index_merge_parity_docs 1.12 s -> 1.95 s); the
+    codegen'd explode + hash-aggregate is cheaper than the per-row sort
+    at every scale, and the exchange it pays is already collapsed to
+    final cardinality map-side."""
+    return (build_scored_postings(df, text_col=text_col, id_col=id_col)
+            .drop("dl"))
 
 
 def postings_dictionary(postings: DataFrame) -> DataFrame:
@@ -194,34 +202,31 @@ def build_scored_postings(df: DataFrame, text_col: str = "text",
     (the alternative — a separate doc-lengths table — re-shuffles on
     doc_id for every query). dl = total token count of the doc.
 
-    Round-13-opt: computed entirely MAP-SIDE. dl is the size of the
-    document's own token array, and tf comes from run-length-encoding
-    the sorted array (:func:`_run_starts`) — O(n log n) per document,
-    zero exchanges. The previous formulation paid an explode + groupBy
-    shuffle for tf and then a doc_id shuffle JOIN to attach dl (two
-    corpus-wide exchanges per ingest artifact); both decisions depend
-    only on data the document row already holds, so they now never
-    leave the scan stage (guide-§2.4 shape: remove shuffles outright)."""
+    Round-14 shape: one codegen'd explode + ONE partial-aggregating
+    groupBy where ``dl`` rides the GROUP KEY — dl is functionally
+    dependent on doc_id (it is size() of the document's own token
+    array, projected before the explode), so grouping by
+    (token, doc_id, dl) forms exactly the (token, doc_id) groups and
+    attaches dl for free. This keeps round 13's real win over the
+    original two-exchange form (the corpus-wide doc_id JOIN that
+    attached dl is still gone) while dropping round 13's per-document
+    sort + run-length-encode, whose interpreted higher-order-function
+    eval (HOFs are CodegenFallback) the driver's bench measured as a
+    1.8x loss on the pure-build entries. The one exchange left is
+    collapsed to final output cardinality by map-side partials — a
+    document lives in one input row, so every (token, doc) group is
+    partition-local."""
     from etl_mark1_spark.operators.dedup import ensure_parallelism
 
     toks = (ensure_parallelism(df)
             .select(F.col(id_col).alias("doc_id"),
-                    F.array_sort(_doc_tokens(text_col)).alias("_tk")))
-    with_starts = toks.select("doc_id", "_tk",
-                              _run_starts(F.col("_tk")).alias("_st"))
-    tk, st = F.col("_tk"), F.col("_st")
-    entries = F.transform(
-        st,
-        lambda s, k: F.struct(
-            F.element_at(tk, s).alias("token"),
-            (F.coalesce(F.try_element_at(st, (k + F.lit(2)).cast("int")),
-                        F.size(tk) + F.lit(1)) - s)
-            .cast("bigint").alias("tf")))
-    return (with_starts
-            .select("doc_id", F.size(tk).cast("bigint").alias("dl"),
-                    F.explode(entries).alias("_e"))
-            .select(F.col("_e.token").alias("token"), "doc_id",
-                    F.col("_e.tf").alias("tf"), "dl"))
+                    _doc_tokens(text_col).alias("_tk")))
+    return (toks
+            .select("doc_id", F.size("_tk").cast("bigint").alias("dl"),
+                    F.explode("_tk").alias("token"))
+            .groupBy("token", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .select("token", "doc_id", "tf", "dl"))
 
 
 def write_search_index(df: DataFrame, path: str,
