@@ -157,12 +157,15 @@ def rolling_hash_fingerprint(col: Column | str, window: int = 64) -> Column:
     style robust fingerprint that survives small edits at the ends.
     Entirely JVM-side: sequence + transform + array_min.
     """
-    norm = normalized_text(col)
-    n_blocks = F.greatest(F.length(norm) - F.lit(window - 1), F.lit(1))
-    blocks = F.transform(
-        F.sequence(F.lit(1), n_blocks), lambda i: norm.substr(i, F.lit(window))
-    )
-    return F.array_min(F.transform(blocks, lambda b: F.xxhash64(b)))
+    return bind_once(
+        normalized_text(col),
+        lambda norm: F.array_min(F.transform(
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.length(norm) - F.lit(window - 1),
+                                      F.lit(1))),
+                lambda i: norm.substr(i, F.lit(window))),
+            lambda b: F.xxhash64(b))))
 
 
 def char_entropy_stats(df, text_col: str = "text",
@@ -335,13 +338,18 @@ def repetition_profile(df, text_col: str = "text",
 
     norm = normalized_text(text)
     toks = F.split(norm, " ")
+    # token array bound once per row (bind_once): an embedded split
+    # would re-tokenize the document per OUTPUT BIGRAM in the HOF's
+    # per-element eval (round-14 fix, same mechanism as char_shingles)
+    bigrams = bind_once(
+        toks,
+        lambda tk: F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 2))))
     grams = (df.filter(F.size(toks) >= 2)
              .select(F.col(id_col),
                      F.length(norm).cast("long").alias("_chars"),
-                     F.explode(F.transform(
-                         F.sequence(F.lit(1), F.size(toks) - 1),
-                         lambda i: F.concat_ws(
-                             " ", F.slice(toks, i, 2)))).alias("gram")))
+                     F.explode(bigrams).alias("gram")))
     gram_counts = (grams.groupBy(id_col, "_chars", "gram")
                    .agg(F.count(F.lit(1)).alias("_cnt")))
     w = Window.partitionBy(id_col).orderBy(F.desc("_cnt"), "gram")
