@@ -93,160 +93,96 @@ from etl_mark1_spark.catalog import (  # noqa: E402, F401
 #: rounds STRICTLY BEFORE this one when classifying prefix entries as
 #: fresh vs sentinel (the round-8 lesson: globbing ALL snapshots made the
 #: meta-test fail the moment the current round's snapshot landed on disk).
-DRIVER_PREFIX_ROUND = 13
+DRIVER_PREFIX_ROUND = 14
 
-#: Round-13 driver prefix (50 slots). CORRECTNESS_r12 landed fully green
-#: (50/50, all hash-exact — the stale backlog emptied), so there are no
-#: re-tests; composition per the staged round-13 plan:
-#:   * 4 SENTINELS at the head. q1_pricing_summary is the standing
-#:     regression canary (green r1-5, r8-r12); the other three are
-#:     r12-confirmed entries whose IMPLEMENTATION CODE CHANGED this
-#:     round and therefore need re-confirmation, not mere freshness:
-#:     bm25_persisted_search_docs (write_search_index now also emits the
-#:     max-impact dict segment; the query path refactored onto shared
-#:     tombstone-aware helpers), retrieval_ndcg_eval (ndcg_at_k's
-#:     empty-ranking coalesce fix), hybrid_rrf_search_docs (bm25_topk's
-#:     engine-side query-term case fold).
-#:   * 8 NEW round-13 entries (catalog/index_maintenance.py) — the
-#:     persisted-index maintenance lifecycle: index_delete_query_docs
-#:     (tombstone deletion; delete-then-query == build-from-survivors),
-#:     index_compact_query_docs (compaction applies tombstones, queries
-#:     drop the anti-join), bm25_maxscore_search_docs (rank-safe
-#:     MaxScore early termination), phrase_search_persisted_docs +
-#:     snippet_persisted_docs (persisted positional postings — phrase
-#:     and proximity queries without re-tokenizing),
-#:     qlm_persisted_search_docs (Dirichlet QLM on the tokenize-once
-#:     path, |C| from the stats segments), hybrid_rrf_persisted_docs
-#:     (RRF fusing BM25 + conjunctive off the same persisted index —
-#:     one ingest, many rankers), and
-#:     streaming_index_ingest_docs (foreachBatch ingest straight into
-#:     the search index, replay-idempotent by dynamic partition
-#:     overwrite).
-#:   * 10 MORE new round-13 entries (catalog/query_side.py, landed in
-#:     the round's second half) — the persisted index's query language:
-#:     boolean_search_persisted_docs (must/should/must_not + BM25),
-#:     fuzzy_search_persisted_docs (Levenshtein-1 vocabulary expansion),
-#:     more_like_this_docs (document-as-query, tf·idf term selection),
-#:     prf_search_docs (pseudo-relevance feedback, weighted BM25),
-#:     prefix_complete_docs (dict-only autocomplete),
-#:     decontam_index_delete_docs (decontamination hits → tombstone
-#:     deletion → query == build-from-clean-corpus, the end-to-end
-#:     curation loop), query_string_search_docs (the parsed
-#:     Lucene-style surface: must + phrase + exclusion + fuzzy in one
-#:     query over the positional index), faceted_search_docs
-#:     (match-bounded facet counts), search_after_page2_docs (cursor
-#:     pagination == OFFSET/LIMIT on the total order), and
-#:     index_stats_docs (metadata-only introspection == from-scratch
-#:     counts).
-#:   * 2 vector-side round-13 entries: ann_ivf_delete_topk (IVF
-#:     tombstone deletion — full probe over survivors == brute force,
-#:     catalog/index_maintenance.py) and hybrid_text_vector_docs (the
-#:     RAG shape: persisted BM25 + persisted IVF cosine fused by RRF,
-#:     catalog/query_side.py).
-#:   * 3 final round-13 entries: batch_search_docs (many queries, one
-#:     pruned pass — per-qid window top-k) and serp_page_docs (BM25
-#:     ranking joined with positional proximity snippets — the
-#:     composed results page), both catalog/query_side.py; and
-#:     streaming_ivf_ingest_topk (streaming ingest into the VECTOR
-#:     index — idempotent (_centroid, seg) segments against fixed
-#:     seeded centroids, catalog/index_maintenance.py).
-#:   * The ENTIRE 19-name r6-confirmation era in oldest-first
-#:     registration order (conditional_exprs ... q8_market_share) —
-#:     after this round nothing on the confirmed board is older than r8.
-#:   * 4 next-oldest refreshers — the r8 era's first names in
-#:     registration order (window_topk_orders, streaming_dedup,
-#:     bpe_roundtrip_docs + bm25_search_docs; the fifteen that made
-#:     room for the query-language, vector, batch/serp, and
-#:     streaming-vector entries — winsorize_prices,
-#:     collocations_pmi_docs, quality_percentile_rank,
-#:     dedup_keep_best_docs, ks_drift_values,
-#:     multimodal_image_neardup, compact_versioned_docs,
-#:     q11_important_parts, incremental_neardup_docs,
-#:     temperature_mixture_sources, multi_quantiles_quantity,
-#:     window_range_rolling, length_bucketed_batches_docs,
-#:     collect_set_priorities, quality_lr_score_docs —
-#:     rejoin the round-14 refresher queue at their registration spots;
-#:     new-entry first-time confirmation outranks freshness per the
-#:     standing policy, and every one of those names is already on the
-#:     cumulative driver-confirmed board).
-#:     bm25_search_docs stays: it doubles as the re-confirmation of
-#:     bm25_topk's case-fold change.
-#: If CORRECTNESS_r13 fails to land, re-run THIS prefix in round 14 —
+#: Round-14 driver prefix (50 slots). CORRECTNESS_r13 landed fully green
+#: (50/50), so there are no re-tests. This is an OPTIMIZATION round: no
+#: new features, but three operator families were REWORKED for
+#: performance and need driver re-confirmation, plus VERDICT r13 item 4
+#: explicitly asked for the round-13 reworked operators (which the
+#: rotation never driver-sampled) to enter the checked prefix.
+#: Composition:
+#:   * q1_pricing_summary — the standing regression canary (sentinel).
+#:   * index_ingest_docs — the ONE fresh never-checked entry (new this
+#:     round: ingest-isolation measurement, VERDICT r13 item 8).
+#:   * 12 round-13-reworked operators per VERDICT item 4: minhash,
+#:     triangle, pagerank, connected-components, incremental near-dup,
+#:     broadcast decontam, longest-dup-span, seasonal/resample family,
+#:     ngram novelty — all ALSO touched by this round's gram-builder or
+#:     graph-degree rework.
+#:   * 15 gram-builder (bind_once) re-confirmations: every oracle-exact
+#:     entry whose lineage reaches char_shingles / word_ngrams /
+#:     word_ngram_col / _positioned_grams / repetition_profile, which
+#:     round 14 rewrote to evaluate their inputs once per row.
+#:   * 16 postings-path re-confirmations: the build/merge/incremental
+#:     dictionary entries and the whole persisted-index family, whose
+#:     build_scored_postings round 14 rewrote (explode + dl-on-group-key
+#:     instead of per-document RLE).
+#:   * 5 r8-era refreshers from the standing queue (winsorize_prices,
+#:     quality_percentile_rank, dedup_keep_best_docs, ks_drift_values,
+#:     q11_important_parts).
+#: Every non-fresh name here is on the cumulative driver-confirmed
+#: board (290 names through r13), so the meta-test floor
+#: (min(40, pool)=1 fresh) is met by index_ingest_docs and the rest act
+#: as code-change re-confirmations — which is the point this round.
+#: If CORRECTNESS_r14 fails to land, re-run THIS prefix in round 15 —
 #: never rotate past an unsampled prefix.
 #:
-#: ROUND-14 PLAN: (a) any r13 reds at the head, (b) 2+ sentinels,
-#: (c) new round-14 additions, (d) the remaining 44 r8-era refreshers
-#: in registration order (winsorize_prices, collocations_pmi_docs,
-#: quality_percentile_rank, dedup_keep_best_docs, ks_drift_values,
-#: multimodal_image_neardup, compact_versioned_docs,
-#: q11_important_parts, incremental_neardup_docs,
-#: temperature_mixture_sources, multi_quantiles_quantity,
-#: window_range_rolling, length_bucketed_batches_docs,
-#: collect_set_priorities, quality_lr_score_docs — the fifteen
-#: displaced by the round-13 search/vector tranche — then
-#: image_exif_docs, image_autorotate_docs,
-#: funnel_conversion_events,
-#: cohort_retention_events, weighted_sample_docs, epoch_shuffle_docs,
-#: edit_distance_join_customers, nb_lang_classifier,
-#: fuzzy_dedup_customers, url_normalize_docs, domain_stats_docs,
-#: blocklist_filtered_docs, robots_filter_docs, html_strip_docs,
-#: html_links_docs, html_main_content_docs, warc_ingest_docs,
-#: html_metadata_docs, decode_bytes_docs, mojibake_repair_docs,
-#: sniff_mime_docs, unicode_nfc_docs, dedup_lines_docs,
-#: remove_common_lines_docs, corpus_datacard, script_profile_docs,
-#: split_sentences_docs, sentence_decontam_docs, webdataset_ingest_docs),
-#: then the r9 era.
+#: ROUND-15 PLAN: (a) any r14 reds at the head, (b) 2+ sentinels,
+#: (c) new round-15 additions, (d) the remaining r8-era refreshers in
+#: registration order (see the r13 note in git history for the full
+#: queue), then the r9 era.
 DRIVER_PREFIX = [
     "q1_pricing_summary",
+    "index_ingest_docs",
+    "minhash_neardup",
+    "triangle_count_parts",
+    "pagerank_parts",
+    "connected_components_parts",
+    "incremental_neardup_docs",
+    "broadcast_decontam_docs",
+    "longest_dup_span_docs",
+    "seasonal_decompose_events",
+    "resample_ffill_events",
+    "resample_interpolate_events",
+    "seasonal_decompose_interp_events",
+    "ngram_novelty_docs",
+    "ngram_jaccard_neardup",
+    "duplicate_spans_docs",
+    "strip_spans_keep_first_docs",
+    "curation_quality_chain",
+    "curation_pipeline",
+    "curation_chunks",
+    "repetition_profile_docs",
+    "boilerplate_ngrams",
+    "contamination_ngram",
+    "cross_corpus_decontam",
+    "broadcast_decontam_fixed_ref",
+    "bigram_lm_score",
+    "collocations_pmi_docs",
+    "decontam_rate_by_source",
+    "bloom_contaminated_docs",
+    "index_build_tf_docs",
+    "index_merge_parity_docs",
+    "index_incremental_docs",
+    "index_segment_report_docs",
     "bm25_persisted_search_docs",
-    "retrieval_ndcg_eval",
-    "hybrid_rrf_search_docs",
     "index_delete_query_docs",
     "index_compact_query_docs",
     "bm25_maxscore_search_docs",
+    "decontam_index_delete_docs",
+    "prf_search_docs",
+    "streaming_index_ingest_docs",
+    "qlm_persisted_search_docs",
     "phrase_search_persisted_docs",
     "snippet_persisted_docs",
-    "qlm_persisted_search_docs",
-    "hybrid_rrf_persisted_docs",
-    "streaming_index_ingest_docs",
     "boolean_search_persisted_docs",
-    "fuzzy_search_persisted_docs",
-    "more_like_this_docs",
-    "prf_search_docs",
-    "prefix_complete_docs",
-    "decontam_index_delete_docs",
     "query_string_search_docs",
-    "faceted_search_docs",
-    "search_after_page2_docs",
-    "index_stats_docs",
-    "ann_ivf_delete_topk",
-    "hybrid_text_vector_docs",
-    "batch_search_docs",
-    "serp_page_docs",
-    "streaming_ivf_ingest_topk",
-    "conditional_exprs",
-    "regexp_extract_groups",
-    "rolling_median_price",
-    "window_rank_family",
-    "boilerplate_ngrams",
-    "histogram_prices",
-    "column_entropy",
-    "corr_stats",
-    "spearman_qty_price",
-    "mi_status_priority",
-    "chi2_status_priority",
-    "weighted_sample_quality",
-    "upsert_orders",
-    "pii_scan_docs",
-    "pit_scd2_orders",
-    "scd2_customers",
-    "zorder_values",
-    "q4_late_orders",
-    "q8_market_share",
-    "window_topk_orders",
-    "streaming_dedup",
-    "bpe_roundtrip_docs",
-    "bm25_search_docs",
+    "winsorize_prices",
+    "quality_percentile_rank",
+    "dedup_keep_best_docs",
+    "ks_drift_values",
+    "q11_important_parts",
 ]
 
 
