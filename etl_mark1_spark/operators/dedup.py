@@ -88,7 +88,12 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     # parallelism => pass through. NB inputFiles() reports the LEAF scans'
     # files even for post-join/post-agg frames, so a shuffle check below
     # keeps derived frames out.
-    if len(files) >= target:
+    # Fan out only on a REAL shortfall (round-14, ADVICE r13): at
+    # files >= target/2 the round-robin would shuffle the full document
+    # text for at most a 2x parallelism gain — a bad trade at corpus
+    # scale (e.g. 100 files on a 128-core cluster). A genuinely narrow
+    # input (the compact-fixture case: 1-2 splits) still spreads.
+    if len(files) >= max(1, target // 2):
         return df
     # A frame whose plan already SHUFFLES (join/agg/window upstream) has
     # its partitioning set by that shuffle and AQE's coalescing — adding a

@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: per-bucket aggregation precision (the 2-decimal money contract every
+#: resample oracle replays); OUTPUT precision is each function's
+#: ``round_digits`` — see the note in resample_interpolate.
+_AGG_SUM_DIGITS = 2
+
 
 def _spread_by_key(df: DataFrame, key_col: str) -> DataFrame:
     """Explicit hash repartition on ``key_col`` at the cluster's default
@@ -35,8 +40,19 @@ def _spread_by_key(df: DataFrame, key_col: str) -> DataFrame:
     deployment), never a constant, and the frame being spread is the
     post-aggregation observed series (keys x observed buckets), far
     smaller than raw events, so default parallelism is a sane width at
-    any scale."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    any scale.
+
+    Round-14 (ADVICE r13): the width is max(defaultParallelism,
+    spark.sql.shuffle.partitions) — under dynamic allocation,
+    defaultParallelism at plan-build time reflects only the executors
+    registered so far (possibly very few at job start), and
+    REPARTITION_BY_NUM opts this exchange out of AQE coalescing AND
+    skew handling, so a cold cluster must not get permanently pinned
+    narrow; shuffle.partitions is the operator-agnostic width the rest
+    of the job plans with."""
+    spark = df.sparkSession
+    target = max(spark.sparkContext.defaultParallelism,
+                 int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
     return df.repartition(target, key_col)
 
 _TRUNC_FIELDS = {
@@ -130,9 +146,15 @@ def resample_interpolate(df: DataFrame, unit: str = "hour",
     dense series.
     """
     bucket = truncate_ntz(ts_col, unit).alias("bucket")
+    # NB the per-bucket SUM is rounded to _AGG_SUM_DIGITS (2, the money
+    # contract shared with resample_ffill and the SQL oracles), NOT to
+    # ``round_digits`` — round_digits controls only the precision of the
+    # INTERPOLATED output values (ADVICE r13: documented as intentional;
+    # widening the sum would change every oracle-pinned result).
     actual = _spread_by_key(
         df.groupBy(key_col, bucket)
-        .agg(F.round(F.sum(value_col), 2).alias("_v")), key_col)
+        .agg(F.round(F.sum(value_col), _AGG_SUM_DIGITS).alias("_v")),
+        key_col)
     w = Window.partitionBy(key_col).orderBy("bucket")
     step_iv = F.expr(f"interval {step}")
     lagged = actual.select(

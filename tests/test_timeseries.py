@@ -168,13 +168,32 @@ def test_resample_window_width_is_pinned_against_aqe_coalescing(spark, sf_dir):
     sf0.1 while 31 cores idled; isolated A/B 4.0 -> 1.5 s)."""
     from etl_mark1_spark.operators.timeseries import resample_ffill
 
+    import inspect
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    plan = resample_ffill(ev)._jdf.queryExecution().executedPlan().toString()
-    want = spark.sparkContext.defaultParallelism
-    assert "REPARTITION_BY_NUM" in plan, plan
-    assert f"hashpartitioning(user_id#" in plan
-    # the pinned width is the cluster's parallelism, never a constant
-    import re
-    m = re.search(r"hashpartitioning\(user_id#\d+L?, (\d+)\), "
-                  r"REPARTITION_BY_NUM", plan)
-    assert m and int(m.group(1)) == want, (m, want, plan)
+    df = resample_ffill(ev)
+    # the expected key comes from the function's own signature and the
+    # width from the session (never constants); the plan is walked by
+    # node CLASS, not explain-string regexes (ADVICE r13 — rendering
+    # drifts across Spark versions)
+    key = inspect.signature(resample_ffill).parameters["key_col"].default
+    want = max(spark.sparkContext.defaultParallelism,
+               int(spark.conf.get("spark.sql.shuffle.partitions")))
+    stack = [df._jdf.queryExecution().executedPlan()]
+    found = False
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name.startswith("AdaptiveSparkPlan"):
+            stack.append(node.initialPlan())
+            continue
+        if (name.startswith("ShuffleExchange")
+                and "REPARTITION_BY_NUM" in node.shuffleOrigin().toString()):
+            part = node.outputPartitioning()
+            assert part.numPartitions() == want, (part.numPartitions(), want)
+            assert key in part.expressions().mkString(","), key
+            found = True
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    assert found, "no REPARTITION_BY_NUM shuffle exchange in the plan"
